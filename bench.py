@@ -1,0 +1,69 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Execution is forced with the `noop` sink (full pipeline runs, nothing is
+collected to the driver), which is what a cluster job would look like.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from mediawiki_to_notion_spark.operators import QUERIES, load_all
+from mediawiki_to_notion_spark.session import get_spark
+
+HEADLINE = [
+    "agg_pricing_summary",
+    "scan_project_filter",
+    "dim_broadcast_join",
+    "fact_dim_join_agg",
+    "merge_upsert_semantics",
+    "window_ordered_replay",
+    "topk_per_group",
+    "count_distinct_exact",
+    "explode_pos_tokens",
+    "tumbling_window_agg",
+    "session_window_agg",
+    "dedup_exact_hash",
+    "dedup_minhash_lsh",
+    "similarity_topk_bruteforce",
+    "text_quality_score",
+    "wikitext_rule_chain",
+]
+
+
+def main() -> None:
+    load_all()
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    spark = get_spark("bench")
+
+    names = [n for n in HEADLINE if n in QUERIES]
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = QUERIES[name]
+        # warm the IO cache / JIT once at tiny scale is skipped: measure cold,
+        # single run, like the driver does.
+        t0 = time.time()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "headline_query_wall_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,38 @@
+"""t2 gate rehearsal: every registered query hash-matches its DuckDB oracle.
+
+Runs at sf0.001 for speed (the driver runs sf0.01; both are exercised in
+CI-style full runs via SPARK_GRAFT_TEST_SF_DIR).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from mediawiki_to_notion_spark.operators import ORACLES, QUERIES, load_all
+from mediawiki_to_notion_spark.oracle import compare
+
+load_all()
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, name):
+    result = compare(spark, QUERIES[name], ORACLES[name], SF_DIR)
+    assert result["match"], f"{name}: {result}"
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_query_runs(spark, name):
+    df = QUERIES[name](spark, SF_DIR)
+    assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as ent
+
+    df = ent.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(ent.oracle_sql()) <= set(ent.queries())
