@@ -1,0 +1,103 @@
+"""Engine-portable hashing primitives for dedup / LSH.
+
+Everything here must produce *bit-identical* values in Spark (Java) and
+DuckDB (the oracle), so the base token hash is md5 — available in both —
+mapped to a 60-bit integer, and all derived hashes are plain integer
+arithmetic on top.
+
+MinHash background: Broder, "On the resemblance and containment of
+documents" (1997); LSH banding: Leskovec/Rajaraman/Ullman, Mining of
+Massive Datasets ch.3.  SimHash: Charikar (2002).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MERSENNE_P = 2_147_483_647  # 2^31 - 1
+
+# Fixed (a, b) parameter pairs for the 16 minhash permutations
+# h_i(x) = (a_i * x + b_i) mod P.  Arbitrary odd constants, hardcoded so
+# Spark and the SQL oracle share them verbatim.
+MINHASH_PARAMS: list[tuple[int, int]] = [
+    (48271, 11), (16807, 23), (69621, 37), (40692, 41),
+    (10007, 53), (28657, 67), (75571, 71), (32749, 83),
+    (51349, 97), (12345, 101), (65497, 113), (22651, 127),
+    (91019, 131), (30269, 139), (45989, 149), (18257, 151),
+]
+
+N_MINHASH = len(MINHASH_PARAMS)
+N_BANDS = 4
+ROWS_PER_BAND = N_MINHASH // N_BANDS
+
+SIMHASH_BITS = 16
+
+
+def token_hash60(col: Column) -> Column:
+    """String → 60-bit non-negative integer via md5 (portable)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def token_hash60_sql(expr: str) -> str:
+    """DuckDB twin of :func:`token_hash60`."""
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+def minhash_agg_columns(hash_col: Column) -> list[Column]:
+    """The 16 ``min((a_i*h + b_i) mod P)`` aggregate expressions over a
+    grouped, exploded token-hash column (reduced mod P first so the
+    product stays < 2^47, well inside int64)."""
+    h = hash_col % MERSENNE_P
+    return [
+        F.min((h * a + b) % MERSENNE_P).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_PARAMS)
+    ]
+
+
+def minhash_agg_sql(hash_expr: str) -> list[str]:
+    h = f"(({hash_expr}) % {MERSENNE_P})"
+    return [
+        f"min(({h} * {a} + {b}) % {MERSENNE_P}) AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_PARAMS)
+    ]
+
+
+def band_signature(band: int) -> Column:
+    """Concatenated signature of one LSH band over the mh* columns."""
+    cols = [F.col(f"mh{band * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+    return F.concat_ws("_", *[c.cast("string") for c in cols])
+
+
+def band_signature_sql(band: int) -> str:
+    cols = [f"mh{band * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+    return " || '_' || ".join(cols)
+
+
+def simhash_bit_aggs(hash_col: Column) -> list[Column]:
+    """Per-bit ±1 weight sums over grouped token hashes (SimHash)."""
+    return [
+        F.sum(
+            F.when(F.shiftright(hash_col, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"w{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+
+
+def simhash_from_weights() -> Column:
+    out = F.lit(0).cast("long")
+    for j in range(SIMHASH_BITS):
+        out = out + F.when(F.col(f"w{j}") > 0, F.lit(1 << j)).otherwise(0)
+    return out
+
+
+def simhash_sql(hash_expr: str) -> tuple[list[str], str]:
+    """(per-bit weight aggregates, combiner expression) for DuckDB."""
+    aggs = [
+        f"sum(CASE WHEN (({hash_expr}) >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS w{j}"
+        for j in range(SIMHASH_BITS)
+    ]
+    combine = " + ".join(
+        f"(CASE WHEN w{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+    )
+    return aggs, combine

@@ -1,1 +1,290 @@
-"""placeholder — filled in this round."""
+r"""Deduplication operators over the documents / embeddings tables
+(north-star extension; the LLM-data-pipeline workhorses).
+
+Five families, each with a DuckDB oracle:
+
+- exact (hash groupBy)
+- n-gram (trigram-shingle) Jaccard — exhaustive pair verification
+- MinHash + LSH banding — the 100 TB scale path: candidate generation is
+  a bucket equi-join on band signatures instead of an all-pairs join
+- SimHash + Hamming distance
+- embedding-cosine near-dup
+
+Scale notes: at 100 TB the all-pairs `dedup_ngram_jaccard` is
+intractable by design — it exists as the correctness oracle for the
+minhash-LSH variant, whose cost is O(docs × bands) shuffle + per-bucket
+joins (AQE handles hot buckets).  All token hashing is md5-based integer
+arithmetic shared verbatim with the oracle (functions/hashing.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mediawiki_to_notion_spark.functions import hashing as H
+from mediawiki_to_notion_spark.operators.registry import register
+from mediawiki_to_notion_spark.sources.tables import load_table
+
+JACCARD_THRESHOLD = 0.8
+HAMMING_MAX = 2
+COSINE_DUP_THRESHOLD = 0.45
+
+
+@register(
+    "dedup_exact_hash",
+    oracle="""
+    SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy, keep lowest doc_id.  One shuffle on the
+    hash; map-side partial aggregation makes this linear at any scale."""
+    d = load_table(spark, "documents", sf_dir)
+    return (
+        d.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# --- shared shingle builders -------------------------------------------------
+
+def _shingles(d: DataFrame) -> DataFrame:
+    """Distinct word-trigram shingles per doc (guarded for short docs)."""
+    toks = d.select("doc_id", F.split("text", " ").alias("t")).filter(F.size("t") >= 3)
+    tri = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - 3),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("t"), i + 1),
+                        F.element_at(F.col("t"), i + 2),
+                        F.element_at(F.col("t"), i + 3),
+                    ),
+                )
+            )
+        ).alias("shingle"),
+    )
+    return tri
+
+
+_SHINGLES_SQL = """
+    toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t
+      FROM documents WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             t[u.i+1] || ' ' || t[u.i+2] || ' ' || t[u.i+3] AS shingle
+      FROM toks, LATERAL (SELECT unnest(range(0, len(t) - 2)) AS i) u
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           n_common::DOUBLE / (x.n + y.n - n_common) AS jaccard
+    FROM pairs JOIN sizes x ON doc_a = x.doc_id JOIN sizes y ON doc_b = y.doc_id
+    WHERE n_common::DOUBLE / (x.n + y.n - n_common) >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exhaustive trigram-shingle Jaccard near-dup pairs (the exact
+    oracle for the LSH variant; quadratic — small-SF verification only)."""
+    d = load_table(spark, "documents", sf_dir)
+    sh = _shingles(d).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    x = sizes.alias("x")
+    y = sizes.alias("y")
+    jac = F.col("n_common").cast("double") / (F.col("x.n") + F.col("y.n") - F.col("n_common"))
+    return (
+        pairs.join(x, F.col("doc_a") == F.col("x.doc_id"))
+        .join(y, F.col("doc_b") == F.col("y.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def _minhash_signatures(sh: DataFrame) -> DataFrame:
+    h = H.token_hash60(F.col("shingle"))
+    return sh.groupBy("doc_id").agg(*H.minhash_agg_columns(h))
+
+
+_MINHASH_SQL = f"""
+    hashed AS (
+      SELECT doc_id, {H.token_hash60_sql('shingle')} AS h FROM sh
+    ),
+    sigs AS (
+      SELECT doc_id, {', '.join(H.minhash_agg_sql('h'))}
+      FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+      {' UNION ALL '.join(
+        f"SELECT doc_id, {b} AS band, {H.band_signature_sql(b)} AS sig FROM sigs"
+        for b in range(H.N_BANDS)
+      )}
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    )
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    {_MINHASH_SQL},
+    verified AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_common
+      FROM cands c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT v.doc_a, v.doc_b,
+           n_common::DOUBLE / (x.n + y.n - n_common) AS jaccard
+    FROM verified v
+    JOIN sizes x ON v.doc_a = x.doc_id JOIN sizes y ON v.doc_b = y.doc_id
+    WHERE n_common::DOUBLE / (x.n + y.n - n_common) >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(4 bands × 4 rows) candidate generation, then
+    exact-Jaccard verification of candidates only.
+
+    The scale path: signatures are one shuffle (groupBy doc), banding is
+    a narrow explode, candidates come from an equi-join on (band, sig) —
+    no all-pairs comparison ever materializes."""
+    d = load_table(spark, "documents", sf_dir)
+    sh = _shingles(d).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sigs = _minhash_signatures(sh)
+    bands = None
+    for bnd in range(H.N_BANDS):
+        part = sigs.select(
+            "doc_id", F.lit(bnd).alias("band"), H.band_signature(bnd).alias("sig")
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cands = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.alias("sa")
+    sb = sh.alias("sb")
+    verified = (
+        cands.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, (F.col("doc_b") == F.col("sb.doc_id"))
+              & (F.col("sb.shingle") == F.col("sa.shingle")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    x = sizes.alias("x")
+    y = sizes.alias("y")
+    jac = F.col("n_common").cast("double") / (F.col("x.n") + F.col("y.n") - F.col("n_common"))
+    return (
+        verified.join(x, F.col("doc_a") == F.col("x.doc_id"))
+        .join(y, F.col("doc_b") == F.col("y.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle=(lambda aggs_combine=H.simhash_sql(H.token_hash60_sql("shingle")): f"""
+    WITH {_SHINGLES_SQL},
+    weights AS (
+      SELECT doc_id, {', '.join(aggs_combine[0])}
+      FROM sh GROUP BY doc_id
+    ),
+    sims AS (
+      SELECT doc_id, {aggs_combine[1]} AS simhash FROM weights
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+    """)(),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(16-bit) near-dup pairs at Hamming distance ≤ 2.
+
+    (All-pairs comparison here is the small-SF oracle shape; the scale
+    path blocks on simhash bit-bands exactly like minhash-LSH.)"""
+    d = load_table(spark, "documents", sf_dir)
+    sh = _shingles(d)
+    h = H.token_hash60(F.col("shingle"))
+    weights = sh.groupBy("doc_id").agg(*H.simhash_bit_aggs(h))
+    sims = weights.select("doc_id", H.simhash_from_weights().alias("simhash"))
+    a = sims.alias("a")
+    b = sims.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= HAMMING_MAX)
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+             AS cosine_r
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+          >= {COSINE_DUP_THRESHOLD}
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (all-pairs at small SF; the scale
+    path buckets via random-hyperplane LSH — similarity.py)."""
+    from mediawiki_to_notion_spark.functions import vectors as V
+
+    e = load_table(spark, "embeddings", sf_dir)
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = F.round(V.cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine_r"),
+        )
+        .filter(F.col("cosine_r") >= COSINE_DUP_THRESHOLD)
+    )

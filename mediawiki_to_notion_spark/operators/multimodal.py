@@ -1,1 +1,122 @@
-"""placeholder — filled in this round."""
+"""Multimodal column plumbing (north-star extension).
+
+Media (image/audio/video) is carried as an opaque ``binary`` column plus
+a typed metadata struct — the reference's embedded-file model
+(process-mw-dump.py:147-177: filename + base64 contents) generalized.
+
+The decode / feature-extract stage is a `mapInPandas` pipeline whose
+Spark-side plumbing (schema, Arrow batching, partitioning) is real and
+tested; the actual codec call is stubbed behind an import-try
+(image/audio libs are not in this container) with a deterministic fake
+so tests exercise the full path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mediawiki_to_notion_spark.operators.registry import register
+from mediawiki_to_notion_spark.sources.tables import load_table
+
+try:  # pragma: no cover - not present in this container
+    from PIL import Image  # noqa: F401
+    HAVE_PIL = True
+except ImportError:
+    HAVE_PIL = False
+
+FEATURE_SCHEMA = (
+    "doc_id long, media_type string, n_bytes int, "
+    "width int, height int, checksum long"
+)
+
+
+def _media_frame(d: DataFrame) -> DataFrame:
+    """documents → opaque media rows: binary payload + typed metadata."""
+    return d.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("content"),
+        F.element_at(
+            F.array(F.lit("image/png"), F.lit("audio/wav"), F.lit("video/mp4")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.struct(
+            F.octet_length("text").alias("n_bytes"),
+            (F.col("doc_id") % 640 + 16).cast("int").alias("width"),
+            (F.col("doc_id") % 480 + 16).cast("int").alias("height"),
+        ).alias("meta"),
+    )
+
+
+def decode_image(content: bytes) -> tuple[int, int]:  # pragma: no cover
+    """Real decode path — requires an imaging library.
+
+    STUB: PIL/libvips are not available in this environment; the
+    mapInPandas pipeline below substitutes :func:`fake_decode`."""
+    if not HAVE_PIL:
+        raise NotImplementedError("image decoding requires PIL/pyvips")
+    raise NotImplementedError("wire Image.open(BytesIO(content)).size here")
+
+
+def fake_decode(content: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in for a codec: derives (width, height,
+    checksum) purely from the bytes so tests are reproducible."""
+    checksum = 0
+    for i, by in enumerate(content[:256]):
+        checksum = (checksum * 31 + by) % 1_000_000_007
+    w = 16 + checksum % 640
+    h = 16 + (checksum // 640) % 480
+    return w, h, checksum
+
+
+def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: one Arrow batch in, one feature batch out.
+    Bounded memory per task regardless of total corpus size."""
+    for pdf in batches:
+        rows = []
+        for doc_id, media_type, content in zip(
+            pdf["doc_id"], pdf["media_type"], pdf["content"]
+        ):
+            data = bytes(content)
+            w, h, checksum = fake_decode(data)
+            rows.append((doc_id, media_type, len(data), w, h, checksum))
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "media_type", "n_bytes", "width", "height", "checksum"],
+        )
+
+
+@register(
+    "multimodal_binary_stats",
+    oracle="""
+    SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INTEGER)
+                WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS media_type,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+)
+def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over opaque binary payloads — byte length + content
+    digest, all JVM-side."""
+    d = load_table(spark, "documents", sf_dir)
+    m = _media_frame(d)
+    return m.select(
+        "doc_id", "media_type",
+        F.length("content").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    )
+
+
+@register("multimodal_feature_extract")  # rows-only: mapInPandas stage
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/feature-extract pipeline over binary media: mapInPandas
+    with explicit output schema; codec stubbed (fake_decode), plumbing
+    real.  No SQL oracle (Python-defined checksum) → rows-only check."""
+    d = load_table(spark, "documents", sf_dir)
+    return _media_frame(d).mapInPandas(extract_features, FEATURE_SCHEMA)

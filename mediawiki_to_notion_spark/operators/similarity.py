@@ -1,1 +1,160 @@
-"""placeholder — filled in this round."""
+"""Similarity search over the embeddings table (north-star extension).
+
+Two tiers:
+- brute-force cosine top-k — the exactness baseline (O(Q·N·d))
+- random-hyperplane LSH bucketing — the scale path: each vector lands in
+  one of 2^planes buckets, candidate set = same-bucket vectors, so a
+  1000-executor job shuffles by bucket instead of cross-joining 100 TB.
+
+All math is sequential double-precision folds shared exactly with the
+DuckDB oracle; cosines are rounded to 6 dp before ranking so top-k order
+(with vec_id tiebreak) is engine-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from mediawiki_to_notion_spark.functions import vectors as V
+from mediawiki_to_notion_spark.operators.registry import register
+from mediawiki_to_notion_spark.sources.tables import load_table
+
+N_QUERIES = 5       # query vectors: vec_id 0..4
+TOP_K = 10
+N_PLANES = 4        # 16 LSH buckets
+
+
+@register(
+    "similarity_topk_bruteforce",
+    oracle=f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6)
+               AS cosine_r
+      FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ), ranked AS (
+      SELECT query_id, vec_id, cosine_r,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine_r DESC, vec_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, vec_id, cosine_r FROM ranked WHERE rn <= {TOP_K}
+    """,
+)
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k for each query vector: broadcast the (tiny)
+    query side, score every candidate, rank per query."""
+    e = load_table(spark, "embeddings", sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.select("vec_id", "embedding")
+    scored = (
+        c.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id",
+            F.round(V.cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cosine_r"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine_r"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .drop("rn")
+    )
+
+
+def _bucket_sql() -> str:
+    terms = [
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {V.hyperplane_sql(j)}) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(N_PLANES)
+    ]
+    return " + ".join(terms)
+
+
+def _bucket_col() -> F.Column:
+    out = F.lit(0)
+    for j in range(N_PLANES):
+        out = out + F.when(
+            V.dot(F.col("embedding"), V.hyperplane(j)) > 0, F.lit(1 << j)
+        ).otherwise(0)
+    return out
+
+
+@register(
+    "similarity_lsh_bucketed",
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding, {_bucket_sql()} AS bucket FROM embeddings
+    ), scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6)
+               AS cosine_r
+      FROM bucketed q JOIN bucketed c
+        ON q.bucket = c.bucket AND c.vec_id != q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ), ranked AS (
+      SELECT query_id, vec_id, cosine_r,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine_r DESC, vec_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, vec_id, cosine_r FROM ranked WHERE rn <= {TOP_K}
+    """,
+)
+def similarity_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: random-hyperplane (SRP) LSH — sign-bit bucket
+    per vector, candidates restricted to the query's bucket.  The
+    bucket equi-join is the 100 TB shape: shuffle by bucket, never
+    all-pairs.  (Charikar 2002 similarity-preserving hashing.)"""
+    e = load_table(spark, "embeddings", sf_dir)
+    bucketed = e.select("vec_id", "embedding", _bucket_col().alias("bucket"))
+    q = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    scored = (
+        bucketed.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id", "vec_id",
+            F.round(V.cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cosine_r"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine_r"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .drop("rn")
+    )
+
+
+@register(
+    "embedding_norm_stats",
+    oracle="""
+    SELECT label, count(*) AS n_vectors,
+           CAST(SUM(CAST(round(sqrt(list_dot_product(embedding::DOUBLE[],
+                                                     embedding::DOUBLE[])), 6)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS total_norm,
+           min(len(embedding)) AS min_dim, max(len(embedding)) AS max_dim
+    FROM embeddings GROUP BY label
+    """,
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector-norm bookkeeping (norms rounded then summed as
+    decimals so the aggregate is accumulation-order-independent)."""
+    e = load_table(spark, "embeddings", sf_dir)
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum(
+            F.round(V.norm(F.col("embedding")), 6).cast("decimal(18,6)")
+        ).cast("double").alias("total_norm"),
+        F.min(F.size("embedding")).alias("min_dim"),
+        F.max(F.size("embedding")).alias("max_dim"),
+    )

@@ -1,1 +1,152 @@
-"""placeholder — filled in this round."""
+r"""Text-analysis queries over the documents table (north-star extension:
+language-ID, quality scoring, token counting, fingerprinting).
+
+All expressions stay JVM-side; ratios are integer-over-integer double
+divisions (deterministic), so every query is fully oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mediawiki_to_notion_spark.functions import text as tx
+from mediawiki_to_notion_spark.operators.registry import register
+from mediawiki_to_notion_spark.sources.tables import load_table
+
+
+@register(
+    "text_token_counting",
+    oracle=rf"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(string_split_regex(text, '\s+')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '{tx.BPE_TOKEN_PATTERN}')) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def text_token_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counting."""
+    d = load_table(spark, "documents", sf_dir)
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        tx.ws_token_count(F.col("text")).alias("n_ws_tokens"),
+        tx.bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang AS labeled_lang,
+           {tx.lang_predict_sql('text')} AS pred_lang
+    FROM documents
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-anchor language-ID heuristic (argmax of per-language
+    marker-word hit counts, deterministic tie order)."""
+    d = load_table(spark, "documents", sf_dir)
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        tx.lang_predict(F.col("text")).alias("pred_lang"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=rf"""
+    WITH m AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len(string_split_regex(text, '\s+')) AS n_tokens,
+             len(regexp_extract_all(text, '{tx.PUNCT_PATTERN}')) AS n_punct,
+             len(regexp_extract_all(text, '\b(the|a|of|and|is)\b')) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, n_chars, n_tokens,
+           CASE WHEN n_tokens = 0 THEN 0.0
+                ELSE n_chars::DOUBLE / n_tokens END AS avg_token_len,
+           CASE WHEN n_chars = 0 THEN 0.0
+                ELSE n_punct::DOUBLE / n_chars END AS punct_ratio,
+           CASE WHEN n_tokens = 0 THEN 0.0
+                ELSE n_stop::DOUBLE / n_tokens END AS stopword_ratio,
+           (n_tokens >= 5 AND n_tokens <= 100000
+            AND (n_chars = 0 OR n_punct::DOUBLE / n_chars < 0.2)) AS quality_ok
+    FROM m
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features + gate —
+    the standard pre-training corpus quality filter shape."""
+    d = load_table(spark, "documents", sf_dir)
+    n_chars = F.length("text")
+    n_tokens = tx.ws_token_count(F.col("text"))
+    n_punct = tx.punct_count(F.col("text"))
+    n_stop = tx.lang_score(F.col("text"), "en")
+    m = d.select(
+        "doc_id",
+        n_chars.alias("n_chars"), n_tokens.alias("n_tokens"),
+        n_punct.alias("n_punct"), n_stop.alias("n_stop"),
+    )
+    safe = lambda num, den: F.when(den == 0, F.lit(0.0)).otherwise(  # noqa: E731
+        num.cast("double") / den
+    )
+    return m.select(
+        "doc_id", "n_chars", "n_tokens",
+        safe(F.col("n_chars"), F.col("n_tokens")).alias("avg_token_len"),
+        safe(F.col("n_punct"), F.col("n_chars")).alias("punct_ratio"),
+        safe(F.col("n_stop"), F.col("n_tokens")).alias("stopword_ratio"),
+        (
+            (F.col("n_tokens") >= 5) & (F.col("n_tokens") <= 100000)
+            & ((F.col("n_chars") == 0)
+               | (F.col("n_punct").cast("double") / F.col("n_chars") < 0.2))
+        ).alias("quality_ok"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(string_split(lower(text), ' ')), ' '))
+               AS fingerprint
+      FROM documents
+    )
+    SELECT fingerprint, min(doc_id) AS keep_doc_id, count(*) AS n_docs
+    FROM fp GROUP BY fingerprint
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-token-multiset fingerprint → canonical representative per
+    fingerprint group (order-insensitive exact dedup key)."""
+    d = load_table(spark, "documents", sf_dir)
+    return (
+        d.select("doc_id", tx.sorted_token_fingerprint(F.col("text")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "text_language_stats",
+    oracle="""
+    SELECT lang, source, count(*) AS n_docs,
+           CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) AS total_chars,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars
+    FROM documents GROUP BY lang, source
+    """,
+)
+def text_language_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition rollup (per-language/source sizes) — the
+    bookkeeping query every training-data pipeline runs first."""
+    d = load_table(spark, "documents", sf_dir)
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_chars").cast("decimal(18,2)")).cast("double").alias("total_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
