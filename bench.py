@@ -35,6 +35,10 @@ HEADLINE = [
     "similarity_topk_bruteforce",
     "text_quality_score",
     "wikitext_rule_chain",
+    "markdown_block_explode",
+    "pipeline_prepare_convert",
+    "similarity_lsh_bucketed",
+    "text_lang_id",
 ]
 
 

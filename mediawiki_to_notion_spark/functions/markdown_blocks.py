@@ -1,0 +1,151 @@
+"""Markdown → ordered Notion-style block rows.
+
+The reference hands each staged .md file to md2notion's CommonMark
+converter and stores one DynamoDB item per block in source order
+(store_notion_blocks.py:115-137), dropping pandoc's `<!-- -->` list-break
+comments (:126-127).  This module reimplements that as a small
+deterministic GFM block parser (pure Python, no libraries) run inside
+`mapInPandas` — one Arrow batch of documents in, one batch of block rows
+out — followed by a relational posexplode, so block_index assignment is
+columnar.
+
+Block payloads are JSON strings (schema'd), never pickle.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+
+HEADING_RE = re.compile(r"^(#{1,6})\s+(.*)$")
+BULLET_RE = re.compile(r"^\s*[-*+]\s+(.*)$")
+NUMBERED_RE = re.compile(r"^\s*(\d+)[.)]\s+(.*)$")
+QUOTE_RE = re.compile(r"^>\s?(.*)$")
+DIVIDER_RE = re.compile(r"^(-{3,}|\*{3,}|_{3,})\s*$")
+FENCE_RE = re.compile(r"^```(\w*)\s*$")
+IMAGE_RE = re.compile(r"^!\[([^\]]*)\]\(([^)]+)\)\s*$")
+LIST_BREAK_COMMENT = "<!-- -->"
+
+HEADING_TYPES = {1: "header", 2: "sub_header", 3: "sub_sub_header"}
+
+
+def parse_markdown_blocks(md: str) -> list[dict]:
+    """One markdown document → ordered list of block dicts
+    ``{type, title, **extras}``.
+
+    Paragraph lines merge until a blank line / structural line, matching
+    CommonMark's loose-paragraph behavior closely enough for the
+    reference's own output (pandoc GFM with --wrap=none emits one line
+    per paragraph)."""
+    blocks: list[dict] = []
+    para: list[str] = []
+    in_fence = False
+    fence_lang = ""
+    fence_lines: list[str] = []
+
+    def flush_para() -> None:
+        if para:
+            blocks.append({"type": "text", "title": " ".join(para)})
+            para.clear()
+
+    for line in md.splitlines():
+        if in_fence:
+            if FENCE_RE.match(line) and line.strip().startswith("```"):
+                blocks.append(
+                    {"type": "code", "title": "\n".join(fence_lines),
+                     "language": fence_lang or "plain text"}
+                )
+                in_fence = False
+                fence_lines = []
+            else:
+                fence_lines.append(line)
+            continue
+
+        stripped = line.strip()
+        m = FENCE_RE.match(stripped)
+        if m:
+            flush_para()
+            in_fence = True
+            fence_lang = m.group(1)
+            continue
+        if not stripped:
+            flush_para()
+            continue
+        if stripped == LIST_BREAK_COMMENT:
+            # pandoc's list-separator comment — dropped by the reference
+            # (store_notion_blocks.py:126-127)
+            flush_para()
+            continue
+        m = HEADING_RE.match(stripped)
+        if m:
+            flush_para()
+            level = min(len(m.group(1)), 3)
+            blocks.append({"type": HEADING_TYPES[level], "title": m.group(2)})
+            continue
+        m = IMAGE_RE.match(stripped)
+        if m:
+            flush_para()
+            blocks.append({"type": "image", "title": m.group(1), "source": m.group(2)})
+            continue
+        m = DIVIDER_RE.match(stripped)
+        if m:
+            flush_para()
+            blocks.append({"type": "divider", "title": ""})
+            continue
+        m = BULLET_RE.match(line)
+        if m:
+            flush_para()
+            blocks.append({"type": "bulleted_list", "title": m.group(1)})
+            continue
+        m = NUMBERED_RE.match(line)
+        if m:
+            flush_para()
+            blocks.append({"type": "numbered_list", "title": m.group(2)})
+            continue
+        m = QUOTE_RE.match(stripped)
+        if m:
+            flush_para()
+            blocks.append({"type": "quote", "title": m.group(1)})
+            continue
+        para.append(stripped)
+    if in_fence:
+        blocks.append(
+            {"type": "code", "title": "\n".join(fence_lines),
+             "language": fence_lang or "plain text"}
+        )
+    flush_para()
+    return blocks
+
+
+def blocks_to_rows(key: str, batch_id: str, md: str) -> list[tuple]:
+    """(s3_object_key, batch_id, markdown) → ordered block-row tuples."""
+    out = []
+    for idx, blk in enumerate(parse_markdown_blocks(md)):
+        out.append(
+            (batch_id, idx, key, blk["type"], json.dumps(blk, sort_keys=True))
+        )
+    return out
+
+
+BLOCK_ROWS_DDL = (
+    "batch_id string, block_index int, s3_object_key string, "
+    "block_type string, block_json string"
+)
+
+
+def markdown_to_block_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: documents (batch_id, s3_object_key, markdown)
+    → exploded ordered block rows."""
+    cols = ["batch_id", "block_index", "s3_object_key", "block_type", "block_json"]
+    for pdf in batches:
+        rows: list[tuple] = []
+        for batch_id, key, md in zip(
+            pdf["batch_id"], pdf["s3_object_key"], pdf["markdown"]
+        ):
+            if md is None:
+                continue
+            rows.extend(blocks_to_rows(key, batch_id, md))
+        yield pd.DataFrame(rows, columns=cols)

@@ -1,0 +1,105 @@
+r"""Pipeline-shaped queries for the driver harness: the document→block
+explosion and the full prepare/convert chain, run over markdown/wikitext
+synthesized from the documents table.
+
+`markdown_block_explode` is the interesting one: the Spark side runs the
+*real* Python block parser (mapInPandas, functions/markdown_blocks.py)
+while the oracle re-derives the expected rows relationally — pinning the
+parser's per-line classification and index assignment against SQL.  The
+synthesized markdown deliberately has no consecutive plain lines, so
+paragraph merging is inactive and every line is exactly one block.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mediawiki_to_notion_spark.functions import wikitext as wt
+from mediawiki_to_notion_spark.functions.gfm_convert import (
+    CONVERT_DDL_SUFFIX,
+    convert_batches,
+)
+from mediawiki_to_notion_spark.operators.registry import register
+from mediawiki_to_notion_spark.plans.pipeline import store_blocks
+from mediawiki_to_notion_spark.sources.tables import load_table
+
+
+def _synth_md(d: DataFrame) -> DataFrame:
+    return d.select(
+        F.concat(F.lit("docs/"), F.col("doc_id"), F.lit(".md")).alias("s3_object_key"),
+        F.concat(
+            F.lit("# Doc "), F.col("doc_id"), F.lit("\n"),
+            F.substring("text", 1, 30), F.lit("\n"),
+            F.lit("- "), F.col("lang"), F.lit("\n"),
+            F.lit("- "), F.col("source"), F.lit("\n"),
+            F.lit("> quoted "), F.col("doc_id"), F.lit("\n"),
+            F.substring("text", 31, 20),
+        ).alias("markdown"),
+    )
+
+
+@register(
+    "markdown_block_explode",
+    oracle=r"""
+    WITH synth AS (
+      SELECT 'docs/' || doc_id || '.md' AS key,
+             ['# Doc ' || doc_id,
+              trim(substr(text, 1, 30)),
+              '- ' || lang,
+              '- ' || source,
+              '> quoted ' || doc_id,
+              trim(substr(text, 31, 20))] AS lines
+      FROM documents
+    )
+    SELECT md5(key) AS batch_id,
+           u.i - 1 AS block_index,
+           key AS s3_object_key,
+           CASE WHEN lines[u.i] LIKE '# %' THEN 'header'
+                WHEN lines[u.i] LIKE '- %' THEN 'bulleted_list'
+                WHEN lines[u.i] LIKE '> %' THEN 'quote'
+                ELSE 'text' END AS block_type,
+           CASE WHEN lines[u.i] LIKE '# %' THEN substr(lines[u.i], 3)
+                WHEN lines[u.i] LIKE '- %' THEN substr(lines[u.i], 3)
+                WHEN lines[u.i] LIKE '> %' THEN substr(lines[u.i], 3)
+                ELSE lines[u.i] END AS title
+    FROM synth,
+    LATERAL (SELECT unnest(generate_series(1, len(lines))) AS i) u
+    """,
+)
+def markdown_block_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document → ordered typed block rows through the real mapInPandas
+    parser + content-addressed batch ids (store_notion_blocks.py:115-137
+    equivalent), oracle-checked relationally."""
+    d = load_table(spark, "documents", sf_dir)
+    blocks, _pages = store_blocks(_synth_md(d))
+    return blocks.select(
+        "batch_id", "block_index", "s3_object_key", "block_type",
+        F.get_json_object("block_json", "$.title").alias("title"),
+    )
+
+
+@register("pipeline_prepare_convert")  # rows-only: fencer + converter UDFs
+def pipeline_prepare_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Phase-1 chain at corpus scale: rule table → fencer UDF →
+    template rules → GFM conversion with error side-channel.  Python
+    stages are Arrow-batched; no SQL oracle (stateful fencer +
+    converter), driver records rows-only."""
+    d = load_table(spark, "documents", sf_dir)
+    pages = d.select(
+        F.col("doc_id"),
+        F.lit("Main").alias("ns_name"),
+        F.concat(
+            F.lit("== Intro ==\n"),
+            F.lit("[[Category:"), F.col("lang"), F.lit("]]\n"),
+            F.substring("text", 1, 50), F.lit("\n"),
+            F.lit("  code line "), F.col("doc_id"), F.lit("\n"),
+            F.lit("tail {{RFC|"), F.col("doc_id") % 999, F.lit("}}\n"),
+        ).alias("wikitext"),
+    )
+    prepared = pages.withColumn(
+        "cleaned", wt.prepare_wikitext(F.col("wikitext"), F.col("ns_name"))
+    )
+    return prepared.select("doc_id", "cleaned").mapInPandas(
+        convert_batches, f"doc_id long, cleaned string, {CONVERT_DDL_SUFFIX}"
+    )

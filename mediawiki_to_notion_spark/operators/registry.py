@@ -39,6 +39,7 @@ def load_all() -> None:
     from mediawiki_to_notion_spark.operators import (  # noqa: F401
         dedup,
         multimodal,
+        pipeline_queries,
         relational,
         similarity,
         text_analysis,

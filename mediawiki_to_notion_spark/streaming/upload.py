@@ -1,0 +1,202 @@
+"""The upload stage: ordered, rate-limited, fail-fast, idempotent sink.
+
+Collapses the reference's Step Functions machine + distributed semaphore
++ UploadNotionBlocks Lambda (upload-state-machine.asl.json,
+upload_notion_blocks.py:255-337) into one Spark job:
+
+    pending blocks ⋈ pages ⋈ parent-urls
+      → repartition(1) sorted by (batch, index)     [politeness = 1 writer]
+      → mapInPandas upload worker                   [ordered, fail-fast]
+      → MERGE page statuses / block uploaded_at     [state transitions]
+      → append failures                             [DLQ]
+
+The ~300 LoC of semaphore/lock-cleanup ASL disappear: a single sorted
+partition IS the global serialization the semaphore bought (SURVEY §2.8).
+Politeness is a config (`upload_parallelism`) — raise it and the sink
+shards by batch_id while staying ordered within each page.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mediawiki_to_notion_spark.storage import ParquetTable
+from mediawiki_to_notion_spark.streaming import ingest as tables
+from mediawiki_to_notion_spark.streaming.notion_client import (
+    RateLimiter,
+    executor_client,
+)
+
+RESULT_DDL = (
+    "batch_id string, block_index int, s3_object_key string, ok boolean, "
+    "page_url string, error string"
+)
+
+
+@dataclass
+class UploadConfig:
+    transport: object
+    max_blocks: int = 50          # per-invocation chunk (SSM MaxBlocks analogue)
+    min_interval_s: float = 0.0   # rate-limit pacing between API calls
+    upload_parallelism: int = 1   # reference: ConcurrentAccessLimit=1
+
+
+def _make_worker(cfg: UploadConfig):
+    """Build the mapInPandas worker.  Rows arrive sorted by
+    (batch_id, block_index); state is per-batch: first failed block
+    breaks the page (upload_notion_blocks.py:282-297)."""
+
+    def worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        client = executor_client(cfg.transport, RateLimiter(cfg.min_interval_s))
+        failed_batches: set[str] = set()
+        page_urls: dict[str, str] = {}
+        out_cols = ["batch_id", "block_index", "s3_object_key", "ok", "page_url", "error"]
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.batch_id in failed_batches:
+                    rows.append((r.batch_id, r.block_index, r.s3_object_key,
+                                 False, None, "skipped: earlier block failed"))
+                    continue
+                try:
+                    if r.batch_id not in page_urls:
+                        page_urls[r.batch_id] = client.get_or_create_page(
+                            r.batch_id, r.parent_url, r.page_url
+                        )
+                    client.upload_block(r.batch_id, int(r.block_index))
+                    rows.append((r.batch_id, r.block_index, r.s3_object_key,
+                                 True, page_urls[r.batch_id], None))
+                except Exception as exc:  # noqa: BLE001 - sink boundary
+                    failed_batches.add(r.batch_id)
+                    rows.append((r.batch_id, r.block_index, r.s3_object_key,
+                                 False, page_urls.get(r.batch_id),
+                                 f"{type(exc).__name__}: {exc}"))
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    return worker
+
+
+def pending_blocks(spark: SparkSession, tables_dir: str,
+                   parent_urls: DataFrame | None = None,
+                   max_blocks: int | None = None) -> DataFrame:
+    """Un-uploaded blocks of non-terminal pages, joined with page state
+    and parent URLs; optionally chunked to the first `max_blocks` per
+    batch (the MaxBlocks pagination, upload_notion_blocks.py:260-266)."""
+    blocks = tables.blocks_table(spark, tables_dir).read()
+    pages = tables.pages_table(spark, tables_dir).read()
+    pend = (
+        blocks.filter(F.col("uploaded_at").isNull()).alias("b")
+        .join(
+            pages.filter(F.col("status").isin("NEW", "UPLOADING")).alias("p"),
+            "batch_id",
+        )
+        .select(
+            "batch_id", F.col("b.block_index").alias("block_index"),
+            F.col("b.s3_object_key").alias("s3_object_key"),
+            F.col("p.page_url").alias("page_url"),
+        )
+    )
+    if max_blocks is not None:
+        from pyspark.sql import Window as W
+        w = W.partitionBy("batch_id").orderBy("block_index")
+        pend = (
+            pend.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= max_blocks).drop("rn")
+        )
+    if parent_urls is None:
+        pend = pend.withColumn("parent_url", F.lit("https://notion.example/root"))
+    else:
+        # parent-url lookup by directory prefix (upload_notion_blocks.py:217-225)
+        pend = (
+            pend.withColumn(
+                "dir_prefix", F.regexp_extract("s3_object_key", r"^(.*)/[^/]+$", 1)
+            )
+            .join(F.broadcast(parent_urls), "dir_prefix", "left")
+            .drop("dir_prefix")
+        )
+    return pend
+
+
+def run_upload(spark: SparkSession, tables_dir: str, cfg: UploadConfig,
+               parent_urls: DataFrame | None = None) -> DataFrame:
+    """One upload pass (the state machine's work loop body).  Returns the
+    per-block result frame after applying all state transitions."""
+    pend = pending_blocks(spark, tables_dir, parent_urls, cfg.max_blocks)
+    if cfg.upload_parallelism <= 1:
+        arranged = pend.repartition(1)
+    else:
+        arranged = pend.repartition(cfg.upload_parallelism, "batch_id")
+    arranged = arranged.sortWithinPartitions("batch_id", "block_index")
+    results = arranged.mapInPandas(_make_worker(cfg), RESULT_DDL)
+    results = results.cache()
+    if results.isEmpty():
+        return results
+
+    now = F.current_timestamp()
+    b_tbl = tables.blocks_table(spark, tables_dir)
+    p_tbl = tables.pages_table(spark, tables_dir)
+    f_tbl = tables.failures_table(spark, tables_dir)
+
+    # consume-flip instead of delete (upload_notion_blocks.py:304-309)
+    ok_blocks = results.filter("ok").select(
+        "batch_id", "block_index", now.alias("uploaded_at")
+    )
+    b_tbl.upsert(ok_blocks, update_cols=["uploaded_at"])
+
+    # page terminal status per batch (asl :311-336): FAIL if any block
+    # failed, else SUCCESS when the batch is fully drained, else UPLOADING
+    remaining = (
+        b_tbl.read().filter(F.col("uploaded_at").isNull())
+        .groupBy("batch_id").agg(F.count(F.lit(1)).alias("n_left"))
+    )
+    page_state = (
+        results.groupBy("batch_id")
+        .agg(
+            F.max(F.when(~F.col("ok"), 1).otherwise(0)).alias("any_fail"),
+            F.first("s3_object_key").alias("s3_object_key"),
+            F.max("page_url").alias("page_url"),
+        )
+        .join(remaining, "batch_id", "left")
+        .select(
+            "batch_id", "s3_object_key",
+            F.when(F.col("any_fail") == 1, "FAIL")
+             .when(F.col("n_left").isNull() | (F.col("n_left") == 0), "SUCCESS")
+             .otherwise("UPLOADING").alias("status"),
+            now.alias("status_time"),
+            "page_url",
+        )
+    )
+    p_tbl.upsert(page_state, update_cols=["status", "status_time", "page_url"])
+
+    # DLQ append (store_notion_page_fails.py:41-67)
+    fails = (
+        results.filter(~F.col("ok") & F.col("error").isNotNull())
+        .filter(~F.col("error").startswith("skipped:"))
+        .groupBy("batch_id")
+        .agg(F.first("s3_object_key").alias("s3_object_key"),
+             F.first("error").alias("error"))
+        .select("s3_object_key", now.alias("event_time"),
+                F.lit("local").alias("s3_bucket"), "error")
+    )
+    if not fails.isEmpty():
+        f_tbl.append(fails)
+    return results
+
+
+def drain(spark: SparkSession, tables_dir: str, cfg: UploadConfig,
+          parent_urls: DataFrame | None = None, max_rounds: int = 100) -> int:
+    """The state machine's outer loop (asl :156-248): keep invoking the
+    chunked upload until no pending work remains.  Returns rounds run."""
+    rounds = 0
+    while rounds < max_rounds:
+        pend = pending_blocks(spark, tables_dir, parent_urls, max_blocks=1)
+        if pend.isEmpty():
+            break
+        run_upload(spark, tables_dir, cfg, parent_urls)
+        rounds += 1
+    return rounds

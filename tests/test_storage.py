@@ -1,0 +1,61 @@
+"""ParquetTable MERGE-upsert semantics (the Delta-free state store)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mediawiki_to_notion_spark.storage import ParquetTable
+
+
+def _t(spark, tmp_path, name="t"):
+    return ParquetTable(
+        spark, str(tmp_path / name), key_cols=["k"],
+        schema="k string, v int, extra string",
+    )
+
+
+def test_insert_then_update(spark, tmp_path):
+    t = _t(spark, tmp_path)
+    t.upsert(spark.createDataFrame([("a", 1, "x"), ("b", 2, "y")], t.schema))
+    t.upsert(spark.createDataFrame([("b", 20, "y2"), ("c", 3, "z")], t.schema))
+    got = {r.k: (r.v, r.extra) for r in t.read().collect()}
+    assert got == {"a": (1, "x"), "b": (20, "y2"), "c": (3, "z")}
+
+
+def test_insert_only_is_idempotent(spark, tmp_path):
+    """Conditional-put semantics (store_notion_blocks.py:136): replays
+    never clobber existing rows."""
+    t = _t(spark, tmp_path)
+    t.upsert(spark.createDataFrame([("a", 1, "first")], t.schema), insert_only=True)
+    t.upsert(
+        spark.createDataFrame([("a", 99, "replay"), ("b", 2, "new")], t.schema),
+        insert_only=True,
+    )
+    got = {r.k: (r.v, r.extra) for r in t.read().collect()}
+    assert got == {"a": (1, "first"), "b": (2, "new")}
+
+
+def test_update_cols_partial_merge(spark, tmp_path):
+    """MERGE updating only named columns (page-status transition shape:
+    status/status_time change, s3_object_key preserved)."""
+    t = _t(spark, tmp_path)
+    t.upsert(spark.createDataFrame([("a", 1, "keepme")], t.schema))
+    src = spark.createDataFrame([("a", 5, None)], t.schema)
+    t.upsert(src, update_cols=["v"])
+    got = t.read().collect()[0]
+    assert (got.v, got.extra) == (5, "keepme")
+
+
+def test_delete_where(spark, tmp_path):
+    t = _t(spark, tmp_path)
+    t.upsert(spark.createDataFrame([("a", 1, "x"), ("b", 2, "y")], t.schema))
+    t.delete_where(F.col("k") == "a")
+    assert [r.k for r in t.read().collect()] == ["b"]
+
+
+def test_version_gc(spark, tmp_path):
+    t = _t(spark, tmp_path)
+    for i in range(4):
+        t.upsert(spark.createDataFrame([(f"k{i}", i, "x")], t.schema))
+    assert len(t._versions()) <= 2
+    assert t.read().count() == 4

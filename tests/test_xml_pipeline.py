@@ -1,0 +1,167 @@
+"""End-to-end Phase-1 test: synthetic MediaWiki XML dump → routed pages →
+cleaned wikitext → GFM markdown → decoded files + warnings
+(FIXTURES.md A1/A2; reference flow SURVEY §3.1)."""
+
+from __future__ import annotations
+
+import base64
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mediawiki_to_notion_spark.functions.gfm_convert import (
+    CONVERT_DDL_SUFFIX,
+    convert_batches,
+)
+from mediawiki_to_notion_spark.plans import pipeline as P
+from mediawiki_to_notion_spark.sources.xml_dump import read_dump, split_pages_files
+
+PNG_BYTES = b"\x89PNG\r\n\x1a\nfakepayload"
+
+
+def _dump_xml() -> str:
+    png_b64 = base64.b64encode(PNG_BYTES).decode()
+    return f"""<mediawiki xmlns="http://www.mediawiki.org/xml/export-0.11/">
+  <siteinfo>
+    <namespaces>
+      <namespace key="0" />
+      <namespace key="2">User</namespace>
+      <namespace key="6">File</namespace>
+      <namespace key="14">Category</namespace>
+    </namespaces>
+  </siteinfo>
+  <page>
+    <title>Router Notes</title>
+    <ns>0</ns>
+    <revision><text>[[Category:Net]]
+== Table of Contents ==
+__TOC__
+Intro with {{{{RFC|2328|OSPF}}}} ref.
+  conf t
+  interface '''Gi0/1'''
+done
+{{{{Mystery|x}}}}</text></revision>
+  </page>
+  <page>
+    <title>Category:Net</title>
+    <ns>14</ns>
+    <revision><text>Pages about networks. {{{{RFC|1}}}}</text></revision>
+  </page>
+  <page>
+    <title>User:Someone</title>
+    <ns>2</ns>
+    <revision><text>user page text</text></revision>
+  </page>
+  <page>
+    <title>Old Page</title>
+    <ns>0</ns>
+    <revision><text>#REDIRECT [[Router Notes]]</text></revision>
+  </page>
+  <page>
+    <title>Empty Page</title>
+    <ns>0</ns>
+    <revision><text></text></revision>
+  </page>
+  <page>
+    <title>File:diagram one.png</title>
+    <ns>6</ns>
+    <revision><text>A diagram</text></revision>
+    <upload><filename>diagram one.png</filename>
+      <contents encoding="base64">{png_b64}</contents></upload>
+  </page>
+  <page>
+    <title>File:bad.bin</title>
+    <ns>6</ns>
+    <revision><text>bad encoding</text></revision>
+    <upload><filename>bad.bin</filename>
+      <contents encoding="7bit">AAAA</contents></upload>
+  </page>
+</mediawiki>"""
+
+
+@pytest.fixture(scope="module")
+def dump_frames(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("dump")
+    (d / "dump.xml").write_text(_dump_xml())
+    raw = read_dump(spark, str(d))
+    pages, files = split_pages_files(raw)
+    return raw, pages, files
+
+
+def test_namespace_map_and_routing(dump_frames):
+    _, pages, _ = dump_frames
+    routed = P.route_pages(pages)
+    routes = {r.title: r.route for r in routed.collect()}
+    assert routes["Router Notes"] == "wikitext"
+    assert routes["Category:Net"] == "wikitext"
+    assert routes["File:diagram one.png"] == "file"
+    assert routes["User:Someone"] == "skip"
+    ns_names = {r.title: r.ns_name for r in pages.collect()}
+    assert ns_names["Router Notes"] == "Main"          # key 0 renamed
+    assert ns_names["Category:Net"] == "Category"
+
+
+def test_skip_warnings_side_output(dump_frames):
+    _, pages, _ = dump_frames
+    warn = P.skipped_warnings(P.route_pages(pages)).collect()
+    assert [w.key for w in warn] == ["User:Someone"]
+    assert "ignoring namespace 2" in warn[0].message
+
+
+def test_prepare_and_convert(dump_frames, spark):
+    _, pages, _ = dump_frames
+    prepared = P.prepare_pages(P.route_pages(pages))
+    rows = {r.bare_title: r for r in prepared.collect()}
+
+    # redirect + empty pages filtered out
+    assert set(rows) == {"Router Notes", "Net"}
+
+    main = rows["Router Notes"]
+    assert "[[Category:" not in main.cleaned
+    assert "__TOC__" not in main.cleaned
+    assert "[https://tools.ietf.org/html/2328 RFC 2328 OSPF]" in main.cleaned
+    assert "<pre>" in main.cleaned and "`**Gi0/1**`" in main.cleaned
+    assert main.unhandled_template == "{{Mystery|x}}"
+    assert main.filename == "Router Notes"
+
+    # Category namespace: template rules must NOT run (custom_prepare gate)
+    cat = rows["Net"]
+    assert "{{RFC|1}}" in cat.cleaned
+
+    converted = prepared.select("bare_title", "cleaned").mapInPandas(
+        convert_batches, f"bare_title string, cleaned string, {CONVERT_DDL_SUFFIX}"
+    )
+    md = {r.bare_title: r.markdown for r in converted.collect()}
+    assert md["Router Notes"].splitlines()[0] == ""
+    assert "```" in md["Router Notes"]
+    assert all(r.convert_error is None for r in converted.collect())
+
+
+def test_file_decode_and_error_paths(dump_frames):
+    _, _, files = dump_frames
+    ok, bad = P.decode_files(files)
+    decoded = {r.filename: bytes(r.content) for r in ok.collect()}
+    assert decoded == {"diagram one.png": PNG_BYTES}
+    errs = bad.collect()
+    assert [e.key for e in errs] == ["bad.bin"]
+    assert "expected base64 encoding, got 7bit" in errs[0].message
+
+
+def test_file_sink_binary_roundtrip(dump_frames, spark, tmp_path):
+    """File sink (process-mw-dump.py:157-177): write decoded uploads to
+    <outdir>/<filename> from an executor partition."""
+    _, _, files = dump_frames
+    ok, _ = P.decode_files(files)
+    outdir = tmp_path / "uploads"
+    outdir.mkdir()
+
+    out = str(outdir)
+
+    def write_partition(rows):
+        for r in rows:
+            with open(os.path.join(out, r.filename), "wb") as f:
+                f.write(bytes(r.content))
+
+    ok.foreachPartition(write_partition)
+    assert (outdir / "diagram one.png").read_bytes() == PNG_BYTES
