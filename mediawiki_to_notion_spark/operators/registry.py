@@ -41,6 +41,7 @@ def load_all() -> None:
         multimodal,
         pipeline_queries,
         relational,
+        scalar_ops,
         similarity,
         text_analysis,
         wikitext_queries,

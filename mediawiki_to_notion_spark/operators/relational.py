@@ -147,13 +147,30 @@ def existence_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 def time_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """StatusTime BETWEEN scan of the dashboard widget
     (notion_pages_custom_widget.py:63-66) — pushed straight into the
-    parquet scan; no 1 MB truncation bug by construction."""
+    parquet scan; no 1 MB truncation bug by construction.
+
+    The range predicate goes on the raw nanos column (`ts_ns`): the
+    human-readable `ts` is computed from it, and computed columns defeat
+    parquet predicate pushdown — at 100 TB this is the difference
+    between scanning two days and scanning the table."""
+    import datetime as dt
+
     e = load_table(spark, "events", sf_dir)
-    lo = F.lit("2024-01-03 00:00:00").cast("timestamp")
-    hi = F.lit("2024-01-05 00:00:00").cast("timestamp")
-    return (
-        e.filter(F.col("ts").between(lo, hi))
-        .select("event_id", ts_ms("ts").alias("ts_ms"), "user_id", "event_type", "value")
+    to_ns = lambda s: int(  # noqa: E731
+        dt.datetime.fromisoformat(s).replace(tzinfo=dt.timezone.utc).timestamp()
+    ) * 1_000_000_000
+    lo, hi = to_ns("2024-01-03 00:00:00"), to_ns("2024-01-05 00:00:00")
+    if "ts_ns" in e.columns:
+        filtered = e.filter(F.col("ts_ns").between(F.lit(lo), F.lit(hi)))
+    else:  # pre-normalized/native-timestamp source
+        filtered = e.filter(
+            F.col("ts").between(
+                F.lit("2024-01-03 00:00:00").cast("timestamp"),
+                F.lit("2024-01-05 00:00:00").cast("timestamp"),
+            )
+        )
+    return filtered.select(
+        "event_id", ts_ms("ts").alias("ts_ms"), "user_id", "event_type", "value"
     )
 
 

@@ -1,0 +1,316 @@
+r"""Scalar-transform and multi-way-join queries completing the SURVEY §2
+inventory: path/key string ops (§2.3 'other scalar transforms'), JSON
+envelope handling, base64 round-trips, timestamp parse/format, grouping
+sets, and the star-schema join shapes Catalyst reorders for us.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mediawiki_to_notion_spark.operators.registry import register
+from mediawiki_to_notion_spark.operators.relational import dec, dsum, ts_ms
+from mediawiki_to_notion_spark.sources.tables import load_table
+
+
+@register(
+    "scalar_path_ops",
+    oracle=r"""
+    WITH paths AS (
+      SELECT doc_id,
+             'staged/' || lang || '/' || source || '/page ' || doc_id || '.md' AS key
+      FROM documents
+    )
+    SELECT doc_id, key,
+           regexp_extract(key, '([^/]+)$', 1) AS basename,
+           regexp_extract(key, '^(.*)/[^/]+$', 1) AS dir_prefix,
+           regexp_replace(regexp_extract(key, '([^/]+)$', 1), '\.md$', '') AS page_title,
+           regexp_extract(key, '^(.*)/[^/]+$', 1) || '/parenturl.txt' AS parent_url_key
+    FROM paths
+    """,
+)
+def scalar_path_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3-key string surgery (store_notion_blocks.py:95-98,
+    upload_notion_blocks.py:200-236): basename, dir prefix, extension
+    strip, sibling parenturl.txt key."""
+    d = load_table(spark, "documents", sf_dir)
+    paths = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("staged/"), F.col("lang"), F.lit("/"), F.col("source"),
+            F.lit("/page "), F.col("doc_id"), F.lit(".md"),
+        ).alias("key"),
+    )
+    basename = F.regexp_extract("key", r"([^/]+)$", 1)
+    dir_prefix = F.regexp_extract("key", r"^(.*)/[^/]+$", 1)
+    return paths.select(
+        "doc_id", "key",
+        basename.alias("basename"),
+        dir_prefix.alias("dir_prefix"),
+        F.regexp_replace(basename, r"\.md$", "").alias("page_title"),
+        F.concat(dir_prefix, F.lit("/parenturl.txt")).alias("parent_url_key"),
+    )
+
+
+@register(
+    "scalar_url_decode",
+    oracle="""
+    WITH keys AS (
+      SELECT doc_id,
+             'dir/' || lang || '%20' || doc_id || '+page%2Emd' AS enc_key
+      FROM documents
+    )
+    SELECT doc_id, enc_key,
+           replace(replace(replace(enc_key, '+', ' '), '%20', ' '), '%2E', '.')
+             AS decoded_key
+    FROM keys
+    """,
+)
+def scalar_url_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unquote_plus on S3 keys (store_notion_blocks.py:87): '+' and
+    %-escapes → characters (the two escapes S3 event keys actually
+    carry for space/dot)."""
+    d = load_table(spark, "documents", sf_dir)
+    keys = d.select(
+        "doc_id",
+        F.concat(F.lit("dir/"), F.col("lang"), F.lit("%20"), F.col("doc_id"),
+                 F.lit("+page%2Emd")).alias("enc_key"),
+    )
+    decoded = F.replace(
+        F.replace(F.replace(F.col("enc_key"), F.lit("+"), F.lit(" ")),
+                  F.lit("%20"), F.lit(" ")),
+        F.lit("%2E"), F.lit("."),
+    )
+    return keys.select("doc_id", "enc_key", decoded.alias("decoded_key"))
+
+
+@register(
+    "scalar_base64_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           to_base64(encode(substr(text, 1, 40))) AS b64,
+           decode(from_base64(to_base64(encode(substr(text, 1, 40))))) = substr(text, 1, 40)
+             AS roundtrip_ok
+    FROM documents
+    """,
+)
+def scalar_base64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """base64 encode/decode (the FileParser contents path,
+    process-mw-dump.py:150-175)."""
+    d = load_table(spark, "documents", sf_dir)
+    frag = F.substring("text", 1, 40)
+    b64 = F.base64(F.encode(frag, "UTF-8"))
+    return d.select(
+        "doc_id",
+        b64.alias("b64"),
+        (F.decode(F.unbase64(b64), "UTF-8") == frag).alias("roundtrip_ok"),
+    )
+
+
+@register(
+    "scalar_timestamp_format",
+    oracle="""
+    SELECT event_id,
+           epoch_ms(ts) AS ts_ms,
+           strftime(ts, '%Y-%m-%dT%H:%M:%S') AS iso_s,
+           strftime(ts, '%b %d %H:%M:%S') AS dashboard_fmt,
+           CAST(strftime(ts, '%H') AS INTEGER) AS hour_of_day,
+           strftime(ts, '%Y-%m-%d') AS day
+    FROM events WHERE event_id < 500
+    """,
+)
+def scalar_timestamp_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp parse/format suite (store_notion_page_fails.py:57-59
+    strptime; notion_pages_custom_widget.py:49-56 '%b %d %H:%M:%S'
+    dashboard rendering)."""
+    e = load_table(spark, "events", sf_dir)
+    return e.filter(F.col("event_id") < 500).select(
+        "event_id",
+        ts_ms("ts").alias("ts_ms"),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("iso_s"),
+        F.date_format("ts", "MMM dd HH:mm:ss").alias("dashboard_fmt"),
+        F.hour("ts").alias("hour_of_day"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+    )
+
+
+@register(
+    "json_envelope_extract",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+           json_extract_string(props, '$.missing') AS missing_field
+    FROM events WHERE event_id < 2000
+    """,
+)
+def json_envelope_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-envelope JSON decode (store_notion_blocks.py:76-77 S3/SQS
+    envelope parsing): field extraction + missing-field null."""
+    e = load_table(spark, "events", sf_dir)
+    return e.filter(F.col("event_id") < 2000).select(
+        "event_id", "event_type",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        F.get_json_object("props", "$.missing").alias("missing_field"),
+    )
+
+
+@register(
+    "json_encode_struct",
+    oracle="""
+    SELECT event_id,
+           '{"event_id":' || event_id || ',"event_type":"' || event_type ||
+           '","k":' || json_extract_string(props, '$.k') || '}' AS envelope
+    FROM events WHERE event_id < 1000
+    """,
+)
+def json_encode_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event emit (store_notion_blocks.py:154-165): struct → JSON
+    envelope string."""
+    e = load_table(spark, "events", sf_dir)
+    return e.filter(F.col("event_id") < 1000).select(
+        "event_id",
+        F.to_json(
+            F.struct(
+                F.col("event_id"),
+                F.col("event_type"),
+                F.get_json_object("props", "$.k").cast("int").alias("k"),
+            )
+        ).alias("envelope"),
+    )
+
+
+@register(
+    "grouping_sets_agg",
+    oracle="""
+    SELECT c_mktsegment, c_nationkey, count(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer
+    GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+    """,
+)
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube)."""
+    c = load_table(spark, "customer", sf_dir)
+    c.createOrReplaceTempView("customer_gs")
+    return spark.sql("""
+        SELECT c_mktsegment, c_nationkey, count(*) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        FROM customer_gs
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+    """)
+
+
+@register(
+    "star_join_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                AS DOUBLE) AS revenue,
+           epoch_ms(o_orderdate) AS orderdate_ms, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15'
+      AND l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, orderdate_ms, l_orderkey
+    LIMIT 10
+    """,
+)
+def star_join_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dimension filter → fact join → top-N by
+    aggregate.  Catalyst broadcast-joins the filtered customer side and
+    the whole thing is one shuffle + TakeOrdered."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    l = load_table(spark, "lineitem", sf_dir)
+    one = F.lit(1).cast("decimal(18,2)")
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp"))
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(dec("l_extendedprice") * (one - dec("l_discount")))
+             .cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue",
+                ts_ms("o_orderdate").alias("orderdate_ms"), "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("orderdate_ms"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "star_join_local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1994-01-01'
+      AND o_orderdate < TIMESTAMP '1996-01-01'
+    GROUP BY n_name
+    """,
+)
+def star_join_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join with a co-nationality predicate —
+    the join-reordering / broadcast-selection showcase."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    l = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir)
+    one = F.lit(1).cast("decimal(18,2)")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+        )
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(dec("l_extendedprice") * (one - dec("l_discount")))
+             .cast("double").alias("revenue"))
+    )
+
+
+@register("uuid_batch_mint")  # rows-only: uuid() is nondeterministic by design
+def uuid_batch_mint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file batch-id minting (uuid4 per upload,
+    store_notion_blocks.py:86) — exposed as the nondeterministic
+    `uuid()` plus the deterministic content-addressed alternative the
+    pipeline actually uses (md5 of the object key)."""
+    d = load_table(spark, "documents", sf_dir)
+    key = F.concat(F.lit("docs/"), F.col("doc_id"), F.lit(".md"))
+    return d.select(
+        "doc_id",
+        F.uuid().alias("random_batch_id"),
+        F.md5(key).alias("content_addressed_batch_id"),
+    )
+
+
+@register("approx_distinct_sketch")  # rows-only: sketch values are engine-specific
+def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct per supplier — sketches are not
+    comparable across engines, so the driver checks rows-only; the exact
+    twin (`count_distinct_exact`) is the oracle-checked counterpart."""
+    l = load_table(spark, "lineitem", sf_dir)
+    return l.groupBy("l_suppkey").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts")
+    )

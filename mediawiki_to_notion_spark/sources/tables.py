@@ -50,9 +50,16 @@ def _normalize_times(df: DataFrame) -> DataFrame:
             df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
         elif f.name == "ts" and isinstance(f.dataType, T.LongType):
             # nanos-as-long → truncate to microseconds (what DuckDB's
-            # TIMESTAMP does with parquet nanos as well)
-            df = df.withColumn(
-                f.name, F.timestamp_micros(F.floor(F.col(f.name) / 1000).cast("long"))
+            # TIMESTAMP does with parquet nanos as well).  The raw nanos
+            # column is kept as ts_ns: filters on the *computed* ts can't
+            # reach the parquet scan, so range predicates go on ts_ns
+            # (see relational.time_range_scan) and prune at the source.
+            df = (
+                df.withColumn("ts_ns", F.col(f.name))
+                .withColumn(
+                    f.name,
+                    F.timestamp_micros(F.floor(F.col(f.name) / 1000).cast("long")),
+                )
             )
     return df
 

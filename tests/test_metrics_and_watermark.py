@@ -1,0 +1,77 @@
+"""Observability (observe() counters) and watermarked streaming windows
+(SURVEY §1.1 row 12, §2.9 extension surface)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from mediawiki_to_notion_spark.plans.pipeline import store_blocks
+from mediawiki_to_notion_spark.sources.tables import load_table
+from mediawiki_to_notion_spark.streaming import metrics as M
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_observe_store_counter(spark):
+    staged = spark.createDataFrame(
+        [("a.md", "# H\n\ntext\n"), ("b.md", "# H2\n")],
+        "s3_object_key string, markdown string",
+    )
+    blocks, _ = store_blocks(staged)
+    observed, obs = M.observe_store(blocks)
+    observed.write.mode("overwrite").format("noop").save()
+    assert obs.get[M.BLOCKS_STORED] == 3
+
+
+def test_observe_conversion_counters(spark):
+    df = spark.createDataFrame(
+        [("a", None), ("b", "boom"), ("c", None)], "k string, convert_error string"
+    )
+    observed, obs = M.observe_conversion(df)
+    observed.write.mode("overwrite").format("noop").save()
+    assert obs.get[M.PAGE_CONVERSIONS_OK] == 2
+    assert obs.get[M.PAGE_CONVERSIONS_FAIL] == 1
+
+
+def test_watermarked_tumbling_window_stream(spark, tmp_path):
+    """Streaming window agg with late-data watermark over the events
+    table replayed as a file stream; append-mode output only emits
+    windows the watermark has closed."""
+    src = tmp_path / "stream_src"
+    events = load_table(spark, "events", SF).orderBy("ts").limit(2000)
+    events.select("event_id", "ts", "event_type", "value") \
+        .coalesce(1).write.mode("overwrite").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, event_type string, value double")
+        .parquet(str(src))
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = tmp_path / "out"
+    q = (
+        stream.writeStream.format("memory").queryName("winagg")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from winagg").collect()
+    # append mode: with a single batch, only windows older than
+    # max(ts) - 30min close; verify counts match the batch equivalent
+    batch = (
+        events.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    import datetime
+    closed = batch.filter(
+        F.col("win.end") <= F.lit(max_ts - datetime.timedelta(minutes=30))
+    ).collect()
+    key = lambda r: (r.win.start, r.event_type)  # noqa: E731
+    assert {key(r): r.n for r in got} == {key(r): r.n for r in closed}
+    assert len(got) > 0

@@ -1,0 +1,93 @@
+"""Physical-plan quality gates — the 100 TB posture, as assertions.
+
+Every check here encodes a scale property: filters must reach the
+parquet scan, small dimensions must broadcast, global top-N must plan as
+TakeOrdered (no full sort), aggregates must have a map-side partial
+phase, and the relational pipeline must stay inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mediawiki_to_notion_spark.operators import QUERIES, load_all
+
+load_all()
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    return QUERIES[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_and_projection_pushdown(spark):
+    plan = formatted(spark, "scan_project_filter")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in plan
+    # column pruning: the scan must read only the 4 needed columns
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" in read_schema and "l_extendedprice" in read_schema
+    assert "l_partkey" not in read_schema and "l_comment" not in read_schema
+
+
+def test_time_range_pushdown(spark):
+    """The range predicate must hit the parquet scan via the raw nanos
+    column (a filter on the *computed* ts column would not push down)."""
+    plan = formatted(spark, "time_range_scan")
+    assert "GreaterThanOrEqual(ts," in plan and "LessThanOrEqual(ts," in plan
+
+
+def test_dimension_joins_broadcast(spark):
+    plan = plan_of(spark, "dim_broadcast_join")
+    assert plan.count("BroadcastHashJoin") >= 2  # nation and region
+    assert "SortMergeJoin" not in plan
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    plan = plan_of(spark, "star_join_local_supplier_volume")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topn_plans_as_take_ordered(spark):
+    plan = plan_of(spark, "orderby_limit_topn")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_agg_has_partial_phase(spark):
+    plan = plan_of(spark, "agg_pricing_summary")
+    # map-side combine: partial_ aggregate functions before the shuffle
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_agg_runs_in_codegen(spark):
+    """The relational pipeline (scan→filter→partial agg→final agg) must
+    compile into whole-stage-codegen subtrees."""
+    df = QUERIES["agg_pricing_summary"](spark, SF)
+    df.collect()  # finalize the adaptive plan in place
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final
+    # "*(n)" prefixes mark whole-stage-codegen stages in the final plan
+    assert "*(" in final
+
+
+def test_semi_join_stays_semi(spark):
+    plan = plan_of(spark, "semi_join_exists")
+    assert "LeftSemi" in plan
+
+
+def test_minhash_no_cartesian(spark):
+    """The LSH path must never degenerate into a cartesian product."""
+    plan = plan_of(spark, "dedup_minhash_lsh")
+    assert "CartesianProduct" not in plan
+
+
+def test_broadcast_query_side_in_similarity(spark):
+    plan = plan_of(spark, "similarity_topk_bruteforce")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
