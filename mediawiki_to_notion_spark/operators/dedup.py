@@ -73,15 +73,26 @@ def _shingles(d: DataFrame) -> DataFrame:
     return tri
 
 
+def _hashed_shingles(d: DataFrame) -> DataFrame:
+    """(doc_id, h) with h the portable 60-bit shingle id.  Hashing once
+    up front shrinks every downstream shuffle/join key from a ~30-byte
+    string to 8 bytes — at 100 TB the md5 runs once per shingle instead
+    of once per consumer."""
+    return _shingles(d).select("doc_id", H.token_hash60(F.col("shingle")).alias("h"))
+
+
 _SHINGLES_SQL = """
     toks AS (
       SELECT doc_id, string_split(text, ' ') AS t
       FROM documents WHERE len(string_split(text, ' ')) >= 3
     ),
-    sh AS (
+    rawsh AS (
       SELECT DISTINCT doc_id,
              t[u.i+1] || ' ' || t[u.i+2] || ' ' || t[u.i+3] AS shingle
       FROM toks, LATERAL (SELECT unnest(range(0, len(t) - 2)) AS i) u
+    ),
+    sh AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM rawsh
     ),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
 """
@@ -93,7 +104,7 @@ _SHINGLES_SQL = """
     WITH {_SHINGLES_SQL},
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     )
     SELECT doc_a, doc_b,
@@ -106,12 +117,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exhaustive trigram-shingle Jaccard near-dup pairs (the exact
     oracle for the LSH variant; quadratic — small-SF verification only)."""
     d = load_table(spark, "documents", sf_dir)
-    sh = _shingles(d).cache()
+    sh = _hashed_shingles(d)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
     pairs = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+        a.join(b, (F.col("a.h") == F.col("b.h"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
@@ -127,18 +138,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_signatures(sh: DataFrame) -> DataFrame:
-    h = H.token_hash60(F.col("shingle"))
-    return sh.groupBy("doc_id").agg(*H.minhash_agg_columns(h))
-
-
 _MINHASH_SQL = f"""
-    hashed AS (
-      SELECT doc_id, {H.token_hash60_sql('shingle')} AS h FROM sh
-    ),
     sigs AS (
       SELECT doc_id, {', '.join(H.minhash_agg_sql('h'))}
-      FROM hashed GROUP BY doc_id
+      FROM sh GROUP BY doc_id
     ),
     bands AS (
       {' UNION ALL '.join(
@@ -163,7 +166,7 @@ _MINHASH_SQL = f"""
       SELECT c.doc_a, c.doc_b, count(*) AS n_common
       FROM cands c
       JOIN sh a ON a.doc_id = c.doc_a
-      JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      JOIN sh b ON b.doc_id = c.doc_b AND b.h = a.h
       GROUP BY c.doc_a, c.doc_b
     )
     SELECT v.doc_a, v.doc_b,
@@ -181,9 +184,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     a narrow explode, candidates come from an equi-join on (band, sig) —
     no all-pairs comparison ever materializes."""
     d = load_table(spark, "documents", sf_dir)
-    sh = _shingles(d).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sigs = _minhash_signatures(sh)
+    # no explicit cache: the identical shingle/stats subplans dedupe via
+    # ReuseExchange inside the single job, and repeated invocations in a
+    # long-lived session don't accumulate storage-memory residue
+    sh = _hashed_shingles(d)
+    stats = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"), *H.minhash_agg_columns(F.col("h"))
+    )
+    sizes = stats.select("doc_id", "n")
+    sigs = stats
     bands = None
     for bnd in range(H.N_BANDS):
         part = sigs.select(
@@ -203,7 +212,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified = (
         cands.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, (F.col("doc_b") == F.col("sb.doc_id"))
-              & (F.col("sb.shingle") == F.col("sa.shingle")))
+              & (F.col("sb.h") == F.col("sa.h")))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -220,7 +229,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_simhash",
-    oracle=(lambda aggs_combine=H.simhash_sql(H.token_hash60_sql("shingle")): f"""
+    oracle=(lambda aggs_combine=H.simhash_sql("h"): f"""
     WITH {_SHINGLES_SQL},
     weights AS (
       SELECT doc_id, {', '.join(aggs_combine[0])}
@@ -241,9 +250,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (All-pairs comparison here is the small-SF oracle shape; the scale
     path blocks on simhash bit-bands exactly like minhash-LSH.)"""
     d = load_table(spark, "documents", sf_dir)
-    sh = _shingles(d)
-    h = H.token_hash60(F.col("shingle"))
-    weights = sh.groupBy("doc_id").agg(*H.simhash_bit_aggs(h))
+    sh = _hashed_shingles(d)
+    weights = sh.groupBy("doc_id").agg(*H.simhash_bit_aggs(F.col("h")))
     sims = weights.select("doc_id", H.simhash_from_weights().alias("simhash"))
     a = sims.alias("a")
     b = sims.alias("b")
