@@ -1,0 +1,53 @@
+"""Physical-layout operators for the 100 TB path: bucketing for
+co-located (shuffle-free) joins and key salting for skew.
+
+Neither changes query *semantics* — they are layout/plan tools, so they
+live as library functions with plan-asserting tests rather than oracle
+queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(df: DataFrame, table: str, bucket_col: str, n_buckets: int = 16,
+                   sort_col: str | None = None) -> None:
+    """Persist as a bucketed (and optionally sorted) managed table.
+
+    Two tables bucketed identically on their join key co-locate: Spark
+    plans the join with zero Exchange — at 100 TB that removes the
+    dominant shuffle of every fact-fact join.  (The blocks table bucketed
+    by batch_id gives shuffle-free blocks⋈pages and in-bucket
+    block_index order for the upload sink.)
+    """
+    w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)
+
+
+def salted_join(fact: DataFrame, dim: DataFrame, key: str, n_salts: int = 8,
+                how: str = "inner") -> DataFrame:
+    """Skew-resistant equi-join: spray the fact side's hot keys across
+    ``n_salts`` sub-keys and replicate the (small) dim side once per
+    salt, so one giant key (the 500k-block page of reference FAQ.md:68)
+    spreads over ``n_salts`` tasks instead of hot-spotting one.
+
+    AQE's skew-join split handles sort-merge cases adaptively; explicit
+    salting is the deterministic tool when the build side must replicate
+    (or AQE is unavailable).  Result is column-identical to the plain
+    join.
+    """
+    salted_fact = fact.withColumn(
+        "_salt", (F.rand(seed=42) * n_salts).cast("int")
+    )
+    salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt")
+    salted_dim = dim.select("*", salts)
+    out = salted_fact.join(
+        salted_dim,
+        [salted_fact[key] == salted_dim[key], salted_fact["_salt"] == salted_dim["_salt"]],
+        how,
+    )
+    return out.drop(salted_dim[key]).drop(salted_fact["_salt"]).drop(salted_dim["_salt"])
