@@ -1,0 +1,157 @@
+"""Command-line entry points — the user-facing parity surface.
+
+A user of the reference runs (README.md:97-135):
+
+    python process-mw-dump.py -outdir out wiki.xml     # Phase 1
+    (upload *.md to S3; AWS pipeline does the rest)     # Phase 2
+
+Here the same workflows are:
+
+    python -m mediawiki_to_notion_spark.cli process-dump -outdir out wiki.xml
+    python -m mediawiki_to_notion_spark.cli ingest   --input out/staged --tables t
+    python -m mediawiki_to_notion_spark.cli upload   --tables t [--max-blocks 50]
+    python -m mediawiki_to_notion_spark.cli status   --tables t
+
+`process-dump` writes one .md per page under <outdir>/<ns_name>/ and
+extracts embedded files, exactly like the reference CLI; `ingest` and
+`upload` run the Phase-2 pipeline locally (the transport is the mock
+unless a real one is wired in).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+from mediawiki_to_notion_spark.functions.gfm_convert import (
+    CONVERT_DDL_SUFFIX,
+    convert_batches,
+)
+from mediawiki_to_notion_spark.plans import pipeline as P
+from mediawiki_to_notion_spark.session import get_spark
+from mediawiki_to_notion_spark.sources.xml_dump import read_dump, split_pages_files
+from mediawiki_to_notion_spark.streaming import ingest as ING
+from mediawiki_to_notion_spark.streaming.notion_client import ScriptedTransport
+from mediawiki_to_notion_spark.streaming.upload import UploadConfig, drain
+
+
+def cmd_process_dump(args: argparse.Namespace) -> int:
+    spark = get_spark("process-dump")
+    raw = read_dump(spark, args.xmlfile)
+    pages, files = split_pages_files(raw)
+    routed = P.route_pages(pages)
+
+    for w in P.skipped_warnings(routed).collect():
+        print(f"\tWARNING: {w.message}: {w.key}", file=sys.stderr)
+
+    prepared = P.prepare_pages(routed)
+    for w in prepared.filter(F.col("unhandled_template") != "").collect():
+        print(f"\tWARNING: unhandled wiki template: {w.unhandled_template}",
+              file=sys.stderr)
+
+    converted = prepared.select("ns_name", "filename", "cleaned").mapInPandas(
+        convert_batches, f"ns_name string, filename string, cleaned string, {CONVERT_DDL_SUFFIX}"
+    )
+    outdir = args.outdir
+
+    def write_md(rows) -> None:
+        for r in rows:
+            if r.markdown is None:
+                continue
+            d = os.path.join(outdir, r.ns_name)
+            os.makedirs(d, exist_ok=True)
+            with open(os.path.join(d, r.filename + ".md"), "w") as f:
+                f.write(r.markdown)
+
+    converted.foreachPartition(write_md)
+    for r in converted.filter(F.col("convert_error").isNotNull()).collect():
+        print(f"\tERROR: could not convert {r.filename}: {r.convert_error}",
+              file=sys.stderr)
+
+    decoded, bad = P.decode_files(files)
+
+    def write_files(rows) -> None:
+        d = os.path.join(outdir, "File")
+        for r in rows:
+            os.makedirs(d, exist_ok=True)
+            with open(os.path.join(d, r.filename), "wb") as f:
+                f.write(bytes(r.content))
+
+    decoded.foreachPartition(write_files)
+    for w in bad.collect():
+        print(f"\tERROR: {w.key}: {w.message}", file=sys.stderr)
+    return 0
+
+
+def cmd_ingest(args: argparse.Namespace) -> int:
+    spark = get_spark("ingest")
+    q = ING.start_md_stream(
+        spark, args.input, args.tables,
+        checkpoint_dir=os.path.join(args.tables, "_checkpoints", "ingest"),
+    )
+    q.awaitTermination()
+    n = ING.pages_table(spark, args.tables).read().count()
+    print(f"ingested; pages table now has {n} rows")
+    return 0
+
+
+def cmd_upload(args: argparse.Namespace) -> int:
+    spark = get_spark("upload")
+    cfg = UploadConfig(
+        transport=ScriptedTransport(),
+        max_blocks=args.max_blocks,
+        min_interval_s=args.min_interval,
+    )
+    rounds = drain(spark, args.tables, cfg)
+    print(f"upload drained in {rounds} rounds")
+    return cmd_status(args)
+
+
+def cmd_status(args: argparse.Namespace) -> int:
+    spark = get_spark("status")
+    pages = ING.pages_table(spark, args.tables).read()
+    for row in (
+        pages.groupBy("status").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("status").collect()
+    ):
+        print(f"{row.status:10s} {row.n}")
+    fails = ING.failures_table(spark, args.tables)
+    if fails.exists():
+        for r in fails.read().orderBy(F.desc("event_time")).limit(20).collect():
+            print(f"FAILURE {r.s3_object_key}: {r.error}")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="mediawiki_to_notion_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("process-dump", help="MediaWiki XML dump → markdown tree")
+    d.add_argument("-outdir", required=True)
+    d.add_argument("xmlfile")
+    d.set_defaults(fn=cmd_process_dump)
+
+    i = sub.add_parser("ingest", help="staged *.md → blocks/pages tables")
+    i.add_argument("--input", required=True)
+    i.add_argument("--tables", required=True)
+    i.set_defaults(fn=cmd_ingest)
+
+    u = sub.add_parser("upload", help="drain pending blocks to the sink")
+    u.add_argument("--tables", required=True)
+    u.add_argument("--max-blocks", type=int, default=50)
+    u.add_argument("--min-interval", type=float, default=0.0)
+    u.set_defaults(fn=cmd_upload)
+
+    s = sub.add_parser("status", help="page-status dashboard")
+    s.add_argument("--tables", required=True)
+    s.set_defaults(fn=cmd_status)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

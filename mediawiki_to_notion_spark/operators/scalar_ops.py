@@ -290,6 +290,72 @@ def star_join_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+@register(
+    "scalar_subquery_small_quantity",
+    oracle="""
+    SELECT l_partkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_revenue,
+           count(*) AS n_small
+    FROM lineitem l
+    WHERE l_quantity < (
+      SELECT 0.5 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                    / count(*))
+      FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+    )
+    GROUP BY l_partkey
+    """,
+)
+def scalar_subquery_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average) —
+    planned as an aggregate + self-join, no per-row subquery execution.
+
+    The per-part avg is computed decimal-exact and the comparison is a
+    double threshold, identical on both engines."""
+    l = load_table(spark, "lineitem", sf_dir)
+    thresholds = l.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.lit(0.5) * (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1))))
+        .alias("half_avg_qty")
+    )
+    return (
+        l.join(thresholds, l.l_partkey == thresholds.pk)
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .groupBy("l_partkey")
+        .agg(dsum("l_extendedprice", "small_revenue"),
+             F.count(F.lit(1)).alias("n_small"))
+    )
+
+
+@register(
+    "correlated_exists_late_orders",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate < TIMESTAMP '1995-07-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def correlated_exists_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS with row-dependent date
+    arithmetic — a left-semi join on (key, inequality)."""
+    o = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp"))
+    )
+    l = load_table(spark, "lineitem", sf_dir)
+    late = o.join(
+        l,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
 @register("uuid_batch_mint")  # rows-only: uuid() is nondeterministic by design
 def uuid_batch_mint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-file batch-id minting (uuid4 per upload,
