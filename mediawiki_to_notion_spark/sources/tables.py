@@ -54,11 +54,13 @@ def _normalize_times(df: DataFrame) -> DataFrame:
             # column is kept as ts_ns: filters on the *computed* ts can't
             # reach the parquet scan, so range predicates go on ts_ns
             # (see relational.time_range_scan) and prune at the source.
+            # integer division, NOT floor(x / 1000): the double division
+            # rounds at ~1.7e15 µs magnitudes and lands a microsecond off
             df = (
                 df.withColumn("ts_ns", F.col(f.name))
                 .withColumn(
                     f.name,
-                    F.timestamp_micros(F.floor(F.col(f.name) / 1000).cast("long")),
+                    F.timestamp_micros(F.expr(f"{f.name} div 1000")),
                 )
             )
     return df

@@ -81,16 +81,33 @@ def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         "upload_filename", "upload_encoding", "upload_contents_b64",
     ]
     for pdf in batches:
-        for content in pdf["content"]:
+        for path, content in zip(pdf["path"], pdf["content"]):
             rows = list(iter_dump(io.BytesIO(bytes(content))))
             if rows:
-                yield pd.DataFrame(rows, columns=cols)
+                out = pd.DataFrame(rows, columns=cols)
+                out["source_file"] = path
+                yield out
 
 
 def read_dump(spark: SparkSession, path: str) -> DataFrame:
-    """Dump file(s) → raw page rows (pages and uploads in one frame)."""
-    binary = spark.read.format("binaryFile").load(path).select("content")
-    return binary.mapInPandas(_parse_batches, PAGE_SCHEMA_DDL)
+    """Dump file(s) → raw page rows (pages and uploads in one frame).
+
+    Real dumps ship as many part files; the in-file sequence number is
+    only unique per file, so the global page_id is content-addressed on
+    (source file, sequence) — stable across re-runs and partitionings,
+    unlike monotonically_increasing_id."""
+    binary = spark.read.format("binaryFile").load(path).select("path", "content")
+    raw = binary.mapInPandas(_parse_batches, PAGE_SCHEMA_DDL + ", source_file string")
+    return raw.withColumn(
+        "page_id",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("#", "source_file", F.col("page_id").cast("string"))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long"),
+    ).drop("source_file")
 
 
 def split_pages_files(raw: DataFrame) -> tuple[DataFrame, DataFrame]:

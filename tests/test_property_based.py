@@ -1,0 +1,88 @@
+"""Property-based tests (hypothesis) for the pure-Python document
+transforms — the pieces where hand-picked fixtures miss edge cases.
+
+These run without a SparkSession (the Spark↔Python parity is pinned
+separately in test_wikitext.py); here we fuzz the Python twins'
+invariants.
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mediawiki_to_notion_spark.functions.gfm_convert import convert_document
+from mediawiki_to_notion_spark.functions.markdown_blocks import parse_markdown_blocks
+from mediawiki_to_notion_spark.functions.wikitext import (
+    fence_code_blocks,
+    prepare_wikitext_py,
+    safe_filename_py,
+)
+
+text_lines = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="\r"),
+    max_size=120,
+)
+documents = st.lists(text_lines, max_size=12).map("\n".join)
+
+
+@settings(max_examples=200, deadline=None)
+@given(documents)
+def test_fencer_never_crashes_and_balances_pre_tags(doc):
+    out = fence_code_blocks(doc)
+    opens = out.count("<pre>") - doc.count("<pre>")
+    closes = out.count("</pre>") - doc.count("</pre>")
+    assert opens == closes
+    # fencing only inserts tags / rewrites in-code markup: with markup
+    # absent, stripping the inserted tags recovers the original document
+    # up to the close-rstrip of line-trailing whitespace
+    if "'''" not in doc and "''" not in doc and "<pre>" not in doc and "</pre>" not in doc:
+        recovered = (
+            out.replace("<pre>\n", "").replace("</pre>\n\n", "\n").replace("</pre>", "")
+        )
+        norm = lambda s: [ln.rstrip() for ln in s.splitlines()]  # noqa: E731
+        assert norm(recovered) == norm(doc)
+
+
+@settings(max_examples=200, deadline=None)
+@given(documents)
+def test_prepare_chain_removes_all_handled_constructs(doc):
+    cleaned = prepare_wikitext_py("[[Category:x]]\n" + doc + "\n__TOC__", "Main")
+    assert "[[Category:x]]" not in cleaned
+    assert "__TOC__" not in cleaned
+    assert "<nowiki>" not in (cleaned or "")
+
+
+@settings(max_examples=200, deadline=None)
+@given(documents)
+def test_markdown_parser_invariants(doc):
+    blocks = parse_markdown_blocks(doc)
+    # no empty paragraph blocks, known types only, fences always closed
+    types = {
+        "header", "sub_header", "sub_sub_header", "text", "bulleted_list",
+        "numbered_list", "quote", "code", "divider", "image",
+    }
+    for b in blocks:
+        assert b["type"] in types
+        if b["type"] == "text":
+            assert b["title"].strip() != ""
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=80))
+def test_safe_filename_is_fs_safe(title):
+    fn = safe_filename_py(title)
+    assert "/" not in fn
+    assert re.fullmatch(r"[\w .\-]*", fn, flags=re.UNICODE) or all(
+        c.isalnum() or c in " ._-" for c in fn
+    )
+    assert not fn.endswith(" ")
+
+
+@settings(max_examples=100, deadline=None)
+@given(documents)
+def test_convert_document_never_raises(doc):
+    md, err = convert_document(doc)
+    assert (md is None) == (err is not None)

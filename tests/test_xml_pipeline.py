@@ -89,6 +89,18 @@ def dump_frames(spark, tmp_path_factory):
     return raw, pages, files
 
 
+def test_multifile_dump_unique_page_ids(spark, tmp_path):
+    """Dumps ship as many part files; page ids must stay globally unique
+    and stable across re-reads."""
+    for i in range(2):
+        (tmp_path / f"part{i}.xml").write_text(_dump_xml())
+    raw = read_dump(spark, str(tmp_path))
+    ids = [r.page_id for r in raw.select("page_id").collect()]
+    assert len(ids) == 14 and len(set(ids)) == 14
+    again = [r.page_id for r in read_dump(spark, str(tmp_path)).select("page_id").collect()]
+    assert sorted(ids) == sorted(again)
+
+
 def test_namespace_map_and_routing(dump_frames):
     _, pages, _ = dump_frames
     routed = P.route_pages(pages)
