@@ -44,5 +44,6 @@ def load_all() -> None:
         scalar_ops,
         similarity,
         text_analysis,
+        training_data,
         wikitext_queries,
     )

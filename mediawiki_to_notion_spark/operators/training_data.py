@@ -1,0 +1,129 @@
+r"""Training-data pipeline operators beyond the reference surface:
+as-of joins, deterministic dataset splits, corpus vocabulary stats.
+
+These are the ops a 100 TB pre-training corpus build runs daily; each is
+expressed so Spark and the DuckDB oracle share exact arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from mediawiki_to_notion_spark.operators.registry import register
+from mediawiki_to_notion_spark.sources.tables import load_table
+
+
+@register(
+    "asof_join_prior_signup",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN event_type = 'signup' THEN epoch_ms(ts) END AS signup_ms
+      FROM events
+    ), filled AS (
+      SELECT user_id, ts, event_id, event_type,
+             last_value(signup_ms IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS last_signup_ms
+      FROM tagged
+    )
+    SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, last_signup_ms,
+           epoch_ms(ts) - last_signup_ms AS ms_since_signup
+    FROM filled
+    WHERE event_type = 'purchase'
+    """,
+)
+def asof_join_prior_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: each purchase matched to the user's most recent prior
+    signup.  Spark has no native ASOF operator; the idiomatic plan is a
+    union-free `last_value(IGNORE NULLS)` over the event-time order —
+    one shuffle on user_id, no range join, no point lookups.  (DuckDB
+    could use its native ASOF JOIN; the oracle uses the identical window
+    formulation so semantics are pinned, including ties.)"""
+    e = load_table(spark, "events", sf_dir)
+    tagged = e.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.when(F.col("event_type") == "signup", F.unix_millis("ts")).alias("signup_ms"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    filled = tagged.withColumn(
+        "last_signup_ms", F.last("signup_ms", ignorenulls=True).over(w)
+    )
+    return filled.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        "last_signup_ms",
+        (F.unix_millis("ts") - F.col("last_signup_ms")).alias("ms_since_signup"),
+    )
+
+
+@register(
+    "dataset_split_assignment",
+    oracle="""
+    WITH hashed AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT % 100 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'validation'
+                ELSE 'test' END AS split
+    FROM hashed
+    """,
+)
+def dataset_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/validation/test split: hash-bucket on
+    a salted document id.  Content-addressed, so the split is stable
+    under re-partitioning, re-runs, and incremental corpus growth —
+    unlike randomSplit, which depends on partition layout."""
+    d = load_table(spark, "documents", sf_dir)
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id"))), 1, 15),
+            16, 10,
+        ).cast("long") % 100
+    )
+    return d.select(
+        "doc_id", "lang",
+        F.when(bucket < 80, "train")
+         .when(bucket < 90, "validation")
+         .otherwise("test").alias("split"),
+    )
+
+
+@register(
+    "token_document_frequency",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), per_doc AS (
+      SELECT doc_id, token, count(*) AS tf FROM tok WHERE token <> ''
+      GROUP BY doc_id, token
+    )
+    SELECT token,
+           count(*) AS doc_freq,
+           CAST(SUM(CAST(tf AS DECIMAL(18,0))) AS BIGINT) AS corpus_freq,
+           max(tf) AS max_tf
+    FROM per_doc GROUP BY token
+    """,
+)
+def token_document_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics (document frequency / corpus
+    frequency / max term frequency) — the IDF numerator table.  Two
+    partial-aggregated shuffles; counts only, so exact at any scale."""
+    d = load_table(spark, "documents", sf_dir)
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token")) \
+        .filter(F.col("token") != "")
+    per_doc = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    return per_doc.groupBy("token").agg(
+        F.count(F.lit(1)).alias("doc_freq"),
+        F.sum("tf").alias("corpus_freq"),
+        F.max("tf").alias("max_tf"),
+    )
