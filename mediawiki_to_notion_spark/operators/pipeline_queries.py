@@ -97,7 +97,9 @@ def pipeline_prepare_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("tail {{RFC|"), F.col("doc_id") % 999, F.lit("}}\n"),
         ).alias("wikitext"),
     )
-    prepared = pages.withColumn(
+    from mediawiki_to_notion_spark.plans.pipeline import ensure_parallelism
+
+    prepared = ensure_parallelism(pages).withColumn(
         "cleaned", wt.prepare_wikitext(F.col("wikitext"), F.col("ns_name"))
     )
     return prepared.select("doc_id", "cleaned").mapInPandas(

@@ -31,6 +31,19 @@ WIKITEXT_NS = (0, 14)   # Main, Category → WikitextParser route
 FILE_NS = (6,)          # File → FileParser route
 
 
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition ahead of an Arrow/Python stage when the input arrives
+    in fewer splits than the cluster has cores (a single small parquet
+    file otherwise serializes the whole UDF stage through one worker).
+    No-op at real scale, where the source already has many splits."""
+    target = min_partitions or min(
+        8, df.sparkSession.sparkContext.defaultParallelism
+    )
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def route_pages(pages: DataFrame) -> DataFrame:
     """Namespace router (process-mw-dump.py:46-79): adds a `route`
     column ∈ {wikitext, file, skip}."""
@@ -101,7 +114,7 @@ def store_blocks(staged: DataFrame) -> tuple[DataFrame, DataFrame]:
         staged = staged.withColumn("s3_bucket", F.lit("local"))
 
     blocks = (
-        staged.select("batch_id", "s3_object_key", "markdown")
+        ensure_parallelism(staged.select("batch_id", "s3_object_key", "markdown"))
         .mapInPandas(markdown_to_block_rows, BLOCK_ROWS_DDL)
     )
     bucket = staged.select("batch_id", "s3_bucket").alias("m")
