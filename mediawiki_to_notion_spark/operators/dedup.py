@@ -180,25 +180,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16) + LSH(4 bands × 4 rows) candidate generation, then
     exact-Jaccard verification of candidates only.
 
-    The scale path: signatures are one shuffle (groupBy doc), banding is
-    a narrow explode, candidates come from an equi-join on (band, sig) —
+    The scale path: ONE shuffle (groupBy doc_id) yields the minhash
+    signature, the shingle count, and the shingle-hash set per document;
+    banding is a narrow posexplode, candidates come from an equi-join on
+    (band, sig), and verification is `array_intersect` over the carried
+    hash sets — the exploded shingle table is never shuffled again and
     no all-pairs comparison ever materializes."""
     d = load_table(spark, "documents", sf_dir)
-    # no explicit cache: the identical shingle/stats subplans dedupe via
-    # ReuseExchange inside the single job, and repeated invocations in a
-    # long-lived session don't accumulate storage-memory residue
     sh = _hashed_shingles(d)
+    # the single heavy shuffle; reused (via ReuseExchange) by bands/x/y
     stats = sh.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n"), *H.minhash_agg_columns(F.col("h"))
+        F.count(F.lit(1)).alias("n"),
+        F.collect_set("h").alias("hs"),
+        *H.minhash_agg_columns(F.col("h")),
     )
-    sizes = stats.select("doc_id", "n")
-    sigs = stats
-    bands = None
-    for bnd in range(H.N_BANDS):
-        part = sigs.select(
-            "doc_id", F.lit(bnd).alias("band"), H.band_signature(bnd).alias("sig")
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    bands = stats.select(
+        "doc_id",
+        F.posexplode(F.array(*[H.band_signature(b) for b in range(H.N_BANDS)]))
+        .alias("band", "sig"),
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     cands = (
@@ -207,20 +207,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sa = sh.alias("sa")
-    sb = sh.alias("sb")
-    verified = (
-        cands.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, (F.col("doc_b") == F.col("sb.doc_id"))
-              & (F.col("sb.h") == F.col("sa.h")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    x = sizes.alias("x")
-    y = sizes.alias("y")
-    jac = F.col("n_common").cast("double") / (F.col("x.n") + F.col("y.n") - F.col("n_common"))
+    x = stats.select("doc_id", "n", "hs").alias("x")
+    y = stats.select("doc_id", "n", "hs").alias("y")
+    n_common = F.size(F.array_intersect(F.col("x.hs"), F.col("y.hs")))
+    jac = n_common.cast("double") / (F.col("x.n") + F.col("y.n") - n_common)
     return (
-        verified.join(x, F.col("doc_a") == F.col("x.doc_id"))
+        cands.join(x, F.col("doc_a") == F.col("x.doc_id"))
         .join(y, F.col("doc_b") == F.col("y.doc_id"))
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
