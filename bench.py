@@ -39,6 +39,9 @@ HEADLINE = [
     "pipeline_prepare_convert",
     "similarity_lsh_bucketed",
     "text_lang_id",
+    "range_join_clicks_before_purchase",
+    "similarity_ivf_probe",
+    "time_bucket_rollup",
 ]
 
 

@@ -1,0 +1,378 @@
+r"""Analytics extensions: range joins, IVF similarity, percentiles,
+pivot/unpivot, hypertable rollups, RANGE-frame windows.
+
+These close the gap between the reference's ETL surface (SURVEY.md §2)
+and what a warehouse-grade engine is expected to answer on the same
+tables.  Each operator is written in its 100 TB shape:
+
+- the range join banded-buckets itself so the shuffle key is
+  (user, time-bucket) instead of user alone (a power user's whole
+  history would otherwise land in one task);
+- IVF probes a broadcast centroid table, so candidate generation is a
+  map-side join no matter the corpus size;
+- percentiles/pivot/rollup are single partial-aggregated shuffles.
+
+Arithmetic rules shared with the DuckDB oracles: doubles are rounded
+to 6 dp *before* summing (as DECIMAL(18,6)) so accumulation order —
+which differs across engines and partitionings — cannot change the
+result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from mediawiki_to_notion_spark.functions import vectors as V
+from mediawiki_to_notion_spark.operators.registry import register
+from mediawiki_to_notion_spark.sources.tables import load_table
+
+BAND_US = 600_000_000           # 10-minute range-join band, microseconds
+N_CENTROIDS = 8                 # IVF coarse quantizer size
+N_PROBE = 2                     # clusters probed per query
+IVF_QUERIES = 5                 # query vectors: vec_id 0..4
+IVF_TOP_K = 10
+
+
+@register(
+    "range_join_clicks_before_purchase",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+      WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events
+      WHERE event_type = 'click'
+    ), joined AS (
+      SELECT p.event_id AS purchase_id, p.user_id, p.ts_us,
+             c.event_id AS click_id, c.value
+      FROM p LEFT JOIN c
+        ON c.user_id = p.user_id
+       AND c.ts_us >= p.ts_us - {BAND_US} AND c.ts_us < p.ts_us
+    )
+    SELECT purchase_id, user_id, ts_us AS purchase_ts_us,
+           count(click_id) AS n_clicks_10m,
+           CAST(coalesce(SUM(CAST(round(value, 6) AS DECIMAL(18,6))), 0)
+                AS DOUBLE) AS click_value_10m
+    FROM joined GROUP BY 1, 2, 3
+    """,
+)
+def range_join_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band (range) join: each purchase gathers the same user's clicks in
+    the preceding 10 minutes.
+
+    Spark has no native range-join operator, and `user_id` alone is a
+    skew-prone shuffle key (reference FAQ.md:68 is the same pathology:
+    one hot entity).  The scale path is the *banded bucket join*: both
+    sides get a time bucket of exactly the band width, the probe side
+    expands to the (≤2) buckets its band can touch via `sequence`, and
+    the join key becomes (user_id, bucket) — bounded fan-out, skew
+    split across time, and the band predicate finishes the job.  A
+    click lies in exactly one bucket, so no post-join dedup is needed.
+    """
+    e = load_table(spark, "events", sf_dir)
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.unix_micros("ts").alias("p_us"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.unix_micros("ts").alias("c_us"),
+        "value",
+    ).withColumn("bucket", F.expr(f"c_us div {BAND_US}"))
+    probes = p.withColumn(
+        "bucket",
+        F.explode(F.expr(f"sequence((p_us - {BAND_US}) div {BAND_US}, p_us div {BAND_US})")),
+    )
+    matched = (
+        probes.join(
+            c,
+            (probes.user_id == c.c_user)
+            & (probes.bucket == c.bucket)
+            & (c.c_us >= probes.p_us - BAND_US)
+            & (c.c_us < probes.p_us),
+        )
+        .groupBy("purchase_id")
+        .agg(
+            F.count("click_id").alias("n_clicks_10m"),
+            F.sum(F.round("value", 6).cast("decimal(18,6)")).alias("v"),
+        )
+    )
+    return (
+        p.join(matched, "purchase_id", "left")
+        .select(
+            "purchase_id", "user_id",
+            F.col("p_us").alias("purchase_ts_us"),
+            F.coalesce("n_clicks_10m", F.lit(0)).alias("n_clicks_10m"),
+            F.coalesce(F.col("v").cast("double"), F.lit(0.0)).alias("click_value_10m"),
+        )
+    )
+
+
+_IVF_ASSIGN_SQL = f"""
+    centroids AS (
+      SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings
+      WHERE vec_id < {N_CENTROIDS}
+    ), assign_scored AS (
+      SELECT e.vec_id, e.embedding, k.centroid_id,
+             round(list_cosine_similarity(e.embedding::DOUBLE[], k.c_emb::DOUBLE[]), 6)
+               AS cos_c,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY round(list_cosine_similarity(
+                                  e.embedding::DOUBLE[], k.c_emb::DOUBLE[]), 6) DESC,
+                                  k.centroid_id) AS rn
+      FROM embeddings e CROSS JOIN centroids k
+    )
+"""
+
+
+@register(
+    "similarity_ivf_probe",
+    oracle=f"""
+    WITH {_IVF_ASSIGN_SQL}
+    , assigned AS (
+      SELECT vec_id, embedding, centroid_id FROM assign_scored WHERE rn = 1
+    ), probed AS (
+      SELECT vec_id AS query_id, embedding AS q_emb, centroid_id
+      FROM assign_scored WHERE vec_id < {IVF_QUERIES} AND rn <= {N_PROBE}
+    ), scored AS (
+      SELECT q.query_id, a.vec_id,
+             round(list_cosine_similarity(q.q_emb::DOUBLE[], a.embedding::DOUBLE[]), 6)
+               AS cosine_r
+      FROM probed q JOIN assigned a
+        ON a.centroid_id = q.centroid_id AND a.vec_id != q.query_id
+    ), ranked AS (
+      SELECT query_id, vec_id, cosine_r,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine_r DESC, vec_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, vec_id, cosine_r FROM ranked WHERE rn <= {IVF_TOP_K}
+    """,
+)
+def similarity_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate nearest neighbour: a coarse
+    quantizer assigns every vector to its nearest centroid (here a
+    deterministic codebook: the first {N_CENTROIDS} vectors), queries
+    probe their nprobe={N_PROBE} nearest clusters, and only same-cluster
+    candidates are scored.
+
+    100 TB shape: the codebook is a broadcast table, so assignment is a
+    map-side cross join (|codebook| rows per vector, no shuffle); the
+    candidate join shuffles by centroid_id — the IVF partition — instead
+    of all-pairs.  This is the same plan skeleton Faiss IVF-Flat runs,
+    expressed relationally."""
+    e = load_table(spark, "embeddings", sf_dir)
+    cent = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    )
+    scored_assign = e.join(F.broadcast(cent)).select(
+        "vec_id", "embedding", "centroid_id",
+        F.round(V.cosine(F.col("embedding"), F.col("c_emb")), 6).alias("cos_c"),
+    )
+    w_assign = W.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("centroid_id"))
+    with_rank = scored_assign.withColumn("rn", F.row_number().over(w_assign))
+    assigned = with_rank.filter(F.col("rn") == 1).select(
+        "vec_id", "embedding", "centroid_id"
+    )
+    probed = with_rank.filter(
+        (F.col("vec_id") < IVF_QUERIES) & (F.col("rn") <= N_PROBE)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("centroid_id").alias("q_centroid"),
+    )
+    scored = assigned.join(
+        F.broadcast(probed),
+        (F.col("centroid_id") == F.col("q_centroid"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id", "vec_id",
+        F.round(V.cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cosine_r"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine_r"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= IVF_TOP_K)
+        .drop("rn")
+    )
+
+
+@register(
+    "percentile_event_values",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def percentile_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per event type.  Spark's
+    `percentile` and DuckDB's `quantile_cont` share the same
+    interpolation rule, so results hash-match after 6 dp rounding.
+    Exact percentiles sort within each group; at 100 TB the headline
+    dashboards switch to `approx_percentile` (KLL/GK sketch, mergeable
+    partial aggregation) — same call-site, sketch semantics."""
+    e = load_table(spark, "events", sf_dir)
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+@register(
+    "pivot_priority_by_status",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) FILTER (o_orderstatus = 'O') AS n_open,
+           count(*) FILTER (o_orderstatus = 'F') AS n_finished,
+           count(*) FILTER (o_orderstatus = 'P') AS n_pending,
+           CAST(coalesce(SUM(CAST(round(o_totalprice, 6) AS DECIMAL(18,6)))
+                         FILTER (o_orderstatus = 'O'), 0) AS DOUBLE) AS rev_open,
+           CAST(coalesce(SUM(CAST(round(o_totalprice, 6) AS DECIMAL(18,6)))
+                         FILTER (o_orderstatus = 'F'), 0) AS DOUBLE) AS rev_finished,
+           CAST(coalesce(SUM(CAST(round(o_totalprice, 6) AS DECIMAL(18,6)))
+                         FILTER (o_orderstatus = 'P'), 0) AS DOUBLE) AS rev_pending
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide): order counts and revenue per priority,
+    one column pair per status.  The pivot value list is given
+    explicitly ('O','F','P') — with it, Spark pivots in a single
+    aggregation pass; without it, it must first run a distinct-values
+    job, which at 100 TB is a full extra scan."""
+    o = load_table(spark, "orders", sf_dir)
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round("o_totalprice", 6).cast("decimal(18,6)")).alias("rev"),
+        )
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.coalesce("O_n", F.lit(0)).alias("n_open"),
+        F.coalesce("F_n", F.lit(0)).alias("n_finished"),
+        F.coalesce("P_n", F.lit(0)).alias("n_pending"),
+        F.coalesce(F.col("O_rev").cast("double"), F.lit(0.0)).alias("rev_open"),
+        F.coalesce(F.col("F_rev").cast("double"), F.lit(0.0)).alias("rev_finished"),
+        F.coalesce(F.col("P_rev").cast("double"), F.lit(0.0)).alias("rev_pending"),
+    )
+
+
+@register(
+    "unpivot_charge_components",
+    oracle="""
+    WITH long AS (
+      SELECT l_returnflag, 'extended' AS component,
+             round(l_extendedprice, 6) AS amount FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'discount',
+             round(l_extendedprice * l_discount, 6) FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'tax',
+             round(l_extendedprice * l_tax, 6) FROM lineitem
+    )
+    SELECT l_returnflag, component,
+           count(*) AS n_rows,
+           CAST(SUM(CAST(amount AS DECIMAL(18,6))) AS DOUBLE) AS total_amount
+    FROM long GROUP BY l_returnflag, component
+    """,
+)
+def unpivot_charge_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide → long): melt each lineitem's three charge
+    components into rows, then aggregate per (returnflag, component).
+    `unpivot` is a zero-shuffle narrow transform — the only shuffle is
+    the final partial-aggregated groupBy."""
+    li = load_table(spark, "lineitem", sf_dir)
+    wide = li.select(
+        "l_returnflag",
+        F.round("l_extendedprice", 6).alias("extended"),
+        F.round(F.col("l_extendedprice") * F.col("l_discount"), 6).alias("discount"),
+        F.round(F.col("l_extendedprice") * F.col("l_tax"), 6).alias("tax"),
+    )
+    long = wide.unpivot(
+        ["l_returnflag"], ["extended", "discount", "tax"], "component", "amount"
+    )
+    return long.groupBy("l_returnflag", "component").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("amount").cast("decimal(18,6)")).cast("double").alias("total_amount"),
+    )
+
+
+@register(
+    "time_bucket_rollup",
+    oracle="""
+    SELECT epoch_ms(date_trunc('day', ts)) AS day_ms,
+           epoch_ms(date_trunc('hour', ts)) AS hour_ms,
+           count(*) AS n_events,
+           CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY ROLLUP (epoch_ms(date_trunc('day', ts)), epoch_ms(date_trunc('hour', ts)))
+    """,
+)
+def time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: hourly buckets with daily
+    subtotals and a grand total in one pass (`ROLLUP(day, hour)`).
+    This is the TimescaleDB time_bucket + rollup idiom on Spark: one
+    shuffle, partial aggregation map-side, and the day/hour grouping
+    keys are derived columns so at 100 TB the same query runs against
+    a day-partitioned table with partition pruning intact."""
+    e = load_table(spark, "events", sf_dir)
+    return (
+        e.select(
+            F.unix_millis(F.date_trunc("day", "ts")).alias("day_ms"),
+            F.unix_millis(F.date_trunc("hour", "ts")).alias("hour_ms"),
+            "value",
+        )
+        .rollup("day_ms", "hour_ms")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round("value", 6).cast("decimal(18,6)"))
+             .cast("double").alias("total_value"),
+        )
+    )
+
+
+@register(
+    "window_range_frame_hourly",
+    oracle="""
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           count(*) OVER w AS n_events_1h,
+           CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6))) OVER w AS DOUBLE)
+             AS value_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_range_frame_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per user, the trailing-1-hour event count and
+    value sum at every event.  RANGE frames bound by *value* distance
+    (microseconds here), not row count — the moving-aggregate shape
+    rate limiters and anomaly detectors need.  One shuffle on user_id;
+    ties in ts share a frame, so the aggregate is rounded-decimal to
+    stay order-independent."""
+    e = load_table(spark, "events", sf_dir)
+    with_us = e.select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"),
+        F.round("value", 6).cast("decimal(18,6)").alias("v"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, W.currentRow)
+    )
+    return with_us.select(
+        "event_id", "user_id", "ts_us",
+        F.count(F.lit(1)).over(w).alias("n_events_1h"),
+        F.sum("v").over(w).cast("double").alias("value_1h"),
+    )

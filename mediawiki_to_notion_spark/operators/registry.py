@@ -37,6 +37,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 def load_all() -> None:
     """Import every operator module so registrations run."""
     from mediawiki_to_notion_spark.operators import (  # noqa: F401
+        analytics_ext,
         dedup,
         multimodal,
         pipeline_queries,
