@@ -113,6 +113,118 @@ def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RESIZE_SCHEMA = (
+    "doc_id long, media_type string, orig_chars int, "
+    "resized_chars int, resized_md5 string"
+)
+
+N_FRAMES = 4
+FRAME_LEN = 64
+FRAME_SCHEMA = "doc_id long, frame_index int, frame_chars int, frame_md5 string"
+
+
+def resize_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: deterministic 2:1 "resample" of the payload.
+
+    A real deployment swaps the body for PIL/libvips `resize`; the
+    stand-in drops every second symbol (regex pair-collapse), which is a
+    genuine downsample — content-dependent, length-halving, and
+    hash-checkable by the SQL oracle.  Arrow batch in, Arrow batch out;
+    memory is bounded by the batch, never the corpus."""
+    import hashlib
+    import re
+
+    for pdf in batches:
+        rows = []
+        for doc_id, media_type, content in zip(
+            pdf["doc_id"], pdf["media_type"], pdf["content"]
+        ):
+            s = bytes(content).decode("utf-8")
+            r = re.sub(r"(?s)(.).", r"\1", s)
+            rows.append(
+                (doc_id, media_type, len(s), len(r),
+                 hashlib.md5(r.encode("utf-8")).hexdigest())
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "media_type", "orig_chars", "resized_chars",
+                     "resized_md5"],
+        )
+
+
+def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: sample ≤{N_FRAMES} fixed-length frames at
+    evenly-spaced offsets from each video payload — the 1→N
+    row-expanding batch shape of a real frame sampler (ffmpeg keyframe
+    extraction would replace the slicing, nothing else changes)."""
+    import hashlib
+
+    for pdf in batches:
+        rows = []
+        for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+            s = bytes(content).decode("utf-8")
+            stride = max(len(s) // N_FRAMES, 1)
+            for k in range(N_FRAMES):
+                frame = s[k * stride: k * stride + FRAME_LEN]
+                if frame:
+                    rows.append(
+                        (doc_id, k, len(frame),
+                         hashlib.md5(frame.encode("utf-8")).hexdigest())
+                    )
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "frame_index", "frame_chars", "frame_md5"]
+        )
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+    SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INTEGER)
+                WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS media_type,
+           len(text) AS orig_chars,
+           len(regexp_replace(text, '(.).', '\\1', 'gs')) AS resized_chars,
+           md5(regexp_replace(text, '(.).', '\\1', 'gs')) AS resized_md5
+    FROM documents
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/resample stage over opaque media: Arrow-batched
+    mapInPandas whose deterministic downsample the DuckDB oracle
+    recomputes in SQL — the Python plumbing (schema, batching,
+    UDF signature) is verified end-to-end, not just smoke-tested."""
+    d = load_table(spark, "documents", sf_dir)
+    return _media_frame(d).mapInPandas(resize_media, RESIZE_SCHEMA)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+    WITH video AS (
+      SELECT doc_id, text, greatest(len(text) // {N_FRAMES}, 1) AS stride
+      FROM documents WHERE CAST(doc_id % 3 AS INTEGER) = 2
+    ), frames AS (
+      SELECT doc_id, u.k AS frame_index,
+             substr(text, u.k * stride + 1, {FRAME_LEN}) AS frame
+      FROM video, LATERAL (SELECT unnest(range(0, {N_FRAMES})) AS k) u
+    )
+    SELECT doc_id, CAST(frame_index AS INTEGER) AS frame_index,
+           len(frame) AS frame_chars, md5(frame) AS frame_md5
+    FROM frames WHERE frame <> ''
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over video payloads: evenly-spaced fixed-length
+    frames, one output row per frame (row-expanding mapInPandas).  The
+    cheap `media_type` filter runs JVM-side *before* the Python stage —
+    UDFs are optimization barriers, so the pipeline orders relational
+    pre-filters explicitly (SURVEY §4)."""
+    d = load_table(spark, "documents", sf_dir)
+    video = _media_frame(d).filter(F.col("media_type") == "video/mp4")
+    return video.mapInPandas(sample_frames, FRAME_SCHEMA)
+
+
 @register("multimodal_feature_extract")  # rows-only: mapInPandas stage
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode/feature-extract pipeline over binary media: mapInPandas
