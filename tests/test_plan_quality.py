@@ -91,3 +91,38 @@ def test_minhash_no_cartesian(spark):
 def test_broadcast_query_side_in_similarity(spark):
     plan = plan_of(spark, "similarity_topk_bruteforce")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_range_join_is_banded_equi_join(spark):
+    """The banded range join must plan as a hash/sort-merge equi-join on
+    (user, bucket) — never a nested-loop over the band predicate, which
+    is the O(n·m)-per-user shape that dies at scale."""
+    plan = plan_of(spark, "range_join_clicks_before_purchase")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+        or "BroadcastHashJoin" in plan
+
+
+def test_ivf_codebook_broadcasts(spark):
+    """IVF assignment must broadcast the (tiny) centroid codebook; a
+    shuffle there would move the whole corpus to join 8 rows."""
+    plan = plan_of(spark, "similarity_ivf_probe")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pivot_single_aggregation_pass(spark):
+    """Pivot with an explicit value list must not add a distinct-values
+    job.  The optimal shape is two partial-aggregated shuffles — the
+    (priority, status) pre-aggregate, then pivotfirst on priority over
+    already-tiny data; anything more means Spark ran the extra
+    distinct-values scan."""
+    plan = plan_of(spark, "pivot_priority_by_status")
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "partial_pivotfirst" in plan
+
+
+def test_rollup_has_partial_phase(spark):
+    plan = plan_of(spark, "time_bucket_rollup")
+    assert "partial_sum" in plan or "partial_count" in plan
