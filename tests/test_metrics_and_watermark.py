@@ -75,3 +75,34 @@ def test_watermarked_tumbling_window_stream(spark, tmp_path):
     key = lambda r: (r.win.start, r.event_type)  # noqa: E731
     assert {key(r): r.n for r in got} == {key(r): r.n for r in closed}
     assert len(got) > 0
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Replayed duplicate deliveries (the SQS at-least-once shape) are
+    collapsed to one row per event_id by dropDuplicatesWithinWatermark,
+    with state bounded by the watermark horizon."""
+    from mediawiki_to_notion_spark.streaming.dedup_stream import dedup_stream_exact
+
+    src = tmp_path / "dup_src"
+    events = load_table(spark, "events", SF).orderBy("ts").limit(500) \
+        .select("event_id", "ts", "event_type", "value")
+    # simulate redelivery: every event arrives twice (two files)
+    events.coalesce(1).write.mode("overwrite").parquet(str(src))
+    events.coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, event_type string, value double"
+    ).parquet(str(src))
+    deduped = dedup_stream_exact(stream, ["event_id"], "ts", "30 minutes")
+    q = (
+        deduped.writeStream.format("memory").queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select event_id from dedup_stream").collect()
+    ids = [r.event_id for r in got]
+    assert len(ids) == len(set(ids)), "duplicates survived the stream"
+    assert set(ids) == {r.event_id for r in events.collect()}
