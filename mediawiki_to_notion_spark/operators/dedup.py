@@ -52,7 +52,17 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- shared shingle builders -------------------------------------------------
 
 def _shingles(d: DataFrame) -> DataFrame:
-    """Distinct word-trigram shingles per doc (guarded for short docs)."""
+    """Distinct word-trigram shingles per doc (guarded for short docs).
+
+    The shingle expansion is the CPU-heavy narrow stage of every dedup
+    op; a small single-file input would serialize it through one task,
+    so spread it across the cluster first (no-op at real scale, where
+    the scan already has many splits)."""
+    from mediawiki_to_notion_spark.plans.pipeline import ensure_parallelism
+
+    # measured at sf0.1: 8 splits beats both 1 (serialized CPU) and 32
+    # (per-task scheduling overhead dominates this row count)
+    d = ensure_parallelism(d)
     toks = d.select("doc_id", F.split("text", " ").alias("t")).filter(F.size("t") >= 3)
     tri = toks.select(
         "doc_id",
@@ -245,6 +255,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _hashed_shingles(d)
     weights = sh.groupBy("doc_id").agg(*H.simhash_bit_aggs(F.col("h")))
     sims = weights.select("doc_id", H.simhash_from_weights().alias("simhash"))
+    # the O(n²) compare's parallelism equals the stream side's partition
+    # count, and AQE coalesces this tiny exchange to ~1 — pin it up
+    # (explicit repartition-by-number is exempt from AQE coalescing)
+    sims = sims.repartition(spark.sparkContext.defaultParallelism)
     a = sims.alias("a")
     b = sims.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
@@ -276,7 +290,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mediawiki_to_notion_spark.functions import vectors as V
 
     e = load_table(spark, "embeddings", sf_dir)
-    a = e.alias("a")
+    # spread the quadratic compare: stream-side partitions bound its
+    # parallelism (same rationale as dedup_simhash above)
+    a = e.repartition(spark.sparkContext.defaultParallelism).alias("a")
     b = e.alias("b")
     cos = F.round(V.cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
     return (

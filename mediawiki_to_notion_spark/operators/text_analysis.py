@@ -122,8 +122,13 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted-token-multiset fingerprint → canonical representative per
-    fingerprint group (order-insensitive exact dedup key)."""
-    d = load_table(spark, "documents", sf_dir)
+    fingerprint group (order-insensitive exact dedup key).
+
+    The per-document token sort is the CPU hot spot; spread a
+    single-file input across the cluster before it (no-op at scale)."""
+    from mediawiki_to_notion_spark.plans.pipeline import ensure_parallelism
+
+    d = ensure_parallelism(load_table(spark, "documents", sf_dir))
     return (
         d.select("doc_id", tx.sorted_token_fingerprint(F.col("text")).alias("fingerprint"))
         .groupBy("fingerprint")
