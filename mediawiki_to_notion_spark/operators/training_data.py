@@ -127,3 +127,110 @@ def token_document_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("tf").alias("corpus_freq"),
         F.max("tf").alias("max_tf"),
     )
+
+
+DECON_BENCHMARK_DOCS = 50      # doc_id < 50 plays the held-out eval suite
+PACK_WINDOW_TOKENS = 512       # context-window size for sequence packing
+
+
+@register(
+    "decontaminate_ngram_overlap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t
+      FROM documents WHERE len(string_split(text, ' ')) >= 3
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             t[u.i+1] || ' ' || t[u.i+2] || ' ' || t[u.i+3] AS shingle
+      FROM toks, LATERAL (SELECT unnest(range(0, len(t) - 2)) AS i) u
+    ), bench AS (
+      SELECT DISTINCT shingle FROM sh WHERE doc_id < {DECON_BENCHMARK_DOCS}
+    ), corpus AS (
+      SELECT doc_id, count(*) AS n_shingles,
+             count(*) FILTER (shingle IN (SELECT shingle FROM bench))
+               AS n_contaminated
+      FROM sh WHERE doc_id >= {DECON_BENCHMARK_DOCS}
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n_shingles, n_contaminated,
+           n_contaminated > 0 AS is_contaminated
+    FROM corpus
+    """,
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    word-trigram with a held-out eval set (docs `doc_id <
+    {DECON_BENCHMARK_DOCS}` stand in for the benchmark suite).
+
+    100 TB shape: the benchmark shingle set is small and broadcasts; the
+    corpus side streams through a broadcast LEFT join on the 60-bit
+    shingle hash and aggregates per document — one shuffle (the final
+    groupBy), no all-pairs anything.  This is the n-gram-overlap
+    decontamination step every pretraining corpus runs against its eval
+    suites (cf. GPT-3 appendix C / PaLM dedup methodology)."""
+    from mediawiki_to_notion_spark.operators.dedup import _hashed_shingles
+
+    d = load_table(spark, "documents", sf_dir)
+    sh = _hashed_shingles(d)
+    bench = (
+        sh.filter(F.col("doc_id") < DECON_BENCHMARK_DOCS)
+        .select("h").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corpus = sh.filter(F.col("doc_id") >= DECON_BENCHMARK_DOCS)
+    return (
+        corpus.join(F.broadcast(bench), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("hit").alias("n_contaminated"),
+        )
+        .select(
+            "doc_id", "n_shingles", "n_contaminated",
+            (F.col("n_contaminated") > 0).alias("is_contaminated"),
+        )
+    )
+
+
+@register(
+    "pack_sequences_greedy",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ), cum AS (
+      SELECT doc_id, lang, n_tokens,
+             coalesce(SUM(n_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM sized
+    )
+    SELECT doc_id, lang, n_tokens,
+           cum_before // {PACK_WINDOW_TOKENS} AS pack_id,
+           CAST(cum_before % {PACK_WINDOW_TOKENS} AS BIGINT) AS pack_offset
+    FROM cum
+    """,
+)
+def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: documents are laid end-to-end in
+    deterministic (doc_id) order and cut into {PACK_WINDOW_TOKENS}-token
+    context windows — `pack_id` is the window each document starts in,
+    `pack_offset` its position inside it (the streaming concat-and-chunk
+    packing used to build pretraining batches).
+
+    The running total is a single window over a global order; at 100 TB
+    this runs per shard (partition the order key first) — the global
+    prefix-sum shape is still one shuffle + one pass."""
+    d = load_table(spark, "documents", sf_dir)
+    sized = d.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    cum = sized.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    return cum.select(
+        "doc_id", "lang", "n_tokens",
+        F.expr(f"cum_before div {PACK_WINDOW_TOKENS}").alias("pack_id"),
+        (F.col("cum_before") % PACK_WINDOW_TOKENS).alias("pack_offset"),
+    )
