@@ -234,3 +234,48 @@ def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"cum_before div {PACK_WINDOW_TOKENS}").alias("pack_id"),
         (F.col("cum_before") % PACK_WINDOW_TOKENS).alias("pack_offset"),
     )
+
+
+@register(
+    "corpus_mixture_sample",
+    oracle="""
+    WITH rated AS (
+      SELECT doc_id, source, n_chars,
+             CASE WHEN source IN ('src0','src1','src2','src3') THEN 100
+                  WHEN source IN ('src4','src5','src6','src7') THEN 50
+                  ELSE 10 END AS keep_pct,
+             ('0x' || substr(md5('mix:' || doc_id), 1, 15))::BIGINT % 100 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars, keep_pct
+    FROM rated WHERE bucket < keep_pct
+    """,
+)
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data-mixture sampling: each source is kept at a
+    configured rate (here 100 % / 50 % / 10 % tiers) by hashing a salted
+    doc id into a percent bucket — the corpus-reweighting step that sets
+    a pretraining mix.
+
+    Unlike `sampleBy`, the decision is content-addressed: stable across
+    re-runs, re-partitioning, and incremental growth, and it needs no
+    driver-side seed bookkeeping.  Pure narrow ops — zero shuffles; the
+    filter runs beside the scan."""
+    d = load_table(spark, "documents", sf_dir)
+    keep_pct = (
+        F.when(F.col("source").isin("src0", "src1", "src2", "src3"), 100)
+        .when(F.col("source").isin("src4", "src5", "src6", "src7"), 50)
+        .otherwise(10)
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("mix:"), F.col("doc_id"))), 1, 15),
+            16, 10,
+        ).cast("long") % 100
+    )
+    return (
+        d.select("doc_id", "source", "n_chars", keep_pct.alias("keep_pct"),
+                 bucket.alias("bucket"))
+        .filter(F.col("bucket") < F.col("keep_pct"))
+        .drop("bucket")
+    )
