@@ -376,3 +376,69 @@ def window_range_frame_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_events_1h"),
         F.sum("v").over(w).cast("double").alias("value_1h"),
     )
+
+
+@register(
+    "stats_moments_lineitem",
+    oracle="""
+    WITH sums AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             SUM(CAST(round(l_quantity, 6) AS DECIMAL(38,6))) AS sx,
+             SUM(CAST(round(l_extendedprice, 6) AS DECIMAL(38,6))) AS sy,
+             SUM(CAST(round(l_quantity, 6) AS DECIMAL(38,6))
+                 * CAST(round(l_quantity, 6) AS DECIMAL(38,6))) AS sxx,
+             SUM(CAST(round(l_extendedprice, 6) AS DECIMAL(38,6))
+                 * CAST(round(l_extendedprice, 6) AS DECIMAL(38,6))) AS syy,
+             SUM(CAST(round(l_quantity, 6) AS DECIMAL(38,6))
+                 * CAST(round(l_extendedprice, 6) AS DECIMAL(38,6))) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round(CAST(sx AS DOUBLE) / n, 6) AS mean_qty,
+           round(sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                      / (n - 1)), 6) AS stddev_qty,
+           round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                 6) AS corr_qty_price
+    FROM sums
+    """,
+)
+def stats_moments_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean / sample stddev / Pearson correlation per return flag,
+    computed from exact DECIMAL(38,6) sufficient statistics (n, Σx, Σy,
+    Σx², Σy², Σxy) rather than the built-in streaming aggregators.
+
+    Built-in `stddev`/`corr` accumulate doubles in partition order, so
+    two runs (or two engines) disagree in the last ulps; the
+    sufficient-statistics form is one partial-aggregated shuffle with
+    order-independent decimal sums, and the final double arithmetic is
+    the same expression on identical inputs everywhere — bit-equal
+    results at any parallelism, which is also the mergeable-moments
+    shape a 1000-executor job wants."""
+    li = load_table(spark, "lineitem", sf_dir)
+    x = F.round("l_quantity", 6).cast("decimal(38,6)")
+    y = F.round("l_extendedprice", 6).cast("decimal(38,6)")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"), F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    return sums.select(
+        "l_returnflag", "n",
+        F.round(sx / n, 6).alias("mean_qty"),
+        F.round(F.sqrt((sxx - sx * sx / n) / (n - 1)), 6).alias("stddev_qty"),
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            6,
+        ).alias("corr_qty_price"),
+    )
