@@ -106,3 +106,42 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     ids = [r.event_id for r in got]
     assert len(ids) == len(set(ids)), "duplicates survived the stream"
     assert set(ids) == {r.event_id for r in events.collect()}
+
+
+def test_streaming_session_window(spark, tmp_path):
+    """Session windows (30-min gap) over a watermarked stream: closed
+    sessions in append mode must match the batch session_window twin."""
+    src = tmp_path / "sess_src"
+    events = load_table(spark, "events", SF).orderBy("ts").limit(2000) \
+        .select("user_id", "ts", "value")
+    events.coalesce(1).write.mode("overwrite").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .parquet(str(src))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        stream.writeStream.format("memory").queryName("sessagg")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from sessagg").collect()
+
+    batch = (
+        events.groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    import datetime
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    closed = batch.filter(
+        F.col("win.end") <= F.lit(max_ts - datetime.timedelta(minutes=10))
+    ).collect()
+    key = lambda r: (r.win.start, r.win.end, r.user_id)  # noqa: E731
+    assert {key(r): r.n for r in got} == {key(r): r.n for r in closed}
+    assert len(got) > 0
