@@ -304,3 +304,51 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine_r") >= COSINE_DUP_THRESHOLD)
     )
+
+
+FUZZY_BLOCK_CHARS = 8
+FUZZY_TITLE_CHARS = 40
+FUZZY_MAX_EDITS = 5
+
+
+@register(
+    "dedup_fuzzy_levenshtein",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             substr(text, 1, {FUZZY_TITLE_CHARS}) AS title,
+             substr(text, 1, {FUZZY_BLOCK_CHARS}) AS blk
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(a.title, b.title) AS edit_distance
+    FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.title, b.title) <= {FUZZY_MAX_EDITS}
+    """,
+)
+def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance) near-dup pairs over document title prefixes,
+    with prefix blocking: candidates must share their first
+    {FUZZY_BLOCK_CHARS} characters, so the O(len²) Levenshtein runs on
+    same-block pairs only — an equi-join shuffle on the blocking key,
+    never all-pairs.  (Blocking is the classical record-linkage scale
+    move; swap the prefix for a phonetic or sorted-token key without
+    touching the join.)"""
+    d = load_table(spark, "documents", sf_dir)
+    t = d.select(
+        "doc_id",
+        F.substring("text", 1, FUZZY_TITLE_CHARS).alias("title"),
+        F.substring("text", 1, FUZZY_BLOCK_CHARS).alias("blk"),
+    )
+    a, b = t.alias("a"), t.alias("b")
+    dist = F.levenshtein(F.col("a.title"), F.col("b.title"))
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") <= FUZZY_MAX_EDITS)
+    )
