@@ -42,6 +42,12 @@ HEADLINE = [
     "range_join_clicks_before_purchase",
     "similarity_ivf_probe",
     "time_bucket_rollup",
+    "dedup_fuzzy_levenshtein",
+    "decontaminate_ngram_overlap",
+    "pack_sequences_greedy",
+    "corpus_mixture_sample",
+    "stats_moments_lineitem",
+    "percentile_event_values",
 ]
 
 
