@@ -442,3 +442,39 @@ def stats_moments_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("corr_qty_price"),
     )
+
+
+@register(
+    "salted_join_orders_customer",
+    oracle="""
+    SELECT c.c_mktsegment,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(round(o.o_totalprice, 6) AS DECIMAL(18,6))) AS DOUBLE)
+             AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def salted_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-resistant salted join, proven through the correctness
+    gate: orders ⋈ customer executed via `physical.salted_join` (fact
+    keys sprayed over 8 deterministic hash salts, dim replicated per
+    salt) must aggregate to exactly the plain join's answer.
+
+    The salt machinery is what a 1000-executor job reaches for when one
+    customer owns 40 % of the fact table (the reference's 500k-block
+    page, FAQ.md:68, is the same pathology); registering it here pins
+    "salting is invisible in the result" as a hash-checked invariant,
+    not just a unit test."""
+    from mediawiki_to_notion_spark.operators.physical import salted_join
+
+    o = load_table(spark, "orders", sf_dir).select(
+        F.col("o_custkey").alias("c_custkey"), "o_totalprice"
+    )
+    c = load_table(spark, "customer", sf_dir).select("c_custkey", "c_mktsegment")
+    joined = salted_join(o, c, "c_custkey")
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round("o_totalprice", 6).cast("decimal(18,6)"))
+         .cast("double").alias("total_price"),
+    )

@@ -39,9 +39,15 @@ def salted_join(fact: DataFrame, dim: DataFrame, key: str, n_salts: int = 8,
     salting is the deterministic tool when the build side must replicate
     (or AQE is unavailable).  Result is column-identical to the plain
     join.
+
+    The salt is hash-derived from the whole fact row (not `rand`): task
+    retries and stage re-runs re-assign every row to the same salt, so
+    speculative execution and fault recovery can never double- or
+    drop-count — a correctness requirement on a real cluster, not a
+    style choice.
     """
     salted_fact = fact.withColumn(
-        "_salt", (F.rand(seed=42) * n_salts).cast("int")
+        "_salt", F.pmod(F.hash(*fact.columns), F.lit(n_salts))
     )
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt")
     salted_dim = dim.select("*", salts)
