@@ -75,18 +75,34 @@ def iter_dump(stream) -> Iterator[dict]:
             elem.clear()
 
 
+PARSE_CHUNK_ROWS = 1000
+
+
 def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Stream pages out in fixed-size chunks: peak task memory is one
+    file's bytes (binaryFile's intrinsic bound — dump parts are sized
+    accordingly) plus ONE chunk of parsed rows, never the whole file's
+    rows at once — a giant part file cannot OOM the parse stage."""
     cols = [
         "page_id", "ns_id", "ns_name", "title", "wikitext",
         "upload_filename", "upload_encoding", "upload_contents_b64",
     ]
+
+    def flush(buf: list, path: str) -> pd.DataFrame:
+        out = pd.DataFrame(buf, columns=cols)
+        out["source_file"] = path
+        return out
+
     for pdf in batches:
         for path, content in zip(pdf["path"], pdf["content"]):
-            rows = list(iter_dump(io.BytesIO(bytes(content))))
-            if rows:
-                out = pd.DataFrame(rows, columns=cols)
-                out["source_file"] = path
-                yield out
+            buf: list[dict] = []
+            for row in iter_dump(io.BytesIO(bytes(content))):
+                buf.append(row)
+                if len(buf) >= PARSE_CHUNK_ROWS:
+                    yield flush(buf, path)
+                    buf = []
+            if buf:
+                yield flush(buf, path)
 
 
 def read_dump(spark: SparkSession, path: str) -> DataFrame:
