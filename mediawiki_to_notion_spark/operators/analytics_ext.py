@@ -478,3 +478,19 @@ def salted_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round("o_totalprice", 6).cast("decimal(18,6)"))
          .cast("double").alias("total_price"),
     )
+
+
+@register("approx_percentile_sketch")  # rows-only: sketch-based, engine-specific
+def approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch scale path for `percentile_event_values`:
+    `approx_percentile` (Greenwald-Khanna) builds mergeable partial
+    sketches map-side, so the global percentile costs one small-state
+    shuffle instead of a per-group sort — at 100 TB the exact variant
+    sorts terabytes, this shuffles kilobytes.  Sketch internals are
+    engine-specific, so no cross-engine oracle (rows-only check)."""
+    e = load_table(spark, "events", sf_dir)
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.expr("approx_percentile(value, 0.5, 10000)"), 6).alias("p50_approx"),
+        F.round(F.expr("approx_percentile(value, 0.99, 10000)"), 6).alias("p99_approx"),
+    )
