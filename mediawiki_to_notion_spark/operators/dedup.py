@@ -352,3 +352,89 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("edit_distance") <= FUZZY_MAX_EDITS)
     )
+
+
+CC_MAX_ITERS = 20
+
+
+@register(
+    "dedup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_SQL},
+    {_MINHASH_SQL},
+    verified AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_common
+      FROM cands c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.h = a.h
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    dup_pairs AS (
+      SELECT v.doc_a, v.doc_b
+      FROM verified v
+      JOIN sizes x ON v.doc_a = x.doc_id JOIN sizes y ON v.doc_b = y.doc_id
+      WHERE n_common::DOUBLE / (x.n + y.n - n_common) >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM dup_pairs
+      UNION ALL SELECT doc_b, doc_a FROM dup_pairs
+    ),
+    reach(src, node) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node
+    )
+    SELECT src AS doc_id, min(node) AS component,
+           src = min(node) AS is_representative
+    FROM reach GROUP BY src
+    """,
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup *clusters*: connected components over the MinHash-LSH
+    duplicate pairs, labelling every document with the minimum doc_id
+    reachable through duplicate edges (its canonical representative).
+    Pairs alone under-deliver — A≈B and B≈C must collapse to ONE kept
+    document, which needs the transitive closure.
+
+    Spark has no recursive SQL, so this is iterative min-label
+    propagation (the Pregel/GraphX connected-components algorithm as
+    DataFrame joins): each round every node takes the min of its own
+    and its neighbours' labels; converges in O(diameter) rounds —
+    duplicate clusters are near-cliques, so 2-3 rounds in practice.
+    Each round is one shuffle; the driver only ever sees a changed-row
+    *count*, never data.  (The DuckDB oracle runs the same closure as
+    WITH RECURSIVE.)"""
+    d = load_table(spark, "documents", sf_dir).select("doc_id")
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).withColumnsRenamed({"doc_a": "src", "doc_b": "dst"}).cache()
+
+    labels = d.select("doc_id", F.col("doc_id").alias("label"))
+    for _ in range(CC_MAX_ITERS):
+        propagated = (
+            labels.join(edges, labels.doc_id == edges.src)
+            .select(F.col("dst").alias("doc_id"), "label")
+        )
+        new_labels = (
+            labels.unionByName(propagated)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("component"),
+        (F.col("doc_id") == F.col("label")).alias("is_representative"),
+    )
