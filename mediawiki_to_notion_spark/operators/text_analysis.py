@@ -155,3 +155,73 @@ def text_language_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+SEARCH_TERMS = ("window", "scan", "sort")
+SEARCH_TOP_K = 20
+
+
+@register(
+    "keyword_search_tfidf",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM tok
+      WHERE token IN {SEARCH_TERMS} GROUP BY doc_id, token
+    ), df AS (
+      SELECT token, count(*) AS df FROM tf GROUP BY token
+    ), n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT t.doc_id,
+             SUM(CAST(round(t.tf * round(ln(n.n_docs::DOUBLE / d.df), 6), 6)
+                      AS DECIMAL(18,6))) AS score_d,
+             count(*) AS n_terms_hit
+      FROM tf t JOIN df d ON t.token = d.token CROSS JOIN n
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, CAST(score_d AS DOUBLE) AS score, n_terms_hit
+    FROM scored
+    ORDER BY score_d DESC, doc_id
+    LIMIT {SEARCH_TOP_K}
+    """,
+)
+def keyword_search_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword retrieval: top-{SEARCH_TOP_K} documents by summed TF-IDF
+    over the query terms {SEARCH_TERMS}.
+
+    Scale shape: tokens are filtered to the query terms *before* any
+    shuffle (the inverted-index probe), document frequencies are a tiny
+    aggregate joined back by broadcast, and the final top-k is a
+    TakeOrdered — no global sort.  IDF is rounded to 6 dp before the
+    TF multiply so Spark's and DuckDB's `ln` (both ≤1 ulp) can never
+    disagree post-rounding."""
+    d = load_table(spark, "documents", sf_dir)
+    n_docs = d.count()
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = (
+        tok.filter(F.col("token").isin(*SEARCH_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 6)
+    scored = (
+        tf.join(F.broadcast(df_.withColumn("idf", idf)), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.round(F.col("tf") * F.col("idf"), 6).cast("decimal(18,6)")
+            ).alias("score_d"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("score_d"), F.asc("doc_id"))
+        .limit(SEARCH_TOP_K)
+        .select(
+            "doc_id",
+            F.col("score_d").cast("double").alias("score"),
+            "n_terms_hit",
+        )
+    )
