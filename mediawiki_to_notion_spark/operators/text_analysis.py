@@ -225,3 +225,56 @@ def keyword_search_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_terms_hit",
         )
     )
+
+
+@register(
+    "text_repetition_ratio",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t
+      FROM documents WHERE len(string_split(text, ' ')) >= 3
+    ), tri AS (
+      SELECT doc_id, t[u.i+1] || ' ' || t[u.i+2] || ' ' || t[u.i+3] AS shingle
+      FROM toks, LATERAL (SELECT unnest(range(0, len(t) - 2)) AS i) u
+    )
+    SELECT doc_id,
+           count(*) AS n_trigrams,
+           count(DISTINCT shingle) AS n_distinct,
+           1.0 - count(DISTINCT shingle)::DOUBLE / count(*) AS repetition_ratio,
+           1.0 - count(DISTINCT shingle)::DOUBLE / count(*) > 0.2 AS is_repetitive
+    FROM tri GROUP BY doc_id
+    """,
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-trigram fraction per document — the Gopher-rules
+    repetition signal that catches boilerplate/spam (a doc whose
+    trigrams are 20 %+ duplicates is flagged).  Integer-over-integer
+    double division keeps the ratio engine-exact; one shuffle
+    (groupBy doc_id) with partial counts map-side."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.select("doc_id", F.split("text", " ").alias("t")) \
+        .filter(F.size("t") >= 3)
+    tri = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("t"), i + 1),
+                    F.element_at(F.col("t"), i + 2),
+                    F.element_at(F.col("t"), i + 3),
+                ),
+            )
+        ).alias("shingle"),
+    )
+    agg = tri.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        F.count_distinct("shingle").alias("n_distinct"),
+    )
+    ratio = F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_trigrams")
+    return agg.select(
+        "doc_id", "n_trigrams", "n_distinct",
+        ratio.alias("repetition_ratio"),
+        (ratio > 0.2).alias("is_repetitive"),
+    )
