@@ -48,6 +48,8 @@ HEADLINE = [
     "corpus_mixture_sample",
     "stats_moments_lineitem",
     "percentile_event_values",
+    "keyword_search_tfidf",
+    "dedup_connected_components",
 ]
 
 
