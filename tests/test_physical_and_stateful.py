@@ -90,3 +90,56 @@ def test_stateful_progress_accumulates_across_batches(spark, tmp_path):
         ).collect()
     }
     assert final == {"b1": 3, "b2": 2}
+
+
+def test_banded_range_join_equals_naive(spark):
+    """The banded-bucket range join must be row-equivalent to the naive
+    theta-join formulation on adversarial data: events exactly on bucket
+    boundaries, at band edges, duplicates, and cross-user decoys."""
+    import random
+
+    rng = random.Random(7)
+    BAND = 600_000_000  # must match the operator's band width
+    rows = []
+    eid = 0
+    for user in range(3):
+        base = 1_700_000_000_000_000
+        for _ in range(120):
+            # cluster timestamps around bucket boundaries to stress edges
+            t = base + rng.choice([0, 1, BAND - 1, BAND, BAND + 1,
+                                   rng.randrange(0, 3 * BAND)])
+            base += rng.randrange(0, BAND // 2)
+            rows.append((eid, user, t, rng.choice(["purchase", "click", "view"]),
+                         round(rng.uniform(0, 100), 3)))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_us long, event_type string, value double"
+    )
+
+    p = df.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("ts_us").alias("p_us"),
+    )
+    c = df.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("c_user"),
+        F.col("ts_us").alias("c_us"),
+    )
+    naive = p.join(
+        c,
+        (p.user_id == c.c_user) & (c.c_us >= p.p_us - BAND) & (c.c_us < p.p_us),
+    ).select("purchase_id", "click_id")
+
+    cb = c.withColumn("bucket", F.expr(f"c_us div {BAND}"))
+    probes = p.withColumn(
+        "bucket",
+        F.explode(F.expr(f"sequence((p_us - {BAND}) div {BAND}, p_us div {BAND})")),
+    )
+    banded = probes.join(
+        cb,
+        (probes.user_id == cb.c_user) & (probes.bucket == cb.bucket)
+        & (cb.c_us >= probes.p_us - BAND) & (cb.c_us < probes.p_us),
+    ).select("purchase_id", "click_id")
+
+    assert banded.count() == naive.count()
+    assert banded.exceptAll(naive).isEmpty()
+    assert naive.exceptAll(banded).isEmpty()
