@@ -158,3 +158,70 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.size("embedding")).alias("min_dim"),
         F.max(F.size("embedding")).alias("max_dim"),
     )
+
+
+def _subquery(name: str) -> str:
+    from mediawiki_to_notion_spark.operators.registry import ORACLES
+
+    return ORACLES[name].strip().rstrip(";")
+
+
+@register(
+    "similarity_lsh_recall",
+    oracle=None,  # assembled lazily below to avoid registration-order coupling
+)
+def similarity_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality measurement: recall@{TOP_K} of the SRP-LSH bucketed
+    search against the exact brute-force top-k, per query vector.  This
+    is the evaluation loop an ANN deployment runs after every re-index —
+    the approximate path is only trustworthy with its recall measured
+    on the same engine that serves it.  Both operands are the already-
+    registered queries, so the measurement and the measured share one
+    plan library."""
+    bf = similarity_topk_bruteforce(spark, sf_dir).select(
+        "query_id", F.col("vec_id").alias("bf_vec")
+    )
+    lsh = similarity_lsh_bucketed(spark, sf_dir).select(
+        "query_id", F.col("vec_id").alias("lsh_vec")
+    )
+    hits = bf.join(
+        lsh,
+        (bf.query_id == lsh.query_id) & (F.col("bf_vec") == F.col("lsh_vec")),
+        "left_semi",
+    )
+    n_bf = bf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    n_hit = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_recalled"))
+    return (
+        n_bf.join(n_hit, "query_id", "left")
+        .select(
+            "query_id", "n_exact",
+            F.coalesce("n_recalled", F.lit(0)).alias("n_recalled"),
+            (F.coalesce("n_recalled", F.lit(0)).cast("double") / F.col("n_exact"))
+            .alias("recall"),
+        )
+    )
+
+
+def _register_recall_oracle() -> None:
+    from mediawiki_to_notion_spark.operators.registry import ORACLES
+
+    ORACLES["similarity_lsh_recall"] = f"""
+    WITH bf AS ({_subquery("similarity_topk_bruteforce")}),
+    lsh AS ({_subquery("similarity_lsh_bucketed")}),
+    n_bf AS (SELECT query_id, count(*) AS n_exact FROM bf GROUP BY query_id),
+    n_hit AS (
+      SELECT bf.query_id, count(*) AS n_recalled
+      FROM bf WHERE EXISTS (
+        SELECT 1 FROM lsh
+        WHERE lsh.query_id = bf.query_id AND lsh.vec_id = bf.vec_id
+      )
+      GROUP BY bf.query_id
+    )
+    SELECT n_bf.query_id, n_exact,
+           coalesce(n_recalled, 0) AS n_recalled,
+           coalesce(n_recalled, 0)::DOUBLE / n_exact AS recall
+    FROM n_bf LEFT JOIN n_hit ON n_bf.query_id = n_hit.query_id
+    """
+
+
+_register_recall_oracle()
