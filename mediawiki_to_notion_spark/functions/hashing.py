@@ -74,6 +74,22 @@ def band_signature_sql(band: int) -> str:
     return " || '_' || ".join(cols)
 
 
+def simhash_band_bounds(max_hamming: int = 2) -> list[tuple[int, int]]:
+    """(bit_offset, width) per pigeonhole band: ``max_hamming + 1``
+    near-equal slices of the SIMHASH_BITS hash.  Any pair within
+    ``max_hamming`` differs in at most ``max_hamming`` bands, so at
+    least one band matches exactly — band equi-join is lossless."""
+    n_bands = max_hamming + 1
+    base, extra = divmod(SIMHASH_BITS, n_bands)
+    bounds: list[tuple[int, int]] = []
+    off = 0
+    for i in range(n_bands):
+        width = base + (1 if i < extra else 0)
+        bounds.append((off, width))
+        off += width
+    return bounds
+
+
 def simhash_bit_aggs(hash_col: Column) -> list[Column]:
     """Per-bit ±1 weight sums over grouped token hashes (SimHash)."""
     return [

@@ -88,6 +88,25 @@ def test_minhash_no_cartesian(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_simhash_bands_are_equi_join(spark):
+    """Pigeonhole band blocking: the simhash candidate join must be an
+    equi-join on (band, band_value) — never the all-pairs nested loop
+    that the quadratic oracle shape uses."""
+    plan = plan_of(spark, "dedup_simhash")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cosine_dedup_is_blocked_not_nested_loop(spark):
+    """Exact cosine dedup must run as the tiled block product (equi-join
+    routing + Arrow tiles), and the LSH variant as a probe-key equi-join;
+    neither may plan a nested loop over the corpus."""
+    for name in ("dedup_embedding_cosine", "dedup_embedding_cosine_lsh"):
+        plan = plan_of(spark, name)
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
 def test_broadcast_query_side_in_similarity(spark):
     plan = plan_of(spark, "similarity_topk_bruteforce")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
