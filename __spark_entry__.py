@@ -16,6 +16,35 @@ from mediawiki_to_notion_spark.operators import ORACLES, QUERIES, load_all
 
 load_all()
 
+# Queries the driver's capped correctness gate already confirmed in round 1
+# (CORRECTNESS_r01.json).  The gate checks ~50 queries in dict order, so
+# ``queries()`` fronts everything NOT yet driver-confirmed — plus operators
+# rewritten since their last confirmation — and rotates the confirmed rest
+# behind them.  Over rounds this sweeps the whole registry through the gate.
+_CONFIRMED_R1 = {
+    "range_join_clicks_before_purchase", "similarity_ivf_probe",
+    "percentile_event_values", "pivot_priority_by_status",
+    "unpivot_charge_components", "time_bucket_rollup",
+    "window_range_frame_hourly", "stats_moments_lineitem",
+    "salted_join_orders_customer", "approx_percentile_sketch",
+    "dedup_exact_hash", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "dedup_fuzzy_levenshtein", "dedup_connected_components",
+    "multimodal_binary_stats", "multimodal_resize", "multimodal_frame_sample",
+    "multimodal_feature_extract", "markdown_block_explode",
+    "pipeline_prepare_convert", "scan_project_filter", "point_lookup",
+    "keyed_ordered_scan", "existence_probe", "time_range_scan",
+    "dim_broadcast_join", "fact_dim_join_agg", "semi_join_exists",
+    "anti_join_missing", "left_outer_null_side", "explode_pos_tokens",
+    "window_ordered_replay", "topk_per_group", "orderby_limit_topn",
+    "conditional_agg_status_counts", "pivot_type_by_user",
+    "rollup_hierarchy_counts", "cube_flag_status", "agg_pricing_summary",
+    "count_distinct_exact", "string_agg_ordered_fold", "set_union_keys",
+    "set_intersect_keys", "set_except_keys", "distinct_projection",
+    "union_all_metric_counters", "merge_upsert_semantics",
+}
+# Confirmed in r1 but rewritten since — need a fresh driver row.
+_RECHECK = ["dedup_simhash", "dedup_embedding_cosine"]
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -23,8 +52,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    """One entry per implemented operator from SURVEY.md §2, ordered so
+    queries without a green driver correctness row come first."""
+    fresh = [n for n in QUERIES if n not in _CONFIRMED_R1 and n not in _RECHECK]
+    rest = [n for n in QUERIES if n in _CONFIRMED_R1 and n not in _RECHECK]
+    return {n: QUERIES[n] for n in (*fresh, *_RECHECK, *rest)}
 
 
 def oracle_sql() -> dict[str, str]:

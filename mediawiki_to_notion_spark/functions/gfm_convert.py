@@ -30,21 +30,73 @@ except ImportError:
     HAVE_PANDOC = False
 
 _HEADING = re.compile(r"^(={1,6})\s*(.*?)\s*={1,6}\s*$")
+_BOLD_ITALIC = re.compile(r"'''''(.+?)'''''")
 _BOLD = re.compile(r"'''(.+?)'''")
 _ITALIC = re.compile(r"''(.+?)''")
 _LINK_PIPED = re.compile(r"\[\[([^\]|]+)\|([^\]]+)\]\]")
 _LINK_BARE = re.compile(r"\[\[([^\]|]+)\]\]")
-_EXT_LINK = re.compile(r"\[(\S+)\s+([^\]]+)\]")
+# external links only ever carry a URL scheme (MediaWiki syntax), and
+# anchoring on it keeps the pattern off already-converted wikilinks
+_EXT_LINK = re.compile(r"\[((?:https?|ftp|mailto|irc):(?://)?[^\s\]]+)\s+([^\]]+)\]")
 _FILE_LINK = re.compile(r"\[\[File:([^\]]+)\]\]")
+_CODE_TAG = re.compile(r"<code>(.*?)</code>")
+_AUTOLINK = re.compile(r"(?<![(<\[])(https?://[^\s\])>,]+)")
 _BULLET = re.compile(r"^(\*+)\s*(.*)$")
 _NUMBERED = re.compile(r"^(#+)\s*(.*)$")
+_TABLE_CELL_SPLIT = re.compile(r"\s*\|\|\s*")
+_HEADER_CELL_SPLIT = re.compile(r"\s*!!\s*")
+
+
+def _inline(line: str) -> str:
+    """Inline construct mapping, mirroring pandoc's mediawiki reader →
+    gfm writer pairs: wikilinks keep the "wikilink" title, free URLs
+    become autolinks, quote-markup becomes asterisk emphasis."""
+    line = _FILE_LINK.sub(lambda g: f"![{g.group(1)}]({g.group(1)})", line)
+    line = _LINK_PIPED.sub(lambda g: f'[{g.group(2)}]({g.group(1)} "wikilink")', line)
+    line = _LINK_BARE.sub(lambda g: f'[{g.group(1)}]({g.group(1)} "wikilink")', line)
+    line = _EXT_LINK.sub(lambda g: f"[{g.group(2)}]({g.group(1)})", line)
+    line = _AUTOLINK.sub(r"<\1>", line)
+    line = _CODE_TAG.sub(r"`\1`", line)
+    line = _BOLD_ITALIC.sub(r"***\1***", line)
+    line = _BOLD.sub(r"**\1**", line)
+    line = _ITALIC.sub(r"*\1*", line)
+    return line
+
+
+def _render_table(rows: list[tuple[bool, list[str]]]) -> list[str]:
+    """MediaWiki ``{| … |}`` table → GFM pipe table, pandoc-shaped:
+    cells left-padded to the column's content width, separator dashes
+    spanning width+2 (min 3 dashes per GFM)."""
+    if not rows:
+        return []
+    n_cols = max(len(cells) for _, cells in rows)
+    grid = [cells + [""] * (n_cols - len(cells)) for _, cells in rows]
+    widths = [max(3, *(len(r[j]) for r in grid)) for j in range(n_cols)]
+    header = grid[0] if rows[0][0] else [""] * n_cols
+    body = grid[1:] if rows[0][0] else grid
+
+    def fmt(cells: list[str]) -> str:
+        return "|" + "|".join(f" {c.ljust(widths[j])} " for j, c in enumerate(cells)) + "|"
+
+    out = [fmt(header), "|" + "|".join("-" * (w + 2) for w in widths) + "|"]
+    out.extend(fmt(r) for r in body)
+    return out
 
 
 def wikitext_to_gfm(text: str) -> str:
-    """Deterministic fallback converter (pandoc-shaped output: one line
-    per paragraph, ``---``-free, GFM syntax)."""
+    """Deterministic fallback converter producing pandoc-shaped GFM
+    (``--wrap=none``: one line per paragraph).
+
+    Construct mapping follows pandoc's mediawiki→gfm pair (the
+    reference's conversion engine, process-mw-dump.py:276-292); marker
+    spacing, the fenced (not indented) code-block form, and pipe-table
+    padding are this repo's canonical choices, pinned by the golden
+    fixtures in functions/gfm_golden.py."""
     out: list[str] = []
     in_pre = False
+    in_table = False
+    table_rows: list[tuple[bool, list[str]]] = []
+    counters: list[int] = []  # ordered-list numbering per nesting depth
     for line in text.splitlines():
         if "<pre>" in line:
             in_pre = True
@@ -57,25 +109,61 @@ def wikitext_to_gfm(text: str) -> str:
         if in_pre:
             out.append(line)
             continue
+        if line.startswith("{|"):
+            in_table = True
+            table_rows = []
+            continue
+        if in_table:
+            stripped = line.strip()
+            if stripped.startswith("|}"):
+                in_table = False
+                out.extend(_render_table(table_rows))
+            elif stripped.startswith("|-"):
+                pass
+            elif stripped.startswith("!"):
+                cells = _HEADER_CELL_SPLIT.split(stripped[1:].strip())
+                table_rows.append((True, [_inline(c) for c in cells]))
+            elif stripped.startswith("|"):
+                cells = _TABLE_CELL_SPLIT.split(stripped[1:].strip())
+                table_rows.append((False, [_inline(c) for c in cells]))
+            continue
+        m = _NUMBERED.match(line)
+        if m:
+            depth = len(m.group(1))
+            del counters[depth:]
+            while len(counters) < depth:
+                counters.append(0)
+            counters[depth - 1] += 1
+            out.append(
+                "  " * (depth - 1) + f"{counters[depth - 1]}. " + _inline(m.group(2))
+            )
+            continue
+        if line.strip():
+            counters = []
         m = _HEADING.match(line)
         if m:
-            out.append("#" * len(m.group(1)) + " " + m.group(2))
+            # pandoc sets headings off with blank lines on both sides
+            out.append("")
+            out.append("#" * len(m.group(1)) + " " + _inline(m.group(2)))
+            out.append("")
             continue
         m = _BULLET.match(line)
         if m:
-            line = "  " * (len(m.group(1)) - 1) + "- " + m.group(2)
-        else:
-            m = _NUMBERED.match(line)
-            if m:
-                line = "  " * (len(m.group(1)) - 1) + "1. " + m.group(2)
-        line = _FILE_LINK.sub(lambda g: f"![{g.group(1)}]({g.group(1)})", line)
-        line = _LINK_PIPED.sub(lambda g: f"[{g.group(2)}]({g.group(1)})", line)
-        line = _LINK_BARE.sub(lambda g: f"[{g.group(1)}]({g.group(1)})", line)
-        line = _EXT_LINK.sub(lambda g: f"[{g.group(2)}]({g.group(1)})", line)
-        line = _BOLD.sub(r"**\1**", line)
-        line = _ITALIC.sub(r"*\1*", line)
-        out.append(line)
-    return "\n".join(out)
+            out.append("  " * (len(m.group(1)) - 1) + "- " + _inline(m.group(2)))
+            continue
+        out.append(_inline(line))
+    if in_table:  # unterminated table: emit what accumulated
+        out.extend(_render_table(table_rows))
+    # pandoc separates blocks with exactly one blank line and emits no
+    # leading/trailing blanks — normalize runs the same way
+    normed: list[str] = []
+    for ln in out:
+        if ln.strip() == "" and (not normed or normed[-1] == ""):
+            continue
+        normed.append("" if ln.strip() == "" else ln)
+    while normed and normed[-1] == "":
+        normed.pop()
+    return "\n".join(normed)
 
 
 def convert_document(text: str) -> tuple[str | None, str | None]:

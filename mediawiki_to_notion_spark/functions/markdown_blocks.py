@@ -27,6 +27,8 @@ QUOTE_RE = re.compile(r"^>\s?(.*)$")
 DIVIDER_RE = re.compile(r"^(-{3,}|\*{3,}|_{3,})\s*$")
 FENCE_RE = re.compile(r"^```(\w*)\s*$")
 IMAGE_RE = re.compile(r"^!\[([^\]]*)\]\(([^)]+)\)\s*$")
+TABLE_ROW_RE = re.compile(r"^\|.*\|$")
+TABLE_SEP_RE = re.compile(r"^\|[-:\s|]+\|$")
 LIST_BREAK_COMMENT = "<!-- -->"
 
 HEADING_TYPES = {1: "header", 2: "sub_header", 3: "sub_sub_header"}
@@ -94,6 +96,14 @@ def parse_markdown_blocks(md: str) -> list[dict]:
         if m:
             flush_para()
             blocks.append({"type": "divider", "title": ""})
+            continue
+        if TABLE_ROW_RE.match(stripped):
+            flush_para()
+            # GFM pipe table: one row block per line (md2notion renders
+            # tables as a collection; a typed row block is the flat-
+            # relational equivalent), alignment separator dropped
+            if not TABLE_SEP_RE.match(stripped):
+                blocks.append({"type": "table_row", "title": stripped})
             continue
         m = BULLET_RE.match(line)
         if m:

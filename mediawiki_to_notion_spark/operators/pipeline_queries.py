@@ -79,6 +79,61 @@ def markdown_block_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from mediawiki_to_notion_spark.functions.gfm_golden import (  # noqa: E402
+    GOLDEN_CASES,
+    golden_oracle_values_sql,
+)
+
+
+@register("gfm_convert_golden", oracle=golden_oracle_values_sql())
+def gfm_convert_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-checked conversion parity: run the real GFM converter
+    (the same mapInPandas stage the pipeline uses) over the golden
+    wikitext corpus; the DuckDB oracle is the expected-output VALUES
+    table.  This upgrades the conversion stage from the rows-only
+    check on ``pipeline_prepare_convert`` to an exact value check
+    against pandoc-parity fixtures (process-mw-dump.py:276-292)."""
+    src = spark.createDataFrame(
+        [(cid, wikitext) for cid, wikitext, _ in GOLDEN_CASES],
+        "case_id string, cleaned string",
+    )
+    converted = src.mapInPandas(
+        convert_batches, f"case_id string, cleaned string, {CONVERT_DDL_SUFFIX}"
+    )
+    return converted.select("case_id", "markdown")
+
+
+from mediawiki_to_notion_spark.functions.markdown_golden import (  # noqa: E402
+    GOLDEN_BLOCK_CASES,
+    golden_block_values_sql,
+)
+
+
+@register("markdown_blocks_golden", oracle=golden_block_values_sql())
+def markdown_blocks_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-checked md2notion parity: the real block parser
+    (mapInPandas, same stage as the pipeline) over the golden markdown
+    corpus, against a VALUES oracle of the expected (index, type, title)
+    rows — pinning store_notion_blocks.py:115-137 semantics at the
+    driver's correctness gate, not just in pytest."""
+    from mediawiki_to_notion_spark.functions.markdown_blocks import (
+        BLOCK_ROWS_DDL,
+        markdown_to_block_rows,
+    )
+
+    src = spark.createDataFrame(
+        [(cid, cid, md) for cid, md, _ in GOLDEN_BLOCK_CASES],
+        "batch_id string, s3_object_key string, markdown string",
+    )
+    rows = src.mapInPandas(markdown_to_block_rows, BLOCK_ROWS_DDL)
+    return rows.select(
+        F.col("s3_object_key").alias("case_id"),
+        "block_index",
+        "block_type",
+        F.get_json_object("block_json", "$.title").alias("title"),
+    )
+
+
 @register("pipeline_prepare_convert")  # rows-only: fencer + converter UDFs
 def pipeline_prepare_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full Phase-1 chain at corpus scale: rule table → fencer UDF →

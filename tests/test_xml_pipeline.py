@@ -145,7 +145,8 @@ def test_prepare_and_convert(dump_frames, spark):
         convert_batches, f"bare_title string, cleaned string, {CONVERT_DDL_SUFFIX}"
     )
     md = {r.bare_title: r.markdown for r in converted.collect()}
-    assert md["Router Notes"].splitlines()[0] == ""
+    # pandoc-style normalization: no leading blank lines in the output
+    assert md["Router Notes"].splitlines()[0].startswith("Intro with")
     assert "```" in md["Router Notes"]
     assert all(r.convert_error is None for r in converted.collect())
 
