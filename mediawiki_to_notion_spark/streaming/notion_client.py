@@ -26,6 +26,15 @@ class TransportError(Exception):
     connect=0) in the reference)."""
 
 
+class WorkerCrash(BaseException):
+    """Stand-in for upload-worker *process* death (Lambda crash/timeout —
+    the ``States.TaskFailed`` catch in upload-state-machine.asl.json:
+    203-211).  Deliberately a BaseException so the per-row error handling
+    in the upload sink (which models per-block API failures) can never
+    swallow it: it kills the Spark task, the job fails, and the driver's
+    abort path marks the affected pages ABORTED."""
+
+
 class HTTPStatusError(Exception):
     def __init__(self, status: int) -> None:
         super().__init__(f"HTTP {status}")
@@ -49,6 +58,8 @@ class ScriptedTransport:
         self.calls[op_key] = n + 1
         statuses = self.script.get(op_key, [])
         status = statuses[n] if n < len(statuses) else 200
+        if status == -1:
+            raise WorkerCrash(f"worker died at {op_key}")
         if status == 0:
             raise TransportError(f"connect error for {op_key}")
         if status != 200:

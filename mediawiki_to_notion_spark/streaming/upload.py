@@ -122,6 +122,41 @@ def pending_blocks(spark: SparkSession, tables_dir: str,
     return pend
 
 
+def _abort_pass(spark: SparkSession, tables_dir: str, pend: DataFrame) -> None:
+    """Worker-crash recovery transition: mark every page in the crashed
+    pass ABORTED (upload-state-machine.asl.json:215-237 — the
+    ``States.TaskFailed`` catch sets Status=ABORTED before releasing the
+    lock).  ABORTED pages are excluded from ``pending_blocks`` so a
+    crash-looping page cannot wedge the drain; ``recover_aborted``
+    re-queues them deliberately."""
+    now = F.current_timestamp()
+    aborted = pend.select("batch_id", "s3_object_key").distinct().select(
+        "batch_id", "s3_object_key",
+        F.lit("ABORTED").alias("status"), now.alias("status_time"),
+        F.lit(None).cast("string").alias("page_url"),
+    )
+    tables.pages_table(spark, tables_dir).upsert(
+        aborted, update_cols=["status", "status_time"]
+    )
+
+
+def recover_aborted(spark: SparkSession, tables_dir: str) -> int:
+    """Operator-initiated requeue: ABORTED → NEW, so the next drain
+    retries the crashed pages (the reference leaves this to a manual
+    Step Functions re-execution; here it is an explicit transition).
+    Returns the number of pages requeued."""
+    p_tbl = tables.pages_table(spark, tables_dir)
+    aborted = p_tbl.read().filter(F.col("status") == "ABORTED")
+    n = aborted.count()
+    if n:
+        p_tbl.upsert(
+            aborted.withColumn("status", F.lit("NEW"))
+            .withColumn("status_time", F.current_timestamp()),
+            update_cols=["status", "status_time"],
+        )
+    return n
+
+
 def run_upload(spark: SparkSession, tables_dir: str, cfg: UploadConfig,
                parent_urls: DataFrame | None = None) -> DataFrame:
     """One upload pass (the state machine's work loop body).  Returns the
@@ -134,8 +169,14 @@ def run_upload(spark: SparkSession, tables_dir: str, cfg: UploadConfig,
     arranged = arranged.sortWithinPartitions("batch_id", "block_index")
     results = arranged.mapInPandas(_make_worker(cfg), RESULT_DDL)
     results = results.cache()
-    if results.isEmpty():
-        return results
+    try:
+        if results.isEmpty():
+            return results
+    except Exception:
+        # the upload job itself died (worker crash, not an API error —
+        # those become per-row failures inside the worker): ABORTED
+        _abort_pass(spark, tables_dir, pend)
+        raise
 
     now = F.current_timestamp()
     b_tbl = tables.blocks_table(spark, tables_dir)

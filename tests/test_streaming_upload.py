@@ -170,6 +170,39 @@ def test_upload_resume_after_uploading(spark, staged_tables):
     assert set(statuses.values()) == {"SUCCESS"}
 
 
+def test_worker_crash_marks_pages_aborted(spark, staged_tables):
+    """Worker *process* death (not an API error) → the pass's pages go
+    ABORTED (upload-state-machine.asl.json:215-237 States.TaskFailed
+    catch), ABORTED pages leave the pending set so a crash-looping page
+    cannot wedge the drain, and recover_aborted re-queues them."""
+    from mediawiki_to_notion_spark.streaming.upload import (
+        pending_blocks,
+        recover_aborted,
+    )
+
+    tables_dir = staged_tables
+    batch_a = ingest.blocks_table(spark, tables_dir).read() \
+        .filter(F.col("s3_object_key") == "wiki/A.md").first().batch_id
+    crash_tr = ScriptedTransport(script={f"block:{batch_a}:1": [-1]})
+    with pytest.raises(Exception):
+        run_upload(spark, tables_dir, UploadConfig(transport=crash_tr))
+
+    pages = {p.s3_object_key: p.status
+             for p in ingest.pages_table(spark, tables_dir).read().collect()}
+    assert pages == {"wiki/A.md": "ABORTED", "wiki/B.md": "ABORTED"}
+    # ABORTED pages are not pending: the drain cannot crash-loop on them
+    assert pending_blocks(spark, tables_dir).isEmpty()
+    assert drain(spark, tables_dir, UploadConfig(transport=crash_tr)) == 0
+
+    # operator requeue → next drain with a healthy transport completes
+    assert recover_aborted(spark, tables_dir) == 2
+    rounds = drain(spark, tables_dir, UploadConfig(transport=ScriptedTransport()))
+    assert rounds >= 1
+    pages = ingest.pages_table(spark, tables_dir).read().collect()
+    assert {p.status for p in pages} == {"SUCCESS"}
+    assert recover_aborted(spark, tables_dir) == 0
+
+
 def test_streaming_file_source(spark, tmp_path):
     """readStream *.md → availableNow drain → tables populated; non-.md
     files ignored (the S3 suffix filter, mw_to_notion_stack.py:461-465)."""
