@@ -50,6 +50,8 @@ HEADLINE = [
     "percentile_event_values",
     "keyword_search_tfidf",
     "dedup_connected_components",
+    "dedup_simhash",
+    "dedup_embedding_cosine_lsh",
 ]
 
 
@@ -88,6 +90,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # methodology marker: totals are comparable only across rounds that
+        # used the same scheme (r1 switched to warmup + best-of-2)
+        "methodology": "sf0.001 warmup, best of 2 timed runs, noop sink",
     }
     print(json.dumps(out))
 
