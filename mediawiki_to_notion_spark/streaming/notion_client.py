@@ -53,7 +53,7 @@ class ScriptedTransport:
     calls: dict[str, int] = field(default_factory=dict)
     sleep: bool = False
 
-    def request(self, op_key: str) -> dict:
+    def request(self, op_key: str, payload: dict | None = None) -> dict:
         n = self.calls.get(op_key, 0)
         self.calls[op_key] = n + 1
         statuses = self.script.get(op_key, [])
@@ -93,12 +93,18 @@ class NotionClient:
         self.transport = transport
         self.rate = rate_limiter or RateLimiter()
 
-    def _call(self, op_key: str) -> dict:
+    def _call(self, op_key: str, payload: dict | None = None) -> dict:
+        # transports that embed the reference's urllib3 Retry do their own
+        # status retries — applying this loop on top would square the
+        # retry count (36 attempts instead of 6)
+        if getattr(self.transport, "handles_retries", False):
+            self.rate.wait()
+            return self.transport.request(op_key, payload)
         attempts = 0
         while True:
             self.rate.wait()
             try:
-                return self.transport.request(op_key)
+                return self.transport.request(op_key, payload)
             except HTTPStatusError as exc:
                 if exc.status not in RETRYABLE_STATUSES:
                     raise
@@ -113,17 +119,22 @@ class NotionClient:
                     time.sleep(delay)
 
     def get_or_create_page(self, batch_id: str, parent_url: str | None,
-                           existing_url: str | None) -> str:
+                           existing_url: str | None,
+                           title: str | None = None) -> str:
         """Idempotent remote page (upload_notion_blocks.py:84-154): reuse
         the persisted URL, else create under the parent."""
         if existing_url:
             return existing_url
         if not parent_url:
             raise TransportError(f"no parent url for batch {batch_id}")
-        return self._call(f"page:{batch_id}")["url"]
+        payload = {"parent_url": parent_url, "title": title or batch_id}
+        return self._call(f"page:{batch_id}", payload)["url"]
 
-    def upload_block(self, batch_id: str, block_index: int) -> None:
-        self._call(f"block:{batch_id}:{block_index}")
+    def upload_block(self, batch_id: str, block_index: int,
+                     block_json: str | None = None,
+                     page_url: str | None = None) -> None:
+        payload = {"block_json": block_json, "page_url": page_url}
+        self._call(f"block:{batch_id}:{block_index}", payload)
 
 
 _CLIENT: NotionClient | None = None

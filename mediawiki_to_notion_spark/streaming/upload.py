@@ -66,9 +66,14 @@ def _make_worker(cfg: UploadConfig):
                 try:
                     if r.batch_id not in page_urls:
                         page_urls[r.batch_id] = client.get_or_create_page(
-                            r.batch_id, r.parent_url, r.page_url
+                            r.batch_id, r.parent_url, r.page_url,
+                            title=r.s3_object_key,
                         )
-                    client.upload_block(r.batch_id, int(r.block_index))
+                    client.upload_block(
+                        r.batch_id, int(r.block_index),
+                        block_json=getattr(r, "block_json", None),
+                        page_url=page_urls[r.batch_id],
+                    )
                     rows.append((r.batch_id, r.block_index, r.s3_object_key,
                                  True, page_urls[r.batch_id], None))
                 except Exception as exc:  # noqa: BLE001 - sink boundary
@@ -98,6 +103,7 @@ def pending_blocks(spark: SparkSession, tables_dir: str,
         .select(
             "batch_id", F.col("b.block_index").alias("block_index"),
             F.col("b.s3_object_key").alias("s3_object_key"),
+            F.col("b.block_json").alias("block_json"),
             F.col("p.page_url").alias("page_url"),
         )
     )
