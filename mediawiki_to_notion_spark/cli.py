@@ -38,24 +38,51 @@ from mediawiki_to_notion_spark.streaming.notion_client import ScriptedTransport
 from mediawiki_to_notion_spark.streaming.upload import UploadConfig, drain
 
 
+SIDE_OUTPUT_PRINT_LIMIT = 20
+
+
+def _report_side_output(df, outdir: str, name: str, fmt,
+                        limit: int = SIDE_OUTPUT_PRINT_LIMIT) -> None:
+    """Persist a warning/error side-output in full (distributed parquet
+    write — never collected), print only the first `limit` rows to stderr.
+    The reference streams every warning to stderr
+    (process-mw-dump.py:210-214), which at 100 TB is a driver OOM; the
+    full set lives in <outdir>/_warnings/<name> instead."""
+    path = os.path.join(outdir, "_warnings", name)
+    df.write.mode("overwrite").parquet(path)
+    persisted = df.sparkSession.read.parquet(path)
+    shown = persisted.limit(limit).collect()
+    for r in shown:
+        print(fmt(r), file=sys.stderr)
+    total = persisted.count()  # metadata-cheap: counts the written files
+    if total > len(shown):
+        print(f"\t... {total - len(shown)} more in {path}", file=sys.stderr)
+
+
 def cmd_process_dump(args: argparse.Namespace) -> int:
     spark = get_spark("process-dump")
     raw = read_dump(spark, args.xmlfile)
     pages, files = split_pages_files(raw)
     routed = P.route_pages(pages)
+    outdir = args.outdir
 
-    for w in P.skipped_warnings(routed).collect():
-        print(f"\tWARNING: {w.message}: {w.key}", file=sys.stderr)
+    _report_side_output(
+        P.skipped_warnings(routed), outdir, "skipped_pages",
+        lambda w: f"\tWARNING: {w.message}: {w.key}",
+    )
 
     prepared = P.prepare_pages(routed)
-    for w in prepared.filter(F.col("unhandled_template") != "").collect():
-        print(f"\tWARNING: unhandled wiki template: {w.unhandled_template}",
-              file=sys.stderr)
+    _report_side_output(
+        prepared.filter(F.col("unhandled_template") != "")
+        .select("filename", "unhandled_template"),
+        outdir, "unhandled_templates",
+        lambda w: f"\tWARNING: unhandled wiki template: {w.unhandled_template}",
+    )
 
     converted = prepared.select("ns_name", "filename", "cleaned").mapInPandas(
         convert_batches, f"ns_name string, filename string, cleaned string, {CONVERT_DDL_SUFFIX}"
     )
-    outdir = args.outdir
+    converted = converted.persist()
 
     def write_md(rows) -> None:
         for r in rows:
@@ -67,9 +94,13 @@ def cmd_process_dump(args: argparse.Namespace) -> int:
                 f.write(r.markdown)
 
     converted.foreachPartition(write_md)
-    for r in converted.filter(F.col("convert_error").isNotNull()).collect():
-        print(f"\tERROR: could not convert {r.filename}: {r.convert_error}",
-              file=sys.stderr)
+    _report_side_output(
+        converted.filter(F.col("convert_error").isNotNull())
+        .select("ns_name", "filename", "convert_error"),
+        outdir, "convert_errors",
+        lambda r: f"\tERROR: could not convert {r.filename}: {r.convert_error}",
+    )
+    converted.unpersist()
 
     decoded, bad = P.decode_files(files)
 
@@ -81,8 +112,10 @@ def cmd_process_dump(args: argparse.Namespace) -> int:
                 f.write(bytes(r.content))
 
     decoded.foreachPartition(write_files)
-    for w in bad.collect():
-        print(f"\tERROR: {w.key}: {w.message}", file=sys.stderr)
+    _report_side_output(
+        bad, outdir, "file_decode_errors",
+        lambda w: f"\tERROR: {w.key}: {w.message}",
+    )
     return 0
 
 

@@ -19,6 +19,14 @@ def test_cli_full_workflow(spark, tmp_path, capsys):
     assert "WARNING: ignoring namespace 2" in err
     assert "WARNING: unhandled wiki template: {{Mystery|x}}" in err
 
+    # side-outputs are persisted in full as parquet, stderr is bounded
+    # (the reference streams every warning to the driver's stderr)
+    warn_dir = outdir / "_warnings"
+    skipped = spark.read.parquet(str(warn_dir / "skipped_pages"))
+    assert skipped.filter("message like 'ignoring namespace%'").count() >= 1
+    unhandled = spark.read.parquet(str(warn_dir / "unhandled_templates"))
+    assert unhandled.filter("unhandled_template = '{{Mystery|x}}'").count() == 1
+
     md = outdir / "Main" / "Router Notes.md"
     assert md.exists()
     assert "RFC 2328" in md.read_text()
