@@ -45,7 +45,21 @@ def salted_join(fact: DataFrame, dim: DataFrame, key: str, n_salts: int = 8,
     speculative execution and fault recovery can never double- or
     drop-count — a correctness requirement on a real cluster, not a
     style choice.
+
+    Determinism's price (accepted, documented):
+
+    - byte-identical duplicate fact rows all land on ONE salt, so a hot
+      key made of *repeated identical rows* is not spread at all.  If
+      that's your skew, add a distinguishing column upstream (an ingest
+      sequence number) — do NOT reach for rand()/monotonically_increasing_id,
+      which reintroduce the retry hazard this design removes.
+    - ``F.hash`` rejects MapType columns; project maps away (or to
+      ``map_entries``) before salting.
+    - a pre-existing ``_salt`` column on either side would collide with
+      the internal key.
     """
+    assert "_salt" not in fact.columns and "_salt" not in dim.columns, \
+        "salted_join uses an internal _salt column; rename yours"
     salted_fact = fact.withColumn(
         "_salt", F.pmod(F.hash(*fact.columns), F.lit(n_salts))
     )

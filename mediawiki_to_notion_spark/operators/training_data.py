@@ -139,15 +139,21 @@ PACK_WINDOW_TOKENS = 512       # context-window size for sequence packing
     WITH toks AS (
       SELECT doc_id, string_split(text, ' ') AS t
       FROM documents WHERE len(string_split(text, ' ')) >= 3
-    ), sh AS (
+    ), rawsh AS (
       SELECT DISTINCT doc_id,
              t[u.i+1] || ' ' || t[u.i+2] || ' ' || t[u.i+3] AS shingle
       FROM toks, LATERAL (SELECT unnest(range(0, len(t) - 2)) AS i) u
+    ), sh AS (
+      -- same 60-bit md5-prefix ids the Spark side joins on
+      -- (dedup._SHINGLES_SQL pattern): both engines must see the same
+      -- collisions, or a colliding pair would hash-mismatch the gate
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+      FROM rawsh
     ), bench AS (
-      SELECT DISTINCT shingle FROM sh WHERE doc_id < {DECON_BENCHMARK_DOCS}
+      SELECT DISTINCT h FROM sh WHERE doc_id < {DECON_BENCHMARK_DOCS}
     ), corpus AS (
       SELECT doc_id, count(*) AS n_shingles,
-             count(*) FILTER (shingle IN (SELECT shingle FROM bench))
+             count(*) FILTER (h IN (SELECT h FROM bench))
                AS n_contaminated
       FROM sh WHERE doc_id >= {DECON_BENCHMARK_DOCS}
       GROUP BY doc_id

@@ -90,9 +90,17 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     events.coalesce(1).write.mode("overwrite").parquet(str(src))
     events.coalesce(1).write.mode("append").parquet(str(src))
 
-    stream = spark.readStream.schema(
-        "event_id long, ts timestamp, event_type string, value double"
-    ).parquet(str(src))
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, event_type string, value double"
+        )
+        # pin both copies into ONE micro-batch: the guarantee under test
+        # is in-state dedup, not late-row filtering below an advanced
+        # watermark — without this, availableNow may split the two files
+        # across batches and the test would pass for the wrong reason
+        .option("maxFilesPerTrigger", "2")
+        .parquet(str(src))
+    )
     deduped = dedup_stream_exact(stream, ["event_id"], "ts", "30 minutes")
     q = (
         deduped.writeStream.format("memory").queryName("dedup_stream")
