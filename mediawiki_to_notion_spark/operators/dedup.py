@@ -450,9 +450,21 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidate verification runs in the same dimension-sequential Arrow
     kernel as the exact block product: the interpreted higher-order
     fold (``F.aggregate``) costs ~20x more per candidate pair, which
-    dominates once candidates number in the 10^5s."""
+    dominates once candidates number in the 10^5s.
+
+    Physical shape: the build side is one row per vector (id, embedding,
+    bucket) and broadcasts while the table is dimension-scale; the probe
+    side is pre-split so candidate generation AND verification run as
+    one parallel map stage — a plain bucket equi-join lands on only
+    2^{N_PLANES} distinct keys, which AQE coalesces to near-serial at
+    this size (measured 3.6x slower).  At corpus scale where the build
+    side outgrows broadcast, swap the hint for the salted bucket
+    equi-join (operators.physical.salted_join) and raise N_PLANES so
+    bucket count tracks executor count."""
     import numpy as np
     import pandas as pd
+
+    from mediawiki_to_notion_spark.plans.pipeline import ensure_parallelism
 
     e = load_table(spark, "embeddings", sf_dir)
     bucketed = e.select("vec_id", "embedding", _bucket_col().alias("bucket"))
@@ -460,12 +472,15 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket"),
         *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(N_PLANES)],
     )
-    a = bucketed.select(
-        "vec_id", "embedding", F.explode(probe_keys).alias("probe")
+    a = ensure_parallelism(
+        bucketed.select(
+            "vec_id", "embedding", F.explode(probe_keys).alias("probe")
+        ),
+        16,
     ).alias("a")
     b = bucketed.alias("b")
     cand = a.join(
-        b,
+        F.broadcast(b),
         (F.col("a.probe") == F.col("b.bucket"))
         & (F.col("a.vec_id") < F.col("b.vec_id")),
     ).select(
@@ -656,7 +671,14 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).withColumnsRenamed({"doc_a": "src", "doc_b": "dst"}).cache()
 
-    labels = d.select("doc_id", F.col("doc_id").alias("label"))
+    # iterate ONLY the edge-induced subgraph: isolated documents (the
+    # overwhelming majority of a deduplicated corpus) keep label=doc_id
+    # by construction, so every per-round shuffle is sized by the dup
+    # graph, not the corpus — at 100x corpus scale the loop cost stays
+    # proportional to duplicates found.  (edges is already symmetric, so
+    # src alone covers every non-isolated node.)
+    labels = edges.select(F.col("src").alias("doc_id")).distinct() \
+        .select("doc_id", F.col("doc_id").alias("label"))
     for it in range(CC_MAX_ITERS):
         propagated = (
             labels.join(edges, labels.doc_id == edges.src)
@@ -696,7 +718,11 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"rounds ({changed} labels still changing)"
         )
     edges.unpersist()
-    return labels.select(
+    # graft isolated documents back in as their own singleton components
+    full = d.join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("label", "doc_id").alias("label")
+    )
+    return full.select(
         "doc_id",
         F.col("label").alias("component"),
         (F.col("doc_id") == F.col("label")).alias("is_representative"),
