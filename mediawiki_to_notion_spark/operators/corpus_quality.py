@@ -1,0 +1,194 @@
+r"""Corpus-cleaning queries: the C4/RefinedWeb-style gate funnel,
+temperature-based mixture flattening, and length histograms (north-star
+extension — the filtering layer every pretraining pipeline runs before
+dedup/mixing).
+
+Everything is JVM-side expressions over one scan; no shuffles except the
+tiny key-count aggregates, which broadcast.  Cross-engine parity notes:
+all ratios divide integers (exact inputs), and the resample avoids any
+multi-term float reduction (min over integer counts, then one sqrt) so
+DuckDB and Spark floor identical doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mediawiki_to_notion_spark.operators.registry import register
+from mediawiki_to_notion_spark.sources.tables import load_table
+
+MIN_TOKENS = 20          # C4 drops pages with too few words
+MAX_CHARS = 500          # truncation-suspect outliers
+ALLOWED_LANGS = ("en", "de", "fr")
+MIN_DISTINCT_RATIO = 0.55  # low type/token ratio = TEMPLATE/boilerplate text
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+# gate order IS the attribution order: a document failing several gates
+# reports the first, mirroring how filter funnels count drop reasons
+_GATES_SQL = f"""
+      CASE
+        WHEN n_tokens < {MIN_TOKENS} THEN 'too_short'
+        WHEN n_chars > {MAX_CHARS} THEN 'too_long'
+        WHEN lang NOT IN ('en', 'de', 'fr') THEN 'lang_not_allowed'
+        WHEN regexp_matches(text, '{EMAIL_RE}')
+          OR regexp_matches(text, '{IPV4_RE}') THEN 'pii_detected'
+        WHEN distinct_ratio < {MIN_DISTINCT_RATIO} THEN 'low_diversity'
+        ELSE NULL
+      END
+"""
+
+
+@register(
+    "corpus_filter_funnel",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, lang, text, n_chars,
+             len(string_split(text, ' ')) AS n_tokens,
+             round(len(list_distinct(string_split(text, ' ')))::DOUBLE
+                   / len(string_split(text, ' ')), 6) AS distinct_ratio
+      FROM documents
+    )
+    SELECT doc_id, lang, n_tokens, n_chars, distinct_ratio,
+           {_GATES_SQL} AS drop_reason,
+           ({_GATES_SQL}) IS NULL AS keep
+    FROM sized
+    """,
+)
+def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-gate quality funnel with drop-reason attribution: length
+    bounds, language allowlist, PII pattern screens (email/IPv4), and a
+    type/token-ratio boilerplate gate, evaluated in a fixed order so
+    each dropped document reports its FIRST failing gate — the shape of
+    the C4 cleaning pipeline (Raffel et al. 2020 §2.2) and RefinedWeb's
+    filter funnel, where per-gate drop counts are the primary qc signal.
+
+    One narrow pass beside the scan: every gate is a JVM expression, the
+    funnel adds zero shuffles, and `groupBy(drop_reason).count()` on the
+    result is the funnel report."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = F.split(F.col("text"), " ")
+    sized = d.select(
+        "doc_id", "lang", "text", "n_chars",
+        F.size(toks).alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6
+        ).alias("distinct_ratio"),
+    )
+    first_fail = (
+        F.when(F.col("n_tokens") < MIN_TOKENS, "too_short")
+        .when(F.col("n_chars") > MAX_CHARS, "too_long")
+        .when(~F.col("lang").isin(*ALLOWED_LANGS), "lang_not_allowed")
+        .when(
+            F.regexp_like("text", F.lit(EMAIL_RE))
+            | F.regexp_like("text", F.lit(IPV4_RE)),
+            "pii_detected",
+        )
+        .when(F.col("distinct_ratio") < MIN_DISTINCT_RATIO, "low_diversity")
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return sized.select(
+        "doc_id", "lang", "n_tokens", "n_chars", "distinct_ratio",
+        first_fail.alias("drop_reason"),
+        first_fail.isNull().alias("keep"),
+    )
+
+
+TEMP_ALPHA_SQRT = True   # alpha = 0.5 flattening (sqrt temperature)
+
+
+@register(
+    "lang_temperature_resample",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang
+    ), floor_n AS (
+      SELECT min(n_lang) AS min_n FROM counts
+    ), rated AS (
+      SELECT c.lang, c.n_lang,
+             greatest(1, CAST(floor(
+               100 * sqrt(f.min_n::DOUBLE / c.n_lang)) AS INT)) AS keep_pct
+      FROM counts c, floor_n f
+    )
+    SELECT d.doc_id, d.lang, r.n_lang, r.keep_pct
+    FROM documents d JOIN rated r USING (lang)
+    WHERE ('0x' || substr(md5('temp:' || d.doc_id), 1, 15))::BIGINT % 100
+          < r.keep_pct
+    """,
+)
+def lang_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened language mixture (alpha = 0.5): each
+    language is downsampled toward the SMALLEST language's share with
+    keep-rate 100*sqrt(min_n/n_lang)%, the multilingual rebalancing used
+    for pretraining mixes (sampling p_l proportional to n_l^alpha,
+    cf. multilingual LM data schedules) — unlike `corpus_mixture_sample`
+    whose tier rates are configured, these rates are DATA-DERIVED.
+
+    Scale shape: the per-language counts are a partial-agg over the key
+    column only; the 5-row rate table broadcast-joins back; the keep
+    decision is the same content-addressed md5 bucket as the mixture
+    sampler (stable under re-runs and retries).  Parity note: the rate
+    math is min over integer counts then a single sqrt — no float
+    summation whose order could differ between engines."""
+    d = load_table(spark, "documents", sf_dir)
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    min_n = counts.agg(F.min("n_lang").alias("min_n"))
+    rated = counts.crossJoin(F.broadcast(min_n)).select(
+        "lang", "n_lang",
+        F.greatest(
+            F.lit(1),
+            F.floor(
+                100 * F.sqrt(F.col("min_n").cast("double") / F.col("n_lang"))
+            ).cast("int"),
+        ).alias("keep_pct"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("temp:"), F.col("doc_id"))), 1, 15),
+            16, 10,
+        ).cast("long") % 100
+    )
+    return (
+        d.select("doc_id", "lang")
+        .join(F.broadcast(rated), "lang")
+        .filter(bucket < F.col("keep_pct"))
+        .select("doc_id", "lang", "n_lang", "keep_pct")
+    )
+
+
+HIST_BUCKET_CHARS = 50
+
+
+@register(
+    "doc_length_histogram",
+    oracle=f"""
+    SELECT (n_chars // {HIST_BUCKET_CHARS}) * {HIST_BUCKET_CHARS} AS bucket_lo,
+           count(*) AS n_docs,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars,
+           round(sum(n_chars)::DOUBLE / count(*), 6) AS avg_chars
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact fixed-width document-length histogram — the size-profile
+    sanity check run before choosing packing window / truncation
+    length.  Integer bucket arithmetic and integer sums keep it
+    bit-exact across engines; one partial-agg shuffle over at most
+    max_chars/{HIST_BUCKET_CHARS} groups."""
+    d = load_table(spark, "documents", sf_dir)
+    bucket = (F.floor(F.col("n_chars") / HIST_BUCKET_CHARS)
+              * HIST_BUCKET_CHARS).cast("long")
+    return (
+        d.groupBy(bucket.alias("bucket_lo"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_chars"),
+        )
+    )

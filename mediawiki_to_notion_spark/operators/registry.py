@@ -38,6 +38,7 @@ def load_all() -> None:
     """Import every operator module so registrations run."""
     from mediawiki_to_notion_spark.operators import (  # noqa: F401
         analytics_ext,
+        corpus_quality,
         dedup,
         multimodal,
         pipeline_queries,
