@@ -45,6 +45,8 @@ _BULLET = re.compile(r"^(\*+)\s*(.*)$")
 _NUMBERED = re.compile(r"^(#+)\s*(.*)$")
 _TABLE_CELL_SPLIT = re.compile(r"\s*\|\|\s*")
 _HEADER_CELL_SPLIT = re.compile(r"\s*!!\s*")
+_HRULE = re.compile(r"^-{4,}\s*$")
+_BR = re.compile(r"\s*<br\s*/?>\s*", re.IGNORECASE)
 
 
 def _inline(line: str) -> str:
@@ -96,8 +98,27 @@ def wikitext_to_gfm(text: str) -> str:
     in_pre = False
     in_table = False
     table_rows: list[tuple[bool, list[str]]] = []
+    indent_pre: list[str] = []  # run of space-indented (preformatted) lines
     counters: list[int] = []  # ordered-list numbering per nesting depth
+
+    def flush_indent_pre() -> None:
+        # MediaWiki renders space-indented lines preformatted; pandoc's
+        # reader parses the run as one CodeBlock, written fenced in gfm
+        # (the repo's canonical fence form, de-indented one space)
+        if indent_pre:
+            out.append("```")
+            out.extend(indent_pre)
+            out.append("```")
+            indent_pre.clear()
+
     for line in text.splitlines():
+        if (
+            not in_pre and not in_table
+            and line.startswith(" ") and line.strip()
+        ):
+            indent_pre.append(line[1:])
+            continue
+        flush_indent_pre()
         if "<pre>" in line:
             in_pre = True
             out.append(line.replace("<pre>", "```"))
@@ -151,7 +172,19 @@ def wikitext_to_gfm(text: str) -> str:
         if m:
             out.append("  " * (len(m.group(1)) - 1) + "- " + _inline(m.group(2)))
             continue
+        if _HRULE.match(line):
+            # thematic break set off by blank lines, like headings
+            out.extend(["", "---", ""])
+            continue
+        if _BR.search(line):
+            # <br> is a hard line break: gfm backslash-break on every
+            # fragment but the last (pandoc LineBreak semantics)
+            parts = [_inline(p) for p in _BR.split(line)]
+            out.extend(f"{p}\\" for p in parts[:-1])
+            out.append(parts[-1])
+            continue
         out.append(_inline(line))
+    flush_indent_pre()
     if in_table:  # unterminated table: emit what accumulated
         out.extend(_render_table(table_rows))
     # pandoc separates blocks with exactly one blank line and emits no

@@ -103,6 +103,28 @@ GOLDEN_CASES: list[tuple[str, str, str]] = [
         '## Config\n\n- set **mode** to [Fast](Fast "wikilink")\n'
         "- see [ref](https://example.org)\n\n```\nmode=fast\n```",
     ),
+    (
+        # MediaWiki space-indentation is preformatted text; pandoc's
+        # reader takes the run as one CodeBlock (fenced form is the
+        # repo's canonical choice, de-indented one space)
+        "indented_preformatted",
+        "Router config follows.\n interface eth0\n  ip address 10.0.0.1/24\n"
+        "Plain text resumes.",
+        "Router config follows.\n```\ninterface eth0\n ip address 10.0.0.1/24\n"
+        "```\nPlain text resumes.",
+    ),
+    (
+        "horizontal_rule",
+        "Section one.\n----\nSection two.",
+        "Section one.\n\n---\n\nSection two.",
+    ),
+    (
+        # <br> is LineBreak in pandoc's AST; gfm hard break =
+        # backslash at end of line
+        "br_hard_break",
+        "First line.<br>Second line.<br/>Third line.",
+        "First line.\\\nSecond line.\\\nThird line.",
+    ),
 ]
 
 
