@@ -101,6 +101,64 @@ def test_multifile_dump_unique_page_ids(spark, tmp_path):
     assert sorted(ids) == sorted(again)
 
 
+def test_split_scan_equals_single_split(spark, tmp_path):
+    """Byte-range splitting must be invisible to results: a tiny split
+    size (many ranges, pages straddling boundaries) yields exactly the
+    rows of a one-split read, each page exactly once with the same
+    content-addressed page_id."""
+    (tmp_path / "dump.xml").write_text(_dump_xml())
+    whole = read_dump(spark, str(tmp_path)).collect()
+    tiny = read_dump(spark, str(tmp_path), split_bytes=200).collect()
+    key = lambda r: (r.page_id, r.title, r.wikitext)  # noqa: E731
+    assert sorted(map(key, tiny)) == sorted(map(key, whole))
+    assert len(tiny) == 7 and len({r.page_id for r in tiny}) == 7
+
+
+def test_page_fragments_across_scan_chunks(tmp_path, monkeypatch):
+    """Marker scanning must survive <page> / </page> split across read
+    chunks: shrink the scan chunk far below marker size."""
+    import io as _io
+
+    from mediawiki_to_notion_spark.sources import xml_dump as X
+
+    monkeypatch.setattr(X, "_SCAN_CHUNK", 3)
+    data = _dump_xml().encode()
+    frags = list(X.iter_page_fragments(_io.BytesIO(data), 0, len(data)))
+    assert len(frags) == 7
+    offsets = [off for off, _ in frags]
+    assert offsets == sorted(offsets) and len(set(offsets)) == 7
+    for off, frag in frags:
+        assert data[off:off + 6] == b"<page>"
+        assert frag.startswith(b"<page>") and frag.endswith(b"</page>")
+
+
+def test_split_ownership_at_boundary(tmp_path):
+    """A page starting before a range's end belongs to that range even
+    when its body crosses the boundary; the next range skips it."""
+    import io as _io
+
+    from mediawiki_to_notion_spark.sources import xml_dump as X
+
+    data = _dump_xml().encode()
+    first_page = data.find(b"<page>")
+    mid = first_page + 10  # inside the first page's body
+    left = list(X.iter_page_fragments(_io.BytesIO(data), 0, mid))
+    right = list(X.iter_page_fragments(_io.BytesIO(data), mid, len(data)))
+    assert len(left) == 1 and left[0][0] == first_page
+    assert len(left) + len(right) == 7
+    assert {off for off, _ in left} | {off for off, _ in right} == \
+        {off for off, _ in X.iter_page_fragments(_io.BytesIO(data), 0, len(data))}
+
+
+def test_read_namespaces_head_parse(tmp_path):
+    from mediawiki_to_notion_spark.sources.xml_dump import read_namespaces
+
+    p = tmp_path / "d.xml"
+    p.write_text(_dump_xml())
+    ns = read_namespaces(str(p))
+    assert ns == {0: "Main", 2: "User", 6: "File", 14: "Category"}
+
+
 def test_namespace_map_and_routing(dump_frames):
     _, pages, _ = dump_frames
     routed = P.route_pages(pages)
