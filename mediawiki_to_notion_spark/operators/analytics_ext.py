@@ -494,3 +494,69 @@ def approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("approx_percentile(value, 0.5, 10000)"), 6).alias("p50_approx"),
         F.round(F.expr("approx_percentile(value, 0.99, 10000)"), 6).alias("p99_approx"),
     )
+
+
+ZORDER_BITS = 8        # 8 bits per dimension -> 16-bit z-values
+ZORDER_FILES = 16      # target clustered-file count
+
+
+def _zorder_interleave(ux: str, ty: str, shl: str, shr: str) -> str:
+    """Bit-interleave expression text, generated once for both engines
+    (only the shift syntax differs: Spark `shiftleft(x,n)`, DuckDB
+    `x << n`)."""
+    terms = []
+    for j in range(ZORDER_BITS):
+        terms.append(shl.format(x=f"({shr.format(x=ux, n=j)}) & 1", n=2 * j))
+        terms.append(shl.format(x=f"({shr.format(x=ty, n=j)}) & 1", n=2 * j + 1))
+    return " + ".join(f"({t})" for t in terms)
+
+
+_Z_SPARK = _zorder_interleave(
+    "ux", "ty", shl="shiftleft({x}, {n})", shr="shiftright({x}, {n})"
+)
+_Z_DUCK = _zorder_interleave("ux", "ty", shl="(({x}) << {n})", shr="(({x}) >> {n})")
+
+
+@register(
+    "zorder_cluster_events",
+    oracle=f"""
+    WITH coords AS (
+      SELECT event_id,
+             user_id % {1 << ZORDER_BITS} AS ux,
+             (epoch_us(ts) // 3600000000) % {1 << ZORDER_BITS} AS ty
+      FROM events
+    )
+    SELECT event_id, ux, ty,
+           {_Z_DUCK} AS zval,
+           ({_Z_DUCK}) * {ZORDER_FILES} // {1 << (2 * ZORDER_BITS)} AS zfile
+    FROM coords
+    """,
+)
+def zorder_cluster_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustering key for the events table: the
+    multi-dimensional data-layout op behind lakehouse OPTIMIZE ZORDER —
+    interleaving the bits of (user bucket, hour bucket) gives one sort
+    key under which a range-partitioned write produces files that are
+    simultaneously tight on BOTH dimensions, so either predicate prunes
+    files at scan time (a time-sorted layout prunes only time).
+
+    All integer bit arithmetic — bit-exact across engines — generated
+    from ONE expression template; `zfile` is the range-partition
+    assignment a writer would pass to `repartitionByRange` before
+    `partitionBy`-free clustered writes.  Narrow ops only: the z-key
+    computation adds zero shuffles; the eventual clustered write pays
+    exactly the one range shuffle any global sort costs."""
+    e = load_table(spark, "events", sf_dir)
+    coords = e.select(
+        "event_id",
+        (F.col("user_id") % (1 << ZORDER_BITS)).alias("ux"),
+        (F.floor(F.unix_micros("ts") / 3_600_000_000) % (1 << ZORDER_BITS))
+        .cast("long").alias("ty"),
+    )
+    zval = F.expr(_Z_SPARK)
+    return coords.select(
+        "event_id", "ux", "ty",
+        zval.alias("zval"),
+        F.expr(f"({_Z_SPARK}) * {ZORDER_FILES} div {1 << (2 * ZORDER_BITS)}")
+        .alias("zfile"),
+    )
