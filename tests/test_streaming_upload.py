@@ -170,6 +170,27 @@ def test_upload_resume_after_uploading(spark, staged_tables):
     assert set(statuses.values()) == {"SUCCESS"}
 
 
+def test_upload_parallelism_shards_by_batch(spark, staged_tables):
+    """upload_parallelism > 1 shards the sink by batch_id while keeping
+    per-page ordering and fail-fast: ordering is within-page, so pages
+    may upload concurrently without violating the reference's per-page
+    block sequence (SURVEY §2.7)."""
+    tables_dir = staged_tables
+    batch_a = ingest.blocks_table(spark, tables_dir).read() \
+        .filter(F.col("s3_object_key") == "wiki/A.md").first().batch_id
+    tr = ScriptedTransport(script={f"block:{batch_a}:1": [502] * 10})
+    results = run_upload(
+        spark, tables_dir, UploadConfig(transport=tr, upload_parallelism=2)
+    )
+    res_a = {r.block_index: r for r in
+             results.filter(F.col("batch_id") == batch_a).collect()}
+    assert res_a[0].ok and not res_a[1].ok
+    assert res_a[2].error.startswith("skipped:")  # fail-fast held per shard
+    pages = {p.s3_object_key: p.status
+             for p in ingest.pages_table(spark, tables_dir).read().collect()}
+    assert pages == {"wiki/A.md": "FAIL", "wiki/B.md": "SUCCESS"}
+
+
 def test_worker_crash_marks_pages_aborted(spark, staged_tables):
     """Worker *process* death (not an API error) → the pass's pages go
     ABORTED (upload-state-machine.asl.json:215-237 States.TaskFailed
