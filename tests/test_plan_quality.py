@@ -145,3 +145,24 @@ def test_pivot_single_aggregation_pass(spark):
 def test_rollup_has_partial_phase(spark):
     plan = plan_of(spark, "time_bucket_rollup")
     assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_corpus_funnel_is_shuffle_free(spark):
+    """The filter funnel is one narrow pass beside the scan: any
+    Exchange in its plan means a gate accidentally became a join/agg."""
+    assert "Exchange" not in plan_of(spark, "corpus_filter_funnel")
+
+
+def test_zorder_key_is_shuffle_free(spark):
+    """Z-order key computation is pure per-row bit math — the one range
+    shuffle belongs to the eventual clustered write, not the key op."""
+    assert "Exchange" not in plan_of(spark, "zorder_cluster_events")
+
+
+def test_temperature_resample_broadcasts_rates(spark):
+    """The 5-row language-rate table must broadcast back onto the
+    corpus scan — a shuffle join here would repartition the whole
+    corpus by language (5 keys: maximal skew) at 100 TB."""
+    plan = plan_of(spark, "lang_temperature_resample")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -86,3 +86,43 @@ def test_safe_filename_is_fs_safe(title):
 def test_convert_document_never_raises(doc):
     md, err = convert_document(doc)
     assert (md is None) == (err is not None)
+
+
+# --- XML split scanner: range-union completeness -----------------------------
+
+_xml_text = st.text(
+    alphabet=st.characters(blacklist_characters="<>&", max_codepoint=0x2FF),
+    max_size=40,
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    texts=st.lists(_xml_text, min_size=1, max_size=8),
+    cut_seed=st.integers(min_value=1, max_value=10_000),
+    n_ranges=st.integers(min_value=1, max_value=6),
+)
+def test_page_fragment_ranges_partition_exactly(texts, cut_seed, n_ranges):
+    """For ANY dump and ANY consecutive byte-range partitioning, each
+    page is owned by exactly one range (the one containing its <page>
+    start): the union over ranges equals the whole-file scan, with no
+    duplicates — the invariant that makes split size a pure tuning knob."""
+    import io
+
+    from mediawiki_to_notion_spark.sources.xml_dump import iter_page_fragments
+
+    body = "".join(
+        f"<page><title>t{i}</title><revision><text>{t}</text></revision></page>\n"
+        for i, t in enumerate(texts)
+    )
+    data = f'<mediawiki><siteinfo></siteinfo>\n{body}</mediawiki>'.encode()
+    whole = list(iter_page_fragments(io.BytesIO(data), 0, len(data)))
+    assert len(whole) == len(texts)
+
+    # deterministic pseudo-random consecutive cut points from the seed
+    cuts = sorted({(cut_seed * (i + 1) * 7919) % len(data) for i in range(n_ranges - 1)})
+    bounds = [0, *cuts, len(data)]
+    pieces = []
+    for lo, hi in zip(bounds, bounds[1:]):
+        pieces.extend(iter_page_fragments(io.BytesIO(data), lo, hi))
+    assert sorted(pieces) == sorted(whole)
