@@ -49,7 +49,8 @@ _RECHECK = ["dedup_simhash", "dedup_embedding_cosine",
 # locally oracle-checked now and rotate into the driver gate next round
 # (deferring them keeps the rewritten dedup queries inside the window).
 _DEFER = ["corpus_filter_funnel", "lang_temperature_resample",
-          "doc_length_histogram", "zorder_cluster_events"]
+          "doc_length_histogram", "zorder_cluster_events",
+          "dedup_minhash_incremental"]
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -229,6 +229,86 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+INCR_NEW_MOD = 4   # doc_id % 5 == 4 plays the "newly arrived batch" (~20%)
+
+
+@register(
+    "dedup_minhash_incremental",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    {_MINHASH_SQL},
+    cands_inc AS (
+      SELECT doc_a, doc_b FROM cands
+      WHERE doc_a % 5 = {INCR_NEW_MOD} OR doc_b % 5 = {INCR_NEW_MOD}
+    ),
+    verified AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_common
+      FROM cands_inc c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.h = a.h
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT v.doc_a, v.doc_b,
+           n_common::DOUBLE / (x.n + y.n - n_common) AS jaccard,
+           v.doc_a % 5 = {INCR_NEW_MOD} AND v.doc_b % 5 = {INCR_NEW_MOD}
+             AS both_new
+    FROM verified v
+    JOIN sizes x ON v.doc_a = x.doc_id JOIN sizes y ON v.doc_b = y.doc_id
+    WHERE n_common::DOUBLE / (x.n + y.n - n_common) >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup detection: an arriving batch (docs with
+    ``doc_id % 5 == {INCR_NEW_MOD}``, ~20% of the corpus) is deduped
+    against the already-indexed corpus AND within itself, while
+    old-vs-old pairs — the quadratic bulk a nightly full dedup would
+    redo — are excluded BEFORE verification, at the candidate stage.
+
+    This is the production dedup shape: the corpus's band signatures are
+    an *index* (here recomputed from the static table; in a pipeline
+    they persist as a bucketed table keyed on (band, sig), so arrival
+    cost is probe + verify, proportional to the batch, never the
+    corpus).  `both_new` distinguishes batch-internal duplicates from
+    hits against the index — the two take different actions (drop vs
+    skip-ingest)."""
+    d = load_table(spark, "documents", sf_dir)
+    sh = _hashed_shingles(d)
+    stats = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.collect_set("h").alias("hs"),
+        *H.minhash_agg_columns(F.col("h")),
+    )
+    bands = stats.select(
+        "doc_id",
+        F.posexplode(F.array(*[H.band_signature(b) for b in range(H.N_BANDS)]))
+        .alias("band", "sig"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    is_new = lambda c: F.col(c) % 5 == INCR_NEW_MOD  # noqa: E731
+    cands = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.sig") == F.col("b.sig"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .filter(is_new("a.doc_id") | is_new("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    x = stats.select("doc_id", "n", "hs").alias("x")
+    y = stats.select("doc_id", "n", "hs").alias("y")
+    n_common = F.size(F.array_intersect(F.col("x.hs"), F.col("y.hs")))
+    jac = n_common.cast("double") / (F.col("x.n") + F.col("y.n") - n_common)
+    return (
+        cands.join(x, F.col("doc_a") == F.col("x.doc_id"))
+        .join(y, F.col("doc_b") == F.col("y.doc_id"))
+        .select(
+            "doc_a", "doc_b", jac.alias("jaccard"),
+            (is_new("doc_a") & is_new("doc_b")).alias("both_new"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
 @register(
     "dedup_simhash",
     oracle=(lambda aggs_combine=H.simhash_sql("h"): f"""
