@@ -12,17 +12,22 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def write_bucketed(df: DataFrame, table: str, bucket_col: str, n_buckets: int = 16,
-                   sort_col: str | None = None) -> None:
+def write_bucketed(df: DataFrame, table: str, bucket_col: str | list[str],
+                   n_buckets: int = 16, sort_col: str | None = None) -> None:
     """Persist as a bucketed (and optionally sorted) managed table.
 
     Two tables bucketed identically on their join key co-locate: Spark
     plans the join with zero Exchange — at 100 TB that removes the
     dominant shuffle of every fact-fact join.  (The blocks table bucketed
     by batch_id gives shuffle-free blocks⋈pages and in-bucket
-    block_index order for the upload sink.)
+    block_index order for the upload sink.)  Composite join keys must
+    bucket on the full key list: a subset-bucketed side satisfies the
+    distribution only under non-default co-partition settings, so the
+    portable contract is bucket-on-all-join-keys.
     """
-    w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, bucket_col)
+    cols = [bucket_col] if isinstance(bucket_col, str) else list(bucket_col)
+    w = df.write.mode("overwrite").format("parquet") \
+        .bucketBy(n_buckets, cols[0], *cols[1:])
     if sort_col:
         w = w.sortBy(sort_col)
     w.saveAsTable(table)

@@ -34,6 +34,47 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
 
 
+def test_minhash_band_index_bucketed_probe(spark):
+    """The incremental-dedup scale path made physical: band signatures
+    persisted as a table bucketed on (band, sig) act as the corpus
+    index — an arrival batch bucketed the same way probes it with NO
+    exchange on either side, so per-batch dedup cost never reshuffles
+    the corpus index (dedup_minhash_incremental's docstring contract)."""
+    from mediawiki_to_notion_spark.functions import hashing as H
+    from mediawiki_to_notion_spark.operators.dedup import _hashed_shingles
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        d = load_table(spark, "documents", SF)
+        sh = _hashed_shingles(d)
+        stats = sh.groupBy("doc_id").agg(
+            *H.minhash_agg_columns(F.col("h"))
+        )
+        bands = stats.select(
+            "doc_id",
+            F.posexplode(
+                F.array(*[H.band_signature(b) for b in range(H.N_BANDS)])
+            ).alias("band", "sig"),
+        )
+        old = bands.filter(F.col("doc_id") % 5 != 4)
+        new = bands.filter(F.col("doc_id") % 5 == 4)
+        write_bucketed(old, "band_index", ["band", "sig"], 8)  # index persists once
+        write_bucketed(new, "arrivals_b", ["band", "sig"], 8)
+        idx = spark.table("band_index")
+        arr = spark.table("arrivals_b")
+        probe = arr.alias("a").join(
+            idx.alias("i"),
+            (F.col("a.band") == F.col("i.band")) & (F.col("a.sig") == F.col("i.sig")),
+        )
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan
+        assert probe.count() > 0  # sf0.001 contains cross-batch dup bands
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS band_index")
+        spark.sql("DROP TABLE IF EXISTS arrivals_b")
+
+
 def test_salted_join_matches_plain_join(spark):
     """Salting must be invisible in the result: same rows as the plain
     join, even with a deliberately skewed fact side."""
