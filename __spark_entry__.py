@@ -48,7 +48,8 @@ _RECHECK = ["dedup_simhash", "dedup_embedding_cosine",
 # Registered this round AFTER the ~50-query gate window filled; they are
 # locally oracle-checked now and rotate into the driver gate next round
 # (deferring them keeps the rewritten dedup queries inside the window).
-_DEFER = ["corpus_filter_funnel", "lang_temperature_resample",
+_DEFER = ["multimodal_feature_extract",  # upgraded rows-only -> oracled
+          "corpus_filter_funnel", "lang_temperature_resample",
           "doc_length_histogram", "zorder_cluster_events",
           "dedup_minhash_incremental"]
 

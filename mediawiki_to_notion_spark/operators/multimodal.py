@@ -63,10 +63,13 @@ def decode_image(content: bytes) -> tuple[int, int]:  # pragma: no cover
 
 def fake_decode(content: bytes) -> tuple[int, int, int]:
     """Deterministic stand-in for a codec: derives (width, height,
-    checksum) purely from the bytes so tests are reproducible."""
-    checksum = 0
-    for i, by in enumerate(content[:256]):
-        checksum = (checksum * 31 + by) % 1_000_000_007
+    checksum) purely from the bytes so tests are reproducible — and via
+    the same 60-bit md5 prefix both engines can compute, so the whole
+    decode stage is value-checked by a SQL oracle despite running in
+    Python inside mapInPandas."""
+    import hashlib
+
+    checksum = int(hashlib.md5(content).hexdigest()[:15], 16)
     w = 16 + checksum % 640
     h = 16 + (checksum // 640) % 480
     return w, h, checksum
@@ -225,10 +228,30 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video.mapInPandas(sample_frames, FRAME_SCHEMA)
 
 
-@register("multimodal_feature_extract")  # rows-only: mapInPandas stage
+@register(
+    "multimodal_feature_extract",
+    oracle="""
+    WITH decoded AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 3 AS INTEGER)
+                  WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+                  ELSE 'video/mp4' END AS media_type,
+             octet_length(encode(text)) AS n_bytes,
+             ('0x' || substr(md5(text), 1, 15))::BIGINT AS checksum
+      FROM documents
+    )
+    SELECT doc_id, media_type, n_bytes,
+           CAST(16 + checksum % 640 AS INT) AS width,
+           CAST(16 + (checksum // 640) % 480 AS INT) AS height,
+           checksum
+    FROM decoded
+    """,
+)
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode/feature-extract pipeline over binary media: mapInPandas
-    with explicit output schema; codec stubbed (fake_decode), plumbing
-    real.  No SQL oracle (Python-defined checksum) → rows-only check."""
+    with explicit output schema.  The codec is the deterministic
+    md5-derived stand-in (:func:`fake_decode` — a real deployment swaps
+    in PIL/libvips, nothing else changes), which both engines can
+    compute, so the full Arrow plumbing is value-checked end to end."""
     d = load_table(spark, "documents", sf_dir)
     return _media_frame(d).mapInPandas(extract_features, FEATURE_SCHEMA)
