@@ -2,21 +2,30 @@
 
 The reference's DynamoDB tables do conditional puts for idempotency
 (store_notion_blocks.py:128-150) and delete-on-consume
-(upload_notion_blocks.py:304-309).  Here each table is a columnar
-parquet directory and mutation is a versioned rewrite:
+(upload_notion_blocks.py:304-309).  Here each table is a hash-bucketed
+parquet layout with a tiny atomic commit log — the same copy-on-write
+MERGE shape Delta Lake plans, minus the dependency (swap `ParquetTable`
+for `DeltaTable.merge` on a cluster with Delta available and nothing
+above this module changes):
 
-    merged = target FULL OUTER JOIN source ON keys → coalesce columns
+    <path>/b<K>/c<N>/*.parquet     bucket K's segment written by commit N
+    <path>/_commits/<N>.json       {bucket: [segment commit ids]}
 
-written to a new version directory then atomically pointed-to — the same
-copy-on-write shape Delta Lake's MERGE plans (we avoid the Delta
-dependency; swap `ParquetTable` for `DeltaTable.merge` on a cluster with
-Delta available and nothing above this module changes).  Consume-delete
-becomes an `uploaded_at` status flip + anti-join, avoiding the
-delete-heavy pattern (SURVEY §1.1 row 7).
+Every mutation is one Spark job over only the buckets it touches:
+an upsert MERGEs source rows into the segments of the buckets their
+keys hash to and leaves every other bucket's files untouched — at
+100 TB the rewrite cost tracks the working set, not the table.  Appends
+just add a segment to their buckets (compacted into one segment the
+next time an upsert touches the bucket).  A commit is a single
+atomically-replaced JSON file, so readers always see one consistent
+cross-bucket view; the last two commits are retained (cheap time
+travel + GC).  Consume-delete becomes an `uploaded_at` status flip +
+anti-join, avoiding the delete-heavy pattern (SURVEY §1.1 row 7).
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -25,78 +34,181 @@ from pyspark.sql import functions as F
 
 
 class ParquetTable:
-    """A keyed table stored as parquet with copy-on-write upserts."""
+    """A keyed table stored as bucketed parquet with copy-on-write
+    MERGE upserts scoped to the touched buckets."""
 
     def __init__(self, spark: SparkSession, path: str, key_cols: list[str],
-                 schema=None) -> None:
+                 schema=None, n_buckets: int = 8) -> None:
         self.spark = spark
         self.path = path
         self.key_cols = key_cols
         self.schema = schema
+        self.n_buckets = n_buckets
         os.makedirs(path, exist_ok=True)
 
-    # -- versioning -----------------------------------------------------------
+    # -- commit log -----------------------------------------------------------
+
+    def _commits_dir(self) -> str:
+        return os.path.join(self.path, "_commits")
 
     def _versions(self) -> list[int]:
-        out = []
-        for name in os.listdir(self.path):
-            if name.startswith("v") and name[1:].isdigit():
-                out.append(int(name[1:]))
-        return sorted(out)
+        """Live commit ids (last two retained)."""
+        d = self._commits_dir()
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            int(name[:-5]) for name in os.listdir(d) if name.endswith(".json")
+        )
 
-    def _current_dir(self) -> str | None:
+    def _latest(self) -> tuple[int, dict[int, list[int]]]:
         vs = self._versions()
-        return os.path.join(self.path, f"v{vs[-1]}") if vs else None
+        if not vs:
+            return 0, {}
+        with open(os.path.join(self._commits_dir(), f"{vs[-1]}.json")) as f:
+            mapping = json.load(f)
+        return vs[-1], {int(k): v for k, v in mapping.items()}
+
+    def _commit(self, n: int, mapping: dict[int, list[int]]) -> None:
+        """Atomically publish commit n, then GC segments/commits no live
+        commit references."""
+        os.makedirs(self._commits_dir(), exist_ok=True)
+        tmp = os.path.join(self._commits_dir(), f".{n}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump({str(k): v for k, v in mapping.items() if v}, f)
+        os.replace(tmp, os.path.join(self._commits_dir(), f"{n}.json"))
+        # retain the last two commits; drop everything they don't reference
+        vs = self._versions()
+        live, dead = vs[-2:], vs[:-2]
+        referenced: set[tuple[int, int]] = set()
+        for v in live:
+            with open(os.path.join(self._commits_dir(), f"{v}.json")) as f:
+                for k, segs in json.load(f).items():
+                    referenced.update((int(k), c) for c in segs)
+        for v in dead:
+            os.remove(os.path.join(self._commits_dir(), f"{v}.json"))
+        for name in os.listdir(self.path):
+            if not name.startswith("b") or not name[1:].isdigit():
+                continue
+            k = int(name[1:])
+            bdir = os.path.join(self.path, name)
+            for seg in os.listdir(bdir):
+                if seg.startswith("c") and seg[1:].isdigit() \
+                        and (k, int(seg[1:])) not in referenced:
+                    shutil.rmtree(os.path.join(bdir, seg), ignore_errors=True)
+
+    def _seg_dir(self, bucket: int, commit: int) -> str:
+        return os.path.join(self.path, f"b{bucket}", f"c{commit}")
+
+    # -- layout ---------------------------------------------------------------
+
+    def _bucket_expr(self) -> F.Column:
+        # xxhash64 is total (nulls hash to the seed), so null keys land
+        # deterministically; pmod keeps the id in [0, n_buckets)
+        return F.pmod(F.xxhash64(*self.key_cols), F.lit(self.n_buckets))
+
+    def _write_segments(self, df: DataFrame, n: int) -> list[int]:
+        """One Spark job: write df partitioned by bucket under commit n.
+        Returns the bucket ids that received rows."""
+        staging = os.path.join(self.path, "_staging", f"c{n}")
+        df.withColumn("_b", self._bucket_expr()) \
+            .write.mode("overwrite").partitionBy("_b").parquet(staging)
+        written: list[int] = []
+        for name in os.listdir(staging):
+            if name.startswith("_b="):
+                k = int(name.split("=", 1)[1])
+                dst = self._seg_dir(k, n)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                shutil.move(os.path.join(staging, name), dst)
+                written.append(k)
+        shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
+        return written
 
     def exists(self) -> bool:
-        return self._current_dir() is not None
+        return bool(self._versions())
+
+    def _segments(self, mapping: dict[int, list[int]],
+                  buckets: list[int] | None = None) -> list[str]:
+        return [
+            self._seg_dir(k, c)
+            for k, segs in mapping.items()
+            if buckets is None or k in buckets
+            for c in segs
+        ]
+
+    def _empty(self) -> DataFrame:
+        if self.schema is None:
+            raise FileNotFoundError(f"empty table {self.path} and no schema")
+        return self.spark.createDataFrame([], self.schema)
 
     def read(self) -> DataFrame:
-        cur = self._current_dir()
-        if cur is None:
-            if self.schema is None:
-                raise FileNotFoundError(f"empty table {self.path} and no schema")
-            return self.spark.createDataFrame([], self.schema)
-        return self.spark.read.parquet(cur)
+        _, mapping = self._latest()
+        paths = self._segments(mapping)
+        if not paths:
+            return self._empty()
+        return self.spark.read.parquet(*paths)
 
-    def _write_version(self, df: DataFrame) -> None:
-        vs = self._versions()
-        nxt = (vs[-1] + 1) if vs else 0
-        target = os.path.join(self.path, f"v{nxt}")
-        df.write.mode("overwrite").parquet(target)
-        # retain only the latest two versions (cheap time travel + GC)
-        for old in vs[:-1]:
-            shutil.rmtree(os.path.join(self.path, f"v{old}"), ignore_errors=True)
+    def _read_buckets(self, mapping: dict[int, list[int]],
+                      buckets: list[int]) -> DataFrame | None:
+        paths = self._segments(mapping, buckets)
+        if not paths:
+            return None
+        return self.spark.read.parquet(*paths)
 
     # -- mutations ------------------------------------------------------------
 
+    def _align_to_schema(self, source: DataFrame) -> DataFrame:
+        base = self.spark.createDataFrame([], self.schema) if self.schema else None
+        if base is None:
+            return source
+        for c in base.columns:
+            if c not in source.columns:
+                source = source.withColumn(
+                    c, F.lit(None).cast(base.schema[c].dataType)
+                )
+        return source.select(base.columns)
+
     def overwrite(self, df: DataFrame) -> None:
-        self._write_version(df)
+        n = self._latest()[0] + 1
+        written = self._write_segments(df, n)
+        self._commit(n, {k: [n] for k in written})
 
     def append(self, df: DataFrame) -> None:
-        if self.exists():
-            self._write_version(self.read().unionByName(df))
-        else:
-            self._write_version(df)
+        """Add rows as new segments of their buckets — no existing file
+        is read or rewritten (the append-only DLQ shape).  Buckets are
+        compacted back to one segment when an upsert next touches them."""
+        n, mapping = self._latest()
+        if not mapping:
+            self.overwrite(self._align_to_schema(df) if self.schema else df)
+            return
+        table_cols = self.read().columns
+        written = self._write_segments(df.select(table_cols), n + 1)
+        for k in written:
+            mapping[k] = mapping.get(k, []) + [n + 1]
+        self._commit(n + 1, mapping)
 
     def upsert(self, source: DataFrame,
                insert_only: bool = False,
                update_cols: list[str] | None = None) -> None:
         """MERGE: matched rows take source values (or are kept untouched
         when ``insert_only`` — the conditional-put idempotency of
-        store_notion_blocks.py:136), unmatched source rows insert."""
-        if not self.exists():
-            base = self.spark.createDataFrame([], self.schema) if self.schema else None
-            if base is not None:
-                missing = [c for c in base.columns if c not in source.columns]
-                for c in missing:
-                    source = source.withColumn(
-                        c, F.lit(None).cast(base.schema[c].dataType)
-                    )
-                source = source.select(base.columns)
-            self._write_version(source)
+        store_notion_blocks.py:136), unmatched source rows insert.  One
+        Spark job over ONLY the buckets the source's keys hash to."""
+        n_prev, mapping = self._latest()
+        if not mapping:
+            self.overwrite(self._align_to_schema(source))
             return
-        target = self.read()
+        # which buckets does this merge touch?  (bounded driver fetch:
+        # at most n_buckets small ints)
+        touched = sorted(
+            r[0] for r in
+            source.select(self._bucket_expr().alias("_b")).distinct().collect()
+        )
+        target = self._read_buckets(mapping, touched)
+        if target is None:
+            target = self._empty() if self.schema else None
+        if target is None:
+            self.overwrite(source)
+            return
         cols = target.columns
         t = target.alias("t")
         s = source.alias("s")
@@ -126,7 +238,11 @@ class ParquetTable:
                     F.when(F.col(f"s.{self.key_cols[0]}").isNotNull(), sc)
                     .otherwise(tc).alias(c)
                 )
-        self._write_version(joined.select(out_cols))
+        n = n_prev + 1
+        written = self._write_segments(joined.select(out_cols), n)
+        for k in touched:
+            mapping[k] = [n] if k in written else []
+        self._commit(n, mapping)
 
     def delete_where(self, condition) -> None:
-        self._write_version(self.read().filter(~condition))
+        self.overwrite(self.read().filter(~condition))

@@ -59,3 +59,52 @@ def test_version_gc(spark, tmp_path):
         t.upsert(spark.createDataFrame([(f"k{i}", i, "x")], t.schema))
     assert len(t._versions()) <= 2
     assert t.read().count() == 4
+
+
+def test_upsert_rewrites_only_touched_buckets(spark, tmp_path):
+    """The 100 TB property: a MERGE's IO tracks the buckets its source
+    keys hash to — every other bucket's files stay byte-identical on
+    disk (same paths, same mtimes)."""
+    import os
+
+    t = _t(spark, tmp_path)
+    rows = [(f"k{i}", i, "x") for i in range(40)]
+    t.upsert(spark.createDataFrame(rows, t.schema))
+
+    def file_state():
+        out = {}
+        for root, _dirs, files in os.walk(str(tmp_path / "t")):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    p = os.path.join(root, fn)
+                    out[p] = os.path.getmtime(p)
+        return out
+
+    before = file_state()
+    t.upsert(spark.createDataFrame([("k3", 333, "updated")], t.schema))
+    after = file_state()
+    # the single-key merge touched exactly one bucket: every other
+    # bucket's files survive untouched
+    survivors = set(before) & set(after)
+    assert survivors and all(before[p] == after[p] for p in survivors)
+    changed_dirs = {os.path.dirname(p) for p in set(after) - set(before)}
+    assert len({d.split("/b")[-1].split("/")[0] for d in changed_dirs}) == 1
+    got = {r.k: r.v for r in t.read().collect()}
+    assert got["k3"] == 333 and len(got) == 40
+
+
+def test_append_adds_segments_without_rewrite(spark, tmp_path):
+    """Appends must not read or rewrite existing files (DLQ shape)."""
+    import os
+
+    t = _t(spark, tmp_path)
+    t.upsert(spark.createDataFrame([("a", 1, "x")], t.schema))
+    before = set()
+    for root, _d, files in os.walk(str(tmp_path / "t")):
+        before.update(os.path.join(root, f) for f in files if f.endswith(".parquet"))
+    t.append(spark.createDataFrame([("b", 2, "y")], t.schema))
+    after = set()
+    for root, _d, files in os.walk(str(tmp_path / "t")):
+        after.update(os.path.join(root, f) for f in files if f.endswith(".parquet"))
+    assert before <= after          # nothing deleted or rewritten
+    assert t.read().count() == 2
