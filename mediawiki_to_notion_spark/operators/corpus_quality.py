@@ -192,3 +192,82 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_chars"),
         )
     )
+
+
+CHUNK_TOKENS = 64      # window length (tokens)
+CHUNK_STRIDE = 48      # window start spacing -> 16-token overlap
+
+
+@register(
+    "context_window_chunks",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), spans AS (
+      SELECT doc_id, u.i AS chunk_idx,
+             u.i * {CHUNK_STRIDE} AS start_token,
+             least(u.i * {CHUNK_STRIDE} + {CHUNK_TOKENS}, len(t)) AS end_token,
+             array_to_string(
+               t[u.i * {CHUNK_STRIDE} + 1 :
+                 least(u.i * {CHUNK_STRIDE} + {CHUNK_TOKENS}, len(t))],
+               ' ') AS chunk_text
+      FROM sized, LATERAL (
+        SELECT unnest(range(0,
+          greatest(1, ceil((len(t) - {CHUNK_TOKENS})::DOUBLE
+                           / {CHUNK_STRIDE})::BIGINT + 1))) AS i
+      ) u
+      WHERE u.i * {CHUNK_STRIDE} < len(t)
+    )
+    SELECT doc_id, chunk_idx, start_token, end_token,
+           end_token - start_token AS n_tokens, chunk_text
+    FROM spans
+    """,
+)
+def context_window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking: each document splits into
+    {CHUNK_TOKENS}-token windows every {CHUNK_STRIDE} tokens (16-token
+    overlap) — the span decomposition behind RAG indexing and
+    fixed-window pretraining tokenization.  Every document yields at
+    least one (possibly short) chunk, and a trailing stride that would
+    start past the text yields none.
+
+    Pure narrow ops: `sequence` + `transform` build the span table
+    inline and `posexplode` flattens it — zero shuffles, zero Python.
+    At 100 TB chunking is embarrassingly parallel beside the scan."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((n - F.lit(CHUNK_TOKENS)).cast("double") / CHUNK_STRIDE)
+        .cast("long") + 1,
+    )
+    spans = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                i.alias("chunk_idx"),
+                (i * CHUNK_STRIDE).alias("start_token"),
+                F.least(i * CHUNK_STRIDE + CHUNK_TOKENS, n).alias("end_token"),
+            ),
+        ),
+        lambda s: s.start_token < n,
+    )
+    return (
+        d.select("doc_id", toks.alias("t"), F.explode(spans).alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.chunk_idx").alias("chunk_idx"),
+            F.col("s.start_token").alias("start_token"),
+            F.col("s.end_token").alias("end_token"),
+            (F.col("s.end_token") - F.col("s.start_token")).alias("n_tokens"),
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("t"),
+                    F.col("s.start_token") + 1,
+                    F.col("s.end_token") - F.col("s.start_token"),
+                ),
+            ).alias("chunk_text"),
+        )
+    )
