@@ -40,7 +40,9 @@ _LINK_BARE = re.compile(r"\[\[([^\]|]+)\]\]")
 _EXT_LINK = re.compile(r"\[((?:https?|ftp|mailto|irc):(?://)?[^\s\]]+)\s+([^\]]+)\]")
 _FILE_LINK = re.compile(r"\[\[File:([^\]]+)\]\]")
 _CODE_TAG = re.compile(r"<code>(.*?)</code>")
-_AUTOLINK = re.compile(r"(?<![(<\[])(https?://[^\s\])>,]+)")
+# backtick in the lookbehind + excluded-tail set keeps autolinking out of
+# already-formed code spans (pandoc never autolinks inside Code inlines)
+_AUTOLINK = re.compile(r"(?<![(<\[`])(https?://[^\s\])>,`]+)")
 _BULLET = re.compile(r"^(\*+)\s*(.*)$")
 _NUMBERED = re.compile(r"^(#+)\s*(.*)$")
 _TABLE_CELL_SPLIT = re.compile(r"\s*\|\|\s*")
@@ -57,8 +59,10 @@ def _inline(line: str) -> str:
     line = _LINK_PIPED.sub(lambda g: f'[{g.group(2)}]({g.group(1)} "wikilink")', line)
     line = _LINK_BARE.sub(lambda g: f'[{g.group(1)}]({g.group(1)} "wikilink")', line)
     line = _EXT_LINK.sub(lambda g: f"[{g.group(2)}]({g.group(1)})", line)
-    line = _AUTOLINK.sub(r"<\1>", line)
+    # code spans form BEFORE autolinking: a URL inside <code> is a Code
+    # inline to pandoc, never an autolink
     line = _CODE_TAG.sub(r"`\1`", line)
+    line = _AUTOLINK.sub(r"<\1>", line)
     line = _BOLD_ITALIC.sub(r"***\1***", line)
     line = _BOLD.sub(r"**\1**", line)
     line = _ITALIC.sub(r"*\1*", line)

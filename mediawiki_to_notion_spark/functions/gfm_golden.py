@@ -125,6 +125,13 @@ GOLDEN_CASES: list[tuple[str, str, str]] = [
         "First line.<br>Second line.<br/>Third line.",
         "First line.\\\nSecond line.\\\nThird line.",
     ),
+    (
+        # a URL inside <code> is a Code inline, never an autolink;
+        # the same URL in running text still autolinks
+        "code_span_suppresses_autolink",
+        "Call <code>https://example.com/api</code> or see https://example.com now.",
+        "Call `https://example.com/api` or see <https://example.com> now.",
+    ),
 ]
 
 

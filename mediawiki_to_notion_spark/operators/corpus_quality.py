@@ -31,7 +31,8 @@ _GATES_SQL = f"""
       CASE
         WHEN n_tokens < {MIN_TOKENS} THEN 'too_short'
         WHEN n_chars > {MAX_CHARS} THEN 'too_long'
-        WHEN lang NOT IN ('en', 'de', 'fr') THEN 'lang_not_allowed'
+        WHEN lang NOT IN ({', '.join(f"'{lang}'" for lang in ALLOWED_LANGS)})
+          THEN 'lang_not_allowed'
         WHEN regexp_matches(text, '{EMAIL_RE}')
           OR regexp_matches(text, '{IPV4_RE}') THEN 'pii_detected'
         WHEN distinct_ratio < {MIN_DISTINCT_RATIO} THEN 'low_diversity'

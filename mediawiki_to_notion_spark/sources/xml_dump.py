@@ -155,9 +155,14 @@ def iter_page_fragments(f, start: int, end: int) -> Iterator[tuple[int, bytes]]:
             return  # the next range's task owns this page
         j = buf.find(_PAGE_CLOSE, i)
         while j == -1:
+            # resume the close-marker search where the last one gave up
+            # (minus a marker tail), not from the page start — otherwise
+            # a page spanning many chunks rescans its whole accumulated
+            # body per refill (quadratic in page size)
+            resume = max(i, len(buf) - len(_PAGE_CLOSE) + 1)
             if not refill():
                 return  # truncated final page: drop, like a torn record
-            j = buf.find(_PAGE_CLOSE, i)
+            j = buf.find(_PAGE_CLOSE, resume)
         j_end = j + len(_PAGE_CLOSE)
         yield page_start_abs, buf[i:j_end]
         # discard consumed bytes to keep memory at one page + one chunk
@@ -205,7 +210,12 @@ def plan_splits(path: str, split_bytes: int = DEFAULT_SPLIT_BYTES) -> list[dict]
     on a cluster the open()/getsize() calls swap for the object-store
     client with identical range semantics."""
     if os.path.isdir(path):
-        files = sorted(glob.glob(os.path.join(path, "*.xml")))
+        # every regular file, regardless of extension — dump shards often
+        # ship without .xml suffixes, and the binaryFile source this
+        # replaced read them all
+        files = sorted(
+            p for p in glob.glob(os.path.join(path, "*")) if os.path.isfile(p)
+        )
     else:
         files = sorted(glob.glob(path)) or [path]
     splits = []

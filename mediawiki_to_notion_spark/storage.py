@@ -118,6 +118,12 @@ class ParquetTable:
                 k = int(name.split("=", 1)[1])
                 dst = self._seg_dir(k, n)
                 os.makedirs(os.path.dirname(dst), exist_ok=True)
+                # a crash after moving segments but before _commit leaves
+                # orphaned (never-referenced) dirs at this same n; replace
+                # them, or move would nest the staged dir inside dst and
+                # resurrect the _b partition column on read
+                if os.path.exists(dst):
+                    shutil.rmtree(dst)
                 shutil.move(os.path.join(staging, name), dst)
                 written.append(k)
         shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
@@ -205,10 +211,14 @@ class ParquetTable:
         )
         target = self._read_buckets(mapping, touched)
         if target is None:
-            target = self._empty() if self.schema else None
-        if target is None:
-            self.overwrite(source)
-            return
+            # touched buckets hold no segments yet: merge against an
+            # empty frame carrying the TABLE's schema (limit(0) over the
+            # live segments — schema inference only, no scan), never by
+            # overwriting the whole table with just the source
+            target = (
+                self.spark.createDataFrame([], self.schema)
+                if self.schema else self.read().limit(0)
+            )
         cols = target.columns
         t = target.alias("t")
         s = source.alias("s")

@@ -35,7 +35,6 @@ upload_notion_blocks.py:51).
 from __future__ import annotations
 
 import json
-import re
 
 from mediawiki_to_notion_spark.streaming.notion_client import (
     BACKOFF_FACTOR,
@@ -59,11 +58,34 @@ except ImportError:  # pragma: no cover
     HAVE_URLLIB3 = False
 
 
-def reference_retry_policy() -> "Retry":
+if HAVE_URLLIB3:
+
+    class _RecordingRetry(Retry):
+        """Retry that records the last retried-status into a shared cell,
+        so exhaustion surfaces the real final status instead of being
+        regex-scraped out of urllib3's (non-contractual) exception text."""
+
+        def __init__(self, *args, status_cell: list | None = None, **kw) -> None:
+            super().__init__(*args, **kw)
+            self._status_cell = status_cell
+
+        def new(self, **kw):  # urllib3 clones Retry on every increment
+            clone = super().new(**kw)
+            clone._status_cell = self._status_cell
+            return clone
+
+        def increment(self, *args, response=None, **kw):
+            if response is not None and self._status_cell is not None:
+                self._status_cell[0] = response.status
+            return super().increment(*args, response=response, **kw)
+
+
+def reference_retry_policy(status_cell: list | None = None) -> "Retry":
     """The reference's Retry, verbatim where urllib3 v2 allows (v2 renamed
     ``method_whitelist`` → ``allowed_methods``), plus the explicit
     connect/read/redirect zeros discussed in the module docstring."""
-    return Retry(
+    return _RecordingRetry(
+        status_cell=status_cell,
         total=None,
         status=MAX_STATUS_RETRIES,
         connect=0,
@@ -102,7 +124,6 @@ class HttpTransport:
     def _http(self):
         if self._pool is None:
             self._pool = urllib3.PoolManager(
-                retries=reference_retry_policy(),
                 timeout=urllib3.Timeout(total=self.timeout_s),
             )
         return self._pool
@@ -136,15 +157,17 @@ class HttpTransport:
         headers = {"Content-Type": "application/json"}
         if self.token:
             headers["Authorization"] = f"Bearer {self.token}"
+        last_status: list = [None]
         try:
             resp = self._http().request(
-                method, url, body=body, headers=headers
+                method, url, body=body, headers=headers,
+                retries=reference_retry_policy(last_status),
             )
         except MaxRetryError as exc:
-            # status=5 exhausted (raise_on_status) — surface the last status
-            m = re.search(r"too many (\d{3})", str(exc.reason or exc))
-            if m:
-                raise HTTPStatusError(int(m.group(1))) from exc
+            # status=5 exhausted (raise_on_status) — the recording Retry
+            # carried the real final status out of the retry loop
+            if last_status[0] is not None:
+                raise HTTPStatusError(int(last_status[0])) from exc
             raise TransportError(str(exc)) from exc
         except _U3HTTPError as exc:
             # connect/read/protocol errors: never retried (connect=0)

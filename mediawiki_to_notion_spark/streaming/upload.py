@@ -176,7 +176,11 @@ def run_upload(spark: SparkSession, tables_dir: str, cfg: UploadConfig,
     results = arranged.mapInPandas(_make_worker(cfg), RESULT_DDL)
     results = results.cache()
     try:
-        if results.isEmpty():
+        # count(), not isEmpty(): isEmpty evaluates only the first
+        # non-empty partition, so with upload_parallelism > 1 a crash in
+        # a later partition would escape this try and the pages would
+        # never go ABORTED — count() forces every partition here
+        if results.count() == 0:
             return results
     except Exception:
         # the upload job itself died (worker crash, not an API error —

@@ -224,6 +224,26 @@ def test_worker_crash_marks_pages_aborted(spark, staged_tables):
     assert recover_aborted(spark, tables_dir) == 0
 
 
+def test_worker_crash_aborted_with_parallelism(spark, staged_tables):
+    """The crash can land in ANY shard: with upload_parallelism > 1 the
+    job must still fail and mark the pass ABORTED (a first-partition-only
+    emptiness probe would let a later shard's crash escape)."""
+    from mediawiki_to_notion_spark.streaming.upload import recover_aborted
+
+    tables_dir = staged_tables
+    batch_b = ingest.blocks_table(spark, tables_dir).read() \
+        .filter(F.col("s3_object_key") == "wiki/B.md").first().batch_id
+    crash_tr = ScriptedTransport(script={f"block:{batch_b}:0": [-1]})
+    with pytest.raises(Exception):
+        run_upload(
+            spark, tables_dir,
+            UploadConfig(transport=crash_tr, upload_parallelism=2),
+        )
+    pages = {p.status for p in ingest.pages_table(spark, tables_dir).read().collect()}
+    assert pages == {"ABORTED"}
+    assert recover_aborted(spark, tables_dir) == 2
+
+
 def test_streaming_file_source(spark, tmp_path):
     """readStream *.md → availableNow drain → tables populated; non-.md
     files ignored (the S3 suffix filter, mw_to_notion_stack.py:461-465)."""
