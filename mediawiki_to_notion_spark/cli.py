@@ -158,6 +158,34 @@ def cmd_status(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_dashboard(args: argparse.Namespace) -> int:
+    """The CloudWatch custom-widget parity surface
+    (notion_pages_custom_widget.py:62-90): pages whose status changed in
+    the window, newest first, rendered as a markdown table with the
+    widget's '%b %d %H:%M:%S' time format.  Bounded by --limit (the
+    widget's unbounded table.scan is the reference's own scale bug)."""
+    spark = get_spark("dashboard")
+    pages = ING.pages_table(spark, args.tables).read()
+    windowed = pages.filter(
+        F.col("status_time")
+        >= F.current_timestamp() - F.expr(f"INTERVAL {args.since_minutes} MINUTES")
+    )
+    rows = (
+        windowed.orderBy(F.desc("status_time"))
+        .limit(args.limit)
+        .select(
+            F.date_format("status_time", "MMM dd HH:mm:ss").alias("t"),
+            "s3_object_key", "status",
+        )
+        .collect()
+    )
+    print("| Time | Page | Status")
+    print("|-----|-----|-----")
+    for r in rows:
+        print(f"| {r.t} | {r.s3_object_key} | {r.status} |")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="mediawiki_to_notion_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -178,9 +206,15 @@ def main(argv: list[str] | None = None) -> int:
     u.add_argument("--min-interval", type=float, default=0.0)
     u.set_defaults(fn=cmd_upload)
 
-    s = sub.add_parser("status", help="page-status dashboard")
+    s = sub.add_parser("status", help="page-status counts + recent failures")
     s.add_argument("--tables", required=True)
     s.set_defaults(fn=cmd_status)
+
+    w = sub.add_parser("dashboard", help="recent page-status table (widget parity)")
+    w.add_argument("--tables", required=True)
+    w.add_argument("--since-minutes", type=int, default=60)
+    w.add_argument("--limit", type=int, default=50)
+    w.set_defaults(fn=cmd_dashboard)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -44,3 +44,11 @@ def test_cli_full_workflow(spark, tmp_path, capsys):
     assert cli.main(["upload", "--tables", tables]) == 0
     out = capsys.readouterr().out
     assert "SUCCESS    1" in out
+
+    # widget-parity dashboard: markdown table, newest first, widget fmt
+    assert cli.main(["dashboard", "--tables", tables]) == 0
+    out = capsys.readouterr().out
+    lines = out.strip().splitlines()
+    assert lines[0] == "| Time | Page | Status"
+    # keys are stored URI-encoded (file-source paths), like S3 event keys
+    assert any("SUCCESS" in ln and "Notes.md" in ln for ln in lines[2:])
