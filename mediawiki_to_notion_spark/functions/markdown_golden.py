@@ -82,6 +82,44 @@ GOLDEN_BLOCK_CASES: list[tuple[str, str, list[tuple[int, str, str]]]] = [
             (3, "text", "Third para."),
         ],
     ),
+    (
+        # markdown syntax inside a fence is CONTENT, never blocks
+        "markdown_inside_fence_is_content",
+        "```\n# not a heading\n- not a list\n```",
+        [(0, "code", "# not a heading\n- not a list")],
+    ),
+    (
+        # tight constructs: no blank line between heading/list/table/text
+        "tight_heading_list",
+        "## Tight\n- item one\n- item two",
+        [
+            (0, "sub_header", "Tight"),
+            (1, "bulleted_list", "item one"),
+            (2, "bulleted_list", "item two"),
+        ],
+    ),
+    (
+        "tight_table_then_text",
+        "| A | B |\n|---|---|\n| 1 | 2 |\nTrailing line.",
+        [
+            (0, "table_row", "| A | B |"),
+            (1, "table_row", "| 1 | 2 |"),
+            (2, "text", "Trailing line."),
+        ],
+    ),
+    (
+        # CommonMark: an unterminated fence runs to EOF as code
+        "unterminated_fence_runs_to_eof",
+        "Intro.\n\n```python\ncode line\n",
+        [(0, "text", "Intro."), (1, "code", "code line")],
+    ),
+    (
+        # inline markup stays verbatim in titles (md2notion passes the
+        # raw span through; Notion renders it)
+        "inline_markup_verbatim",
+        "# **Bold** title\n\ntext `code` span.",
+        [(0, "header", "**Bold** title"), (1, "text", "text `code` span.")],
+    ),
 ]
 
 
