@@ -43,8 +43,9 @@ _CODE_TAG = re.compile(r"<code>(.*?)</code>")
 # backtick in the lookbehind + excluded-tail set keeps autolinking out of
 # already-formed code spans (pandoc never autolinks inside Code inlines)
 _AUTOLINK = re.compile(r"(?<![(<\[`])(https?://[^\s\])>,`]+)")
-_BULLET = re.compile(r"^(\*+)\s*(.*)$")
-_NUMBERED = re.compile(r"^(#+)\s*(.*)$")
+# one marker run covers pure and MIXED nesting (*# = ordered under
+# bullet): depth = run length, last marker decides the item type
+_LIST_ITEM = re.compile(r"^([*#]+)\s*(.*)$")
 _TABLE_CELL_SPLIT = re.compile(r"\s*\|\|\s*")
 _HEADER_CELL_SPLIT = re.compile(r"\s*!!\s*")
 _HRULE = re.compile(r"^-{4,}\s*$")
@@ -152,16 +153,23 @@ def wikitext_to_gfm(text: str) -> str:
                 cells = _TABLE_CELL_SPLIT.split(stripped[1:].strip())
                 table_rows.append((False, [_inline(c) for c in cells]))
             continue
-        m = _NUMBERED.match(line)
+        m = _LIST_ITEM.match(line)
         if m:
-            depth = len(m.group(1))
-            del counters[depth:]
-            while len(counters) < depth:
-                counters.append(0)
-            counters[depth - 1] += 1
-            out.append(
-                "  " * (depth - 1) + f"{counters[depth - 1]}. " + _inline(m.group(2))
-            )
+            markers = m.group(1)
+            depth = len(markers)
+            indent = "  " * (depth - 1)
+            if markers[-1] == "#":
+                # deeper lists ended; this depth's numbering continues
+                del counters[depth:]
+                while len(counters) < depth:
+                    counters.append(0)
+                counters[depth - 1] += 1
+                out.append(f"{indent}{counters[depth - 1]}. " + _inline(m.group(2)))
+            else:
+                # a bullet ends any ordered run at its own depth too
+                # (pandoc: switching list type starts a new list)
+                del counters[depth - 1:]
+                out.append(indent + "- " + _inline(m.group(2)))
             continue
         if line.strip():
             counters = []
@@ -171,10 +179,6 @@ def wikitext_to_gfm(text: str) -> str:
             out.append("")
             out.append("#" * len(m.group(1)) + " " + _inline(m.group(2)))
             out.append("")
-            continue
-        m = _BULLET.match(line)
-        if m:
-            out.append("  " * (len(m.group(1)) - 1) + "- " + _inline(m.group(2)))
             continue
         if _HRULE.match(line):
             # thematic break set off by blank lines, like headings

@@ -132,6 +132,36 @@ GOLDEN_CASES: list[tuple[str, str, str]] = [
         "Call <code>https://example.com/api</code> or see https://example.com now.",
         "Call `https://example.com/api` or see <https://example.com> now.",
     ),
+    (
+        # *# / #* mixed nesting: depth = marker-run length, last marker
+        # decides the type; a bullet at a depth restarts that depth's
+        # ordered numbering (pandoc: type switch = new list)
+        "mixed_list_nesting",
+        "* top\n*# ordered child\n*# second child\n* next top\n*# restarts",
+        "- top\n  1. ordered child\n  2. second child\n- next top\n  1. restarts",
+    ),
+    (
+        "ordered_survives_bullet_child",
+        "# one\n#* bullet child\n# two",
+        "1. one\n  - bullet child\n2. two",
+    ),
+    (
+        "link_inside_bold",
+        "'''bold with [[Target|label]] inside'''",
+        '**bold with [label](Target "wikilink") inside**',
+    ),
+    (
+        "table_formatted_cells",
+        "{|\n! Col !! '''Num'''\n|-\n| [[Page]] || ''two''\n|}",
+        "| Col                     | **Num** |\n"
+        "|-------------------------|---------|\n"
+        '| [Page](Page "wikilink") | *two*   |',
+    ),
+    (
+        "list_item_with_extlink",
+        "* item [https://x.org ref] tail",
+        "- item [ref](https://x.org) tail",
+    ),
 ]
 
 
