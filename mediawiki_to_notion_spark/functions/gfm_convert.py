@@ -105,6 +105,7 @@ def wikitext_to_gfm(text: str) -> str:
     table_rows: list[tuple[bool, list[str]]] = []
     indent_pre: list[str] = []  # run of space-indented (preformatted) lines
     counters: list[int] = []  # ordered-list numbering per nesting depth
+    list_ctx = ""  # marker prefix of the previous list line
 
     def flush_indent_pre() -> None:
         # MediaWiki renders space-indented lines preformatted; pandoc's
@@ -157,22 +158,32 @@ def wikitext_to_gfm(text: str) -> str:
         if m:
             markers = m.group(1)
             depth = len(markers)
-            indent = "  " * (depth - 1)
+            # numbering context IS the marker prefix (MediaWiki list
+            # identity): any divergence — type switch at a depth, or a
+            # shallower run — closes the lists from that depth down and
+            # restarts their numbering (pandoc: new list)
+            for d in range(depth):
+                if d >= len(list_ctx) or list_ctx[d] != markers[d]:
+                    del counters[d:]
+                    break
+            del counters[depth:]
+            while len(counters) < depth:
+                counters.append(0)
+            # CommonMark child indent = width of the parent's marker:
+            # 3 under an ordered item ("1. "), 2 under a bullet ("- ")
+            indent = "".join("   " if ch == "#" else "  " for ch in markers[:-1])
             if markers[-1] == "#":
-                # deeper lists ended; this depth's numbering continues
-                del counters[depth:]
-                while len(counters) < depth:
-                    counters.append(0)
                 counters[depth - 1] += 1
                 out.append(f"{indent}{counters[depth - 1]}. " + _inline(m.group(2)))
             else:
-                # a bullet ends any ordered run at its own depth too
-                # (pandoc: switching list type starts a new list)
-                del counters[depth - 1:]
+                counters[depth - 1] = 0
                 out.append(indent + "- " + _inline(m.group(2)))
+            list_ctx = markers
             continue
-        if line.strip():
-            counters = []
+        # ANY non-list line — blank included — terminates open lists
+        # (MediaWiki lists end at the first non-list line)
+        counters = []
+        list_ctx = ""
         m = _HEADING.match(line)
         if m:
             # pandoc sets headings off with blank lines on both sides

@@ -141,9 +141,25 @@ GOLDEN_CASES: list[tuple[str, str, str]] = [
         "- top\n  1. ordered child\n  2. second child\n- next top\n  1. restarts",
     ),
     (
+        # 3-space child indent under an ordered parent (width of "1. ")
+        # so CommonMark consumers actually nest it; numbering continues
+        # around the nested child
         "ordered_survives_bullet_child",
         "# one\n#* bullet child\n# two",
-        "1. one\n  - bullet child\n2. two",
+        "1. one\n   - bullet child\n2. two",
+    ),
+    (
+        # type switch at a depth = new list: the bullet run closes the
+        # ordered list, and the next '#' restarts at 1 (pandoc semantics)
+        "type_switch_restarts_numbering",
+        "# one\n** stray bullets\n# two",
+        "1. one\n  - stray bullets\n1. two",
+    ),
+    (
+        # a blank line terminates lists; numbering restarts after it
+        "blank_line_ends_list",
+        "# one\n\n# two",
+        "1. one\n\n1. two",
     ),
     (
         "link_inside_bold",
