@@ -256,3 +256,21 @@ class ParquetTable:
 
     def delete_where(self, condition) -> None:
         self.overwrite(self.read().filter(~condition))
+
+    def compact(self, min_segments: int = 2) -> int:
+        """Merge every bucket holding >= min_segments append segments
+        into one (the OPTIMIZE maintenance op for append-heavy tables —
+        the DLQ shape).  Buckets already at one segment are untouched,
+        so compaction IO also tracks the fragmented working set.
+        Returns the number of buckets compacted."""
+        n_prev, mapping = self._latest()
+        frag = [k for k, segs in mapping.items() if len(segs) >= min_segments]
+        if not frag:
+            return 0
+        data = self.spark.read.parquet(*self._segments(mapping, frag))
+        n = n_prev + 1
+        written = self._write_segments(data, n)
+        for k in frag:
+            mapping[k] = [n] if k in written else []
+        self._commit(n, mapping)
+        return len(frag)

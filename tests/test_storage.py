@@ -108,3 +108,21 @@ def test_append_adds_segments_without_rewrite(spark, tmp_path):
         after.update(os.path.join(root, f) for f in files if f.endswith(".parquet"))
     assert before <= after          # nothing deleted or rewritten
     assert t.read().count() == 2
+
+
+def test_compact_merges_append_segments(spark, tmp_path):
+    """compact() folds a bucket's append segments into one and leaves
+    single-segment buckets alone."""
+    t = _t(spark, tmp_path)
+    t.upsert(spark.createDataFrame([("a", 1, "x")], t.schema))
+    for i in range(3):
+        t.append(spark.createDataFrame([("a", 100 + i, "more")], t.schema))
+    _, mapping = t._latest()
+    assert any(len(segs) >= 2 for segs in mapping.values())
+    n_before = t.read().count()
+    compacted = t.compact()
+    assert compacted >= 1
+    _, mapping = t._latest()
+    assert all(len(segs) == 1 for segs in mapping.values())
+    assert t.read().count() == n_before
+    assert t.compact() == 0  # idempotent: nothing left to merge
