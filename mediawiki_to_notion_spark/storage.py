@@ -257,6 +257,34 @@ class ParquetTable:
     def delete_where(self, condition) -> None:
         self.overwrite(self.read().filter(~condition))
 
+    def changes_since(self, commit_n: int) -> DataFrame:
+        """Row-level change feed: rows inserted or updated after
+        ``commit_n`` (the mini change-data-feed for incremental
+        downstream stages; upserts never delete, so inserts+updates is
+        the complete feed).  Cost is scoped to the buckets whose
+        mapping changed — untouched buckets are never read.  Only
+        commits still retained (the last two) can be diffed."""
+        cpath = os.path.join(self._commits_dir(), f"{commit_n}.json")
+        if not os.path.exists(cpath):
+            raise ValueError(
+                f"commit {commit_n} is no longer retained (last two only)"
+            )
+        with open(cpath) as f:
+            old_mapping = {int(k): v for k, v in json.load(f).items()}
+        _, cur_mapping = self._latest()
+        changed = [
+            k for k in cur_mapping
+            if cur_mapping.get(k) != old_mapping.get(k)
+        ]
+        if not changed:
+            return self.read().limit(0)
+        cur = self.spark.read.parquet(*self._segments(cur_mapping, changed))
+        old_paths = self._segments(old_mapping, changed)
+        if not old_paths:
+            return cur
+        old = self.spark.read.parquet(*old_paths)
+        return cur.exceptAll(old.select(cur.columns))
+
     def compact(self, min_segments: int = 2) -> int:
         """Merge every bucket holding >= min_segments append segments
         into one (the OPTIMIZE maintenance op for append-heavy tables —

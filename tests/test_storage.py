@@ -126,3 +126,63 @@ def test_compact_merges_append_segments(spark, tmp_path):
     assert all(len(segs) == 1 for segs in mapping.values())
     assert t.read().count() == n_before
     assert t.compact() == 0  # idempotent: nothing left to merge
+
+
+def test_random_mutation_sequences_match_dict_model(spark, tmp_path):
+    """Model-based check: any sequence of upserts/appends/compactions
+    must leave the table equal to a plain dict applying the same MERGE
+    rules (source wins on matched keys; insert_only never clobbers)."""
+    import random
+
+    rng = random.Random(11)
+    t = _t(spark, tmp_path, "model")
+    model: dict[str, tuple[int, str]] = {}
+    keys = [f"k{i}" for i in range(12)]
+    for step in range(12):
+        op = rng.choice(["upsert", "insert_only", "append", "compact"])
+        batch = [
+            (k, rng.randrange(100), f"s{step}")
+            for k in rng.sample(keys, rng.randrange(1, 4))
+        ]
+        df = spark.createDataFrame(batch, t.schema)
+        if op == "upsert":
+            t.upsert(df)
+            for k, v, e in batch:
+                model[k] = (v, e)
+        elif op == "insert_only":
+            t.upsert(df, insert_only=True)
+            for k, v, e in batch:
+                model.setdefault(k, (v, e))
+        elif op == "append":
+            # append semantics: blind add; to keep the model a dict,
+            # only append keys not yet present
+            fresh = [(k, v, e) for k, v, e in batch if k not in model]
+            if not fresh:
+                continue
+            t.append(spark.createDataFrame(fresh, t.schema))
+            for k, v, e in fresh:
+                model[k] = (v, e)
+        else:
+            t.compact()
+        got = {r.k: (r.v, r.extra) for r in t.read().collect()}
+        assert got == model, f"divergence after step {step} ({op})"
+
+
+def test_changes_since_feeds_inserts_and_updates(spark, tmp_path):
+    """The commit-log change feed returns exactly the rows a later
+    commit inserted or updated, reading only changed buckets."""
+    import pytest as _pytest
+
+    t = _t(spark, tmp_path, "cdf")
+    t.upsert(spark.createDataFrame(
+        [(f"k{i}", i, "base") for i in range(10)], t.schema))
+    n0 = t._versions()[-1]
+    t.upsert(spark.createDataFrame(
+        [("k3", 333, "upd"), ("new1", 1, "ins")], t.schema))
+    feed = {(r.k, r.v, r.extra) for r in t.changes_since(n0).collect()}
+    assert feed == {("k3", 333, "upd"), ("new1", 1, "ins")}
+    # same-commit diff is empty; GC'd commits refuse loudly
+    assert t.changes_since(t._versions()[-1]).count() == 0
+    t.upsert(spark.createDataFrame([("k5", 5, "z")], t.schema))
+    with _pytest.raises(ValueError):
+        t.changes_since(n0)
