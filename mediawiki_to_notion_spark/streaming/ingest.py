@@ -76,3 +76,41 @@ def start_md_stream(spark: SparkSession, input_dir: str, tables_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_pipeline_stream(spark: SparkSession, input_dir: str, tables_dir: str,
+                          checkpoint_dir: str, upload_cfg,
+                          parent_urls: DataFrame | None = None,
+                          available_now: bool = True) -> StreamingQuery:
+    """The WHOLE event-driven pipeline as one checkpointed streaming
+    query: each micro-batch ingests the newly staged markdown, then
+    drains the upload sink — the reference's S3-event →
+    StoreNotionBlocks → upload-state-machine chain collapsed into a
+    single query (SURVEY §2.9 event-chained stages).  Exactly-once
+    end-to-end: file replay is absorbed by insert-only upserts, upload
+    replay by the idempotent consume flip, and the drain is a no-op
+    when a batch stages nothing new."""
+    from mediawiki_to_notion_spark.streaming.upload import drain
+
+    stream = (
+        spark.readStream.format("text")
+        .option("wholetext", "true")
+        .option("pathGlobFilter", "*.md")
+        .load(input_dir)
+        .select(
+            F.col("_metadata.file_path").alias("s3_object_key"),
+            F.col("value").alias("markdown"),
+        )
+    )
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        ingest_batch(spark, batch_df, tables_dir)
+        drain(spark, tables_dir, upload_cfg, parent_urls)
+
+    writer = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

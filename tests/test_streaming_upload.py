@@ -260,3 +260,28 @@ def test_streaming_file_source(spark, tmp_path):
     pages = ingest.pages_table(spark, tables_dir).read().collect()
     assert sorted(p.s3_object_key.rsplit("/", 1)[-1] for p in pages) == ["One.md", "Two.md"]
     assert {p.status for p in pages} == {"NEW"}
+
+
+def test_chained_pipeline_stream_end_to_end(spark, tmp_path):
+    """One streaming query carries a file from arrival to SUCCESS: the
+    ingest+drain chain runs per micro-batch, and a later arrival is
+    picked up by a fresh availableNow pass without disturbing done
+    pages (checkpointed exactly-once)."""
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    (inbox / "One.md").write_text(MD_A)
+    (inbox / "Two.md").write_text(MD_B)
+    tables_dir = str(tmp_path / "tables")
+    ckpt = str(tmp_path / "ckpt")
+    cfg = UploadConfig(transport=ScriptedTransport())
+
+    q = ingest.start_pipeline_stream(spark, str(inbox), tables_dir, ckpt, cfg)
+    q.awaitTermination(120)
+    pages = ingest.pages_table(spark, tables_dir).read().collect()
+    assert len(pages) == 2 and {p.status for p in pages} == {"SUCCESS"}
+
+    (inbox / "Three.md").write_text(MD_A)
+    q = ingest.start_pipeline_stream(spark, str(inbox), tables_dir, ckpt, cfg)
+    q.awaitTermination(120)
+    pages = ingest.pages_table(spark, tables_dir).read().collect()
+    assert len(pages) == 3 and {p.status for p in pages} == {"SUCCESS"}
