@@ -166,3 +166,9 @@ def test_temperature_resample_broadcasts_rates(spark):
     plan = plan_of(spark, "lang_temperature_resample")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_chunking_is_shuffle_free(spark):
+    """Context-window chunking is pure per-row array math + explode —
+    an Exchange would mean the span table accidentally became a join."""
+    assert "Exchange" not in plan_of(spark, "context_window_chunks")
