@@ -52,6 +52,7 @@ HEADLINE = [
     "dedup_connected_components",
     "dedup_simhash",
     "dedup_embedding_cosine_lsh",
+    "dedup_minhash_incremental",
 ]
 
 
