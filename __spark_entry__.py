@@ -51,7 +51,8 @@ _RECHECK = ["dedup_simhash", "dedup_embedding_cosine",
 _DEFER = ["multimodal_feature_extract",  # upgraded rows-only -> oracled
           "corpus_filter_funnel", "lang_temperature_resample",
           "doc_length_histogram", "zorder_cluster_events",
-          "dedup_minhash_incremental", "context_window_chunks"]
+          "dedup_minhash_incremental", "context_window_chunks",
+          "text_unigram_logprob"]
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -278,3 +278,57 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio.alias("repetition_ratio"),
         (ratio > 0.2).alias("is_repetitive"),
     )
+
+
+@register(
+    "text_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ), tk AS (SELECT doc_id, t FROM tok WHERE t != ''),
+    vocab AS (
+      SELECT t,
+             round(ln(count(*)::DOUBLE / (SELECT count(*) FROM tk)), 6) AS lp
+      FROM tk GROUP BY t
+    )
+    SELECT tk.doc_id, count(*) AS n_tokens,
+           round(sum(CAST(v.lp AS DECIMAL(18,6)))::DOUBLE / count(*), 6)
+             AS mean_logprob
+    FROM tk JOIN vocab v USING (t)
+    GROUP BY tk.doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score: each document's mean token
+    log-probability under the corpus's own unigram distribution — the
+    cheap perplexity proxy used to rank documents for quality filtering
+    (the KenLM-filter shape with the n-gram order turned down to 1; a
+    very negative mean = rare-token gibberish).
+
+    Scale shape: the vocabulary is one partial-agg shuffle keyed by
+    token and broadcasts back (for web-scale vocabularies swap the
+    broadcast for a shuffle join on token — nothing else changes).
+    Parity: per-token log-probs are rounded to 6 dp THEN summed as
+    DECIMAL(18,6), so the cross-engine float risk is confined to ln()
+    of identical doubles (verified bit-stable on this corpus)."""
+    d = load_table(spark, "documents", sf_dir)
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("t")
+    ).filter(F.col("t") != "")
+    vocab = tok.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+    total = vocab.agg(F.sum("n").alias("total"))
+    lp = vocab.crossJoin(F.broadcast(total)).select(
+        "t",
+        F.round(F.log(F.col("n").cast("double") / F.col("total")), 6).alias("lp"),
+    )
+    return (
+        tok.join(F.broadcast(lp), "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum(F.col("lp").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)), 6,
+            ).alias("mean_logprob"),
+        )
+    )
