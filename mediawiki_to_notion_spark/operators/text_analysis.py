@@ -311,7 +311,11 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     Parity: per-token log-probs are rounded to 6 dp THEN summed as
     DECIMAL(18,6), so the cross-engine float risk is confined to ln()
     of identical doubles (verified bit-stable on this corpus)."""
-    d = load_table(spark, "documents", sf_dir)
+    from mediawiki_to_notion_spark.plans.pipeline import ensure_parallelism
+
+    # the explode feeds BOTH the vocab agg and the scoring join — split
+    # the scan so neither branch serializes on a single-file partition
+    d = ensure_parallelism(load_table(spark, "documents", sf_dir))
     tok = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("t")
     ).filter(F.col("t") != "")

@@ -60,30 +60,40 @@ class ParquetTable:
             int(name[:-5]) for name in os.listdir(d) if name.endswith(".json")
         )
 
+    def _read_commit(self, n: int) -> tuple[str, dict[int, list[int]]]:
+        with open(os.path.join(self._commits_dir(), f"{n}.json")) as f:
+            doc = json.load(f)
+        return doc.get("op", "merge"), {
+            int(k): v for k, v in doc["buckets"].items()
+        }
+
     def _latest(self) -> tuple[int, dict[int, list[int]]]:
         vs = self._versions()
         if not vs:
             return 0, {}
-        with open(os.path.join(self._commits_dir(), f"{vs[-1]}.json")) as f:
-            mapping = json.load(f)
-        return vs[-1], {int(k): v for k, v in mapping.items()}
+        return vs[-1], self._read_commit(vs[-1])[1]
 
-    def _commit(self, n: int, mapping: dict[int, list[int]]) -> None:
-        """Atomically publish commit n, then GC segments/commits no live
-        commit references."""
+    def _commit(self, n: int, mapping: dict[int, list[int]],
+                op: str = "merge") -> None:
+        """Atomically publish commit n (tagged with the mutation kind so
+        the change feed can refuse delete-capable ranges), then GC
+        segments/commits no live commit references."""
         os.makedirs(self._commits_dir(), exist_ok=True)
         tmp = os.path.join(self._commits_dir(), f".{n}.json.tmp")
         with open(tmp, "w") as f:
-            json.dump({str(k): v for k, v in mapping.items() if v}, f)
+            json.dump(
+                {"op": op,
+                 "buckets": {str(k): v for k, v in mapping.items() if v}},
+                f,
+            )
         os.replace(tmp, os.path.join(self._commits_dir(), f"{n}.json"))
         # retain the last two commits; drop everything they don't reference
         vs = self._versions()
         live, dead = vs[-2:], vs[:-2]
         referenced: set[tuple[int, int]] = set()
         for v in live:
-            with open(os.path.join(self._commits_dir(), f"{v}.json")) as f:
-                for k, segs in json.load(f).items():
-                    referenced.update((int(k), c) for c in segs)
+            for k, segs in self._read_commit(v)[1].items():
+                referenced.update((k, c) for c in segs)
         for v in dead:
             os.remove(os.path.join(self._commits_dir(), f"{v}.json"))
         for name in os.listdir(self.path):
@@ -176,7 +186,8 @@ class ParquetTable:
     def overwrite(self, df: DataFrame) -> None:
         n = self._latest()[0] + 1
         written = self._write_segments(df, n)
-        self._commit(n, {k: [n] for k in written})
+        # "overwrite" can drop rows — tagged so changes_since refuses it
+        self._commit(n, {k: [n] for k in written}, op="overwrite")
 
     def append(self, df: DataFrame) -> None:
         """Add rows as new segments of their buckets — no existing file
@@ -260,18 +271,29 @@ class ParquetTable:
     def changes_since(self, commit_n: int) -> DataFrame:
         """Row-level change feed: rows inserted or updated after
         ``commit_n`` (the mini change-data-feed for incremental
-        downstream stages; upserts never delete, so inserts+updates is
-        the complete feed).  Cost is scoped to the buckets whose
-        mapping changed — untouched buckets are never read.  Only
-        commits still retained (the last two) can be diffed."""
+        downstream stages).  Cost is scoped to the buckets whose
+        mapping changed — untouched buckets are never read.
+
+        Guardrails: only retained commits (the last two) can be diffed;
+        a range containing an ``overwrite``/``delete_where`` commit
+        raises — those can DROP rows, which an insert/update feed
+        cannot represent, and silence would feed stale rows downstream.
+        The result is materialized (localCheckpoint) before returning:
+        the lazy plan would reference old segments the NEXT commit's GC
+        deletes, so a feed consumed after further mutations would
+        otherwise crash mid-job."""
         cpath = os.path.join(self._commits_dir(), f"{commit_n}.json")
         if not os.path.exists(cpath):
             raise ValueError(
                 f"commit {commit_n} is no longer retained (last two only)"
             )
-        with open(cpath) as f:
-            old_mapping = {int(k): v for k, v in json.load(f).items()}
-        _, cur_mapping = self._latest()
+        _, old_mapping = self._read_commit(commit_n)
+        latest_n, cur_mapping = self._latest()
+        for v in self._versions():
+            if commit_n < v <= latest_n and self._read_commit(v)[0] == "overwrite":
+                raise ValueError(
+                    "change feed cannot represent an overwrite/delete commit"
+                )
         changed = [
             k for k in cur_mapping
             if cur_mapping.get(k) != old_mapping.get(k)
@@ -280,10 +302,10 @@ class ParquetTable:
             return self.read().limit(0)
         cur = self.spark.read.parquet(*self._segments(cur_mapping, changed))
         old_paths = self._segments(old_mapping, changed)
-        if not old_paths:
-            return cur
-        old = self.spark.read.parquet(*old_paths)
-        return cur.exceptAll(old.select(cur.columns))
+        if old_paths:
+            old = self.spark.read.parquet(*old_paths)
+            cur = cur.exceptAll(old.select(cur.columns))
+        return cur.localCheckpoint(eager=True)
 
     def compact(self, min_segments: int = 2) -> int:
         """Merge every bucket holding >= min_segments append segments

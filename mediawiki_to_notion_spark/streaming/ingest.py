@@ -50,12 +50,10 @@ def ingest_batch(spark: SparkSession, staged: DataFrame, tables_dir: str) -> Non
     pages_table(spark, tables_dir).upsert(pages, insert_only=True)
 
 
-def start_md_stream(spark: SparkSession, input_dir: str, tables_dir: str,
-                    checkpoint_dir: str, available_now: bool = True) -> StreamingQuery:
+def _md_source(spark: SparkSession, input_dir: str) -> DataFrame:
     """File-arrival stream over ``*.md`` (pathGlobFilter replaces the S3
-    suffix filter).  ``availableNow`` drains everything currently staged
-    then stops — the batch-drain trigger; drop it for continuous tailing."""
-    stream = (
+    suffix filter)."""
+    return (
         spark.readStream.format("text")
         .option("wholetext", "true")
         .option("pathGlobFilter", "*.md")
@@ -66,11 +64,11 @@ def start_md_stream(spark: SparkSession, input_dir: str, tables_dir: str,
         )
     )
 
-    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
-        ingest_batch(spark, batch_df, tables_dir)
 
+def _start(stream: DataFrame, sink, checkpoint_dir: str,
+           available_now: bool) -> StreamingQuery:
     writer = (
-        stream.writeStream.foreachBatch(_sink)
+        stream.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)
     )
     if available_now:
@@ -78,10 +76,24 @@ def start_md_stream(spark: SparkSession, input_dir: str, tables_dir: str,
     return writer.start()
 
 
+def start_md_stream(spark: SparkSession, input_dir: str, tables_dir: str,
+                    checkpoint_dir: str, available_now: bool = True) -> StreamingQuery:
+    """Ingest-only stream: staged markdown → blocks/pages tables.
+    ``availableNow`` drains everything currently staged then stops —
+    the batch-drain trigger; drop it for continuous tailing."""
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        ingest_batch(spark, batch_df, tables_dir)
+
+    return _start(_md_source(spark, input_dir), _sink, checkpoint_dir,
+                  available_now)
+
+
 def start_pipeline_stream(spark: SparkSession, input_dir: str, tables_dir: str,
                           checkpoint_dir: str, upload_cfg,
                           parent_urls: DataFrame | None = None,
-                          available_now: bool = True) -> StreamingQuery:
+                          available_now: bool = True,
+                          auto_recover: bool = True) -> StreamingQuery:
     """The WHOLE event-driven pipeline as one checkpointed streaming
     query: each micro-batch ingests the newly staged markdown, then
     drains the upload sink — the reference's S3-event →
@@ -89,28 +101,30 @@ def start_pipeline_stream(spark: SparkSession, input_dir: str, tables_dir: str,
     single query (SURVEY §2.9 event-chained stages).  Exactly-once
     end-to-end: file replay is absorbed by insert-only upserts, upload
     replay by the idempotent consume flip, and the drain is a no-op
-    when a batch stages nothing new."""
-    from mediawiki_to_notion_spark.streaming.upload import drain
+    when a batch stages nothing new.
 
-    stream = (
-        spark.readStream.format("text")
-        .option("wholetext", "true")
-        .option("pathGlobFilter", "*.md")
-        .load(input_dir)
-        .select(
-            F.col("_metadata.file_path").alias("s3_object_key"),
-            F.col("value").alias("markdown"),
-        )
+    Recovery posture: with ``auto_recover`` each batch first requeues
+    ABORTED pages (worker-crash leftovers) so stranded work retries on
+    the next arrival — the state machine's retry loop; a poisoned page
+    then fails the query loudly rather than wedging silently.  A drain
+    that exhausts its round budget with blocks still pending likewise
+    raises, so the batch is NOT committed and replays."""
+    from mediawiki_to_notion_spark.streaming.upload import (
+        drain,
+        pending_blocks,
+        recover_aborted,
     )
 
     def _sink(batch_df: DataFrame, _batch_id: int) -> None:
         ingest_batch(spark, batch_df, tables_dir)
+        if auto_recover:
+            recover_aborted(spark, tables_dir)
         drain(spark, tables_dir, upload_cfg, parent_urls)
+        if not pending_blocks(spark, tables_dir, parent_urls).isEmpty():
+            raise RuntimeError(
+                "upload drain exhausted its round budget with blocks still "
+                "pending; batch not committed, will replay"
+            )
 
-    writer = (
-        stream.writeStream.foreachBatch(_sink)
-        .option("checkpointLocation", checkpoint_dir)
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start(_md_source(spark, input_dir), _sink, checkpoint_dir,
+                  available_now)

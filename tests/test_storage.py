@@ -186,3 +186,31 @@ def test_changes_since_feeds_inserts_and_updates(spark, tmp_path):
     t.upsert(spark.createDataFrame([("k5", 5, "z")], t.schema))
     with _pytest.raises(ValueError):
         t.changes_since(n0)
+
+
+def test_changes_since_refuses_delete_capable_commits(spark, tmp_path):
+    """overwrite/delete_where commits can drop rows, which an
+    insert/update feed cannot represent — the feed raises instead of
+    silently omitting deletions."""
+    import pytest as _pytest
+
+    t = _t(spark, tmp_path, "cdf2")
+    t.upsert(spark.createDataFrame([("a", 1, "x"), ("b", 2, "y")], t.schema))
+    n0 = t._versions()[-1]
+    t.delete_where(F.col("k") == "a")
+    with _pytest.raises(ValueError, match="overwrite"):
+        t.changes_since(n0)
+
+
+def test_changes_since_survives_later_mutations(spark, tmp_path):
+    """The feed is materialized at call time: consuming it after the
+    next commit's GC must not crash on deleted segments."""
+    t = _t(spark, tmp_path, "cdf3")
+    t.upsert(spark.createDataFrame([(f"k{i}", i, "x") for i in range(8)], t.schema))
+    n0 = t._versions()[-1]
+    t.upsert(spark.createDataFrame([("k1", 111, "u")], t.schema))
+    feed = t.changes_since(n0)
+    # two more commits: n0's and the diff's old segments are GC'd now
+    t.upsert(spark.createDataFrame([("k2", 222, "u")], t.schema))
+    t.upsert(spark.createDataFrame([("k3", 333, "u")], t.schema))
+    assert {(r.k, r.v) for r in feed.collect()} == {("k1", 111)}

@@ -276,12 +276,45 @@ def test_chained_pipeline_stream_end_to_end(spark, tmp_path):
     cfg = UploadConfig(transport=ScriptedTransport())
 
     q = ingest.start_pipeline_stream(spark, str(inbox), tables_dir, ckpt, cfg)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
     pages = ingest.pages_table(spark, tables_dir).read().collect()
     assert len(pages) == 2 and {p.status for p in pages} == {"SUCCESS"}
 
     (inbox / "Three.md").write_text(MD_A)
     q = ingest.start_pipeline_stream(spark, str(inbox), tables_dir, ckpt, cfg)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
     pages = ingest.pages_table(spark, tables_dir).read().collect()
     assert len(pages) == 3 and {p.status for p in pages} == {"SUCCESS"}
+
+
+def test_chained_stream_recovers_aborted_on_next_arrival(spark, tmp_path):
+    """A worker crash fails the streaming batch (uncommitted); the next
+    run auto-requeues the ABORTED pages and completes them."""
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    (inbox / "One.md").write_text(MD_A)
+    tables_dir = str(tmp_path / "tables")
+    ckpt = str(tmp_path / "ckpt")
+
+    class _AlwaysCrash:
+        def request(self, op_key, payload=None):
+            from mediawiki_to_notion_spark.streaming.notion_client import WorkerCrash
+            raise WorkerCrash(f"boom at {op_key}")
+
+    q = ingest.start_pipeline_stream(
+        spark, str(inbox), tables_dir, ckpt, UploadConfig(transport=_AlwaysCrash())
+    )
+    with pytest.raises(Exception):
+        q.awaitTermination(120)
+        q.stop()
+    pages = {p.status for p in ingest.pages_table(spark, tables_dir).read().collect()}
+    assert pages == {"ABORTED"}
+
+    # healthy transport + a replayed availableNow pass: the failed batch
+    # was never committed, so it replays and auto-recovery requeues
+    q = ingest.start_pipeline_stream(
+        spark, str(inbox), tables_dir, ckpt, UploadConfig(transport=ScriptedTransport())
+    )
+    assert q.awaitTermination(120)
+    pages = {p.status for p in ingest.pages_table(spark, tables_dir).read().collect()}
+    assert pages == {"SUCCESS"}
