@@ -172,3 +172,11 @@ def test_chunking_is_shuffle_free(spark):
     """Context-window chunking is pure per-row array math + explode —
     an Exchange would mean the span table accidentally became a join."""
     assert "Exchange" not in plan_of(spark, "context_window_chunks")
+
+
+def test_unigram_logprob_broadcasts_vocab(spark):
+    """The vocabulary joins back via broadcast — a shuffle join on the
+    token column would repartition every exploded token row twice."""
+    plan = plan_of(spark, "text_unigram_logprob")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
