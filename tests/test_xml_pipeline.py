@@ -236,3 +236,31 @@ def test_file_sink_binary_roundtrip(dump_frames, spark, tmp_path):
 
     ok.foreachPartition(write_partition)
     assert (outdir / "diagram one.png").read_bytes() == PNG_BYTES
+
+
+def test_split_scan_medium_dump(spark, tmp_path):
+    """A few-MB dump crosses many range boundaries: every page parses
+    exactly once across real multi-task execution, ids stay unique."""
+    import random
+
+    rng = random.Random(3)
+    words = ["alpha", "beta", "router", "ospf", "vlan", "metric"]
+    dump = tmp_path / "medium.xml"
+    n_pages = 2000
+    with open(dump, "w") as f:
+        f.write('<mediawiki xmlns="http://www.mediawiki.org/xml/export-0.11/">\n'
+                '<siteinfo><namespaces><namespace key="0" /></namespaces>'
+                "</siteinfo>\n")
+        for i in range(n_pages):
+            body = " ".join(rng.choices(words, k=300))
+            f.write(f"<page><title>P{i}</title><ns>0</ns>"
+                    f"<revision><text>{body}</text></revision></page>\n")
+        f.write("</mediawiki>\n")
+
+    from mediawiki_to_notion_spark.sources.xml_dump import plan_splits
+
+    splits = plan_splits(str(dump), split_bytes=1 << 20)
+    assert len(splits) >= 3  # genuinely multi-task
+    raw = read_dump(spark, str(dump), split_bytes=1 << 20)
+    assert raw.count() == n_pages
+    assert raw.select("page_id").distinct().count() == n_pages
