@@ -4,10 +4,29 @@ Serves the engine's query registry (mediawiki_to_notion_spark.operators):
 ``entry`` runs the flagship aggregate at sf0.001, ``queries`` /
 ``oracle_sql`` expose every implemented SURVEY.md §2 operator with its
 DuckDB oracle for the t2 correctness gate.
+
+The driver's correctness gate checks ~50 queries in dict order, so
+``queries()`` fronts everything not yet gate-confirmed and rotates the
+confirmed rest behind them — over rounds every registered query sweeps
+through the gate.  Confirmation state is read DYNAMICALLY from the
+``CORRECTNESS_r*.json`` files the driver leaves in the repo root, so the
+rotation maintains itself round over round:
+
+- confirmed = hash_match true in any round, or a completed rows-only
+  check (``no_oracle`` with a row count) for sketch/nondeterministic ops;
+- ``_RECHECK`` lists confirmed queries REWRITTEN since their last green
+  row (manual, per rewrite) — they re-enter the window until the latest
+  correctness file confirms them again, then drop out automatically;
+- ``_DEFER`` holds queries added after the current round's window filled,
+  kept just behind the rechecks so they don't displace them; once any
+  round confirms them the ordering is moot.
 """
 
 from __future__ import annotations
 
+import glob
+import json
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -16,38 +35,38 @@ from mediawiki_to_notion_spark.operators import ORACLES, QUERIES, load_all
 
 load_all()
 
-# Queries the driver's capped correctness gate already confirmed in round 1
-# (CORRECTNESS_r01.json).  The gate checks ~50 queries in dict order, so
-# ``queries()`` fronts everything NOT yet driver-confirmed — plus operators
-# rewritten since their last confirmation — and rotates the confirmed rest
-# behind them.  Over rounds this sweeps the whole registry through the gate.
-_CONFIRMED_R1 = {
-    "range_join_clicks_before_purchase", "similarity_ivf_probe",
-    "percentile_event_values", "pivot_priority_by_status",
-    "unpivot_charge_components", "time_bucket_rollup",
-    "window_range_frame_hourly", "stats_moments_lineitem",
-    "salted_join_orders_customer", "approx_percentile_sketch",
-    "dedup_exact_hash", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_fuzzy_levenshtein", "dedup_connected_components",
-    "multimodal_binary_stats", "multimodal_resize", "multimodal_frame_sample",
-    "multimodal_feature_extract", "markdown_block_explode",
-    "pipeline_prepare_convert", "scan_project_filter", "point_lookup",
-    "keyed_ordered_scan", "existence_probe", "time_range_scan",
-    "dim_broadcast_join", "fact_dim_join_agg", "semi_join_exists",
-    "anti_join_missing", "left_outer_null_side", "explode_pos_tokens",
-    "window_ordered_replay", "topk_per_group", "orderby_limit_topn",
-    "conditional_agg_status_counts", "pivot_type_by_user",
-    "rollup_hierarchy_counts", "cube_flag_status", "agg_pricing_summary",
-    "count_distinct_exact", "string_agg_ordered_fold", "set_union_keys",
-    "set_intersect_keys", "set_except_keys", "distinct_projection",
-    "union_all_metric_counters", "merge_upsert_semantics",
-}
-# Confirmed in r1 but rewritten since — need a fresh driver row.
-_RECHECK = ["dedup_simhash", "dedup_embedding_cosine",
-            "dedup_connected_components"]
-# Registered this round AFTER the ~50-query gate window filled; they are
-# locally oracle-checked now and rotate into the driver gate next round
-# (deferring them keeps the rewritten dedup queries inside the window).
+_HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def _confirmed() -> tuple[set[str], dict[str, int]]:
+    """(all-rounds confirmed, name → latest confirming round) from the
+    driver's CORRECTNESS files; missing/corrupt files are skipped."""
+    all_ok: set[str] = set()
+    last_round: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json"))):
+        try:
+            rnd = int(os.path.basename(path)[len("CORRECTNESS_r"):-len(".json")])
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if row.get("hash_match") or (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+            ):
+                all_ok.add(name)
+                last_round[name] = max(last_round.get(name, 0), rnd)
+    return all_ok, last_round
+
+
+# Confirmed earlier but rewritten since — need a fresh driver row.  The
+# value is the round the rewrite happened in: the entry expires on its
+# own once a correctness file from that round or later re-confirms it.
+_RECHECK = {"dedup_simhash": 2, "dedup_embedding_cosine": 2,
+            "dedup_connected_components": 2}
+# Added after the current round's ~50-query window filled; placed right
+# behind the rechecks (locally oracle-checked already).
 _DEFER = ["multimodal_feature_extract",  # upgraded rows-only -> oracled
           "corpus_filter_funnel", "lang_temperature_resample",
           "doc_length_histogram", "zorder_cluster_events",
@@ -63,10 +82,17 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, ordered so
     queries without a green driver correctness row come first."""
-    skip_fresh = set(_RECHECK) | set(_DEFER)
-    fresh = [n for n in QUERIES if n not in _CONFIRMED_R1 and n not in skip_fresh]
-    rest = [n for n in QUERIES if n in _CONFIRMED_R1 and n not in skip_fresh]
-    return {n: QUERIES[n] for n in (*fresh, *_RECHECK, *_DEFER, *rest)}
+    confirmed, last_round = _confirmed()
+    recheck = [
+        n for n, rewritten_in in _RECHECK.items()
+        if n in QUERIES and last_round.get(n, 0) < rewritten_in
+    ]
+    defer = [n for n in _DEFER
+             if n in QUERIES and n not in confirmed and n not in recheck]
+    front = set(recheck) | set(defer)
+    fresh = [n for n in QUERIES if n not in confirmed and n not in front]
+    rest = [n for n in QUERIES if n in confirmed and n not in front]
+    return {n: QUERIES[n] for n in (*fresh, *recheck, *defer, *rest)}
 
 
 def oracle_sql() -> dict[str, str]:
