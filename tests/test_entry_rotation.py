@@ -1,0 +1,66 @@
+"""The driver-gate rotation in __spark_entry__: unconfirmed queries
+front the ~50-query window, recheck entries expire when a round at or
+after their rewrite round re-confirms them, deferred queries rotate in
+once confirmed."""
+
+from __future__ import annotations
+
+import json
+
+import __spark_entry__ as ent
+
+
+def _fake_rounds(tmp_path, monkeypatch, rounds: dict[int, dict]) -> None:
+    for n, rows in rounds.items():
+        (tmp_path / f"CORRECTNESS_r{n:02d}.json").write_text(json.dumps(rows))
+    monkeypatch.setattr(ent, "_HERE", str(tmp_path))
+
+
+def test_unconfirmed_queries_front_the_window(tmp_path, monkeypatch):
+    some = list(ent.QUERIES)[:10]
+    _fake_rounds(tmp_path, monkeypatch, {
+        1: {n: {"hash_match": True} for n in some},
+    })
+    names = list(ent.queries())
+    assert set(names[-len(some):]) >= set(some) - set(ent._RECHECK) - set(ent._DEFER)
+    assert all(n not in some or n in ent._RECHECK or n in ent._DEFER
+               for n in names[:5])
+
+
+def test_recheck_expires_at_or_after_rewrite_round(tmp_path, monkeypatch):
+    target = next(iter(ent._RECHECK))
+    rewrite_round = ent._RECHECK[target]
+    first_defer = ent._DEFER[0]
+    # confirmation BEFORE the rewrite round does not expire the entry:
+    # the recheck slot sits AHEAD of the deferred queries
+    _fake_rounds(tmp_path, monkeypatch, {
+        rewrite_round - 1: {target: {"hash_match": True}},
+    })
+    names = list(ent.queries())
+    assert names.index(target) < names.index(first_defer)
+    # ... but a confirmation AT the rewrite round moves it to the
+    # confirmed tail, behind the defers
+    _fake_rounds(tmp_path, monkeypatch, {
+        rewrite_round - 1: {target: {"hash_match": True}},
+        rewrite_round: {target: {"hash_match": True}},
+    })
+    names = list(ent.queries())
+    assert names.index(target) > names.index(first_defer)
+
+
+def test_rows_only_counts_as_confirmed(tmp_path, monkeypatch):
+    name = "approx_percentile_sketch"  # rows-only by design
+    _fake_rounds(tmp_path, monkeypatch, {
+        1: {name: {"err": "no_oracle", "spark_rows": 5,
+                   "hash_match": None}},
+    })
+    names = list(ent.queries())
+    assert names.index(name) > len(names) // 2
+
+
+def test_no_correctness_files_means_everything_fresh(tmp_path, monkeypatch):
+    monkeypatch.setattr(ent, "_HERE", str(tmp_path))
+    names = list(ent.queries())
+    assert len(names) == len(ent.QUERIES)
+    # rechecks and defers keep their relative position even with no files
+    assert set(ent._RECHECK) | set(ent._DEFER) <= set(names)
