@@ -204,20 +204,26 @@ def _parse_splits(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 PARSE_CHUNK_ROWS = 1000
 
 
+MIN_SPLIT_BYTES = 1 << 20
+
+
+def _list_dump_files(path: str) -> list[str]:
+    if os.path.isdir(path):
+        # every regular file, regardless of extension — dump shards often
+        # ship without .xml suffixes, and the binaryFile source this
+        # replaced read them all
+        return sorted(
+            p for p in glob.glob(os.path.join(path, "*")) if os.path.isfile(p)
+        )
+    return sorted(glob.glob(path)) or [path]
+
+
 def plan_splits(path: str, split_bytes: int = DEFAULT_SPLIT_BYTES) -> list[dict]:
     """Driver-side split planning: glob → fixed byte ranges per file,
     each carrying the file's namespace map.  Local-filesystem I/O here;
     on a cluster the open()/getsize() calls swap for the object-store
     client with identical range semantics."""
-    if os.path.isdir(path):
-        # every regular file, regardless of extension — dump shards often
-        # ship without .xml suffixes, and the binaryFile source this
-        # replaced read them all
-        files = sorted(
-            p for p in glob.glob(os.path.join(path, "*")) if os.path.isfile(p)
-        )
-    else:
-        files = sorted(glob.glob(path)) or [path]
+    files = _list_dump_files(path)
     splits = []
     for p in files:
         size = os.path.getsize(p)
@@ -235,13 +241,26 @@ def plan_splits(path: str, split_bytes: int = DEFAULT_SPLIT_BYTES) -> list[dict]
 
 
 def read_dump(spark: SparkSession, path: str,
-              split_bytes: int = DEFAULT_SPLIT_BYTES) -> DataFrame:
+              split_bytes: int | None = None) -> DataFrame:
     """Dump file(s) → raw page rows (pages and uploads in one frame).
+
+    When ``split_bytes`` is not given it auto-tunes: small enough that
+    the dump spreads over ~2 tasks per core (a sub-64 MB dump must not
+    collapse to one task and serialize every downstream stage), floored
+    at {MIN_SPLIT_BYTES} so tasks aren't seek-dominated, capped at
+    {DEFAULT_SPLIT_BYTES}.
 
     page_id is content-addressed on (source file, byte offset of the
     page's ``<page>`` marker): unique, and stable across re-runs, task
     retries, and any choice of split size — unlike
     monotonically_increasing_id, whose values depend on partitioning."""
+    if split_bytes is None:
+        total = sum(os.path.getsize(p) for p in _list_dump_files(path))
+        target_tasks = spark.sparkContext.defaultParallelism * 2
+        split_bytes = min(
+            DEFAULT_SPLIT_BYTES,
+            max(MIN_SPLIT_BYTES, total // max(target_tasks, 1) or 1),
+        )
     splits = plan_splits(path, split_bytes)
     sdf = spark.createDataFrame(
         pd.DataFrame(splits, columns=["path", "start", "end", "ns_json"]),
