@@ -49,6 +49,8 @@ class _ScriptedHandler(BaseHTTPRequestHandler):
             statuses = srv.script.get(op_key, [])
             status = statuses[n] if n < len(statuses) else 200
         self.send_response(status)
+        if status == 429 and getattr(srv, "retry_after", None) is not None:
+            self.send_header("Retry-After", str(srv.retry_after))
         payload = json.dumps(
             {"ok": status == 200, "url": f"http://notion.fake/{op_key}"}
         ).encode()
@@ -95,6 +97,22 @@ def test_status_retries_exhausted_over_http(fake_api):
     assert exc.value.status == 502
     # 1 initial + 5 status retries — identical to the ScriptedTransport matrix
     assert srv.calls["block:b:0"] == 6
+
+
+def test_retry_after_header_respected(fake_api):
+    """A 429 carrying Retry-After must delay the retry by at least that
+    long (the API-politeness contract Notion relies on;
+    respect_retry_after_header in the reference policy)."""
+    import time
+
+    srv, base = fake_api
+    srv.script["block:ra:0"] = [429]
+    srv.retry_after = 1
+    client = NotionClient(HttpTransport(base), RateLimiter(0))
+    t0 = time.monotonic()
+    client.upload_block("ra", 0)
+    assert time.monotonic() - t0 >= 1.0
+    assert srv.calls["block:ra:0"] == 2
 
 
 def test_non_retryable_status_single_attempt(fake_api):
