@@ -43,7 +43,11 @@ class UploadConfig:
     transport: object
     max_blocks: int = 50          # per-invocation chunk (SSM MaxBlocks analogue)
     min_interval_s: float = 0.0   # rate-limit pacing between API calls
-    upload_parallelism: int = 1   # reference: ConcurrentAccessLimit=1
+    # reference: ConcurrentAccessLimit=1.  NOTE: the rate limiter paces
+    # each shard independently, so the AGGREGATE request rate is
+    # upload_parallelism / min_interval_s — scale min_interval_s with
+    # parallelism to hold a global API budget.
+    upload_parallelism: int = 1
 
 
 def _make_worker(cfg: UploadConfig):
