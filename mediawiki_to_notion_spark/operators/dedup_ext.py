@@ -1,0 +1,205 @@
+r"""Second-generation dedup operators (north-star extension).
+
+- ``dedup_duplicate_ngram_spans`` — the *exact-substring* dedup signal
+  of Lee et al., "Deduplicating Training Data Makes Language Models
+  Better" (2021), re-expressed relationally: instead of a suffix array,
+  hash every W-token sliding window, find window hashes shared by ≥2
+  documents, and report per-document duplicated-span coverage.
+- ``semantic_dedup_clustered`` — SemDeDup (Abbas et al., 2023):
+  k-means-style cluster assignment against a deterministic codebook,
+  then near-duplicate pairs *within* clusters only — the subquadratic
+  path to embedding-level dedup.
+
+Both are fully DuckDB-oracled (portable md5-based hashing, 6-dp rounded
+cosines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mediawiki_to_notion_spark.functions import hashing as H
+from mediawiki_to_notion_spark.functions import vectors as V
+from mediawiki_to_notion_spark.operators.registry import register
+from mediawiki_to_notion_spark.sources.tables import load_table
+
+SPAN_W = 8  # tokens per sliding window (Lee et al. use 50 BPE tokens)
+
+SEMDEDUP_K = 8  # codebook size (deterministic: the first K vectors)
+SEMDEDUP_THRESHOLD = 0.35
+
+
+@register(
+    "dedup_duplicate_ngram_spans",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t
+      FROM documents WHERE len(string_split(text, ' ')) >= {SPAN_W}
+    ), win AS (
+      SELECT doc_id, u.i AS p,
+             {H.token_hash60_sql(f"array_to_string(t[u.i+1 : u.i+{SPAN_W}], ' ')")} AS h
+      FROM toks, LATERAL (SELECT unnest(range(0, len(t) - {SPAN_W} + 1)) AS i) u
+    ), dup AS (
+      SELECT h FROM win GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ), dw AS (
+      SELECT w.doc_id, w.p FROM win w JOIN dup USING (h)
+    ), cov AS (
+      SELECT DISTINCT doc_id, u.tok_i
+      FROM dw, LATERAL (SELECT unnest(range(p, p + {SPAN_W})) AS tok_i) u
+    ), perdoc AS (
+      SELECT doc_id, len(t) AS n_tokens, len(t) - {SPAN_W} + 1 AS n_windows
+      FROM toks
+    )
+    SELECT perdoc.doc_id, n_tokens, n_windows,
+           coalesce(d.nw, 0) AS n_dup_windows,
+           coalesce(c.nt, 0) AS n_dup_tokens,
+           coalesce(c.nt, 0)::DOUBLE / n_tokens AS dup_token_fraction
+    FROM perdoc
+    LEFT JOIN (SELECT doc_id, count(*) AS nw FROM dw GROUP BY doc_id) d
+      ON perdoc.doc_id = d.doc_id
+    LEFT JOIN (SELECT doc_id, count(*) AS nt FROM cov GROUP BY doc_id) c
+      ON perdoc.doc_id = c.doc_id
+    """,
+)
+def dedup_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup signal: for every document, how much of it
+    is covered by {SPAN_W}-token windows that also occur verbatim in
+    another document (suffix-array dedup's relational twin; reference
+    corpus-prep parity: the hot duplicated wiki boilerplate of
+    FAQ.md:68 is exactly what this flags for span removal).
+
+    Scale shape: the window expansion is a narrow per-row transform
+    (array slices hashed to 60-bit ids — 8-byte shuffle keys); the
+    duplicated-hash set is one partial-agg shuffle keyed by h; the match
+    join is hash-equi on h; coverage re-expands only *duplicated*
+    windows (a small fraction of the corpus) before the final per-doc
+    agg.  Nothing is quadratic and no driver collection occurs."""
+    from mediawiki_to_notion_spark.plans.pipeline import ensure_parallelism
+
+    d = ensure_parallelism(load_table(spark, "documents", sf_dir))
+    toks = d.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= SPAN_W
+    )
+    win = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - SPAN_W),
+                lambda i: H.token_hash60(
+                    F.concat_ws(" ", F.slice("t", i + 1, SPAN_W))
+                ),
+            )
+        ).alias("p", "h"),
+    )
+    dup = (
+        win.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    dw = win.join(dup, "h").select("doc_id", "p")
+    cov = dw.select(
+        "doc_id", F.explode(F.sequence(F.col("p"), F.col("p") + SPAN_W - 1)).alias("tok_i")
+    ).distinct()
+    nw = dw.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nw"))
+    nt = cov.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nt"))
+    perdoc = toks.select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        (F.size("t") - SPAN_W + 1).alias("n_windows"),
+    )
+    return (
+        perdoc.join(nw, "doc_id", "left")
+        .join(nt, "doc_id", "left")
+        .select(
+            "doc_id", "n_tokens", "n_windows",
+            F.coalesce("nw", F.lit(0)).alias("n_dup_windows"),
+            F.coalesce("nt", F.lit(0)).alias("n_dup_tokens"),
+            (
+                F.coalesce("nt", F.lit(0)).cast("double") / F.col("n_tokens")
+            ).alias("dup_token_fraction"),
+        )
+    )
+
+
+_SEMDEDUP_ASSIGN_SQL = f"""
+    cent AS (
+      SELECT vec_id AS centroid_id, embedding AS c_emb
+      FROM embeddings WHERE vec_id < {SEMDEDUP_K}
+    ), assign_scored AS (
+      SELECT e.vec_id, e.embedding, c.centroid_id,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round(list_cosine_similarity(
+                 e.embedding::DOUBLE[], c.c_emb::DOUBLE[]), 6) DESC,
+                 c.centroid_id
+             ) AS rn
+      FROM embeddings e CROSS JOIN cent c
+    ), assigned AS (
+      SELECT vec_id, embedding, centroid_id FROM assign_scored WHERE rn = 1
+    )
+"""
+
+
+@register(
+    "semantic_dedup_clustered",
+    oracle=f"""
+    WITH {_SEMDEDUP_ASSIGN_SQL}
+    SELECT a.centroid_id AS cluster_id,
+           a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(
+             a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine_r
+    FROM assigned a JOIN assigned b
+      ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(
+            a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+          >= {SEMDEDUP_THRESHOLD}
+    """,
+)
+def semantic_dedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023): assign every embedding to its
+    nearest codebook centroid (deterministic codebook — the first
+    {SEMDEDUP_K} vectors — so the oracle shares it verbatim), then emit
+    near-duplicate pairs with cosine ≥ {SEMDEDUP_THRESHOLD} scored only
+    *within* a cluster.
+
+    Scale shape: the codebook is broadcast, so assignment is a map-side
+    cross join with an argmax window per vec (no shuffle of the big
+    side beyond the window's partition-by-vec, which AQE coalesces);
+    the pair join shuffles by centroid_id and is quadratic only in the
+    cluster size — with k sized so clusters are ~|corpus|/k, the work
+    is |corpus|²/k, the SemDeDup contract.  A skewed mega-cluster is
+    the known failure mode: cap it by raising k or sub-clustering
+    (documented, not hit on this codebook)."""
+    e = load_table(spark, "embeddings", sf_dir)
+    cent = e.filter(F.col("vec_id") < SEMDEDUP_K).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    )
+    from pyspark.sql import Window as W
+
+    scored = e.join(F.broadcast(cent)).select(
+        "vec_id", "embedding", "centroid_id",
+        F.round(V.cosine(F.col("embedding"), F.col("c_emb")), 6).alias("cos_c"),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("centroid_id"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "centroid_id")
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.centroid_id") == F.col("b.centroid_id"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.centroid_id").alias("cluster_id"),
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.round(V.cosine(F.col("a.embedding"), F.col("b.embedding")), 6).alias(
+            "cosine_r"
+        ),
+    )
+    return pairs.filter(F.col("cosine_r") >= SEMDEDUP_THRESHOLD)

@@ -40,6 +40,7 @@ def load_all() -> None:
         analytics_ext,
         corpus_quality,
         dedup,
+        dedup_ext,
         multimodal,
         pipeline_queries,
         relational,

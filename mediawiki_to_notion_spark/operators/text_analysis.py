@@ -280,6 +280,120 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+@register(
+    "keyword_search_bm25",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), dl AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+    ), corpus AS (
+      SELECT count(*) AS n_docs, sum(dl) AS total_tokens FROM dl
+    ), tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM tok
+      WHERE token IN {SEARCH_TERMS} GROUP BY doc_id, token
+    ), df AS (
+      SELECT token, count(*) AS df FROM tf GROUP BY token
+    ), idf AS (
+      SELECT token,
+             round(ln(1.0 + (c.n_docs - df + 0.5) / (df + 0.5)), 6) AS idf
+      FROM df CROSS JOIN corpus c
+    ), norm AS (
+      SELECT d.doc_id,
+             round(1.0 - {BM25_B} + {BM25_B} * d.dl * c.n_docs
+                   / c.total_tokens, 6) AS dlnorm
+      FROM dl d CROSS JOIN corpus c
+    ), scored AS (
+      SELECT t.doc_id,
+             SUM(CAST(round(i.idf * t.tf * (1.0 + {BM25_K1})
+                            / (t.tf + {BM25_K1} * n.dlnorm), 6)
+                      AS DECIMAL(18,6))) AS score_d,
+             count(*) AS n_terms_hit
+      FROM tf t JOIN idf i ON t.token = i.token
+                JOIN norm n ON t.doc_id = n.doc_id
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, CAST(score_d AS DOUBLE) AS score, n_terms_hit
+    FROM scored
+    ORDER BY score_d DESC, doc_id
+    LIMIT {SEARCH_TOP_K}
+    """,
+)
+def keyword_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval (Robertson/Spärck Jones; k1={BM25_K1}, b={BM25_B}):
+    top-{SEARCH_TOP_K} documents for the query terms {SEARCH_TERMS} under
+    the saturating-TF, length-normalized ranking function — the lexical
+    retriever a training pipeline pairs with dense similarity search.
+
+    Scale shape mirrors keyword_search_tfidf: the token stream is
+    filtered to the query terms before any shuffle (inverted-index
+    probe); document frequencies and the per-doc length norm are small
+    aggregates joined back by broadcast; the final top-k is a
+    TakeOrdered, no global sort.  Parity: the length norm uses the
+    exact integer ratio dl*n_docs/total_tokens (never a pre-divided
+    avgdl) and every per-term score is rounded to 6 dp then summed as
+    DECIMAL(18,6), the engine-exact pattern of the TF-IDF twin."""
+    d = load_table(spark, "documents", sf_dir)
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    # length is a scalar expression on the intact row — no explode, no shuffle
+    dl = d.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_tokens")
+    )
+    tf = (
+        tok.filter(F.col("token").isin(*SEARCH_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf = df_.crossJoin(F.broadcast(corpus)).select(
+        "token",
+        F.round(
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+            6,
+        ).alias("idf"),
+    )
+    norm = dl.crossJoin(F.broadcast(corpus)).select(
+        "doc_id",
+        F.round(
+            F.lit(1.0 - BM25_B)
+            + F.lit(BM25_B) * F.col("dl") * F.col("n_docs") / F.col("total_tokens"),
+            6,
+        ).alias("dlnorm"),
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "token")
+        .join(norm, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("idf") * F.col("tf") * F.lit(1.0 + BM25_K1)
+                    / (F.col("tf") + F.lit(BM25_K1) * F.col("dlnorm")),
+                    6,
+                ).cast("decimal(18,6)")
+            ).alias("score_d"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("score_d"), F.asc("doc_id"))
+        .limit(SEARCH_TOP_K)
+        .select(
+            "doc_id",
+            F.col("score_d").cast("double").alias("score"),
+            "n_terms_hit",
+        )
+    )
+
+
 @register(
     "text_unigram_logprob",
     oracle="""

@@ -285,3 +285,60 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("bucket") < F.col("keep_pct"))
         .drop("bucket")
     )
+
+
+N_SHARDS = 8  # training output shards (thousands at real scale)
+
+
+@register(
+    "training_shard_assignment",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             ('0x' || substr(md5('shard:' || doc_id), 1, 15))::BIGINT AS hh
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           hh % {N_SHARDS} AS shard_id,
+           row_number() OVER (
+             PARTITION BY hh % {N_SHARDS} ORDER BY hh, doc_id
+           ) AS pos_in_shard
+    FROM h
+    """,
+)
+def training_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global shuffle-and-shard for training output: every document gets
+    a content-addressed pseudo-random shard and a position inside it —
+    the "shuffle the corpus, write fixed shards" step before training
+    (reference workflow parity: the dump→pages explode feeds exactly
+    this kind of deterministic re-partitioning for downstream replay).
+
+    The shard id and intra-shard order both derive from a salted md5 of
+    the doc id, so the permutation is stable across re-runs, cluster
+    sizes, and input partitionings — no seed bookkeeping, no
+    `orderBy(rand())`.  Scale shape: one hash-partition shuffle on
+    shard_id (the write partitioning you want anyway) and a per-shard
+    sort for the position column; with shards sized to a few hundred MB
+    each, the sort is partition-local.  No global sort, no driver
+    state."""
+    d = load_table(spark, "documents", sf_dir)
+    hh = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("shard:"), F.col("doc_id"))), 1, 15),
+            16, 10,
+        ).cast("long")
+    )
+    from pyspark.sql import Window as W
+
+    base = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        hh.alias("hh"),
+        (hh % N_SHARDS).alias("shard_id"),
+    )
+    w = W.partitionBy("shard_id").orderBy("hh", "doc_id")
+    return base.select(
+        "doc_id", "n_tokens", "shard_id",
+        F.row_number().over(w).alias("pos_in_shard"),
+    )
