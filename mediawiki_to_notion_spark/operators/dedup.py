@@ -807,3 +807,78 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("component"),
         (F.col("doc_id") == F.col("label")).alias("is_representative"),
     )
+
+
+@register(
+    "dedup_survivorship",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_SQL},
+    {_MINHASH_SQL},
+    verified AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_common
+      FROM cands c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.h = a.h
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    dup_pairs AS (
+      SELECT v.doc_a, v.doc_b
+      FROM verified v
+      JOIN sizes x ON v.doc_a = x.doc_id JOIN sizes y ON v.doc_b = y.doc_id
+      WHERE n_common::DOUBLE / (x.n + y.n - n_common) >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM dup_pairs
+      UNION ALL SELECT doc_b, doc_a FROM dup_pairs
+    ),
+    reach(src, node) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    labels AS (
+      SELECT src AS doc_id, min(node) AS component FROM reach GROUP BY src
+    )
+    SELECT l.doc_id, l.component,
+           first_value(l.doc_id) OVER (
+             PARTITION BY l.component
+             ORDER BY d.n_chars DESC, l.doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS canonical_id,
+           l.doc_id = first_value(l.doc_id) OVER (
+             PARTITION BY l.component
+             ORDER BY d.n_chars DESC, l.doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS keep
+    FROM labels l JOIN documents d ON l.doc_id = d.doc_id
+    """,
+)
+def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivorship on top of connected components: within
+    every duplicate cluster, keep the *best* document (longest n_chars,
+    doc_id as the deterministic tiebreak) instead of the arbitrary
+    min-id — the policy real corpus dedup wants, since near-dup clusters
+    usually contain one full document plus truncated/boilerplate copies
+    (reference parity: process-mw-dump keeps the longest revision of a
+    page for the same reason).
+
+    Scale shape: the component labels come from the iterative CC loop
+    (its cost dominates); the canonical pick is ONE window over
+    component — a single extra shuffle, no joins against the corpus
+    beyond the n_chars lookup, no driver state."""
+    from pyspark.sql import Window as W
+
+    cc = dedup_connected_components(spark, sf_dir).select("doc_id", "component")
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "n_chars")
+    joined = cc.join(d, "doc_id")
+    w = (
+        W.partitionBy("component")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    canonical = F.first("doc_id").over(w)
+    return joined.select(
+        "doc_id", "component",
+        canonical.alias("canonical_id"),
+        (F.col("doc_id") == canonical).alias("keep"),
+    )

@@ -1,0 +1,140 @@
+r"""Graph operators over corpus-derived graphs (north-star extension).
+
+``pagerank_word_graph`` runs fixed-iteration PageRank over the word
+adjacency graph of the documents table — the iterative-algorithm
+showcase (link-analysis shape: rank wiki pages by their link graph,
+reference FAQ's inter-page link structure) expressed as DataFrame joins
+with an *exactly* matching SQL oracle.
+
+Floating-point PageRank cannot hash-match across engines (summation
+order changes the last ulp), so ranks are scaled integers: rank_0 =
+SCALE//N and every update uses only integer multiply / floor-divide /
+mod — bit-identical in Spark and DuckDB at any parallelism, because
+integer arithmetic is associative and exact.  The per-edge share
+``(r//out)*w + ((r%out)*w)//out`` is the overflow-safe decomposition of
+``r*w//out`` (never forms the full r*w product).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mediawiki_to_notion_spark.operators.registry import register
+from mediawiki_to_notion_spark.sources.tables import load_table
+
+PR_SCALE = 1_000_000_000_000  # ranks are fractions of this (10^12)
+PR_ITERS = 3
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # damping d = 0.85 as a ratio
+
+
+def _pagerank_oracle() -> str:
+    iters = []
+    prev = "r0"
+    for k in range(1, PR_ITERS + 1):
+        iters.append(f"""
+    it{k} AS (
+      SELECT n.token,
+             (SELECT ({PR_DAMP_DEN - PR_DAMP_NUM} * {PR_SCALE})
+                     // ({PR_DAMP_DEN} * n) FROM nn)
+             + ({PR_DAMP_NUM} * coalesce(s.s, 0)) // {PR_DAMP_DEN} AS rank
+      FROM nodes n LEFT JOIN (
+        SELECT e.b AS token,
+               sum((r.rank // o.out_w) * e.w
+                   + ((r.rank % o.out_w) * e.w) // o.out_w)::BIGINT AS s
+        FROM {prev} r JOIN edges e ON r.token = e.a JOIN outw o ON e.a = o.a
+        GROUP BY e.b
+      ) s ON n.token = s.token
+    )""")
+        prev = f"it{k}"
+    return f"""
+    WITH tokall AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    nodes AS (SELECT DISTINCT token FROM tokall WHERE token != ''),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    toks AS (
+      SELECT string_split(text, ' ') AS t
+      FROM documents WHERE len(string_split(text, ' ')) >= 2
+    ),
+    adj AS (
+      SELECT t[u.i+1] AS a, t[u.i+2] AS b
+      FROM toks, LATERAL (SELECT unnest(range(0, len(t) - 1)) AS i) u
+      WHERE t[u.i+1] != '' AND t[u.i+2] != ''
+    ),
+    edges AS (SELECT a, b, count(*) AS w FROM adj GROUP BY a, b),
+    outw AS (SELECT a, sum(w)::BIGINT AS out_w FROM edges GROUP BY a),
+    r0 AS (
+      SELECT token, (SELECT {PR_SCALE} // n FROM nn) AS rank FROM nodes
+    ),
+    {','.join(iters)}
+    SELECT token, rank FROM {prev}
+    """
+
+
+@register("pagerank_word_graph", oracle=_pagerank_oracle())
+def pagerank_word_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank({PR_ITERS} iterations, d=0.85) over the word-adjacency
+    graph: nodes are distinct tokens, an edge a→b with weight w means
+    token b followed token a w times.  Dangling mass (tokens that only
+    ever end a document) evaporates, identically in both engines.
+
+    Scale shape: edge build is one partial-agg shuffle keyed (a, b);
+    each iteration is an equi-join of the rank vector with the edge
+    list plus one partial-agg shuffle keyed by destination — the
+    standard Pregel-as-DataFrames plan, O(E) per round with no driver
+    data movement (only the vocabulary count, computed once).  Lineage
+    is truncated per round via localCheckpoint exactly like the CC
+    loop."""
+    from mediawiki_to_notion_spark.plans.pipeline import ensure_parallelism
+
+    d = ensure_parallelism(load_table(spark, "documents", sf_dir))
+    tokall = d.select(F.explode(F.split("text", " ")).alias("token")).filter(
+        F.col("token") != ""
+    )
+    nodes = tokall.distinct()
+    n = nodes.count()
+
+    toks = d.select(F.split("text", " ").alias("t")).filter(F.size("t") >= 2)
+    adj = (
+        toks.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - 2),
+                    lambda i: F.struct(
+                        F.element_at(F.col("t"), i + 1).alias("a"),
+                        F.element_at(F.col("t"), i + 2).alias("b"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
+        .filter((F.col("a") != "") & (F.col("b") != ""))
+    )
+    edges = adj.groupBy("a", "b").agg(F.count(F.lit(1)).alias("w"))
+    outw = edges.groupBy("a").agg(F.sum("w").alias("out_w"))
+    edges = edges.join(outw, "a").cache()
+
+    teleport = ((PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE) // (PR_DAMP_DEN * n)
+    ranks = nodes.select("token", F.lit(PR_SCALE // n).alias("rank"))
+    for _ in range(PR_ITERS):
+        shares = (
+            ranks.join(edges, ranks.token == edges.a)
+            .select(
+                F.col("b").alias("token"),
+                F.expr(
+                    "(rank div out_w) * w + ((rank % out_w) * w) div out_w"
+                ).alias("share"),
+            )
+            .groupBy("token")
+            .agg(F.sum("share").alias("s"))
+        )
+        ranks = nodes.join(shares, "token", "left").select(
+            "token",
+            F.expr(
+                f"{teleport}L + ({PR_DAMP_NUM} * coalesce(s, 0L)) "
+                f"div {PR_DAMP_DEN}"
+            ).alias("rank"),
+        )
+        ranks = ranks.localCheckpoint(eager=False)
+    return ranks

@@ -41,6 +41,7 @@ def load_all() -> None:
         corpus_quality,
         dedup,
         dedup_ext,
+        graph_ops,
         multimodal,
         pipeline_queries,
         relational,
