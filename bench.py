@@ -53,6 +53,12 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_embedding_cosine_lsh",
     "dedup_minhash_incremental",
+    "keyword_search_bm25",
+    "dedup_duplicate_ngram_spans",
+    "semantic_dedup_clustered",
+    "training_shard_assignment",
+    "dedup_survivorship",
+    "pagerank_word_graph",
 ]
 
 

@@ -560,3 +560,75 @@ def zorder_cluster_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"({_Z_SPARK}) * {ZORDER_FILES} div {1 << (2 * ZORDER_BITS)}")
         .alias("zfile"),
     )
+
+
+@register(
+    "event_funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS view_ts FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS click_ts
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.view_ts
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS purchase_ts
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.click_ts
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT v.user_id,
+           epoch_ms(v.view_ts) AS view_ms,
+           epoch_ms(c.click_ts) AS click_ms,
+           epoch_ms(p.purchase_ts) AS purchase_ms,
+           1 + CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END
+             + CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END AS funnel_stage
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis: per user, the first view, the first
+    click strictly *after* that view, and the first purchase strictly
+    after that click — the sequential-pattern query behind conversion
+    dashboards (and behind multi-step pipeline-progress reporting, the
+    reference's page-status dashboard generalized to ordered stages).
+
+    Scale shape: each stage is a pre-filtered partial-agg (min) keyed
+    by user_id, and every join keys on user_id too — the exchanges all
+    share one partitioning, so Spark reuses the shuffle layout instead
+    of re-partitioning between stages.  No windows over the raw event
+    stream, no driver state."""
+    e = load_table(spark, "events", sf_dir)
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("view_ts"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("view_ts"))
+        .groupBy("user_id").agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("click_ts"))
+        .groupBy("user_id").agg(F.min("ts").alias("purchase_ts"))
+    )
+    stage = (
+        F.lit(1)
+        + F.when(F.col("click_ts").isNull(), 0).otherwise(1)
+        + F.when(F.col("purchase_ts").isNull(), 0).otherwise(1)
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.unix_millis("view_ts").alias("view_ms"),
+            F.unix_millis("click_ts").alias("click_ms"),
+            F.unix_millis("purchase_ts").alias("purchase_ms"),
+            stage.alias("funnel_stage"),
+        )
+    )

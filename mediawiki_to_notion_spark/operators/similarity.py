@@ -225,3 +225,86 @@ def _register_recall_oracle() -> None:
 
 
 _register_recall_oracle()
+
+
+PQ_M = 8        # subspaces
+PQ_DSUB = 8     # dims per subspace (8 x 8 = 64-dim embeddings)
+PQ_K = 16       # centroids per subspace codebook (vec_id < 16)
+
+
+@register(
+    "similarity_pq_encode",
+    oracle=f"""
+    WITH cb AS (
+      SELECT c.vec_id AS centroid_id, u.j,
+             (c.embedding::DOUBLE[])[u.j*{PQ_DSUB}+1 : u.j*{PQ_DSUB}+{PQ_DSUB}]
+               AS c_sub
+      FROM embeddings c,
+           LATERAL (SELECT unnest(range(0, {PQ_M})) AS j) u
+      WHERE c.vec_id < {PQ_K}
+    ), vs AS (
+      SELECT e.vec_id, u.j,
+             (e.embedding::DOUBLE[])[u.j*{PQ_DSUB}+1 : u.j*{PQ_DSUB}+{PQ_DSUB}]
+               AS v_sub
+      FROM embeddings e,
+           LATERAL (SELECT unnest(range(0, {PQ_M})) AS j) u
+    ), scored AS (
+      SELECT v.vec_id, v.j, cb.centroid_id,
+             row_number() OVER (
+               PARTITION BY v.vec_id, v.j
+               ORDER BY round(list_cosine_similarity(v.v_sub, cb.c_sub), 6)
+                 DESC, cb.centroid_id
+             ) AS rn
+      FROM vs v JOIN cb ON v.j = cb.j
+    )
+    SELECT vec_id,
+           {', '.join(
+               f"max(CASE WHEN j = {j} THEN centroid_id END) AS code{j}"
+               for j in range(PQ_M)
+           )}
+    FROM scored WHERE rn = 1 GROUP BY vec_id
+    """,
+)
+def similarity_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jégou et al., IVF-PQ's compression half):
+    split every {PQ_M * PQ_DSUB}-dim embedding into {PQ_M} sub-vectors
+    and replace each with the id of its nearest codebook centroid
+    (deterministic codebook: the first {PQ_K} vectors, cosine metric —
+    the inner-product quantizer), compressing each vector to {PQ_M}
+    byte-sized codes for ADC scanning.
+
+    Scale shape: the codebook ({PQ_K}×{PQ_M} sub-vectors) broadcasts, so
+    scoring is a map-side equi-join on the subspace index — the big side
+    is exploded ×{PQ_M} but never shuffled until the argmin window keyed
+    (vec_id, j), which WindowGroupLimit prunes to the top row before the
+    exchange; the final pivot is one partial-agg groupBy.  No pair of
+    data vectors is ever compared."""
+    e = load_table(spark, "embeddings", sf_dir)
+    emb_d = V.to_double_array(F.col("embedding"))
+    subs = F.transform(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        lambda j: F.slice(emb_d, j * PQ_DSUB + 1, PQ_DSUB),
+    )
+    cb = (
+        e.filter(F.col("vec_id") < PQ_K)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.posexplode(subs).alias("j", "c_sub"),
+        )
+    )
+    vs = e.select("vec_id", F.posexplode(subs).alias("j", "v_sub"))
+    scored = vs.join(F.broadcast(cb), "j").select(
+        "vec_id", "j", "centroid_id",
+        F.round(V.cosine(F.col("v_sub"), F.col("c_sub")), 6).alias("sim"),
+    )
+    w = W.partitionBy("vec_id", "j").orderBy(F.desc("sim"), F.asc("centroid_id"))
+    codes = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return codes.groupBy("vec_id").agg(
+        *[
+            F.max(F.when(F.col("j") == j, F.col("centroid_id"))).alias(f"code{j}")
+            for j in range(PQ_M)
+        ]
+    )

@@ -450,3 +450,98 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_logprob"),
         )
     )
+
+
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 50
+
+
+@register(
+    "text_bigram_pmi",
+    oracle=f"""
+    WITH toks AS (
+      SELECT string_split(text, ' ') AS t
+      FROM documents WHERE len(string_split(text, ' ')) >= 2
+    ), adj AS (
+      SELECT t[u.i+1] AS a, t[u.i+2] AS b
+      FROM toks, LATERAL (SELECT unnest(range(0, len(t) - 1)) AS i) u
+      WHERE t[u.i+1] != '' AND t[u.i+2] != ''
+    ), big AS (
+      SELECT a, b, count(*) AS n_ab FROM adj GROUP BY a, b
+    ), tot_b AS (SELECT sum(n_ab)::BIGINT AS bt FROM big),
+    uni AS (
+      SELECT token, count(*) AS n FROM (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+      ) WHERE token != '' GROUP BY token
+    ), tot_u AS (SELECT sum(n)::BIGINT AS ut FROM uni)
+    SELECT g.a, g.b, g.n_ab,
+           round(ln((g.n_ab::DOUBLE * ut * ut) / (bt::DOUBLE * x.n * y.n)), 6)
+             AS pmi
+    FROM big g
+    JOIN uni x ON g.a = x.token JOIN uni y ON g.b = y.token
+    CROSS JOIN tot_b CROSS JOIN tot_u
+    WHERE g.n_ab >= {PMI_MIN_COUNT}
+    ORDER BY pmi DESC, g.a, g.b
+    LIMIT {PMI_TOP_K}
+    """,
+)
+def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-{PMI_TOP_K} adjacent-token bigrams by
+    pointwise mutual information, ln(p(ab)/(p(a)p(b))), with a
+    min-count floor of {PMI_MIN_COUNT} — the statistic behind tokenizer
+    merge candidates and multi-word-expression detection.
+
+    Scale shape: ONE partial-agg shuffle builds the bigram counts, the
+    unigram table joins in by broadcast (vocabulary ≪ corpus; swap for
+    a shuffle join at web-vocab scale), the totals are scalar
+    broadcasts, and the final top-k is a TakeOrdered.  Parity: the PMI
+    ratio is formed in one double expression with identical association
+    order in both engines, then rounded to 6 dp."""
+    from mediawiki_to_notion_spark.plans.pipeline import ensure_parallelism
+
+    d = ensure_parallelism(load_table(spark, "documents", sf_dir))
+    toks = d.select(F.split("text", " ").alias("t")).filter(F.size("t") >= 2)
+    adj = (
+        toks.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - 2),
+                    lambda i: F.struct(
+                        F.element_at(F.col("t"), i + 1).alias("a"),
+                        F.element_at(F.col("t"), i + 2).alias("b"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
+        .filter((F.col("a") != "") & (F.col("b") != ""))
+    )
+    big = adj.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab"))
+    uni = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot_b = big.agg(F.sum("n_ab").alias("bt"))
+    tot_u = uni.agg(F.sum("n").alias("ut"))
+    scored = (
+        big.filter(F.col("n_ab") >= PMI_MIN_COUNT)
+        .join(F.broadcast(uni.select(F.col("token").alias("a"),
+                                     F.col("n").alias("n_a"))), "a")
+        .join(F.broadcast(uni.select(F.col("token").alias("b"),
+                                     F.col("n").alias("n_b"))), "b")
+        .crossJoin(F.broadcast(tot_b))
+        .crossJoin(F.broadcast(tot_u))
+        .select(
+            "a", "b", "n_ab",
+            F.round(
+                F.log(
+                    (F.col("n_ab").cast("double") * F.col("ut") * F.col("ut"))
+                    / (F.col("bt").cast("double") * F.col("n_a") * F.col("n_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), F.asc("a"), F.asc("b")).limit(PMI_TOP_K)

@@ -180,3 +180,48 @@ def test_unigram_logprob_broadcasts_vocab(spark):
     plan = plan_of(spark, "text_unigram_logprob")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bm25_probes_before_shuffle_and_takes_ordered(spark):
+    """BM25 must filter the token stream to the query terms *before* any
+    shuffle (inverted-index probe) and plan the top-k as TakeOrdered."""
+    plan = plan_of(spark, "keyword_search_bm25")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_span_dedup_is_equi_join_only(spark):
+    """The duplicated-window match must be a hash equi-join on the
+    window hash — never a nested-loop pair comparison."""
+    plan = plan_of(spark, "dedup_duplicate_ngram_spans")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_broadcasts_codebook_and_blocks_pairs(spark):
+    """SemDeDup: codebook assignment broadcasts (map-side); the pair
+    join is an equi-join on centroid_id, not all-pairs."""
+    plan = plan_of(spark, "semantic_dedup_clustered")
+    assert "CartesianProduct" not in plan
+    # the vec×vec pair stage must key on the cluster — a nested-loop
+    # there would be the quadratic shape SemDeDup exists to avoid.  The
+    # only nested loops allowed are the K-row codebook broadcasts (one
+    # per self-join branch); the pair join itself must be keyed.
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert "SortMergeJoin [centroid_id" in plan or "ShuffledHashJoin [centroid_id" in plan
+
+
+def test_shard_assignment_single_shuffle(spark):
+    """Shard assignment is one hash-partition shuffle (the window's
+    partition-by) — no global sort, no extra exchanges."""
+    plan = plan_of(spark, "training_shard_assignment")
+    assert "Exchange rangepartitioning" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_pagerank_iteration_is_equi_join(spark):
+    """Every PageRank round must join rank⋈edges by key and aggregate
+    with a partial phase — no nested loops anywhere in the loop."""
+    plan = plan_of(spark, "pagerank_word_graph")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
