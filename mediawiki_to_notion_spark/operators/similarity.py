@@ -232,10 +232,42 @@ PQ_DSUB = 8     # dims per subspace (8 x 8 = 64-dim embeddings)
 PQ_K = 16       # centroids per subspace codebook (vec_id < 16)
 
 
-@register(
-    "similarity_pq_encode",
-    oracle=f"""
-    WITH cb AS (
+def _pq_subvectors() -> F.Column:
+    """Array of {PQ_M} double sub-vectors sliced from `embedding`."""
+    emb_d = V.to_double_array(F.col("embedding"))
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        lambda j: F.slice(emb_d, j * PQ_DSUB + 1, PQ_DSUB),
+    )
+
+
+def _pq_subcodebook(e: DataFrame) -> DataFrame:
+    """(centroid_id, j, c_sub) — the per-subspace codebook rows."""
+    return e.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.posexplode(_pq_subvectors()).alias("j", "c_sub"),
+    )
+
+
+def _pq_codes(e: DataFrame) -> DataFrame:
+    """(vec_id, j, code): nearest sub-centroid per subspace, cosine
+    metric, deterministic tiebreak — the Spark twin of pq_codes."""
+    cb = _pq_subcodebook(e)
+    vs = e.select("vec_id", F.posexplode(_pq_subvectors()).alias("j", "v_sub"))
+    scored = vs.join(F.broadcast(cb), "j").select(
+        "vec_id", "j", "centroid_id",
+        F.round(V.cosine(F.col("v_sub"), F.col("c_sub")), 6).alias("sim"),
+    )
+    w = W.partitionBy("vec_id", "j").orderBy(F.desc("sim"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "j", F.col("centroid_id").alias("code"))
+    )
+
+
+_PQ_CODES_SQL = f"""
+    cb AS (
       SELECT c.vec_id AS centroid_id, u.j,
              (c.embedding::DOUBLE[])[u.j*{PQ_DSUB}+1 : u.j*{PQ_DSUB}+{PQ_DSUB}]
                AS c_sub
@@ -248,7 +280,7 @@ PQ_K = 16       # centroids per subspace codebook (vec_id < 16)
                AS v_sub
       FROM embeddings e,
            LATERAL (SELECT unnest(range(0, {PQ_M})) AS j) u
-    ), scored AS (
+    ), pq_scored AS (
       SELECT v.vec_id, v.j, cb.centroid_id,
              row_number() OVER (
                PARTITION BY v.vec_id, v.j
@@ -256,13 +288,22 @@ PQ_K = 16       # centroids per subspace codebook (vec_id < 16)
                  DESC, cb.centroid_id
              ) AS rn
       FROM vs v JOIN cb ON v.j = cb.j
+    ), pq_codes AS (
+      SELECT vec_id, j, centroid_id AS code FROM pq_scored WHERE rn = 1
     )
+"""
+
+
+@register(
+    "similarity_pq_encode",
+    oracle=f"""
+    WITH {_PQ_CODES_SQL}
     SELECT vec_id,
            {', '.join(
-               f"max(CASE WHEN j = {j} THEN centroid_id END) AS code{j}"
+               f"max(CASE WHEN j = {j} THEN code END) AS code{j}"
                for j in range(PQ_M)
            )}
-    FROM scored WHERE rn = 1 GROUP BY vec_id
+    FROM pq_codes GROUP BY vec_id
     """,
 )
 def similarity_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -280,31 +321,80 @@ def similarity_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange; the final pivot is one partial-agg groupBy.  No pair of
     data vectors is ever compared."""
     e = load_table(spark, "embeddings", sf_dir)
-    emb_d = V.to_double_array(F.col("embedding"))
-    subs = F.transform(
-        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
-        lambda j: F.slice(emb_d, j * PQ_DSUB + 1, PQ_DSUB),
-    )
-    cb = (
-        e.filter(F.col("vec_id") < PQ_K)
-        .select(
-            F.col("vec_id").alias("centroid_id"),
-            F.posexplode(subs).alias("j", "c_sub"),
-        )
-    )
-    vs = e.select("vec_id", F.posexplode(subs).alias("j", "v_sub"))
-    scored = vs.join(F.broadcast(cb), "j").select(
-        "vec_id", "j", "centroid_id",
-        F.round(V.cosine(F.col("v_sub"), F.col("c_sub")), 6).alias("sim"),
-    )
-    w = W.partitionBy("vec_id", "j").orderBy(F.desc("sim"), F.asc("centroid_id"))
-    codes = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-    )
+    codes = _pq_codes(e)
     return codes.groupBy("vec_id").agg(
         *[
-            F.max(F.when(F.col("j") == j, F.col("centroid_id"))).alias(f"code{j}")
+            F.max(F.when(F.col("j") == j, F.col("code"))).alias(f"code{j}")
             for j in range(PQ_M)
         ]
+    )
+
+
+PQ_QUERIES = 5   # query vectors: vec_id < 5
+PQ_TOP_K = 10
+
+
+@register(
+    "similarity_pq_adc",
+    oracle=f"""
+    WITH {_PQ_CODES_SQL},
+    lut AS (
+      SELECT q.vec_id AS query_id, q.j, cb.centroid_id AS code,
+             round(list_cosine_similarity(q.v_sub, cb.c_sub), 6) AS sim
+      FROM vs q JOIN cb ON q.j = cb.j
+      WHERE q.vec_id < {PQ_QUERIES}
+    ), adc AS (
+      SELECT l.query_id, c.vec_id,
+             CAST(sum(CAST(l.sim AS DECIMAL(18,6))) AS DOUBLE) AS score
+      FROM pq_codes c JOIN lut l ON c.j = l.j AND c.code = l.code
+      WHERE c.vec_id != l.query_id
+      GROUP BY l.query_id, c.vec_id
+    ), ranked AS (
+      SELECT query_id, vec_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, vec_id) AS rn
+      FROM adc
+    )
+    SELECT query_id, vec_id, score FROM ranked WHERE rn <= {PQ_TOP_K}
+    """,
+)
+def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric distance computation over PQ codes (the query half of
+    IVF-PQ): each query builds a {PQ_M}×{PQ_K} lookup table of
+    sub-vector similarities against the codebook, and every database
+    vector is scored by summing {PQ_M} table lookups addressed by its
+    codes — the compressed-domain scan that never touches the original
+    vectors.
+
+    Scale shape: the LUT ({PQ_QUERIES}×{PQ_M}×{PQ_K} rows) broadcasts,
+    so scoring is a map-side equi-join on (j, code) over the codes
+    table followed by one partial-agg shuffle keyed (query_id, vec_id);
+    top-k is a per-query window.  Exact-sum parity: per-lookup sims are
+    6-dp rounded then summed as DECIMAL(18,6)."""
+    e = load_table(spark, "embeddings", sf_dir)
+    codes = _pq_codes(e)
+    cb = _pq_subcodebook(e)
+    qs = e.filter(F.col("vec_id") < PQ_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.posexplode(_pq_subvectors()).alias("j", "q_sub"),
+    )
+    lut = qs.join(F.broadcast(cb), "j").select(
+        "query_id", "j",
+        F.col("centroid_id").alias("code"),
+        F.round(V.cosine(F.col("q_sub"), F.col("c_sub")), 6).alias("sim"),
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["j", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.sum(F.col("sim").cast("decimal(18,6)"))
+            .cast("double").alias("score")
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PQ_TOP_K)
+        .drop("rn")
     )
