@@ -77,6 +77,7 @@ def main() -> None:
     for name in names:
         QUERIES[name](spark, "/root/testdata/sf0.001") \
             .write.mode("overwrite").format("noop").save()
+        spark.catalog.clearCache()
     # two timed runs per query, report the best: single-run numbers on a
     # shared box are GC/scheduling noise; the min is the steady-state a
     # cluster job sustains (both runs execute the full plan — noop sink,
@@ -90,6 +91,12 @@ def main() -> None:
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
+        # drop caches the query pinned for its own iteration/reuse (CC
+        # labels, PageRank edges, checkpoint blocks): each headline query
+        # models an independent job, and without this the abandoned
+        # blocks of 30+ queries x 3 executions pile up in the block
+        # manager and GC-throttle everything that runs later
+        spark.catalog.clearCache()
 
     out = {
         "metric": "headline_query_wall_total",

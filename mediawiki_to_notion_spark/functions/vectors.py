@@ -50,3 +50,26 @@ def hyperplane_sql(j: int, dim: int = 64) -> str:
         f"list_transform(range(0, {dim}), k -> "
         f"((({j * dim} + k) * 2654435761) % 2147483648) / 2147483648.0 - 0.5)"
     )
+
+
+def np_fold_dots(A, B):
+    """Pairwise dot products with *dimension-sequential* accumulation —
+    the same left-fold order as the engines' `aggregate(zip_with(...))`,
+    so results are bit-identical to the JVM/DuckDB folds (a BLAS matmul
+    would differ in the last ulp and break 6-dp-rounded parity)."""
+    import numpy as np
+
+    acc = np.zeros((A.shape[0], B.shape[0]))
+    for k in range(A.shape[1]):
+        acc += np.multiply.outer(A[:, k], B[:, k])
+    return acc
+
+
+def np_fold_sq(A):
+    """Row-wise squared norms, dimension-sequential (see np_fold_dots)."""
+    import numpy as np
+
+    acc = np.zeros(A.shape[0])
+    for k in range(A.shape[1]):
+        acc += A[:, k] * A[:, k]
+    return acc

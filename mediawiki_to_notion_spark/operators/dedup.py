@@ -747,9 +747,14 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE.)"""
     d = load_table(spark, "documents", sf_dir).select("doc_id")
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    # eager localCheckpoint, not cache(): a cached edge list still hangs
+    # the ENTIRE minhash-LSH lineage under every round's plan, and the
+    # per-round Catalyst re-optimization of that growing tree becomes
+    # the driver-side bottleneck (measured: 2-3x wall variance at
+    # sf0.1).  Checkpointing makes edges a leaf scan for all rounds.
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).withColumnsRenamed({"doc_a": "src", "doc_b": "dst"}).cache()
+    ).withColumnsRenamed({"doc_a": "src", "doc_b": "dst"}).localCheckpoint()
 
     # iterate ONLY the edge-induced subgraph: isolated documents (the
     # overwhelming majority of a deduplicated corpus) keep label=doc_id
@@ -797,7 +802,8 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"connected components did not converge within {CC_MAX_ITERS} "
             f"rounds ({changed} labels still changing)"
         )
-    edges.unpersist()
+    # (checkpointed edge blocks are freed by the ContextCleaner when the
+    # RDD is collected; callers that loop should clearCache per job)
     # graft isolated documents back in as their own singleton components
     full = d.join(labels, "doc_id", "left").select(
         "doc_id", F.coalesce("label", "doc_id").alias("label")

@@ -26,7 +26,7 @@ from mediawiki_to_notion_spark.sources.tables import load_table
 
 SPAN_W = 8  # tokens per sliding window (Lee et al. use 50 BPE tokens)
 
-SEMDEDUP_K = 8  # codebook size (deterministic: the first K vectors)
+SEMDEDUP_K = 16  # codebook size (deterministic: the first K vectors)
 SEMDEDUP_THRESHOLD = 0.35
 
 
@@ -167,11 +167,12 @@ def semantic_dedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the codebook is broadcast, so assignment is a map-side
     cross join with an argmax window per vec (no shuffle of the big
     side beyond the window's partition-by-vec, which AQE coalesces);
-    the pair join shuffles by centroid_id and is quadratic only in the
-    cluster size — with k sized so clusters are ~|corpus|/k, the work
-    is |corpus|²/k, the SemDeDup contract.  A skewed mega-cluster is
-    the known failure mode: cap it by raising k or sub-clustering
-    (documented, not hit on this codebook)."""
+    pair scoring shuffles ONCE by centroid_id and runs one vectorized
+    Arrow tile per cluster, quadratic only in the cluster size — with
+    k sized so clusters are ~|corpus|/k, the work is |corpus|²/k, the
+    SemDeDup contract.  A skewed mega-cluster is the known failure
+    mode: cap it by raising k or sub-clustering (documented, not hit
+    on this codebook)."""
     e = load_table(spark, "embeddings", sf_dir)
     cent = e.filter(F.col("vec_id") < SEMDEDUP_K).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
@@ -188,18 +189,37 @@ def semantic_dedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "embedding", "centroid_id")
     )
-    a = assigned.alias("a")
-    b = assigned.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.centroid_id") == F.col("b.centroid_id"))
-        & (F.col("a.vec_id") < F.col("b.vec_id")),
-    ).select(
-        F.col("a.centroid_id").alias("cluster_id"),
-        F.col("a.vec_id").alias("vec_a"),
-        F.col("b.vec_id").alias("vec_b"),
-        F.round(V.cosine(F.col("a.embedding"), F.col("b.embedding")), 6).alias(
-            "cosine_r"
-        ),
+    # within-cluster pair scoring: one Arrow batch per cluster, scored
+    # as a vectorized tile with dimension-sequential folds (bit-parity
+    # with the SQL cosine, ~100x the per-row JVM lambda fold) — the
+    # same kernel as dedup_embedding_cosine_lsh's verify stage
+    import numpy as np
+    import pandas as pd
+
+    prefilter = SEMDEDUP_THRESHOLD - 1e-6
+
+    def pair_tile(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if len(pdf) < 2:
+            return pd.DataFrame({"cluster_id": [], "vec_a": [], "vec_b": [],
+                                 "cosine": []})
+        E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        cos = V.np_fold_dots(E, E)
+        nrm = np.sqrt(V.np_fold_sq(E))
+        cos /= np.multiply.outer(nrm, nrm)
+        ia, ib = np.nonzero((ids[:, None] < ids[None, :]) & (cos >= prefilter))
+        return pd.DataFrame({
+            "cluster_id": pdf["centroid_id"].iloc[0],
+            "vec_a": ids[ia], "vec_b": ids[ib], "cosine": cos[ia, ib],
+        })
+
+    tiles = assigned.groupBy("centroid_id").applyInPandas(
+        pair_tile, "cluster_id BIGINT, vec_a BIGINT, vec_b BIGINT, cosine DOUBLE"
     )
-    return pairs.filter(F.col("cosine_r") >= SEMDEDUP_THRESHOLD)
+    return (
+        tiles.select(
+            "cluster_id", "vec_a", "vec_b",
+            F.round(F.col("cosine"), 6).alias("cosine_r"),
+        )
+        .filter(F.col("cosine_r") >= SEMDEDUP_THRESHOLD)
+    )

@@ -92,7 +92,11 @@ def pagerank_word_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokall = d.select(F.explode(F.split("text", " ")).alias("token")).filter(
         F.col("token") != ""
     )
-    nodes = tokall.distinct()
+    # eager checkpoints: nodes and edges are re-referenced every round,
+    # and a cached DF would still carry the full tokenize/agg lineage
+    # into each round's plan — leaf scans keep per-round Catalyst work
+    # flat (see dedup_connected_components for the measured rationale)
+    nodes = tokall.distinct().localCheckpoint()
     n = nodes.count()
 
     toks = d.select(F.split("text", " ").alias("t")).filter(F.size("t") >= 2)
@@ -113,7 +117,7 @@ def pagerank_word_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = adj.groupBy("a", "b").agg(F.count(F.lit(1)).alias("w"))
     outw = edges.groupBy("a").agg(F.sum("w").alias("out_w"))
-    edges = edges.join(outw, "a").cache()
+    edges = edges.join(outw, "a").localCheckpoint()
 
     teleport = ((PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE) // (PR_DAMP_DEN * n)
     ranks = nodes.select("token", F.lit(PR_SCALE // n).alias("rank"))

@@ -203,12 +203,12 @@ def test_semantic_dedup_broadcasts_codebook_and_blocks_pairs(spark):
     join is an equi-join on centroid_id, not all-pairs."""
     plan = plan_of(spark, "semantic_dedup_clustered")
     assert "CartesianProduct" not in plan
-    # the vec×vec pair stage must key on the cluster — a nested-loop
-    # there would be the quadratic shape SemDeDup exists to avoid.  The
-    # only nested loops allowed are the K-row codebook broadcasts (one
-    # per self-join branch); the pair join itself must be keyed.
-    assert plan.count("BroadcastNestedLoopJoin") <= 2
-    assert "SortMergeJoin [centroid_id" in plan or "ShuffledHashJoin [centroid_id" in plan
+    # the vec×vec pair stage must be partitioned by cluster — one Arrow
+    # tile per cluster, never an all-pairs join.  The only nested loop
+    # allowed is the K-row codebook broadcast.
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "FlatMapGroupsInPandas" in plan
+    assert "hashpartitioning(centroid_id" in plan
 
 
 def test_shard_assignment_single_shuffle(spark):
