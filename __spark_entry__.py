@@ -66,12 +66,20 @@ def _confirmed() -> tuple[set[str], dict[str, int]]:
 _RECHECK = {"dedup_simhash": 2, "dedup_embedding_cosine": 2,
             "dedup_connected_components": 2}
 # Added after the current round's ~50-query window filled; placed right
-# behind the rechecks (locally oracle-checked already).
+# behind the fresh backlog (locally oracle-checked already).  The ten
+# round-2 additions queue here so the r1-era never-driver-checked
+# queries (chiefly the wikitext family) get the window first.
 _DEFER = ["multimodal_feature_extract",  # upgraded rows-only -> oracled
           "corpus_filter_funnel", "lang_temperature_resample",
           "doc_length_histogram", "zorder_cluster_events",
           "dedup_minhash_incremental", "context_window_chunks",
-          "text_unigram_logprob"]
+          "text_unigram_logprob",
+          # round-2 wave 2
+          "keyword_search_bm25", "dedup_duplicate_ngram_spans",
+          "semantic_dedup_clustered", "training_shard_assignment",
+          "dedup_survivorship", "pagerank_word_graph", "text_bigram_pmi",
+          "event_funnel_conversion", "similarity_pq_encode",
+          "similarity_pq_adc"]
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -92,7 +100,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     front = set(recheck) | set(defer)
     fresh = [n for n in QUERIES if n not in confirmed and n not in front]
     rest = [n for n in QUERIES if n in confirmed and n not in front]
-    return {n: QUERIES[n] for n in (*fresh, *recheck, *defer, *rest)}
+    # rechecks lead (rewritten since their last green row — stale status
+    # is worse than no status), then the fresh backlog, then deferred
+    # newcomers, then the confirmed remainder
+    return {n: QUERIES[n] for n in (*recheck, *fresh, *defer, *rest)}
 
 
 def oracle_sql() -> dict[str, str]:
