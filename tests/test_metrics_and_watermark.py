@@ -153,3 +153,71 @@ def test_streaming_session_window(spark, tmp_path):
     key = lambda r: (r.win.start, r.win.end, r.user_id)  # noqa: E731
     assert {key(r): r.n for r in got} == {key(r): r.n for r in closed}
     assert len(got) > 0
+
+
+def test_streaming_minhash_dedup_drops_near_duplicates(spark, tmp_path):
+    """Documents whose full MinHash signature matches an arrival inside
+    the watermark horizon are suppressed at ingest; distinct documents
+    all pass.  Also pins signature parity: the streaming per-row
+    signature must equal the batch groupBy signature for the same text."""
+    import pyspark.sql.functions as F
+
+    from mediawiki_to_notion_spark.operators.dedup import _hashed_shingles
+    from mediawiki_to_notion_spark.functions import hashing as H
+    from mediawiki_to_notion_spark.streaming.dedup_stream import (
+        dedup_stream_minhash,
+        minhash_signature_col,
+    )
+
+    docs = load_table(spark, "documents", SF).limit(50) \
+        .select("doc_id", "text") \
+        .withColumn("ts", F.timestamp_millis(1_700_000_000_000 + F.col("doc_id")))
+
+    # parity: per-row streaming signature == batch groupBy signature
+    batch_sig = (
+        _hashed_shingles(docs).groupBy("doc_id")
+        .agg(*H.minhash_agg_columns(F.col("h")))
+        .select(
+            "doc_id",
+            F.concat_ws(
+                "_", *[F.col(f"mh{i}").cast("string") for i in range(H.N_MINHASH)]
+            ).alias("sig"),
+        )
+    )
+    row_sig = docs.filter(F.size(F.split("text", " ")) >= 3).select(
+        "doc_id", minhash_signature_col("text").alias("sig")
+    )
+    mismatches = batch_sig.join(row_sig, "doc_id") \
+        .filter(batch_sig.sig != row_sig.sig).count()
+    assert mismatches == 0
+
+    src = tmp_path / "mh_src"
+    # re-deliver every document once (same text, shifted doc_id) — the
+    # near-dup signature collides even though doc_id differs
+    docs.coalesce(1).write.mode("overwrite").parquet(str(src))
+    docs.withColumn("doc_id", F.col("doc_id") + 1000) \
+        .coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", "2")  # one micro-batch: in-state dedup
+        .parquet(str(src))
+    )
+    deduped = dedup_stream_minhash(stream, "text", "ts", "30 minutes")
+    q = (
+        deduped.writeStream.format("memory").queryName("mh_dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_mh"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select minhash_sig from mh_dedup_stream").collect()
+    sigs = [r.minhash_sig for r in got]
+    assert len(sigs) == len(set(sigs)), "signature duplicates survived"
+    # expected survivors = distinct signatures (near-identical texts
+    # legitimately collapse: the corpus has planted near-dups)
+    n_expected = docs.select(minhash_signature_col("text").alias("s")) \
+        .distinct().count()
+    assert len(sigs) == n_expected
+    assert n_expected < 2 * docs.count()  # the re-delivery was collapsed
