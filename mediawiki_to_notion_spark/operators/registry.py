@@ -42,6 +42,7 @@ def load_all() -> None:
         dedup,
         dedup_ext,
         graph_ops,
+        kmeans,
         multimodal,
         pipeline_queries,
         relational,
@@ -51,3 +52,6 @@ def load_all() -> None:
         training_data,
         wikitext_queries,
     )
+
+    # cross-module composed oracles (need every part registered first)
+    similarity._register_rrf_oracle()

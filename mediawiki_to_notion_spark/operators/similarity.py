@@ -398,3 +398,77 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= PQ_TOP_K)
         .drop("rn")
     )
+
+
+RRF_K = 60       # the standard reciprocal-rank-fusion constant
+RRF_TOP = 15
+
+
+@register("hybrid_search_rrf", oracle=None)  # assembled below from parts
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: fuse the BM25 lexical top-k and the dense
+    cosine top-k (query vector 0) by reciprocal-rank fusion,
+    score = Σ 1/({RRF_K}+rank) — the standard RAG-stack retriever that
+    needs no score calibration between the two systems.
+
+    Both operands are the already-registered queries, so the fusion
+    shares one plan library with its parts; the rank windows run over
+    already-top-k'd (tiny) inputs and the fusion is a full outer join
+    on doc id — nothing here touches the corpus again."""
+    from mediawiki_to_notion_spark.operators.text_analysis import (
+        keyword_search_bm25,
+    )
+
+    lex = keyword_search_bm25(spark, sf_dir).select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.desc("score"), F.asc("doc_id")))
+        .alias("lex_rank"),
+    )
+    dense = (
+        similarity_topk_bruteforce(spark, sf_dir)
+        .filter(F.col("query_id") == 0)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.row_number()
+            .over(W.orderBy(F.desc("cosine_r"), F.asc("vec_id")))
+            .alias("dense_rank"),
+        )
+    )
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(RRF_K) + F.col("dense_rank")), F.lit(0.0)
+    )
+    fused = lex.join(dense, "doc_id", "full_outer").select(
+        "doc_id", "lex_rank", "dense_rank", rrf.alias("rrf_score")
+    )
+    return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(RRF_TOP)
+
+
+def _register_rrf_oracle() -> None:
+    """Called from load_all() once every module is imported: the fusion
+    oracle embeds the BM25 oracle, which text_analysis registers after
+    this module in import order."""
+    from mediawiki_to_notion_spark.operators.registry import ORACLES
+
+    ORACLES["hybrid_search_rrf"] = f"""
+    WITH bm AS ({_subquery("keyword_search_bm25")}),
+    lexr AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+      FROM bm
+    ),
+    bf AS ({_subquery("similarity_topk_bruteforce")}),
+    dr AS (
+      SELECT vec_id AS doc_id,
+             row_number() OVER (ORDER BY cosine_r DESC, vec_id) AS dense_rank
+      FROM bf WHERE query_id = 0
+    )
+    SELECT coalesce(l.doc_id, d.doc_id) AS doc_id, l.lex_rank, d.dense_rank,
+           coalesce(1.0::DOUBLE / ({RRF_K} + l.lex_rank), 0.0)
+           + coalesce(1.0::DOUBLE / ({RRF_K} + d.dense_rank), 0.0) AS rrf_score
+    FROM lexr l FULL JOIN dr d ON l.doc_id = d.doc_id
+    ORDER BY rrf_score DESC, coalesce(l.doc_id, d.doc_id)
+    LIMIT {RRF_TOP}
+    """
