@@ -59,6 +59,8 @@ HEADLINE = [
     "training_shard_assignment",
     "dedup_survivorship",
     "pagerank_word_graph",
+    "kmeans_lloyd_refine",
+    "hybrid_search_rrf",
 ]
 
 

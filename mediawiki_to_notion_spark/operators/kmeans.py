@@ -93,51 +93,62 @@ def kmeans_lloyd_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     for _ in range(KM_ITERS):
-        w = W.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cluster_id"))
-        assigned = (
-            e.crossJoin(F.broadcast(cents))
-            .select(
-                "vec_id", "embedding", "cluster_id",
-                F.round(
-                    V.cosine(V.to_double_array(F.col("embedding")), F.col("cent")),
-                    6,
-                ).alias("cos_c"),
-            )
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-        )
-        upd = (
-            assigned.select(
-                "cluster_id",
-                F.posexplode(V.to_double_array(F.col("embedding"))).alias("dim", "x"),
-            )
-            .groupBy("cluster_id", "dim")
-            .agg(
-                F.round(
-                    F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
-                    / F.count(F.lit(1)),
-                    6,
-                ).alias("coord")
-            )
-        )
-        old = cents.select(
-            "cluster_id", F.posexplode("cent").alias("dim", "old_coord")
-        )
-        cents = (
-            old.join(upd, ["cluster_id", "dim"], "left")
-            .select(
-                "cluster_id", "dim",
-                F.coalesce("coord", "old_coord").alias("coord"),
-            )
-            .groupBy("cluster_id")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim", "coord"))),
-                    lambda s: s["coord"],
-                ).alias("cent")
-            )
-            .localCheckpoint()
-        )
+        cents = _lloyd_round(e, cents).localCheckpoint()
     return cents.select(
         "cluster_id", F.posexplode("cent").alias("dim", "coord")
+    )
+
+
+def _assign(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast codebook, per-vector
+    argmax (WindowGroupLimit prunes to one row pre-exchange)."""
+    w = W.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cluster_id"))
+    return (
+        e.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id", "embedding", "cluster_id",
+            F.round(
+                V.cosine(V.to_double_array(F.col("embedding")), F.col("cent")),
+                6,
+            ).alias("cos_c"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+
+
+def _lloyd_round(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """One assignment + exact-mean update; empty clusters keep their
+    previous centroid."""
+    assigned = _assign(e, cents)
+    upd = (
+        assigned.select(
+            "cluster_id",
+            F.posexplode(V.to_double_array(F.col("embedding"))).alias("dim", "x"),
+        )
+        .groupBy("cluster_id", "dim")
+        .agg(
+            F.round(
+                F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("coord")
+        )
+    )
+    old = cents.select(
+        "cluster_id", F.posexplode("cent").alias("dim", "old_coord")
+    )
+    return (
+        old.join(upd, ["cluster_id", "dim"], "left")
+        .select(
+            "cluster_id", "dim",
+            F.coalesce("coord", "old_coord").alias("coord"),
+        )
+        .groupBy("cluster_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "coord"))),
+                lambda s: s["coord"],
+            ).alias("cent")
+        )
     )

@@ -225,3 +225,41 @@ def test_pagerank_iteration_is_equi_join(spark):
     plan = plan_of(spark, "pagerank_word_graph")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_kmeans_broadcasts_centroids_and_partial_aggregates(spark):
+    """Every Lloyd round must broadcast the centroids (map-side cross
+    join; the K-row build is the only nested loop) and update via a
+    keyed partial aggregation — never shuffle the vector table twice.
+    (The registered query checkpoints each round eagerly, so the round
+    plan is inspected from the round builder, not the final leaf.)"""
+    import pyspark.sql.functions as F
+
+    from mediawiki_to_notion_spark.functions import vectors as V
+    from mediawiki_to_notion_spark.operators import kmeans as KM
+    from mediawiki_to_notion_spark.sources.tables import load_table
+
+    e = load_table(spark, "embeddings", SF)
+    cents = e.filter(F.col("vec_id") < KM.KM_K).select(
+        F.col("vec_id").alias("cluster_id"),
+        V.to_double_array(F.col("embedding")).alias("cent"),
+    )
+    plan = KM._lloyd_round(e, cents)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan          # codebook broadcasts
+    assert "WindowGroupLimit" in plan           # argmax pruned pre-exchange
+    assert "partial_" in plan                   # map-side combine on update
+
+
+def test_pq_encode_windowgrouplimit_prunes_argmin(spark):
+    plan = plan_of(spark, "similarity_pq_encode")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_funnel_stages_share_user_partitioning(spark):
+    """The three funnel stages all key by user_id; Spark must not insert
+    a rangepartitioning exchange anywhere."""
+    plan = plan_of(spark, "event_funnel_conversion")
+    assert "Exchange rangepartitioning" not in plan
