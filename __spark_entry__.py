@@ -79,7 +79,8 @@ _DEFER = ["multimodal_feature_extract",  # upgraded rows-only -> oracled
           "semantic_dedup_clustered", "training_shard_assignment",
           "dedup_survivorship", "pagerank_word_graph", "text_bigram_pmi",
           "event_funnel_conversion", "similarity_pq_encode",
-          "similarity_pq_adc", "kmeans_lloyd_refine", "hybrid_search_rrf"]
+          "similarity_pq_adc", "kmeans_lloyd_refine", "hybrid_search_rrf",
+          "stratified_sample_exact"]
 
 
 def entry(spark: SparkSession) -> DataFrame:

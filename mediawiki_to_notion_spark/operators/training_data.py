@@ -342,3 +342,51 @@ def training_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_tokens", "shard_id",
         F.row_number().over(w).alias("pos_in_shard"),
     )
+
+
+STRATUM_CAP = 20  # exact per-stratum sample size
+
+
+@register(
+    "stratified_sample_exact",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, source, lang, n_chars,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY ('0x' || substr(md5('strat:' || doc_id), 1, 15))::BIGINT,
+                        doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT doc_id, source, lang, n_chars, rn AS sample_rank
+    FROM ranked WHERE rn <= {STRATUM_CAP}
+    """,
+)
+def stratified_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count stratified sampling: precisely {STRATUM_CAP} documents
+    per source, chosen by a salted content-addressed hash order — the
+    "N examples per domain" selection step for eval-set construction
+    and balanced fine-tuning mixes.  Unlike `sampleBy` (probabilistic,
+    approximate counts), the result is exact, stable across re-runs and
+    re-partitionings, and needs no seed bookkeeping.
+
+    Scale shape: one hash-partition shuffle keyed by the stratum;
+    WindowGroupLimit prunes each partition to the top {STRATUM_CAP}
+    rows *before* the exchange, so the shuffle moves O(strata x cap)
+    rows, not the corpus."""
+    d = load_table(spark, "documents", sf_dir)
+    h = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("strat:"), F.col("doc_id"))), 1, 15),
+            16, 10,
+        ).cast("long")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("source").orderBy(h, F.col("doc_id"))
+    return (
+        d.select("doc_id", "source", "lang", "n_chars")
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= STRATUM_CAP)
+    )
