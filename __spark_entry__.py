@@ -80,7 +80,7 @@ _DEFER = ["multimodal_feature_extract",  # upgraded rows-only -> oracled
           "dedup_survivorship", "pagerank_word_graph", "text_bigram_pmi",
           "event_funnel_conversion", "similarity_pq_encode",
           "similarity_pq_adc", "kmeans_lloyd_refine", "hybrid_search_rrf",
-          "stratified_sample_exact"]
+          "stratified_sample_exact", "corpus_prepare_pipeline"]
 
 
 def entry(spark: SparkSession) -> DataFrame:

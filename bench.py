@@ -61,6 +61,8 @@ HEADLINE = [
     "pagerank_word_graph",
     "kmeans_lloyd_refine",
     "hybrid_search_rrf",
+    "stratified_sample_exact",
+    "corpus_prepare_pipeline",
 ]
 
 

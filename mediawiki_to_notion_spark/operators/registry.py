@@ -55,3 +55,4 @@ def load_all() -> None:
 
     # cross-module composed oracles (need every part registered first)
     similarity._register_rrf_oracle()
+    training_data._register_pipeline_oracle()

@@ -390,3 +390,86 @@ def stratified_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= STRATUM_CAP)
     )
+
+
+@register("corpus_prepare_pipeline", oracle=None)  # assembled in load_all
+def corpus_prepare_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end pretraining-corpus preparation as ONE declarative
+    plan: quality-filter (C4-style funnel) ∩ near-dup survivorship
+    (MinHash-LSH → connected components → keep-best), then
+    content-addressed shard assignment of the surviving documents —
+    i.e. the composition `filter → dedup → shuffle-shard` that a real
+    100 TB data pipeline runs nightly, built entirely from this repo's
+    registered operators so every stage shares the plan library the
+    gate already checks.
+
+    Scale shape: the funnel is a narrow pass; survivorship's CC loop is
+    sized by the duplicate subgraph; the kept-set intersection is a
+    semi-join on doc_id; the shard window moves only surviving rows.
+    Nothing is recomputed per stage — each operand is the registered
+    query's own plan."""
+    from mediawiki_to_notion_spark.operators.corpus_quality import (
+        corpus_filter_funnel,
+    )
+    from mediawiki_to_notion_spark.operators.dedup import dedup_survivorship
+
+    funnel_keep = (
+        corpus_filter_funnel(spark, sf_dir).filter("keep").select("doc_id")
+    )
+    surv_keep = (
+        dedup_survivorship(spark, sf_dir).filter("keep").select("doc_id")
+    )
+    d = load_table(spark, "documents", sf_dir)
+    kept = (
+        d.join(funnel_keep, "doc_id", "left_semi")
+        .join(surv_keep, "doc_id", "left_semi")
+    )
+    hh = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("shard:"), F.col("doc_id"))), 1, 15),
+            16, 10,
+        ).cast("long")
+    )
+    from pyspark.sql import Window as W
+
+    base = kept.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        hh.alias("hh"),
+        (hh % N_SHARDS).alias("shard_id"),
+    )
+    w = W.partitionBy("shard_id").orderBy("hh", "doc_id")
+    return base.select(
+        "doc_id", "n_tokens", "shard_id",
+        F.row_number().over(w).alias("pos_in_shard"),
+    )
+
+
+def _register_pipeline_oracle() -> None:
+    """Called from load_all(): composes the funnel and survivorship
+    oracles (the latter is WITH RECURSIVE, nested as a derived table)."""
+    from mediawiki_to_notion_spark.operators.registry import ORACLES
+
+    def sub(name: str) -> str:
+        return ORACLES[name].strip().rstrip(";")
+
+    ORACLES["corpus_prepare_pipeline"] = f"""
+    WITH fk AS (
+      SELECT doc_id FROM ({sub("corpus_filter_funnel")}) f WHERE f.keep
+    ), sk AS (
+      SELECT doc_id FROM ({sub("dedup_survivorship")}) s WHERE s.keep
+    ), kept AS (
+      SELECT d.doc_id,
+             len(string_split(d.text, ' ')) AS n_tokens,
+             ('0x' || substr(md5('shard:' || d.doc_id), 1, 15))::BIGINT AS hh
+      FROM documents d
+      WHERE d.doc_id IN (SELECT doc_id FROM fk)
+        AND d.doc_id IN (SELECT doc_id FROM sk)
+    )
+    SELECT doc_id, n_tokens,
+           hh % {N_SHARDS} AS shard_id,
+           row_number() OVER (
+             PARTITION BY hh % {N_SHARDS} ORDER BY hh, doc_id
+           ) AS pos_in_shard
+    FROM kept
+    """
