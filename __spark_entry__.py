@@ -80,7 +80,8 @@ _DEFER = ["multimodal_feature_extract",  # upgraded rows-only -> oracled
           "dedup_survivorship", "pagerank_word_graph", "text_bigram_pmi",
           "event_funnel_conversion", "similarity_pq_encode",
           "similarity_pq_adc", "kmeans_lloyd_refine", "hybrid_search_rrf",
-          "stratified_sample_exact", "corpus_prepare_pipeline"]
+          "stratified_sample_exact", "corpus_prepare_pipeline",
+          "dedup_containment", "events_anomaly_zscore"]
 
 
 def entry(spark: SparkSession) -> DataFrame:

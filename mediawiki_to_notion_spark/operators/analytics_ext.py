@@ -632,3 +632,61 @@ def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             stage.alias("funnel_stage"),
         )
     )
+
+
+Z_ANOMALY = 3.0
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle=f"""
+    WITH sums AS (
+      SELECT event_type, count(*) AS n,
+             SUM(CAST(round(value, 6) AS DECIMAL(38,6))) AS sx,
+             SUM(CAST(round(value, 6) AS DECIMAL(38,6))
+                 * CAST(round(value, 6) AS DECIMAL(38,6))) AS sxx
+      FROM events GROUP BY event_type
+    ), stats AS (
+      SELECT event_type, n,
+             round(CAST(sx AS DOUBLE) / n, 6) AS mean_v,
+             round(sqrt((CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                        / (n - 1)), 6) AS std_v
+      FROM sums
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           round((round(e.value, 6) - s.mean_v) / s.std_v, 6) AS zscore,
+           abs(round((round(e.value, 6) - s.mean_v) / s.std_v, 6))
+             > {Z_ANOMALY} AS is_anomaly
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score anomaly flagging — the telemetry outlier screen
+    (and the per-source quality-drift monitor a data pipeline runs over
+    batch statistics).  Group statistics come from exact decimal
+    sufficient sums (order-independent at any parallelism, the
+    stats_moments technique), are 6-dp rounded, and broadcast back onto
+    the event scan — one partial-agg shuffle plus a map-side join, the
+    full-corpus score pass never re-shuffles."""
+    e = load_table(spark, "events", sf_dir)
+    x = F.round("value", 6).cast("decimal(38,6)")
+    sums = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    stats = sums.select(
+        "event_type",
+        F.round(sx / n, 6).alias("mean_v"),
+        F.round(F.sqrt((sxx - sx * sx / n) / (n - 1)), 6).alias("std_v"),
+    )
+    z = F.round((F.round("value", 6) - F.col("mean_v")) / F.col("std_v"), 6)
+    return e.join(F.broadcast(stats), "event_type").select(
+        "event_id", "event_type", "value",
+        z.alias("zscore"),
+        (F.abs(z) > Z_ANOMALY).alias("is_anomaly"),
+    )

@@ -223,3 +223,86 @@ def semantic_dedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine_r") >= SEMDEDUP_THRESHOLD)
     )
+
+
+MAX_SHINGLE_DF = 50       # posting-list cap: boilerplate shingles don't pair
+CONTAINMENT_THRESHOLD = 0.5
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t
+      FROM documents WHERE len(string_split(text, ' ')) >= 3
+    ),
+    rawsh AS (
+      SELECT DISTINCT doc_id,
+             t[u.i+1] || ' ' || t[u.i+2] || ' ' || t[u.i+3] AS shingle
+      FROM toks, LATERAL (SELECT unnest(range(0, len(t) - 2)) AS i) u
+    ),
+    sh AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM rawsh
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    hot AS (SELECT h FROM sh GROUP BY h HAVING count(DISTINCT doc_id) > {MAX_SHINGLE_DF}),
+    cold AS (SELECT * FROM sh WHERE h NOT IN (SELECT h FROM hot)),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM cold a JOIN cold b ON a.h = b.h AND a.doc_id != b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, n_common,
+           n_common::DOUBLE / x.n AS containment
+    FROM common JOIN sizes x ON doc_a = x.doc_id
+    WHERE n_common::DOUBLE / x.n >= {CONTAINMENT_THRESHOLD}
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup detection by shingle *containment*
+    C(A,B) = |A∩B| / |A| — catches truncated copies, quote inclusion,
+    and boilerplate-wrapped duplicates that symmetric Jaccard misses
+    (a 10-line excerpt of a 1000-line doc has Jaccard ≈ 0.01 but
+    containment ≈ 1.0).  Broder's containment measure, Lee et al.'s
+    partial-overlap case.
+
+    Scale shape: pairs come from the shared-shingle equi-join, so work
+    is proportional to posting-list co-occurrence, not |corpus|²; the
+    posting-list cap (df > {MAX_SHINGLE_DF} shingles are dropped from
+    pairing — identically in both engines) bounds the hot-boilerplate
+    blowup that would otherwise quadratically explode one shingle's
+    postings.  Capped shingles still count toward |A|, so containment
+    is a (documented) slight underestimate for boilerplate-heavy docs."""
+    from mediawiki_to_notion_spark.operators.dedup import _hashed_shingles
+
+    d = load_table(spark, "documents", sf_dir)
+    sh = _hashed_shingles(d)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    hot = (
+        sh.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") > MAX_SHINGLE_DF)
+        .select("h")
+    )
+    cold = sh.join(hot, "h", "left_anti")
+    a = cold.alias("a")
+    b = cold.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(sizes.withColumnsRenamed({"doc_id": "doc_a"}), "doc_a")
+        .select(
+            "doc_a", "doc_b", "n_common",
+            (F.col("n_common").cast("double") / F.col("n")).alias("containment"),
+        )
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+    )
