@@ -76,3 +76,27 @@ def salted_join(fact: DataFrame, dim: DataFrame, key: str, n_salts: int = 8,
         how,
     )
     return out.drop(salted_dim[key]).drop(salted_fact["_salt"]).drop(salted_dim["_salt"])
+
+
+def write_training_shards(assigned: DataFrame, path: str,
+                          max_records_per_file: int | None = None) -> None:
+    """Materialize the training corpus as shard-partitioned parquet:
+    one directory per shard_id (``shard_id=N/``), rows within a shard
+    laid out in their deterministic ``pos_in_shard`` order — the layout
+    a training job reads sequentially per shard with no further
+    shuffle.
+
+    `repartition(shard_id)` aligns task boundaries with directories
+    (one writer per shard — no tiny-file explosion across tasks), and
+    `sortWithinPartitions` makes the file order the replay order.
+    ``max_records_per_file`` caps file size so a huge shard splits into
+    sequentially-numbered parts instead of one multi-GB file."""
+    w = (
+        assigned.repartition("shard_id")
+        .sortWithinPartitions("shard_id", "pos_in_shard")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+    )
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    w.parquet(path)
