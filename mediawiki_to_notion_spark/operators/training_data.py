@@ -473,3 +473,63 @@ def _register_pipeline_oracle() -> None:
            ) AS pos_in_shard
     FROM kept
     """
+
+
+@register(
+    "tokenize_to_ids",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, u.i AS pos, t[u.i+1] AS token
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           LATERAL (SELECT unnest(range(0, len(t))) AS i) u
+      WHERE t[u.i+1] != ''
+    ), counts AS (
+      SELECT token, count(*) AS c FROM tok GROUP BY token
+    ), vocab AS (
+      SELECT token, row_number() OVER (ORDER BY c DESC, token) - 1 AS id
+      FROM counts
+    )
+    SELECT tok.doc_id, count(*) AS n_tokens,
+           list(v.id ORDER BY tok.pos) AS token_ids
+    FROM tok JOIN vocab v ON tok.token = v.token
+    GROUP BY tok.doc_id
+    """,
+)
+def tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenization to dense ids: build a frequency-ordered
+    vocabulary (id 0 = most common token, deterministic tie order) and
+    re-emit every document as its ordered id sequence — the final
+    "text → token_ids" materialization a training job consumes (feeds
+    pack_sequences_greedy / write_training_shards).
+
+    Scale shape: the vocabulary is one partial-agg shuffle plus a
+    single-partition rank (the vocabulary is vocab-sized, not
+    corpus-sized — the same single-reducer step every tokenizer trainer
+    has), broadcast back onto the exploded token stream; documents
+    reassemble with one groupBy(doc_id) using the sort-free
+    array_sort(struct(pos,id)) trick, so total cost is two shuffles
+    end-to-end."""
+    from mediawiki_to_notion_spark.plans.pipeline import ensure_parallelism
+    from pyspark.sql import Window as W
+
+    d = ensure_parallelism(load_table(spark, "documents", sf_dir))
+    tok = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    ).filter(F.col("token") != "")
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    vocab = counts.select(
+        "token",
+        (F.row_number().over(W.orderBy(F.desc("c"), F.asc("token"))) - 1)
+        .alias("id"),
+    )
+    return (
+        tok.join(F.broadcast(vocab), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "id"))),
+                lambda s: s["id"],
+            ).alias("token_ids"),
+        )
+    )
