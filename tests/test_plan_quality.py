@@ -263,3 +263,31 @@ def test_funnel_stages_share_user_partitioning(spark):
     a rangepartitioning exchange anywhere."""
     plan = plan_of(spark, "event_funnel_conversion")
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_containment_pairs_from_posting_join(spark):
+    """Containment candidates must come from the shared-shingle
+    equi-join — never a document-pair nested loop."""
+    plan = plan_of(spark, "dedup_containment")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_zscore_stats_broadcast_back(spark):
+    """The 5-row per-type stats must broadcast onto the event scan."""
+    plan = plan_of(spark, "events_anomaly_zscore")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tokenize_vocab_broadcasts(spark):
+    """The vocabulary joins the exploded token stream by broadcast; a
+    shuffle join would repartition the corpus token stream by token."""
+    plan = plan_of(spark, "tokenize_to_ids")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_stratified_sample_prunes_before_exchange(spark):
+    plan = plan_of(spark, "stratified_sample_exact")
+    assert "WindowGroupLimit" in plan
+    assert "Exchange rangepartitioning" not in plan
