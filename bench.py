@@ -102,15 +102,24 @@ def main() -> None:
         # manager and GC-throttle everything that runs later
         spark.catalog.clearCache()
 
+    # the r1 headline set (31 queries): cross-round totals are only
+    # comparable on a fixed query set, so emit its subtotal alongside
+    # the full (growing) total
+    r1_set = set(HEADLINE[:31])
     out = {
         "metric": "headline_query_wall_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
+        "n_queries": len(timings),
+        "value_r1_subset": round(
+            sum(v for k, v in timings.items() if k in r1_set), 3
+        ),
         "queries": timings,
         "sf": sf,
         # methodology marker: totals are comparable only across rounds that
         # used the same scheme (r1 switched to warmup + best-of-2)
-        "methodology": "sf0.001 warmup, best of 2 timed runs, noop sink",
+        "methodology": "sf0.001 warmup, best of 2 timed runs, noop sink; "
+                       "value_r1_subset = total over the r1 31-query set",
     }
     print(json.dumps(out))
 
