@@ -81,7 +81,8 @@ _DEFER = ["multimodal_feature_extract",  # upgraded rows-only -> oracled
           "event_funnel_conversion", "similarity_pq_encode",
           "similarity_pq_adc", "kmeans_lloyd_refine", "hybrid_search_rrf",
           "stratified_sample_exact", "corpus_prepare_pipeline",
-          "dedup_containment", "events_anomaly_zscore", "tokenize_to_ids"]
+          "dedup_containment", "events_anomaly_zscore", "tokenize_to_ids",
+          "dedup_minhash_estimate_quality"]
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -888,3 +888,87 @@ def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         canonical.alias("canonical_id"),
         (F.col("doc_id") == canonical).alias("keep"),
     )
+
+
+@register(
+    "dedup_minhash_estimate_quality",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    {_MINHASH_SQL},
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    scored AS (
+      SELECT p.doc_a, p.doc_b,
+             ({' + '.join(
+                 f'(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)'
+                 for i in range(H.N_MINHASH))}) / {float(H.N_MINHASH)}
+               AS est,
+             p.n_common::DOUBLE / (x.n + y.n - p.n_common) AS exact
+      FROM pairs p
+      JOIN sigs sa ON p.doc_a = sa.doc_id
+      JOIN sigs sb ON p.doc_b = sb.doc_id
+      JOIN sizes x ON p.doc_a = x.doc_id
+      JOIN sizes y ON p.doc_b = y.doc_id
+    )
+    SELECT count(*) AS n_pairs,
+           round(CAST(SUM(CAST(round(abs(est - exact), 6) AS DECIMAL(18,6)))
+                      AS DOUBLE) / count(*), 6) AS mean_abs_err,
+           max(round(abs(est - exact), 6)) AS max_abs_err
+    FROM scored
+    """,
+)
+def dedup_minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-quality measurement for MinHash: over every document
+    pair sharing ≥1 shingle, compare the signature Jaccard estimate
+    (matching permutations / {H.N_MINHASH}) against the exact Jaccard —
+    the calibration check that tells you whether {H.N_MINHASH}
+    permutations and the LSH band layout are adequate for the corpus's
+    similarity distribution (completes the approximation-audit trio
+    with similarity_lsh_recall and dedup_cosine_lsh_recall).
+
+    Scale shape: one shingle-keyed equi-join generates the evaluated
+    pairs (∝ co-occurrence, not |corpus|²); signatures and sizes join
+    in from the single groupBy(doc_id) shuffle; per-pair errors are
+    6-dp rounded then decimal-summed, so the mean is
+    accumulation-order exact."""
+    d = load_table(spark, "documents", sf_dir)
+    sh = _hashed_shingles(d)
+    stats = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *H.minhash_agg_columns(F.col("h")),
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.h") == F.col("b.h"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = stats.alias("sa")
+    sb = stats.alias("sb")
+    matching = sum(
+        F.when(F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}"), 1).otherwise(0)
+        for i in range(H.N_MINHASH)
+    )
+    est = matching / float(H.N_MINHASH)
+    exact = F.col("n_common").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("n_common")
+    )
+    err = F.round(F.abs(est - exact), 6)
+    scored = (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(err.alias("err"))
+    )
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(
+            F.sum(F.col("err").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)), 6,
+        ).alias("mean_abs_err"),
+        F.max("err").alias("max_abs_err"),
+    )
