@@ -264,3 +264,44 @@ def test_split_scan_medium_dump(spark, tmp_path):
     raw = read_dump(spark, str(dump), split_bytes=1 << 20)
     assert raw.count() == n_pages
     assert raw.select("page_id").distinct().count() == n_pages
+
+
+def test_jsonl_corpus_source_roundtrip(spark, tmp_path):
+    """JSONL corpus source: parquet-derived documents survive a JSONL
+    round-trip bit-exactly, a malformed line is quarantined instead of
+    failing the job, and the clean frame drops the side channel."""
+    import json as _json
+
+    import pyspark.sql.functions as F
+
+    from mediawiki_to_notion_spark.sources.jsonl import (
+        load_documents_jsonl,
+        split_corrupt,
+    )
+    from mediawiki_to_notion_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001").limit(20)
+    rows = [r.asDict() for r in docs.collect()]
+    path = tmp_path / "corpus.jsonl"
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+        f.write('{"doc_id": not-json\n')  # the inevitable bad line
+
+    df = load_documents_jsonl(spark, str(path))
+    clean, bad = split_corrupt(df)
+    # the parsed-struct corrupt column is fully queryable (a raw
+    # read.json corrupt column would reject this very count)
+    bad_rows = bad.collect()
+    assert bad.count() == 1
+    assert "not-json" in bad_rows[0]._corrupt_record  # raw line kept
+    assert clean.count() == len(rows)
+    got = {r.doc_id: (r.text, r.lang, r.source, r.n_chars)
+           for r in clean.collect()}
+    want = {r["doc_id"]: (r["text"], r["lang"], r["source"], r["n_chars"])
+            for r in rows}
+    assert got == want
+    # splittability: line-delimited scan must not be single-partition
+    # pinned by multiLine (a one-file read may still be 1 split at this
+    # size; assert the option path by checking schema fidelity instead)
+    assert "_corrupt_record" not in clean.columns
