@@ -68,7 +68,14 @@ def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     One narrow pass beside the scan: every gate is a JVM expression, the
     funnel adds zero shuffles, and `groupBy(drop_reason).count()` on the
     result is the funnel report."""
-    d = load_table(spark, "documents", sf_dir)
+    return apply_funnel(load_table(spark, "documents", sf_dir))
+
+
+def apply_funnel(d: DataFrame) -> DataFrame:
+    """The funnel core over any (doc_id, lang, text, n_chars) frame —
+    batch table or readStream: every gate is a stateless narrow
+    expression, so the SAME code is the streaming ingest filter (tested
+    on a stream in test_metrics_and_watermark.py)."""
     toks = F.split(F.col("text"), " ")
     sized = d.select(
         "doc_id", "lang", "text", "n_chars",

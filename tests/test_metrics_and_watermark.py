@@ -221,3 +221,41 @@ def test_streaming_minhash_dedup_drops_near_duplicates(spark, tmp_path):
         .distinct().count()
     assert len(sigs) == n_expected
     assert n_expected < 2 * docs.count()  # the re-delivery was collapsed
+
+
+def test_funnel_runs_unchanged_on_stream(spark, tmp_path):
+    """Batch/stream unification: the corpus quality funnel is stateless
+    narrow expressions, so the SAME apply_funnel() code filters a
+    readStream — and produces row-identical results to the batch run."""
+    import pyspark.sql.functions as F
+
+    from mediawiki_to_notion_spark.operators.corpus_quality import apply_funnel
+
+    docs = load_table(spark, "documents", SF) \
+        .select("doc_id", "lang", "text", "n_chars")
+    src = tmp_path / "funnel_src"
+    docs.coalesce(1).write.mode("overwrite").parquet(str(src))
+
+    stream = spark.readStream.schema(
+        "doc_id long, lang string, text string, n_chars long"
+    ).parquet(str(src))
+    q = (
+        apply_funnel(stream)
+        .writeStream.format("memory").queryName("funnel_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_funnel"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.doc_id, r.drop_reason, r.keep)
+        for r in spark.sql(
+            "select doc_id, drop_reason, keep from funnel_stream"
+        ).collect()
+    }
+    want = {
+        (r.doc_id, r.drop_reason, r.keep)
+        for r in apply_funnel(docs).collect()
+    }
+    assert got == want and len(want) == docs.count()
