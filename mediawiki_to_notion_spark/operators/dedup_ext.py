@@ -173,7 +173,9 @@ def semantic_dedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     SemDeDup contract.  A skewed mega-cluster is the known failure
     mode: cap it by raising k or sub-clustering (documented, not hit
     on this codebook)."""
-    e = load_table(spark, "embeddings", sf_dir)
+    from mediawiki_to_notion_spark.plans.pipeline import ensure_parallelism
+
+    e = ensure_parallelism(load_table(spark, "embeddings", sf_dir))
     cent = e.filter(F.col("vec_id") < SEMDEDUP_K).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
     )

@@ -83,7 +83,11 @@ def kmeans_lloyd_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     one partial-agg shuffle keyed (cluster, dim).  Per-round lineage is
     truncated by rebuilding centroids from literals, so plans stay flat
     at any iteration count."""
-    e = load_table(spark, "embeddings", sf_dir)
+    from mediawiki_to_notion_spark.plans.pipeline import ensure_parallelism
+
+    # spread the single-file embeddings scan: assignment scoring is a
+    # map-side stage and would otherwise serialize through one task
+    e = ensure_parallelism(load_table(spark, "embeddings", sf_dir))
     cents = (
         e.filter(F.col("vec_id") < KM_K)
         .select(

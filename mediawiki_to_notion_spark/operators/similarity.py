@@ -320,7 +320,9 @@ def similarity_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vec_id, j), which WindowGroupLimit prunes to the top row before the
     exchange; the final pivot is one partial-agg groupBy.  No pair of
     data vectors is ever compared."""
-    e = load_table(spark, "embeddings", sf_dir)
+    from mediawiki_to_notion_spark.plans.pipeline import ensure_parallelism
+
+    e = ensure_parallelism(load_table(spark, "embeddings", sf_dir))
     codes = _pq_codes(e)
     return codes.groupBy("vec_id").agg(
         *[
@@ -371,7 +373,9 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     table followed by one partial-agg shuffle keyed (query_id, vec_id);
     top-k is a per-query window.  Exact-sum parity: per-lookup sims are
     6-dp rounded then summed as DECIMAL(18,6)."""
-    e = load_table(spark, "embeddings", sf_dir)
+    from mediawiki_to_notion_spark.plans.pipeline import ensure_parallelism
+
+    e = ensure_parallelism(load_table(spark, "embeddings", sf_dir))
     codes = _pq_codes(e)
     cb = _pq_subcodebook(e)
     qs = e.filter(F.col("vec_id") < PQ_QUERIES).select(
