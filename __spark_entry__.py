@@ -66,7 +66,7 @@ def _confirmed() -> tuple[set[str], dict[str, int]]:
 _RECHECK = {"dedup_simhash": 2, "dedup_embedding_cosine": 2,
             "dedup_connected_components": 2}
 # Added after the current round's ~50-query window filled; placed right
-# behind the fresh backlog (locally oracle-checked already).  The ten
+# behind the fresh backlog (locally oracle-checked already).  All
 # round-2 additions queue here so the r1-era never-driver-checked
 # queries (chiefly the wikitext family) get the window first.
 _DEFER = ["multimodal_feature_extract",  # upgraded rows-only -> oracled

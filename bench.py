@@ -95,12 +95,16 @@ def main() -> None:
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
-        # drop caches the query pinned for its own iteration/reuse (CC
-        # labels, PageRank edges, checkpoint blocks): each headline query
-        # models an independent job, and without this the abandoned
-        # blocks of 30+ queries x 3 executions pile up in the block
-        # manager and GC-throttle everything that runs later
+        # isolate queries like independent jobs: clearCache() drops
+        # .cache()/persist()'d plans; localCheckpoint RDD blocks (the CC
+        # / PageRank / k-means rounds) are only reaped by the
+        # ContextCleaner after their RDD objects are garbage-collected,
+        # so nudge both GCs — otherwise 40+ queries x 3 executions of
+        # abandoned blocks pile up in the block manager
         spark.catalog.clearCache()
+        import gc as _gc
+        _gc.collect()
+        spark.sparkContext._jvm.System.gc()
 
     # the r1 headline set (31 queries): cross-round totals are only
     # comparable on a fixed query set, so emit its subtotal alongside

@@ -75,3 +75,41 @@ def lang_predict_sql(expr: str) -> str:
         f"CASE WHEN {greatest} = 0 THEN 'und' {cases} "
         f"ELSE '{LANG_ORDER[-1]}' END"
     )
+
+
+def adjacent_bigrams(d):
+    """(a, b) adjacent-token pairs from a frame with a ``text`` column —
+    THE bigram definition shared by pagerank_word_graph and
+    text_bigram_pmi (one copy of the tokenization means a change to,
+    e.g., empty-token handling cannot desynchronize them)."""
+    from pyspark.sql import functions as F
+
+    toks = d.select(F.split("text", " ").alias("t")).filter(F.size("t") >= 2)
+    return (
+        toks.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - 2),
+                    lambda i: F.struct(
+                        F.element_at(F.col("t"), i + 1).alias("a"),
+                        F.element_at(F.col("t"), i + 2).alias("b"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
+        .filter((F.col("a") != "") & (F.col("b") != ""))
+    )
+
+
+ADJ_BIGRAMS_SQL = """
+    toks_adj AS (
+      SELECT string_split(text, ' ') AS t
+      FROM documents WHERE len(string_split(text, ' ')) >= 2
+    ),
+    adj AS (
+      SELECT t[u.i+1] AS a, t[u.i+2] AS b
+      FROM toks_adj, LATERAL (SELECT unnest(range(0, len(t) - 1)) AS i) u
+      WHERE t[u.i+1] != '' AND t[u.i+2] != ''
+    )
+"""

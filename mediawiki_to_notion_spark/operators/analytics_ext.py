@@ -649,15 +649,20 @@ Z_ANOMALY = 3.0
     ), stats AS (
       SELECT event_type, n,
              round(CAST(sx AS DOUBLE) / n, 6) AS mean_v,
-             round(sqrt((CAST(sxx AS DOUBLE)
+             round(sqrt(greatest((CAST(sxx AS DOUBLE)
                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
-                        / (n - 1)), 6) AS std_v
+                        / (n - 1), 0.0)), 6) AS std_v
       FROM sums
     )
     SELECT e.event_id, e.event_type, e.value,
-           round((round(e.value, 6) - s.mean_v) / s.std_v, 6) AS zscore,
-           abs(round((round(e.value, 6) - s.mean_v) / s.std_v, 6))
-             > {Z_ANOMALY} AS is_anomaly
+           CASE WHEN s.std_v > 0
+                THEN round((round(e.value, 6) - s.mean_v) / s.std_v, 6)
+           END AS zscore,
+           CASE WHEN s.std_v > 0
+                THEN abs(round((round(e.value, 6) - s.mean_v) / s.std_v, 6))
+                     > {Z_ANOMALY}
+                ELSE FALSE
+           END AS is_anomaly
     FROM events e JOIN stats s ON e.event_type = s.event_type
     """,
 )
@@ -679,14 +684,26 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.col("n")
     sx = F.col("sx").cast("double")
     sxx = F.col("sxx").cast("double")
+    # greatest(…, 0): when all rounded values in a group are equal, the
+    # exact decimal sums satisfy sxx == sx²/n, but the double cast can
+    # land a few ulps negative — DuckDB's sqrt then hard-errors while
+    # Spark returns NaN.  Clamping (identically in both engines) makes
+    # the degenerate group a 0.0 stddev instead of an engine divergence.
     stats = sums.select(
         "event_type",
         F.round(sx / n, 6).alias("mean_v"),
-        F.round(F.sqrt((sxx - sx * sx / n) / (n - 1)), 6).alias("std_v"),
+        F.round(
+            F.sqrt(F.greatest((sxx - sx * sx / n) / (n - 1), F.lit(0.0))), 6
+        ).alias("std_v"),
     )
-    z = F.round((F.round("value", 6) - F.col("mean_v")) / F.col("std_v"), 6)
+    # a zero-stddev (degenerate) group gets NULL z / FALSE anomaly in
+    # both engines, instead of leaning on divide-by-zero semantics that
+    # differ between them
+    z_raw = F.round((F.round("value", 6) - F.col("mean_v")) / F.col("std_v"), 6)
+    z = F.when(F.col("std_v") > 0, z_raw)
     return e.join(F.broadcast(stats), "event_type").select(
         "event_id", "event_type", "value",
         z.alias("zscore"),
-        (F.abs(z) > Z_ANOMALY).alias("is_anomaly"),
+        F.when(F.col("std_v") > 0, F.abs(z_raw) > Z_ANOMALY)
+        .otherwise(F.lit(False)).alias("is_anomaly"),
     )

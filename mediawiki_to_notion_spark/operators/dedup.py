@@ -83,6 +83,20 @@ def _shingles(d: DataFrame) -> DataFrame:
     return tri
 
 
+def _shingle_pairs(sh: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, n_common) for every ordered pair sharing >= 1
+    shingle — the posting-list pair generator shared by
+    dedup_ngram_jaccard and dedup_minhash_estimate_quality."""
+    a = sh.alias("a")
+    b = sh.alias("b")
+    return (
+        a.join(b, (F.col("a.h") == F.col("b.h"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+
+
 def _hashed_shingles(d: DataFrame) -> DataFrame:
     """(doc_id, h) with h the portable 60-bit shingle id.  Hashing once
     up front shrinks every downstream shuffle/join key from a ~30-byte
@@ -129,14 +143,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir)
     sh = _hashed_shingles(d)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.h") == F.col("b.h"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    pairs = _shingle_pairs(sh)
     x = sizes.alias("x")
     y = sizes.alias("y")
     jac = F.col("n_common").cast("double") / (F.col("x.n") + F.col("y.n") - F.col("n_common"))
@@ -802,8 +809,10 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"connected components did not converge within {CC_MAX_ITERS} "
             f"rounds ({changed} labels still changing)"
         )
-    # (checkpointed edge blocks are freed by the ContextCleaner when the
-    # RDD is collected; callers that loop should clearCache per job)
+    # (checkpointed edge blocks are freed by the ContextCleaner once the
+    # RDD objects are garbage-collected — clearCache() does NOT reap
+    # them; long-running callers should release DataFrame references
+    # and let GC run, or use reliable checkpoints with a managed dir)
     # graft isolated documents back in as their own singleton components
     full = d.join(labels, "doc_id", "left").select(
         "doc_id", F.coalesce("label", "doc_id").alias("label")
@@ -940,14 +949,7 @@ def dedup_minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFram
         F.count(F.lit(1)).alias("n"),
         *H.minhash_agg_columns(F.col("h")),
     )
-    a = sh.alias("a")
-    b = sh.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.h") == F.col("b.h"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    pairs = _shingle_pairs(sh)
     sa = stats.alias("sa")
     sb = stats.alias("sb")
     matching = sum(

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mediawiki_to_notion_spark.functions import hashing as H
+from mediawiki_to_notion_spark.operators.dedup import _SHINGLES_SQL
 from mediawiki_to_notion_spark.functions import vectors as V
 from mediawiki_to_notion_spark.operators.registry import register
 from mediawiki_to_notion_spark.sources.tables import load_table
@@ -234,19 +235,7 @@ CONTAINMENT_THRESHOLD = 0.5
 @register(
     "dedup_containment",
     oracle=f"""
-    WITH toks AS (
-      SELECT doc_id, string_split(text, ' ') AS t
-      FROM documents WHERE len(string_split(text, ' ')) >= 3
-    ),
-    rawsh AS (
-      SELECT DISTINCT doc_id,
-             t[u.i+1] || ' ' || t[u.i+2] || ' ' || t[u.i+3] AS shingle
-      FROM toks, LATERAL (SELECT unnest(range(0, len(t) - 2)) AS i) u
-    ),
-    sh AS (
-      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM rawsh
-    ),
-    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    WITH {_SHINGLES_SQL},
     hot AS (SELECT h FROM sh GROUP BY h HAVING count(DISTINCT doc_id) > {MAX_SHINGLE_DF}),
     cold AS (SELECT * FROM sh WHERE h NOT IN (SELECT h FROM hot)),
     common AS (

@@ -29,6 +29,8 @@ PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # damping d = 0.85 as a ratio
 
 
 def _pagerank_oracle() -> str:
+    from mediawiki_to_notion_spark.functions.text import ADJ_BIGRAMS_SQL
+    ADJ_SQL_BODY = ADJ_BIGRAMS_SQL.strip().rstrip()
     iters = []
     prev = "r0"
     for k in range(1, PR_ITERS + 1):
@@ -53,15 +55,7 @@ def _pagerank_oracle() -> str:
     ),
     nodes AS (SELECT DISTINCT token FROM tokall WHERE token != ''),
     nn AS (SELECT count(*) AS n FROM nodes),
-    toks AS (
-      SELECT string_split(text, ' ') AS t
-      FROM documents WHERE len(string_split(text, ' ')) >= 2
-    ),
-    adj AS (
-      SELECT t[u.i+1] AS a, t[u.i+2] AS b
-      FROM toks, LATERAL (SELECT unnest(range(0, len(t) - 1)) AS i) u
-      WHERE t[u.i+1] != '' AND t[u.i+2] != ''
-    ),
+    {ADJ_SQL_BODY},
     edges AS (SELECT a, b, count(*) AS w FROM adj GROUP BY a, b),
     outw AS (SELECT a, sum(w)::BIGINT AS out_w FROM edges GROUP BY a),
     r0 AS (
@@ -99,22 +93,9 @@ def pagerank_word_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = tokall.distinct().localCheckpoint()
     n = nodes.count()
 
-    toks = d.select(F.split("text", " ").alias("t")).filter(F.size("t") >= 2)
-    adj = (
-        toks.select(
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("t") - 2),
-                    lambda i: F.struct(
-                        F.element_at(F.col("t"), i + 1).alias("a"),
-                        F.element_at(F.col("t"), i + 2).alias("b"),
-                    ),
-                )
-            ).alias("e")
-        )
-        .select("e.a", "e.b")
-        .filter((F.col("a") != "") & (F.col("b") != ""))
-    )
+    from mediawiki_to_notion_spark.functions.text import adjacent_bigrams
+
+    adj = adjacent_bigrams(d)
     edges = adj.groupBy("a", "b").agg(F.count(F.lit(1)).alias("w"))
     outw = edges.groupBy("a").agg(F.sum("w").alias("out_w"))
     edges = edges.join(outw, "a").localCheckpoint()

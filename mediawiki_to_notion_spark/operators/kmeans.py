@@ -76,13 +76,14 @@ def kmeans_lloyd_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """{KM_ITERS} Lloyd iterations refining the first-{KM_K} codebook
     (cosine assignment, exact-decimal mean update, 6-dp centroids).
 
-    Scale shape — the canonical distributed k-means plan: centroids are
-    a broadcast (collected to the driver between rounds, K×dim values —
-    the same thing MLlib's KMeans does); assignment is a map-side cross
-    join + per-vector argmax pruned by WindowGroupLimit; the update is
-    one partial-agg shuffle keyed (cluster, dim).  Per-round lineage is
-    truncated by rebuilding centroids from literals, so plans stay flat
-    at any iteration count."""
+    Scale shape — the canonical distributed k-means plan: the K×dim
+    centroid frame broadcasts into every assignment (MLlib collects to
+    the driver and re-literalizes; here the same truncation comes from
+    an eager per-round localCheckpoint, so the data never leaves the
+    cluster); assignment is a map-side cross join + per-vector argmax
+    pruned by WindowGroupLimit; the update is one partial-agg shuffle
+    keyed (cluster, dim).  The checkpoint keeps every round's plan a
+    leaf scan, flat at any iteration count."""
     from mediawiki_to_notion_spark.plans.pipeline import ensure_parallelism
 
     # spread the single-file embeddings scan: assignment scoring is a

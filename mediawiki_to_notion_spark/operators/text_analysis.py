@@ -459,14 +459,7 @@ PMI_TOP_K = 50
 @register(
     "text_bigram_pmi",
     oracle=f"""
-    WITH toks AS (
-      SELECT string_split(text, ' ') AS t
-      FROM documents WHERE len(string_split(text, ' ')) >= 2
-    ), adj AS (
-      SELECT t[u.i+1] AS a, t[u.i+2] AS b
-      FROM toks, LATERAL (SELECT unnest(range(0, len(t) - 1)) AS i) u
-      WHERE t[u.i+1] != '' AND t[u.i+2] != ''
-    ), big AS (
+    WITH {tx.ADJ_BIGRAMS_SQL.strip()}, big AS (
       SELECT a, b, count(*) AS n_ab FROM adj GROUP BY a, b
     ), tot_b AS (SELECT sum(n_ab)::BIGINT AS bt FROM big),
     uni AS (
@@ -500,23 +493,9 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mediawiki_to_notion_spark.plans.pipeline import ensure_parallelism
 
     d = ensure_parallelism(load_table(spark, "documents", sf_dir))
-    toks = d.select(F.split("text", " ").alias("t")).filter(F.size("t") >= 2)
-    adj = (
-        toks.select(
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("t") - 2),
-                    lambda i: F.struct(
-                        F.element_at(F.col("t"), i + 1).alias("a"),
-                        F.element_at(F.col("t"), i + 2).alias("b"),
-                    ),
-                )
-            ).alias("e")
-        )
-        .select("e.a", "e.b")
-        .filter((F.col("a") != "") & (F.col("b") != ""))
+    big = tx.adjacent_bigrams(d).groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("n_ab")
     )
-    big = adj.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab"))
     uni = (
         d.select(F.explode(F.split("text", " ")).alias("token"))
         .filter(F.col("token") != "")

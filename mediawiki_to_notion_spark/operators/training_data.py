@@ -290,23 +290,51 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_SHARDS = 8  # training output shards (thousands at real scale)
 
 
-@register(
-    "training_shard_assignment",
-    oracle=f"""
-    WITH h AS (
-      SELECT doc_id,
-             len(string_split(text, ' ')) AS n_tokens,
-             ('0x' || substr(md5('shard:' || doc_id), 1, 15))::BIGINT AS hh
-      FROM documents
+def shard_assign(docs: DataFrame) -> DataFrame:
+    """Content-addressed shard id + stable intra-shard position for any
+    (doc_id, text) frame — THE shard-assignment definition, shared by
+    training_shard_assignment and corpus_prepare_pipeline so the salt,
+    shard count, and ordering can never drift apart."""
+    from pyspark.sql import Window as W
+
+    hh = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("shard:"), F.col("doc_id"))), 1, 15),
+            16, 10,
+        ).cast("long")
     )
+    base = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        hh.alias("hh"),
+        (hh % N_SHARDS).alias("shard_id"),
+    )
+    w = W.partitionBy("shard_id").orderBy("hh", "doc_id")
+    return base.select(
+        "doc_id", "n_tokens", "shard_id",
+        F.row_number().over(w).alias("pos_in_shard"),
+    )
+
+
+def shard_assign_sql(source: str) -> str:
+    """DuckDB twin of :func:`shard_assign` over ``source`` (a table or
+    CTE with doc_id + text)."""
+    return f"""
     SELECT doc_id, n_tokens,
            hh % {N_SHARDS} AS shard_id,
            row_number() OVER (
              PARTITION BY hh % {N_SHARDS} ORDER BY hh, doc_id
            ) AS pos_in_shard
-    FROM h
-    """,
-)
+    FROM (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             ('0x' || substr(md5('shard:' || doc_id), 1, 15))::BIGINT AS hh
+      FROM {source}
+    )
+    """
+
+
+@register("training_shard_assignment", oracle=shard_assign_sql("documents"))
 def training_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global shuffle-and-shard for training output: every document gets
     a content-addressed pseudo-random shard and a position inside it —
@@ -322,26 +350,7 @@ def training_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort for the position column; with shards sized to a few hundred MB
     each, the sort is partition-local.  No global sort, no driver
     state."""
-    d = load_table(spark, "documents", sf_dir)
-    hh = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit("shard:"), F.col("doc_id"))), 1, 15),
-            16, 10,
-        ).cast("long")
-    )
-    from pyspark.sql import Window as W
-
-    base = d.select(
-        "doc_id",
-        F.size(F.split("text", " ")).alias("n_tokens"),
-        hh.alias("hh"),
-        (hh % N_SHARDS).alias("shard_id"),
-    )
-    w = W.partitionBy("shard_id").orderBy("hh", "doc_id")
-    return base.select(
-        "doc_id", "n_tokens", "shard_id",
-        F.row_number().over(w).alias("pos_in_shard"),
-    )
+    return shard_assign(load_table(spark, "documents", sf_dir))
 
 
 STRATUM_CAP = 20  # exact per-stratum sample size
@@ -424,25 +433,7 @@ def corpus_prepare_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.join(funnel_keep, "doc_id", "left_semi")
         .join(surv_keep, "doc_id", "left_semi")
     )
-    hh = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit("shard:"), F.col("doc_id"))), 1, 15),
-            16, 10,
-        ).cast("long")
-    )
-    from pyspark.sql import Window as W
-
-    base = kept.select(
-        "doc_id",
-        F.size(F.split("text", " ")).alias("n_tokens"),
-        hh.alias("hh"),
-        (hh % N_SHARDS).alias("shard_id"),
-    )
-    w = W.partitionBy("shard_id").orderBy("hh", "doc_id")
-    return base.select(
-        "doc_id", "n_tokens", "shard_id",
-        F.row_number().over(w).alias("pos_in_shard"),
-    )
+    return shard_assign(kept)
 
 
 def _register_pipeline_oracle() -> None:
@@ -459,19 +450,12 @@ def _register_pipeline_oracle() -> None:
     ), sk AS (
       SELECT doc_id FROM ({sub("dedup_survivorship")}) s WHERE s.keep
     ), kept AS (
-      SELECT d.doc_id,
-             len(string_split(d.text, ' ')) AS n_tokens,
-             ('0x' || substr(md5('shard:' || d.doc_id), 1, 15))::BIGINT AS hh
+      SELECT d.doc_id, d.text
       FROM documents d
       WHERE d.doc_id IN (SELECT doc_id FROM fk)
         AND d.doc_id IN (SELECT doc_id FROM sk)
     )
-    SELECT doc_id, n_tokens,
-           hh % {N_SHARDS} AS shard_id,
-           row_number() OVER (
-             PARTITION BY hh % {N_SHARDS} ORDER BY hh, doc_id
-           ) AS pos_in_shard
-    FROM kept
+    {shard_assign_sql("kept")}
     """
 
 

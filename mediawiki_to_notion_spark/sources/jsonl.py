@@ -43,13 +43,30 @@ def load_documents_jsonl(spark: SparkSession, path: str,
 
     raw = spark.read.text(path)
     parsed = raw.select(
+        "value",
         F.from_json(
             "value", schema,
             {"mode": "PERMISSIVE",
              "columnNameOfCorruptRecord": "_corrupt_record"},
-        ).alias("d")
+        ).alias("d"),
     )
-    return parsed.select("d.*")
+    # from_json leaves _corrupt_record NULL for inputs that are not
+    # malformed JSON yet are not documents either — blank/whitespace
+    # lines and the JSON scalar `null` (both yield a null / all-null
+    # struct).  Those must quarantine, not pass as phantom all-null rows.
+    flat = parsed.select(
+        "value", F.col("d").isNull().alias("_null_struct"), "d.*"
+    )
+    corrupt = F.coalesce(
+        F.col("_corrupt_record"),
+        F.when(
+            F.col("_null_struct") | (F.trim("value") == ""), F.col("value")
+        ),
+    )
+    return (
+        flat.withColumn("_corrupt_record", corrupt)
+        .drop("value", "_null_struct")
+    )
 
 
 def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:

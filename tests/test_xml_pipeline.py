@@ -287,14 +287,19 @@ def test_jsonl_corpus_source_roundtrip(spark, tmp_path):
         for r in rows:
             f.write(_json.dumps(r) + "\n")
         f.write('{"doc_id": not-json\n')  # the inevitable bad line
+        f.write("\n")                     # blank separator line
+        f.write("   \n")                  # whitespace-only line
+        f.write("null\n")                 # JSON scalar null
 
     df = load_documents_jsonl(spark, str(path))
     clean, bad = split_corrupt(df)
     # the parsed-struct corrupt column is fully queryable (a raw
-    # read.json corrupt column would reject this very count)
+    # read.json corrupt column would reject this very count); blank /
+    # whitespace / scalar-null lines quarantine too instead of passing
+    # as phantom all-null documents
     bad_rows = bad.collect()
-    assert bad.count() == 1
-    assert "not-json" in bad_rows[0]._corrupt_record  # raw line kept
+    assert bad.count() == 4
+    assert any("not-json" in r._corrupt_record for r in bad_rows)
     assert clean.count() == len(rows)
     got = {r.doc_id: (r.text, r.lang, r.source, r.n_chars)
            for r in clean.collect()}
