@@ -279,3 +279,64 @@ def context_window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chunk_text"),
         )
     )
+
+
+N_LENGTH_BINS = 4  # quartile bins
+
+
+@register(
+    "doc_length_equal_freq_bins",
+    oracle=f"""
+    WITH b AS (
+      SELECT round(quantile_cont(n_chars, 0.25), 6) AS q1,
+             round(quantile_cont(n_chars, 0.50), 6) AS q2,
+             round(quantile_cont(n_chars, 0.75), 6) AS q3
+      FROM documents
+    ), binned AS (
+      SELECT d.doc_id,
+             CASE WHEN d.n_chars <= b.q1 THEN 0
+                  WHEN d.n_chars <= b.q2 THEN 1
+                  WHEN d.n_chars <= b.q3 THEN 2
+                  ELSE 3 END AS bin_id
+      FROM documents d CROSS JOIN b
+    )
+    SELECT bin_id, count(*) AS n_docs,
+           min(d.n_chars) AS min_chars, max(d.n_chars) AS max_chars
+    FROM binned JOIN documents d ON binned.doc_id = d.doc_id
+    GROUP BY bin_id
+    """,
+)
+def doc_length_equal_freq_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency (quartile) binning of document lengths — the
+    curriculum/bucketing signal for length-balanced batch construction
+    (and the skew diagnosis for shard sizing).
+
+    Scale shape: the three boundaries are ONE exact-percentile aggregate
+    (Spark `percentile` and DuckDB `quantile_cont` share the linear
+    interpolation rule — the proven parity pair), broadcast back; bin
+    assignment is a map-side CASE, and the final count is one
+    partial-agg shuffle over {N_LENGTH_BINS} keys.  A global-sort
+    `ntile` would pull the corpus through one partition; this never
+    sorts."""
+    d = load_table(spark, "documents", sf_dir)
+    b = d.agg(
+        F.round(F.expr("percentile(n_chars, 0.25)"), 6).alias("q1"),
+        F.round(F.expr("percentile(n_chars, 0.50)"), 6).alias("q2"),
+        F.round(F.expr("percentile(n_chars, 0.75)"), 6).alias("q3"),
+    )
+    bin_id = (
+        F.when(F.col("n_chars") <= F.col("q1"), 0)
+        .when(F.col("n_chars") <= F.col("q2"), 1)
+        .when(F.col("n_chars") <= F.col("q3"), 2)
+        .otherwise(3)
+    )
+    return (
+        d.crossJoin(F.broadcast(b))
+        .select("doc_id", "n_chars", bin_id.alias("bin_id"))
+        .groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
