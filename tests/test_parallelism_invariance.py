@@ -1,0 +1,83 @@
+"""Parallelism invariance: the property that makes local results equal
+cluster results.  Every helper that claims order-independence is run on
+the SAME data partitioned 1-way and 17-way; results must be identical
+row sets — not approximately, exactly.  (The cross-engine oracles catch
+order dependence too, but only at the partitioning the test session
+happens to use; this pins the claim directly.)"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from mediawiki_to_notion_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _both_partitionings(df):
+    return df.repartition(1), df.repartition(17)
+
+
+def test_shard_assign_invariant_under_partitioning(spark):
+    from mediawiki_to_notion_spark.operators.training_data import shard_assign
+
+    docs = load_table(spark, "documents", SF).select("doc_id", "text")
+    one, many = _both_partitionings(docs)
+    assert _rows(shard_assign(one)) == _rows(shard_assign(many))
+
+
+def test_funnel_invariant_under_partitioning(spark):
+    from mediawiki_to_notion_spark.operators.corpus_quality import apply_funnel
+
+    docs = load_table(spark, "documents", SF) \
+        .select("doc_id", "lang", "text", "n_chars")
+    one, many = _both_partitionings(docs)
+    assert _rows(apply_funnel(one)) == _rows(apply_funnel(many))
+
+
+def test_shingle_pairs_invariant_under_partitioning(spark):
+    from mediawiki_to_notion_spark.operators.dedup import (
+        _hashed_shingles,
+        _shingle_pairs,
+    )
+
+    docs = load_table(spark, "documents", SF).select("doc_id", "text")
+    one, many = _both_partitionings(docs)
+    assert _rows(_shingle_pairs(_hashed_shingles(one))) == \
+        _rows(_shingle_pairs(_hashed_shingles(many)))
+
+
+def test_minhash_signature_invariant_under_partitioning(spark):
+    from mediawiki_to_notion_spark.streaming.dedup_stream import (
+        minhash_signature_col,
+    )
+
+    docs = load_table(spark, "documents", SF).select("doc_id", "text")
+    one, many = _both_partitionings(docs)
+    sig = lambda d: d.select("doc_id", minhash_signature_col("text"))  # noqa: E731
+    assert _rows(sig(one)) == _rows(sig(many))
+
+
+def test_decimal_moments_invariant_under_partitioning(spark):
+    """The exact-decimal sufficient-statistics aggregate must not move
+    by an ulp between 1 and 17 partitions (a double-accumulating
+    stddev/corr would)."""
+    from mediawiki_to_notion_spark.operators.registry import QUERIES
+    from mediawiki_to_notion_spark.operators import load_all
+
+    load_all()
+    # run the registered query twice under different session shuffle
+    # parallelism; the load is internal, so vary shuffle partitions
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+        a = _rows(QUERIES["stats_moments_lineitem"](spark, SF))
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        b = _rows(QUERIES["stats_moments_lineitem"](spark, SF))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    assert a == b
