@@ -82,7 +82,8 @@ _DEFER = ["multimodal_feature_extract",  # upgraded rows-only -> oracled
           "similarity_pq_adc", "kmeans_lloyd_refine", "hybrid_search_rrf",
           "stratified_sample_exact", "corpus_prepare_pipeline",
           "dedup_containment", "events_anomaly_zscore", "tokenize_to_ids",
-          "dedup_minhash_estimate_quality", "doc_length_equal_freq_bins"]
+          "dedup_minhash_estimate_quality", "doc_length_equal_freq_bins",
+          "multimodal_audio_energy"]
 
 
 def entry(spark: SparkSession) -> DataFrame:

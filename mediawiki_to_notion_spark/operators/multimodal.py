@@ -255,3 +255,75 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     compute, so the full Arrow plumbing is value-checked end to end."""
     d = load_table(spark, "documents", sf_dir)
     return _media_frame(d).mapInPandas(extract_features, FEATURE_SCHEMA)
+
+
+ENERGY_WINDOW = 32  # bytes per analysis window
+
+
+def window_energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: fixed-window byte 'energy' (sum of sample
+    values) per audio payload — the windowed-analysis shape of real
+    audio feature extraction (RMS/VAD), vectorized per Arrow batch."""
+    import numpy as np
+
+    for pdf in batches:
+        out_doc, out_idx, out_energy = [], [], []
+        for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+            data = np.frombuffer(bytes(content), dtype=np.uint8)
+            n_win = len(data) // ENERGY_WINDOW
+            if n_win == 0:
+                continue
+            trimmed = data[: n_win * ENERGY_WINDOW]
+            energies = trimmed.reshape(n_win, ENERGY_WINDOW).sum(
+                axis=1, dtype=np.int64
+            )
+            out_doc.extend([doc_id] * n_win)
+            out_idx.extend(range(n_win))
+            out_energy.extend(energies.tolist())
+        yield pd.DataFrame(
+            {"doc_id": out_doc, "window_idx": out_idx, "energy": out_energy}
+        )
+
+
+@register(
+    "multimodal_audio_energy",
+    oracle=f"""
+    WITH audio AS (
+      SELECT doc_id, text FROM documents
+      WHERE CAST(doc_id % 3 AS INTEGER) = 1
+        AND octet_length(encode(text)) >= {ENERGY_WINDOW}
+    ), bytes AS (
+      SELECT a.doc_id, u.i,
+             ord(substr(a.text, CAST(u.i + 1 AS INTEGER), 1)) AS val
+      FROM audio a, LATERAL (
+        SELECT unnest(range(0,
+          (octet_length(encode(a.text)) // {ENERGY_WINDOW}) * {ENERGY_WINDOW}
+        )) AS i) u
+    )
+    SELECT doc_id,
+           CAST(i // {ENERGY_WINDOW} AS BIGINT) AS window_idx,
+           sum(val)::BIGINT AS energy
+    FROM bytes
+    GROUP BY doc_id, i // {ENERGY_WINDOW}
+    """,
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio analysis over opaque binary payloads: per
+    {ENERGY_WINDOW}-byte window, the sample-value sum ("energy") — the
+    RMS/VAD feature-extraction shape with the codec faked by reading the
+    payload bytes directly (ASCII corpus ⇒ byte == code point, so the
+    SQL oracle can value-check the whole Python stage).
+
+    Scale shape: audio rows are filtered relationally BEFORE the Arrow
+    stage; the worker is one vectorized reshape+sum per payload with
+    bounded per-task memory; output is already (doc, window) grain — no
+    further shuffle.  Real codecs slot into window_energy without
+    touching the plan."""
+    d = load_table(spark, "documents", sf_dir)
+    media = _media_frame(d).filter(
+        (F.col("media_type") == "audio/wav")
+        & (F.octet_length("content") >= ENERGY_WINDOW)
+    )
+    return media.select("doc_id", "content").mapInPandas(
+        window_energy, "doc_id long, window_idx long, energy long"
+    )
