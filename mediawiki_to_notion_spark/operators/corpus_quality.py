@@ -340,3 +340,102 @@ def doc_length_equal_freq_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").alias("max_chars"),
         )
     )
+
+
+DRIFT_BUCKET = 50      # chars per histogram bucket
+DRIFT_THRESHOLD = 0.1  # total-variation flag level
+
+
+@register(
+    "source_drift_detect",
+    oracle=f"""
+    WITH b AS (
+      SELECT source, CAST(doc_id % 2 AS INTEGER) AS half,
+             (n_chars // {DRIFT_BUCKET}) * {DRIFT_BUCKET} AS bucket
+      FROM documents
+    ), h AS (
+      SELECT source, half, bucket, count(*) AS n FROM b GROUP BY 1, 2, 3
+    ), tot AS (
+      SELECT source, half, sum(n)::BIGINT AS tot FROM h GROUP BY 1, 2
+    ), buckets AS (
+      SELECT DISTINCT source, bucket FROM h
+    ), px AS (
+      SELECT bk.source, bk.bucket,
+             coalesce(o.n, 0)::DOUBLE / ot.tot AS p,
+             coalesce(nw.n, 0)::DOUBLE / nt.tot AS q,
+             ot.tot AS n_old, nt.tot AS n_new
+      FROM buckets bk
+      JOIN tot ot ON ot.source = bk.source AND ot.half = 0
+      JOIN tot nt ON nt.source = bk.source AND nt.half = 1
+      LEFT JOIN h o  ON o.source = bk.source AND o.bucket = bk.bucket
+                    AND o.half = 0
+      LEFT JOIN h nw ON nw.source = bk.source AND nw.bucket = bk.bucket
+                    AND nw.half = 1
+    )
+    SELECT source, min(n_old) AS n_old, min(n_new) AS n_new,
+           count(*) AS n_buckets,
+           round(CAST(sum(CAST(round(abs(p - q), 6) AS DECIMAL(18,6)))
+                      AS DOUBLE) / 2, 6) AS tv_distance,
+           round(CAST(sum(CAST(round(abs(p - q), 6) AS DECIMAL(18,6)))
+                      AS DOUBLE) / 2, 6) > {DRIFT_THRESHOLD} AS drift_flag
+    FROM px GROUP BY source
+    """,
+)
+def source_drift_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor per source: total-variation distance
+    between the length histograms of two corpus halves (doc_id parity
+    stands in for the old-crawl/new-crawl time split) — the batch
+    statistics check a production pipeline runs on every new crawl to
+    catch a source silently changing shape before it poisons the mix.
+
+    Scale shape: two partial-agg shuffles over (source, half, bucket)
+    key grains (thousands of groups, never corpus-sized), a broadcast-
+    sized totals join, and a per-source fold of 6-dp-rounded per-bucket
+    deviations summed as DECIMAL — order-exact at any parallelism."""
+    d = load_table(spark, "documents", sf_dir)
+    b = d.select(
+        "source",
+        (F.col("doc_id") % 2).cast("int").alias("half"),
+        ((F.col("n_chars") / DRIFT_BUCKET).cast("long") * DRIFT_BUCKET)
+        .alias("bucket"),
+    )
+    h = b.groupBy("source", "half", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    tot = h.groupBy("source", "half").agg(F.sum("n").alias("tot"))
+    buckets = h.select("source", "bucket").distinct()
+    ot = tot.filter(F.col("half") == 0).select(
+        "source", F.col("tot").alias("tot_old")
+    )
+    nt = tot.filter(F.col("half") == 1).select(
+        "source", F.col("tot").alias("tot_new")
+    )
+    ho = h.filter(F.col("half") == 0).select(
+        "source", "bucket", F.col("n").alias("n_old_b")
+    )
+    hn = h.filter(F.col("half") == 1).select(
+        "source", "bucket", F.col("n").alias("n_new_b")
+    )
+    px = (
+        buckets.join(F.broadcast(ot), "source")
+        .join(F.broadcast(nt), "source")
+        .join(ho, ["source", "bucket"], "left")
+        .join(hn, ["source", "bucket"], "left")
+        .select(
+            "source",
+            (F.coalesce("n_old_b", F.lit(0)).cast("double") / F.col("tot_old"))
+            .alias("p"),
+            (F.coalesce("n_new_b", F.lit(0)).cast("double") / F.col("tot_new"))
+            .alias("q"),
+            F.col("tot_old").alias("n_old"), F.col("tot_new").alias("n_new"),
+        )
+    )
+    tv = (
+        F.sum(F.round(F.abs(F.col("p") - F.col("q")), 6).cast("decimal(18,6)"))
+        .cast("double") / 2
+    )
+    return px.groupBy("source").agg(
+        F.min("n_old").alias("n_old"),
+        F.min("n_new").alias("n_new"),
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.round(tv, 6).alias("tv_distance"),
+        (F.round(tv, 6) > DRIFT_THRESHOLD).alias("drift_flag"),
+    )
