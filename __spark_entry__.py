@@ -83,7 +83,10 @@ _DEFER = ["multimodal_feature_extract",  # upgraded rows-only -> oracled
           "stratified_sample_exact", "corpus_prepare_pipeline",
           "dedup_containment", "events_anomaly_zscore", "tokenize_to_ids",
           "dedup_minhash_estimate_quality", "doc_length_equal_freq_bins",
-          "multimodal_audio_energy", "source_drift_detect"]
+          "multimodal_audio_energy", "source_drift_detect",
+          # round-2 wave 3
+          "dedup_paragraph_chunks", "text_pii_redaction",
+          "ngram_novelty_rate", "embedding_int8_quantize"]
 
 
 def entry(spark: SparkSession) -> DataFrame:

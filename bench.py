@@ -63,6 +63,8 @@ HEADLINE = [
     "hybrid_search_rrf",
     "stratified_sample_exact",
     "corpus_prepare_pipeline",
+    "dedup_paragraph_chunks",
+    "embedding_int8_quantize",
 ]
 
 

@@ -1,0 +1,304 @@
+r"""Corpus-preparation operators beyond dedup/quality: paragraph-level
+dedup with document reassembly, PII redaction, n-gram novelty scoring,
+and int8 embedding quantization (north-star extensions — the remaining
+standard stages of a pretraining data pipeline).
+
+Scale notes per operator are in the docstrings; the common theme is one
+hash-partitioned shuffle on the natural key (chunk hash / shingle hash /
+vec_id) plus broadcast for anything corpus-global (per-dimension ranges,
+match counts), mirroring the shapes pinned in test_plan_quality.py.
+
+Cross-engine parity: chunk text and positions are compared raw (no
+floats); ratios are single divisions of exact integers rounded once;
+quantization arithmetic fixes the operation order ``((val - lo) /
+(hi - lo)) * 255`` so Spark and DuckDB produce bit-identical doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mediawiki_to_notion_spark.operators.dedup import _SHINGLES_SQL, _hashed_shingles
+from mediawiki_to_notion_spark.operators.registry import register
+from mediawiki_to_notion_spark.sources.tables import load_table
+
+CHUNK_WORDS = 16        # "paragraph" = 16-word window (synthetic docs have
+                        # no newlines; real corpora would split on \n\n)
+POS_BASE = 1_000_000    # doc_id * POS_BASE + chunk_idx is a total order;
+                        # no document approaches 16M words
+
+
+@register(
+    "dedup_paragraph_chunks",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    chunks AS (
+      SELECT doc_id, u.i AS chunk_idx,
+             array_to_string(
+               t[u.i*{CHUNK_WORDS}+1 : u.i*{CHUNK_WORDS}+{CHUNK_WORDS}], ' '
+             ) AS chunk
+      FROM toks, LATERAL (
+        SELECT unnest(range(0, ((len(t)-1)//{CHUNK_WORDS})+1)) AS i) u
+    ),
+    firsts AS (
+      SELECT chunk, min(doc_id*{POS_BASE}+chunk_idx) AS first_pos
+      FROM chunks GROUP BY chunk
+    ),
+    occ AS (
+      SELECT doc_id, chunk_idx, chunk,
+             (doc_id*{POS_BASE}+chunk_idx) = first_pos AS kept
+      FROM chunks JOIN firsts USING (chunk)
+    )
+    SELECT doc_id,
+           count(*) AS n_chunks,
+           count(*) FILTER (kept) AS n_kept,
+           coalesce(
+             string_agg(chunk, ' ' ORDER BY chunk_idx) FILTER (kept), ''
+           ) AS dedup_text
+    FROM occ GROUP BY doc_id
+    """,
+)
+def dedup_paragraph_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup with reassembly (CCNet §3.1 / Dolma's
+    paragraph dedup): split every document into {CHUNK_WORDS}-word
+    chunks, keep only the globally FIRST occurrence of each chunk
+    (ordered by doc_id then position), and rebuild each document from
+    its surviving chunks.
+
+    Reference parity: the reference dedups whole uploads by content key
+    (process-mw-dump.py writes one object per page); this is the
+    finer-grained variant every pretraining corpus runs.
+
+    100 TB shape: chunking is a linear scan (no shuffle); first-occurrence
+    is ONE groupBy on the chunk text with a map-side partial min; the
+    join back is on the same key so AQE reuses the hash partitioning;
+    reassembly is one shuffle on doc_id.  Never all-pairs, never a
+    window over the corpus.  At real scale the chunk string would be
+    token_hash60'd before the shuffle (see _hashed_shingles) — kept raw
+    here so the oracle compares the exact text."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    n_last = ((F.size("t") - F.lit(1)) / CHUNK_WORDS).cast("int")
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), n_last),
+        lambda i: F.concat_ws(
+            " ", F.slice("t", i * CHUNK_WORDS + F.lit(1), F.lit(CHUNK_WORDS))
+        ),
+    )
+    chunks = toks.select(
+        "doc_id", F.posexplode(chunk_arr).alias("chunk_idx", "chunk")
+    ).withColumn(
+        "pos", F.col("doc_id") * POS_BASE + F.col("chunk_idx")
+    )
+    firsts = chunks.groupBy("chunk").agg(F.min("pos").alias("first_pos"))
+    occ = chunks.join(firsts, "chunk").withColumn(
+        "kept", F.col("pos") == F.col("first_pos")
+    )
+    return occ.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.count(F.when(F.col("kept"), 1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("kept"),
+                            F.struct(
+                                F.col("chunk_idx").alias("chunk_idx"),
+                                F.col("chunk").alias("chunk"),
+                            ),
+                        )
+                    )
+                ),
+                lambda s: s["chunk"],
+            ),
+        ).alias("dedup_text"),
+    )
+
+
+# Same dialect-portable patterns as corpus_quality's detection gate
+# (character classes + bounded repetition work identically in Java regex
+# and RE2); \b is an ASCII word boundary in both.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\b555-\d{4}\b"
+
+
+@register(
+    "text_pii_redaction",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user-' || doc_id::VARCHAR || '@example.com'
+                  || ' ip 10.0.' || (doc_id % 256)::VARCHAR || '.'
+                  || (doc_id % 100)::VARCHAR
+                  || ' phone 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+               AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(t, '{EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(t, '{IPV4_RE}')) AS n_ipv4,
+           len(regexp_extract_all(t, '{PHONE_RE}')) AS n_phones,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(t, '{EMAIL_RE}', '<EMAIL>', 'g'),
+               '{IPV4_RE}', '<IP>', 'g'),
+             '{PHONE_RE}', '<PHONE>', 'g') AS clean_text
+    FROM aug
+    """,
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: count and redact emails / IPv4s / phone numbers
+    (the C4 / RefinedWeb cleanup step; corpus_filter_funnel only DETECTS
+    PII, this op rewrites the text for release).
+
+    The synthetic corpus contains no organic PII, so each document is
+    deterministically augmented with doc_id-derived email/IP/phone
+    strings — identically in Spark and the oracle — to exercise the
+    extraction and redaction machinery end to end.
+
+    100 TB shape: pure JVM-side regexp expressions inside one
+    whole-stage-codegen'd scan; zero shuffles, zero Python.  Redaction
+    order (email → IP → phone) is fixed so the passes compose
+    identically in both engines."""
+    d = load_table(spark, "documents", sf_dir)
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user-"), did.cast("string"), F.lit("@example.com"),
+        F.lit(" ip 10.0."), (did % 256).cast("string"),
+        F.lit("."), (did % 100).cast("string"),
+        F.lit(" phone 555-"),
+        F.lpad((did % 10000).cast("string"), 4, "0"),
+    )
+    t = d.select("doc_id", aug.alias("t"))
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), EMAIL_RE, "<EMAIL>"),
+            IPV4_RE, "<IP>"),
+        PHONE_RE, "<PHONE>")
+    return t.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(EMAIL_RE), F.lit(0)))
+         .alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(IPV4_RE), F.lit(0)))
+         .alias("n_ipv4"),
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(PHONE_RE), F.lit(0)))
+         .alias("n_phones"),
+        clean.alias("clean_text"),
+    )
+
+
+@register(
+    "ngram_novelty_rate",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    firsts AS (SELECT h, min(doc_id) AS first_doc FROM sh GROUP BY h)
+    SELECT doc_id,
+           count(*) AS n_distinct_ngrams,
+           count(*) FILTER (first_doc = doc_id) AS n_novel_ngrams,
+           round(count(*) FILTER (first_doc = doc_id)::DOUBLE / count(*), 6)
+             AS novelty_rate
+    FROM sh JOIN firsts USING (h)
+    GROUP BY doc_id
+    """,
+)
+def ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a document's distinct
+    word-trigrams whose global first occurrence (min doc_id) is this
+    document.  Curriculum/mixture builders use this "new information
+    rate" to down-weight documents that only repeat earlier corpus
+    content (complement of dedup_containment's pairwise view).
+
+    100 TB shape: one groupBy on the 60-bit shingle hash (map-side
+    partial min) + a join back on the SAME key — AQE reuses the hash
+    partitioning, so effectively one shuffle — then one doc_id
+    aggregate.  Never materializes pairs."""
+    d = load_table(spark, "documents", sf_dir)
+    sh = _hashed_shingles(d)  # distinct (doc_id, h)
+    firsts = sh.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    joined = sh.join(firsts, "h")
+    n_novel = F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1))
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_distinct_ngrams"),
+        n_novel.alias("n_novel_ngrams"),
+    ).select(
+        "doc_id", "n_distinct_ngrams", "n_novel_ngrams",
+        F.round(
+            F.col("n_novel_ngrams").cast("double") / F.col("n_distinct_ngrams"),
+            6,
+        ).alias("novelty_rate"),
+    )
+
+
+@register(
+    "embedding_int8_quantize",
+    oracle="""
+    WITH dims AS (
+      SELECT vec_id, u.i AS dim, embedding[u.i+1]::DOUBLE AS val
+      FROM embeddings,
+           LATERAL (SELECT unnest(range(0, len(embedding))) AS i) u
+    ),
+    mm AS (SELECT dim, min(val) AS lo, max(val) AS hi FROM dims GROUP BY dim),
+    q AS (
+      SELECT vec_id, dim, val, lo, hi,
+             CASE WHEN hi = lo THEN 0
+                  ELSE round(((val - lo) / (hi - lo)) * 255)::INT END AS code
+      FROM dims JOIN mm USING (dim)
+    )
+    SELECT vec_id,
+           list(code ORDER BY dim) AS codes,
+           round(max(abs(val - (lo + (code / 255.0) * (hi - lo)))), 6)
+             AS max_abs_err
+    FROM q GROUP BY vec_id
+    """,
+)
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of the embedding column: per-dimension
+    corpus [min, max] ranges mapped to 0..255 codes, plus the max
+    absolute reconstruction error per vector.  The standard 4× memory
+    compression before ANN indexing (Faiss SQ8 / vector-DB scalar
+    quantization) — complements similarity_pq_* (product quantization)
+    with the simpler, exactly-invertible-bounds variant.
+
+    100 TB shape: posexplode is linear; the per-dimension range aggregate
+    produces ONE row per dimension (64 here) with map-side partial
+    min/max, broadcast back to the exploded stream (no shuffle of the
+    big side); the only full shuffle is the final vec_id regroup.  The
+    operation order ``((val - lo) / (hi - lo)) * 255`` is fixed —
+    see module docstring."""
+    e = load_table(spark, "embeddings", sf_dir)
+    dims = e.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "valf")
+    ).select("vec_id", "dim", F.col("valf").cast("double").alias("val"))
+    mm = dims.groupBy("dim").agg(
+        F.min("val").alias("lo"), F.max("val").alias("hi")
+    )
+    q = dims.join(F.broadcast(mm), "dim").withColumn(
+        "code",
+        F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+            F.round(
+                ((F.col("val") - F.col("lo")) / (F.col("hi") - F.col("lo")))
+                * 255
+            ).cast("int")
+        ),
+    )
+    err = F.abs(
+        F.col("val")
+        - (F.col("lo") + (F.col("code") / F.lit(255.0))
+           * (F.col("hi") - F.col("lo")))
+    )
+    return q.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("dim").alias("dim"), F.col("code").alias("code"))
+                )
+            ),
+            lambda s: s["code"],
+        ).alias("codes"),
+        F.round(F.max(err), 6).alias("max_abs_err"),
+    )

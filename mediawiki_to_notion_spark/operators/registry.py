@@ -39,6 +39,7 @@ def load_all() -> None:
     from mediawiki_to_notion_spark.operators import (  # noqa: F401
         analytics_ext,
         corpus_quality,
+        data_prep,
         dedup,
         dedup_ext,
         graph_ops,

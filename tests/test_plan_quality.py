@@ -291,3 +291,40 @@ def test_stratified_sample_prunes_before_exchange(spark):
     plan = plan_of(spark, "stratified_sample_exact")
     assert "WindowGroupLimit" in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_paragraph_dedup_equi_join_only(spark):
+    """First-occurrence resolution must be the chunk equi-join (groupBy
+    min + join back on the same key) — never a document/chunk pair
+    nested loop, and no range partitioning (reassembly sorts inside the
+    doc_id aggregate, not globally)."""
+    plan = plan_of(spark, "dedup_paragraph_chunks")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_pii_redaction_shuffle_free(spark):
+    """Redaction is a pure per-row rewrite: one codegen'd scan, zero
+    exchanges, zero Python workers."""
+    plan = plan_of(spark, "text_pii_redaction")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "*(1)" in plan  # the whole query is one codegen stage
+
+
+def test_novelty_rate_single_key_shuffle(spark):
+    """Novelty joins first-occurrence back on the shingle hash — an
+    equi-join reusing the groupBy's hash partitioning; no pair blowup."""
+    plan = plan_of(spark, "ngram_novelty_rate")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_int8_quantize_broadcasts_ranges(spark):
+    """The per-dimension [lo, hi] table (one row per dim) must broadcast
+    onto the exploded vector stream — a sort-merge join would shuffle
+    the full corpus by dim."""
+    plan = plan_of(spark, "embedding_int8_quantize")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
