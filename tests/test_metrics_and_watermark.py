@@ -259,3 +259,47 @@ def test_funnel_runs_unchanged_on_stream(spark, tmp_path):
         for r in apply_funnel(docs).collect()
     }
     assert got == want and len(want) == docs.count()
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join (clicks ⋈ purchases in
+    the 10-minute band) produces exactly the batch join's pairs when
+    both file streams drain under availableNow."""
+    from mediawiki_to_notion_spark.streaming.join_stream import (
+        interval_join_clicks_purchases,
+    )
+
+    events = load_table(spark, "events", SF).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    ).orderBy("event_id").limit(4000)
+    clicks_dir = tmp_path / "clicks"
+    purch_dir = tmp_path / "purchases"
+    events.filter(F.col("event_type") == "click").coalesce(1) \
+        .write.mode("overwrite").parquet(str(clicks_dir))
+    events.filter(F.col("event_type") == "purchase").coalesce(1) \
+        .write.mode("overwrite").parquet(str(purch_dir))
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    c_stream = spark.readStream.schema(schema).parquet(str(clicks_dir))
+    p_stream = spark.readStream.schema(schema).parquet(str(purch_dir))
+    q = (
+        interval_join_clicks_purchases(c_stream, p_stream)
+        .writeStream.format("memory").queryName("ssjoin")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.purchase_id, r.click_id)
+        for r in spark.sql("select * from ssjoin").collect()
+    }
+
+    batch = interval_join_clicks_purchases(
+        spark.read.parquet(str(clicks_dir)),
+        spark.read.parquet(str(purch_dir)),
+    )
+    want = {(r.purchase_id, r.click_id) for r in batch.collect()}
+    assert got == want
+    assert len(want) > 0
