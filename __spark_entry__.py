@@ -86,7 +86,9 @@ _DEFER = ["multimodal_feature_extract",  # upgraded rows-only -> oracled
           "multimodal_audio_energy", "source_drift_detect",
           # round-2 wave 3
           "dedup_paragraph_chunks", "text_pii_redaction",
-          "ngram_novelty_rate", "embedding_int8_quantize"]
+          "ngram_novelty_rate", "embedding_int8_quantize",
+          "score_robust_calibrate", "join_key_skew_profile",
+          "dense_global_ids"]
 
 
 def entry(spark: SparkSession) -> DataFrame:

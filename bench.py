@@ -65,6 +65,7 @@ HEADLINE = [
     "corpus_prepare_pipeline",
     "dedup_paragraph_chunks",
     "embedding_int8_quantize",
+    "dense_global_ids",
 ]
 
 

@@ -302,3 +302,180 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("codes"),
         F.round(F.max(err), 6).alias("max_abs_err"),
     )
+
+
+@register(
+    "score_robust_calibrate",
+    oracle="""
+    WITH stats AS (
+      SELECT source,
+             quantile_cont(n_chars, 0.25) AS q1,
+             quantile_cont(n_chars, 0.5) AS med,
+             quantile_cont(n_chars, 0.75) AS q3
+      FROM documents GROUP BY source
+    )
+    SELECT doc_id, d.source, n_chars,
+           CASE WHEN q3 = q1 THEN 0.0
+                ELSE round((CAST(n_chars AS DOUBLE) - med) / (q3 - q1), 6)
+           END AS robust_z
+    FROM documents d JOIN stats USING (source)
+    """,
+)
+def score_robust_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source score calibration by robust scaling: each document's
+    score (n_chars stands in for a model quality score) centered on its
+    SOURCE's median and scaled by its source's IQR, so scores from
+    sources with different scales become comparable before mixing
+    (the per-source analog of events_anomaly_zscore's mean/std — median
+    and IQR shrug off the heavy tails real quality scores have).
+
+    100 TB shape: the per-source quartile aggregate yields one tiny row
+    per source and broadcasts back onto the scan; exact percentiles
+    sort per group at this SF — the 100 TB call-site swaps in
+    approx_percentile (mergeable sketch), same join shape.  Spark's
+    `percentile` and DuckDB's `quantile_cont` share the interpolation
+    rule (pinned by percentile_event_values)."""
+    d = load_table(spark, "documents", sf_dir)
+    stats = d.groupBy("source").agg(
+        F.expr("percentile(n_chars, 0.25)").alias("q1"),
+        F.expr("percentile(n_chars, 0.5)").alias("med"),
+        F.expr("percentile(n_chars, 0.75)").alias("q3"),
+    )
+    return d.join(F.broadcast(stats), "source").select(
+        "doc_id", "source", "n_chars",
+        F.when(F.col("q3") == F.col("q1"), F.lit(0.0)).otherwise(
+            F.round(
+                (F.col("n_chars").cast("double") - F.col("med"))
+                / (F.col("q3") - F.col("q1")),
+                6,
+            )
+        ).alias("robust_z"),
+    )
+
+
+SKEW_HOT_FACTOR = 2  # a key is "hot" above this multiple of the mean
+
+
+@register(
+    "join_key_skew_profile",
+    oracle=f"""
+    WITH counts AS (
+      SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey
+    ), mean AS (
+      SELECT sum(n)::DOUBLE / count(*) AS mean_n FROM counts
+    )
+    SELECT count(*) AS n_keys,
+           sum(n) AS n_rows,
+           max(n) AS max_key_rows,
+           round(quantile_cont(n, 0.99), 6) AS p99_key_rows,
+           round(max(n) / mean_n, 6) AS skew_ratio,
+           count(*) FILTER (n > {SKEW_HOT_FACTOR} * mean_n) AS n_hot_keys
+    FROM counts, mean
+    GROUP BY mean_n
+    """,
+)
+def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic for a prospective join/groupBy key
+    (orders.o_custkey): key cardinality, hottest-key row count, p99,
+    max/mean skew ratio, and how many keys exceed {SKEW_HOT_FACTOR}x
+    the mean.  This is the measurement that decides between a plain
+    shuffle join, AQE skew splitting, and salted_join (operators/
+    physical.py) — the reference's FAQ.md:68 hot page is exactly the
+    pathology this quantifies before it takes down a stage.
+
+    100 TB shape: one map-side-combined groupBy on the key, then a
+    single-row aggregate over the (much smaller) per-key counts; the
+    profile costs one shuffle of key cardinality, not data volume."""
+    o = load_table(spark, "orders", sf_dir)
+    # materialize the per-key counts once: three consumers below (summary
+    # stats, the mean, the hot-key count) would otherwise each re-run the
+    # o_custkey shuffle — the one genuinely big stage of this query
+    counts = (
+        o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    stats = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_key_rows"),
+        F.round(F.expr("percentile(n, 0.99)"), 6).alias("p99_key_rows"),
+    ).withColumn(
+        "mean_n", F.col("n_rows").cast("double") / F.col("n_keys")
+    )
+    hot = counts.crossJoin(F.broadcast(stats.select("mean_n"))).agg(
+        F.count(F.when(F.col("n") > SKEW_HOT_FACTOR * F.col("mean_n"), 1))
+         .alias("n_hot_keys"),
+    )
+    return stats.crossJoin(hot).select(
+        "n_keys", "n_rows", "max_key_rows", "p99_key_rows",
+        F.round(F.col("max_key_rows") / F.col("mean_n"), 6)
+         .alias("skew_ratio"),
+        "n_hot_keys",
+    )
+
+
+N_ID_PARTITIONS = 8  # fixed so the range partitioning is reproducible
+
+
+@register(
+    "dense_global_ids",
+    oracle="""
+    SELECT doc_id,
+           row_number() OVER (ORDER BY doc_id) - 1 AS dense_id
+    FROM documents
+    """,
+)
+def dense_global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous 0..N-1 ids in doc_id order WITHOUT a global sort — the
+    zipWithIndex pattern every training-shard writer needs (example
+    ids, row pointers) expressed scale-first:
+
+    1. repartitionByRange(doc_id): rows land in doc_id-ordered ranges;
+    2. per-partition local ranks via one Arrow mapInPandas pass (a
+       running counter per partition — the one semantics DataFrame
+       built-ins cannot express without re-shuffling by partition id);
+    3. per-partition row counts (tiny: one row per partition) become
+       cumulative offsets via a window over {N_ID_PARTITIONS} rows,
+       broadcast back;  dense_id = offset + local_rank.
+
+    A window `row_number() OVER (ORDER BY doc_id)` — the oracle's
+    formulation — would funnel the corpus through ONE task at 100 TB;
+    this plan's only wide ops are the range partitioning and a
+    broadcast of {N_ID_PARTITIONS} offset rows."""
+    from pyspark.sql import Window as W
+
+    d = (
+        load_table(spark, "documents", sf_dir)
+        .select("doc_id")
+        .repartitionByRange(N_ID_PARTITIONS, "doc_id")
+        .sortWithinPartitions("doc_id")
+    )
+
+    def local_ranks(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        seen = 0
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "pid": pid,
+                    "local_rank": range(seen, seen + len(pdf)),
+                }
+            )
+            seen += len(pdf)
+            yield out
+
+    ranked = d.mapInPandas(
+        local_ranks, "doc_id long, pid int, local_rank long"
+    )
+    sizes = ranked.groupBy("pid").agg(F.count(F.lit(1)).alias("n"))
+    offsets = sizes.select(
+        "pid",
+        (F.sum("n").over(W.orderBy("pid")) - F.col("n")).alias("offset"),
+    )
+    return ranked.join(F.broadcast(offsets), "pid").select(
+        "doc_id", (F.col("offset") + F.col("local_rank")).alias("dense_id")
+    )

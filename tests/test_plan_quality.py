@@ -328,3 +328,32 @@ def test_int8_quantize_broadcasts_ranges(spark):
     plan = plan_of(spark, "embedding_int8_quantize")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_robust_calibrate_broadcasts_quartiles(spark):
+    """The per-source quartile table (one row per source) must broadcast
+    back onto the documents scan."""
+    plan = plan_of(spark, "score_robust_calibrate")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_skew_profile_shuffles_counts_once(spark):
+    """The o_custkey counts shuffle — the only data-volume stage — must
+    run once (localCheckpoint) even though three aggregates consume it."""
+    plan = plan_of(spark, "join_key_skew_profile")
+    assert plan.count("hashpartitioning(o_custkey") == 0  # pre-materialized
+    assert "Scan ExistingRDD" in plan
+
+
+def test_dense_ids_no_single_partition_data_pass(spark):
+    """Global ids must come from range partitions + per-partition ranks —
+    the corpus never funnels through one task.  The only SinglePartition
+    exchange allowed is the tiny per-partition-counts offsets window
+    (N_ID_PARTITIONS rows)."""
+    plan = plan_of(spark, "dense_global_ids")
+    assert "MapInPandas" in plan
+    assert plan.count("Exchange SinglePartition") <= 1
+    assert "rangepartitioning(doc_id" in plan
+    # no corpus-wide window rank
+    assert "row_number" not in plan
