@@ -88,7 +88,8 @@ _DEFER = ["multimodal_feature_extract",  # upgraded rows-only -> oracled
           "dedup_paragraph_chunks", "text_pii_redaction",
           "ngram_novelty_rate", "embedding_int8_quantize",
           "score_robust_calibrate", "join_key_skew_profile",
-          "dense_global_ids"]
+          "dense_global_ids", "graph_triangle_count", "bpe_pair_counts",
+          "time_gapfill_interpolate"]
 
 
 def entry(spark: SparkSession) -> DataFrame:

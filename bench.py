@@ -66,6 +66,8 @@ HEADLINE = [
     "dedup_paragraph_chunks",
     "embedding_int8_quantize",
     "dense_global_ids",
+    "graph_triangle_count",
+    "bpe_pair_counts",
 ]
 
 

@@ -707,3 +707,83 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("std_v") > 0, F.abs(z_raw) > Z_ANOMALY)
         .otherwise(F.lit(False)).alias("is_anomaly"),
     )
+
+
+@register(
+    "time_gapfill_interpolate",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             count(*) AS n,
+             round(CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6)))
+                        AS DOUBLE) / count(*), 6) AS avg_v
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT min(h) AS mn, max(h) AS mx FROM hourly),
+    spine AS (
+      SELECT t.event_type, g.h
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+                  FROM bounds) g
+    )
+    SELECT s.event_type, s.h,
+           coalesce(n, 0) AS n_events,
+           n IS NULL AS is_gap,
+           last_value(avg_v IGNORE NULLS) OVER (
+             PARTITION BY s.event_type ORDER BY s.h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS v_ffill
+    FROM spine s LEFT JOIN hourly USING (event_type, h)
+    """,
+)
+def time_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill (the TimescaleDB ``time_bucket_gapfill`` /
+    ``locf`` pair): densify the hourly per-type event series over the
+    full observed range, zero-fill counts, flag gaps, and carry the
+    last known hourly mean forward (nulls before the first observation
+    survive, as locf specifies).
+
+    The hourly mean is computed as one exact DECIMAL sum divided once —
+    order-independent at any parallelism (stats_moments pattern).
+
+    100 TB shape: the dense spine is types x hours — generated, never
+    shuffled from data; the left join hash-partitions on (type, hour)
+    like the aggregate before it.  The forward-fill window partitions
+    by event_type; with few types and years of hours the 100 TB variant
+    range-partitions each type's timeline into chunks and stitches
+    chunk boundaries (the standard distributed-locf refinement) —
+    at this table's 5 types the single window per type is the plan."""
+    e = load_table(spark, "events", sf_dir)
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.round("value", 6).cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_v"),
+    )
+    bounds = hourly.agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+    hours = bounds.select(
+        F.explode(
+            F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h")
+    )
+    spine = e.select("event_type").distinct().crossJoin(F.broadcast(hours))
+    from pyspark.sql import Window as W
+
+    win = (
+        W.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        spine.join(hourly, ["event_type", "h"], "left")
+        .select(
+            "event_type", "h",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.col("n").isNull().alias("is_gap"),
+            F.last("avg_v", ignorenulls=True).over(win).alias("v_ffill"),
+        )
+    )

@@ -123,3 +123,97 @@ def pagerank_word_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         ranks = ranks.localCheckpoint(eager=False)
     return ranks
+
+
+def _triangle_oracle() -> str:
+    from mediawiki_to_notion_spark.functions.text import ADJ_BIGRAMS_SQL
+    return f"""
+    WITH {ADJ_BIGRAMS_SQL.strip()},
+    eu AS (
+      SELECT DISTINCT least(a, b) AS x, greatest(a, b) AS y
+      FROM adj WHERE a != b
+    ),
+    deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT x AS node FROM eu UNION ALL SELECT y AS node FROM eu
+      ) GROUP BY node
+    ),
+    o AS (
+      SELECT CASE WHEN (dx.d < dy.d) OR (dx.d = dy.d AND x < y)
+                  THEN x ELSE y END AS src,
+             CASE WHEN (dx.d < dy.d) OR (dx.d = dy.d AND x < y)
+                  THEN y ELSE x END AS dst
+      FROM eu JOIN deg dx ON eu.x = dx.node JOIN deg dy ON eu.y = dy.node
+    ),
+    tri AS (
+      SELECT count(*) AS n_triangles
+      FROM o e1 JOIN o e2 ON e1.dst = e2.src
+      WHERE EXISTS (SELECT 1 FROM o e3
+                    WHERE e3.src = e1.src AND e3.dst = e2.dst)
+    )
+    SELECT (SELECT count(*) FROM deg) AS n_nodes,
+           (SELECT count(*) FROM eu) AS n_edges,
+           n_triangles
+    FROM tri
+    """
+
+
+@register("graph_triangle_count", oracle=_triangle_oracle())
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count of the undirected word-adjacency graph via
+    degree orientation (Schank's algorithm, the MapReduce-standard
+    formulation): orient every edge from its lower-(degree, id) endpoint
+    to the higher one — a DAG in which each triangle survives as exactly
+    one directed wedge a→b→c closed by a→c — then count wedges that
+    close, as one equi-join plus one semi-join.
+
+    100 TB shape: orientation bounds every node's out-degree by
+    O(sqrt(|E|)), so the wedge join's fan-out is capped and the hot
+    high-degree hub never pairs its full neighborhood (the reason plain
+    wedge counting dies on power-law graphs).  Edge list is
+    localCheckpointed: dedup shuffle runs once, not once per consumer.
+    Joins are equi-joins on node ids."""
+    from mediawiki_to_notion_spark.functions.text import adjacent_bigrams
+
+    d = load_table(spark, "documents", sf_dir)
+    adj = adjacent_bigrams(d)
+    eu = (
+        adj.filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        eu.select(F.col("x").alias("node"))
+        .unionAll(eu.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    dx, dy = deg.alias("dx"), deg.alias("dy")
+    fwd = (F.col("dx.d") < F.col("dy.d")) | (
+        (F.col("dx.d") == F.col("dy.d")) & (F.col("x") < F.col("y"))
+    )
+    o = (
+        eu.join(dx, F.col("x") == F.col("dx.node"))
+        .join(dy, F.col("y") == F.col("dy.node"))
+        .select(
+            F.when(fwd, F.col("x")).otherwise(F.col("y")).alias("src"),
+            F.when(fwd, F.col("y")).otherwise(F.col("x")).alias("dst"),
+        )
+        .localCheckpoint()
+    )
+    e1, e2 = o.alias("e1"), o.alias("e2")
+    wedges = e1.join(e2, F.col("e1.dst") == F.col("e2.src")).select(
+        F.col("e1.src").alias("wa"), F.col("e2.dst").alias("wc")
+    )
+    tris = wedges.join(
+        o,
+        (F.col("wa") == F.col("src")) & (F.col("wc") == F.col("dst")),
+        "left_semi",
+    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+    counts = eu.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
+        deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+    return counts.crossJoin(tris).select("n_nodes", "n_edges", "n_triangles")

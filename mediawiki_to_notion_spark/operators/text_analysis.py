@@ -524,3 +524,63 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("pmi"), F.asc("a"), F.asc("b")).limit(PMI_TOP_K)
+
+
+BPE_TOP_K = 50
+
+
+@register(
+    "bpe_pair_counts",
+    oracle=f"""
+    WITH words AS (
+      SELECT word, count(*) AS freq FROM (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+      ) WHERE word != '' GROUP BY word
+    ),
+    pairs AS (
+      SELECT substr(word, u.i, 2) AS pair, freq
+      FROM words, LATERAL (SELECT unnest(range(1, len(word))) AS i) u
+      WHERE len(word) >= 2
+    ),
+    scored AS (
+      SELECT pair, sum(freq) AS n_occurrences FROM pairs GROUP BY pair
+    )
+    SELECT pair, n_occurrences FROM scored
+    ORDER BY n_occurrences DESC, pair ASC LIMIT {BPE_TOP_K}
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One round of BPE merge-candidate counting (Sennrich et al. 2016,
+    the statistic tokenizer training iterates): corpus-weighted counts
+    of adjacent symbol pairs inside words, top-{BPE_TOP_K} by count —
+    the highest pair is the next merge rule.  Complements text_bigram_pmi
+    (word-level collocations) with the character-level tokenizer view.
+
+    100 TB shape: the corpus collapses to the word-frequency table
+    FIRST (one groupBy; vocabulary, not corpus, cardinality), so the
+    pair explosion runs over distinct words only — the trick that makes
+    BPE training tractable at corpus scale.  Top-k plans as
+    TakeOrdered, never a global sort."""
+    d = load_table(spark, "documents", sf_dir)
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.length("word") >= 2)
+    )
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+        .limit(BPE_TOP_K)
+    )

@@ -357,3 +357,32 @@ def test_dense_ids_no_single_partition_data_pass(spark):
     assert "rangepartitioning(doc_id" in plan
     # no corpus-wide window rank
     assert "row_number" not in plan
+
+
+def test_triangle_count_no_cartesian_wedges(spark):
+    """Triangle closure must be the oriented-wedge equi-join + semi-join
+    — never a cartesian over node pairs.  (The two 1-row summary
+    crossJoins broadcast trivially and are allowed.)"""
+    plan = plan_of(spark, "graph_triangle_count")
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+    assert "Scan ExistingRDD" in plan  # edge list materialized once
+
+
+def test_bpe_counts_vocabulary_first(spark):
+    """Pair explosion must run over the distinct-word table, not the
+    corpus: exactly the word groupBy and the pair groupBy shuffles,
+    and the top-k as TakeOrdered."""
+    plan = plan_of(spark, "bpe_pair_counts")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_gapfill_no_global_sort(spark):
+    """The dense spine is generated and broadcast; the forward-fill
+    window partitions by type (hash), never a global range sort."""
+    plan = plan_of(spark, "time_gapfill_interpolate")
+    assert "CartesianProduct" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
