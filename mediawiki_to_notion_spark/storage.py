@@ -156,8 +156,19 @@ class ParquetTable:
             raise FileNotFoundError(f"empty table {self.path} and no schema")
         return self.spark.createDataFrame([], self.schema)
 
-    def read(self) -> DataFrame:
-        _, mapping = self._latest()
+    def read(self, at: int | None = None) -> DataFrame:
+        """Current table state, or — Delta-style time travel — the state
+        as of retained commit ``at`` (the log keeps the last two
+        commits, so ``at`` supports one-version rollback/audit reads;
+        older versions raise, matching the vacuum horizon)."""
+        if at is None:
+            _, mapping = self._latest()
+        else:
+            if at not in self._versions():
+                raise ValueError(
+                    f"commit {at} is no longer retained (last two only)"
+                )
+            _, mapping = self._read_commit(at)
         paths = self._segments(mapping)
         if not paths:
             return self._empty()

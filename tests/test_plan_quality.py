@@ -386,3 +386,34 @@ def test_gapfill_no_global_sort(spark):
     assert "CartesianProduct" not in plan
     assert "Exchange rangepartitioning" not in plan
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_runtime_bloom_filter_injection_available(spark):
+    """At 100 TB a selective dimension filter should semi-prune the fact
+    shuffle via Catalyst's runtime bloom filter (InjectRuntimeFilter).
+    The local tables sit under the size thresholds, so this pins that
+    the optimizer DOES inject `might_contain` once the production-scale
+    thresholds are met (emulated by lowering them)."""
+    from mediawiki_to_notion_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    tuned = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, "lineitem", SF)
+        o = load_table(spark, "orders", SF).filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey) \
+              .groupBy("o_orderpriority").count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -214,3 +214,27 @@ def test_changes_since_survives_later_mutations(spark, tmp_path):
     t.upsert(spark.createDataFrame([("k2", 222, "u")], t.schema))
     t.upsert(spark.createDataFrame([("k3", 333, "u")], t.schema))
     assert {(r.k, r.v) for r in feed.collect()} == {("k1", 111)}
+
+
+def test_time_travel_read_previous_commit(spark, tmp_path):
+    """read(at=n) returns the table exactly as of retained commit n;
+    versions past the two-commit vacuum horizon refuse loudly."""
+    import pytest as _pytest
+
+    t = _t(spark, tmp_path, "tt")
+    t.upsert(spark.createDataFrame(
+        [(f"k{i}", i, "v1") for i in range(5)], t.schema))
+    n1 = t._versions()[-1]
+    t.upsert(spark.createDataFrame(
+        [("k2", 222, "v2"), ("new", 9, "v2")], t.schema))
+
+    now = {(r.k, r.v, r.extra) for r in t.read().collect()}
+    then = {(r.k, r.v, r.extra) for r in t.read(at=n1).collect()}
+    assert ("k2", 222, "v2") in now and ("new", 9, "v2") in now
+    assert then == {(f"k{i}", i, "v1") for i in range(5)}
+    # default read is the latest commit
+    assert {(r.k, r.v, r.extra) for r in t.read(at=t._versions()[-1]).collect()} == now
+
+    t.upsert(spark.createDataFrame([("k0", 100, "v3")], t.schema))
+    with _pytest.raises(ValueError):
+        t.read(at=n1)  # vacuumed past the retention horizon
