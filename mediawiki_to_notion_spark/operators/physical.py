@@ -100,3 +100,28 @@ def write_training_shards(assigned: DataFrame, path: str,
     if max_records_per_file:
         w = w.option("maxRecordsPerFile", str(max_records_per_file))
     w.parquet(path)
+
+
+def backfill_day_partition(day_df: DataFrame, path: str,
+                           partition_col: str = "day") -> None:
+    """Replace exactly the date partitions present in ``day_df`` —
+    dynamic partition overwrite, the standard backfill/late-data repair
+    at 100 TB: re-deriving one bad day must never truncate the other
+    partitions the way static ``mode("overwrite")`` does.
+
+    Scoped via the session conf because the writer API has no per-write
+    knob; the previous value is restored so the engine never leaks a
+    global default change."""
+    spark = day_df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    try:
+        spark.conf.set(key, "dynamic")
+        (
+            day_df.repartition(partition_col)
+            .write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set(key, prev)
