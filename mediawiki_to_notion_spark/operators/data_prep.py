@@ -468,9 +468,15 @@ def dense_global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             seen += len(pdf)
             yield out
 
+    # Materialize ONCE: the offsets subtree and the final join both
+    # consume `ranked`.  Without this, the range shuffle + sort + Python
+    # rank pass would run per consumer — and, worse, correctness would
+    # silently depend on Spark reusing the range exchange between the
+    # two executions (RangePartitioner re-samples boundaries per run,
+    # so divergent partitionings would skip/duplicate ids).
     ranked = d.mapInPandas(
         local_ranks, "doc_id long, pid int, local_rank long"
-    )
+    ).localCheckpoint()
     sizes = ranked.groupBy("pid").agg(F.count(F.lit(1)).alias("n"))
     offsets = sizes.select(
         "pid",

@@ -103,11 +103,18 @@ def write_training_shards(assigned: DataFrame, path: str,
 
 
 def backfill_day_partition(day_df: DataFrame, path: str,
-                           partition_col: str = "day") -> None:
+                           partition_col: str = "day",
+                           max_records_per_file: int | None = None) -> None:
     """Replace exactly the date partitions present in ``day_df`` —
     dynamic partition overwrite, the standard backfill/late-data repair
     at 100 TB: re-deriving one bad day must never truncate the other
     partitions the way static ``mode("overwrite")`` does.
+
+    The incoming partitioning is kept (every task writes its slice of
+    each day): a repaired day spreads over all upstream tasks instead
+    of funneling through one writer — the backfill frame is typically a
+    handful of days, so the task x day file count stays small, and
+    ``max_records_per_file`` caps file sizes like write_training_shards.
 
     Scoped via the session conf because the writer API has no per-write
     knob; the previous value is restored so the engine never leaks a
@@ -117,11 +124,9 @@ def backfill_day_partition(day_df: DataFrame, path: str,
     prev = spark.conf.get(key, "static")
     try:
         spark.conf.set(key, "dynamic")
-        (
-            day_df.repartition(partition_col)
-            .write.mode("overwrite")
-            .partitionBy(partition_col)
-            .parquet(path)
-        )
+        w = day_df.write.mode("overwrite").partitionBy(partition_col)
+        if max_records_per_file:
+            w = w.option("maxRecordsPerFile", str(max_records_per_file))
+        w.parquet(path)
     finally:
         spark.conf.set(key, prev)

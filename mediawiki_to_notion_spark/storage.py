@@ -163,16 +163,25 @@ class ParquetTable:
         older versions raise, matching the vacuum horizon)."""
         if at is None:
             _, mapping = self._latest()
-        else:
-            if at not in self._versions():
-                raise ValueError(
-                    f"commit {at} is no longer retained (last two only)"
-                )
-            _, mapping = self._read_commit(at)
+            paths = self._segments(mapping)
+            if not paths:
+                return self._empty()
+            return self.spark.read.parquet(*paths)
+        vs = self._versions()
+        if at not in vs:
+            if not vs or at > vs[-1]:
+                raise ValueError(f"commit {at} does not exist")
+            raise ValueError(
+                f"commit {at} is no longer retained (last two only)"
+            )
+        _, mapping = self._read_commit(at)
         paths = self._segments(mapping)
         if not paths:
             return self._empty()
-        return self.spark.read.parquet(*paths)
+        # pin the historical rows NOW: a later commit's GC may delete
+        # the segment files this mapping references before the caller
+        # runs an action (changes_since guards the same hazard)
+        return self.spark.read.parquet(*paths).localCheckpoint(eager=True)
 
     def _read_buckets(self, mapping: dict[int, list[int]],
                       buckets: list[int]) -> DataFrame | None:

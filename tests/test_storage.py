@@ -235,6 +235,16 @@ def test_time_travel_read_previous_commit(spark, tmp_path):
     # default read is the latest commit
     assert {(r.k, r.v, r.extra) for r in t.read(at=t._versions()[-1]).collect()} == now
 
+    # the returned frame survives later GC of its segment files
+    n2 = t._versions()[-1]
+    pinned = t.read(at=n2)
     t.upsert(spark.createDataFrame([("k0", 100, "v3")], t.schema))
-    with _pytest.raises(ValueError):
+    t.upsert(spark.createDataFrame([("k1", 101, "v4")], t.schema))
+    assert ("k2", 222, "v2") in {
+        (r.k, r.v, r.extra) for r in pinned.collect()
+    }
+
+    with _pytest.raises(ValueError, match="no longer retained"):
         t.read(at=n1)  # vacuumed past the retention horizon
+    with _pytest.raises(ValueError, match="does not exist"):
+        t.read(at=99999)  # never existed — distinct message
