@@ -89,7 +89,8 @@ _DEFER = ["multimodal_feature_extract",  # upgraded rows-only -> oracled
           "ngram_novelty_rate", "embedding_int8_quantize",
           "score_robust_calibrate", "join_key_skew_profile",
           "dense_global_ids", "graph_triangle_count", "bpe_pair_counts",
-          "time_gapfill_interpolate"]
+          "time_gapfill_interpolate", "sliding_distinct_users",
+          "events_mad_outliers", "source_overlap_matrix"]
 
 
 def entry(spark: SparkSession) -> DataFrame:

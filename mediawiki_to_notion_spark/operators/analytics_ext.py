@@ -787,3 +787,128 @@ def time_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("avg_v", ignorenulls=True).over(win).alias("v_ffill"),
         )
     )
+
+
+@register(
+    "sliding_distinct_users",
+    oracle="""
+    WITH ev AS (
+      SELECT date_trunc('hour', ts) AS h0, user_id FROM events
+    ),
+    bounds AS (SELECT min(h0) AS mn, max(h0) AS mx FROM ev),
+    contrib AS (
+      SELECT g.e AS window_end_hour, user_id
+      FROM ev, bounds,
+           LATERAL (SELECT unnest(generate_series(
+             ev.h0, ev.h0 + INTERVAL 23 HOUR, INTERVAL 1 HOUR)) AS e) g
+      WHERE g.e <= bounds.mx
+    )
+    SELECT window_end_hour, count(DISTINCT user_id) AS n_distinct_users
+    FROM contrib GROUP BY window_end_hour
+    """,
+)
+def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24h distinct users per hour — sliding-window COUNT
+    DISTINCT, the metric windowed sums cannot express (distinct does
+    not decompose over panes).  The scalable formulation: each event
+    fans out to the 24 window-ends it influences (explode of a
+    generated hour sequence — bounded, constant fan-out), then ONE
+    (window, user) dedup + count.  This is the standard shape; the
+    sketch alternative (per-hour HLL merged over 24 panes,
+    approx_count_distinct) swaps in at the same call-site when exact
+    distinct is not required at 100 TB.
+
+    Windows ending after the last observed hour are clipped (matching
+    dashboards, which do not report future windows)."""
+    e = load_table(spark, "events", sf_dir)
+    ev = e.select(
+        F.date_trunc("hour", F.col("ts")).alias("h0"), "user_id"
+    )
+    mx = ev.agg(F.max("h0").alias("mx"))
+    contrib = (
+        ev.crossJoin(F.broadcast(mx))
+        .select(
+            F.explode(
+                F.sequence(
+                    "h0",
+                    F.col("h0") + F.expr("INTERVAL 23 HOUR"),
+                    F.expr("INTERVAL 1 HOUR"),
+                )
+            ).alias("window_end_hour"),
+            "user_id",
+            "mx",
+        )
+        .filter(F.col("window_end_hour") <= F.col("mx"))
+    )
+    return contrib.groupBy("window_end_hour").agg(
+        F.countDistinct("user_id").alias("n_distinct_users")
+    )
+
+
+MAD_K = 3  # |x - median| > K * MAD flags an outlier
+
+
+@register(
+    "events_mad_outliers",
+    oracle=f"""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type, med,
+             quantile_cont(abs(value - med), 0.5) AS mad
+      FROM events e JOIN med USING (event_type)
+      GROUP BY e.event_type, med
+    )
+    SELECT e.event_type,
+           round(med, 6) AS median_v,
+           round(mad, 6) AS mad_v,
+           count(*) AS n_events,
+           count(*) FILTER (abs(value - med) > {MAD_K} * mad)
+             AS n_outliers
+    FROM events e JOIN mad USING (event_type)
+    GROUP BY e.event_type, med, mad
+    """,
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen per event type via median absolute
+    deviation — the heavy-tail-safe twin of events_anomaly_zscore
+    (mean/std blow up under the very outliers being hunted; median/MAD
+    do not).
+
+    100 TB shape: two tiny per-type aggregates (median, then MAD of
+    the broadcast-centered values), each broadcast back onto the event
+    scan — the scan runs twice because MAD is inherently two-pass;
+    both passes are map-side-partial aggregates, no data-volume
+    shuffle.  Exact percentiles per type swap for approx_percentile at
+    the 100 TB call-site."""
+    e = load_table(spark, "events", sf_dir)
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    with_med = e.join(F.broadcast(med), "event_type")
+    mad = with_med.groupBy("event_type", "med").agg(
+        F.expr("percentile(abs(value - med), 0.5)").alias("mad")
+    )
+    return (
+        e.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(
+                F.when(
+                    F.abs(F.col("value") - F.col("med"))
+                    > MAD_K * F.col("mad"),
+                    1,
+                )
+            ).alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            F.round("med", 6).alias("median_v"),
+            F.round("mad", 6).alias("mad_v"),
+            "n_events",
+            "n_outliers",
+        )
+    )

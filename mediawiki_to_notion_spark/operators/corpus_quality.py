@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mediawiki_to_notion_spark.functions import hashing as H
 from mediawiki_to_notion_spark.operators.registry import register
 from mediawiki_to_notion_spark.sources.tables import load_table
 
@@ -438,4 +439,71 @@ def source_drift_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_buckets"),
         F.round(tv, 6).alias("tv_distance"),
         (F.round(tv, 6) > DRIFT_THRESHOLD).alias("drift_flag"),
+    )
+
+
+@register(
+    "source_overlap_matrix",
+    oracle="""
+    WITH toks AS (
+      SELECT source, string_split(text, ' ') AS t
+      FROM documents WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sh AS (
+      SELECT DISTINCT source,
+             ('0x' || substr(md5(
+               t[u.i+1] || ' ' || t[u.i+2] || ' ' || t[u.i+3]
+             ), 1, 15))::BIGINT AS h
+      FROM toks, LATERAL (SELECT unnest(range(0, len(t) - 2)) AS i) u
+    )
+    SELECT a.source AS src_a, b.source AS src_b,
+           count(*) AS n_shared_shingles
+    FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, the
+    number of distinct word-trigram shingles they share — the
+    before-you-mix audit that catches one crawl being a re-scrape of
+    another (the corpus-level analog of dedup_containment's per-doc
+    view).
+
+    100 TB shape: the corpus collapses to DISTINCT (source, shingle)
+    first (one groupBy; shingle-vocabulary cardinality), and the
+    self-join on the shingle hash fans out at most C(n_sources, 2)
+    pairs per shingle — bounded by the source count, never by corpus
+    size."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.select("source", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 3
+    )
+    sh = toks.select(
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 3),
+                lambda i: H.token_hash60(
+                    F.concat_ws(
+                        " ",
+                        F.element_at("t", i + 1),
+                        F.element_at("t", i + 2),
+                        F.element_at("t", i + 3),
+                    )
+                ),
+            )
+        ).alias("h"),
+    ).distinct()
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
     )

@@ -420,3 +420,30 @@ def test_runtime_bloom_filter_injection_available(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_sliding_distinct_fanout_then_one_dedup(spark):
+    """Sliding COUNT DISTINCT is the bounded 24x fan-out + one
+    (window,user) aggregate — a partial-agg shuffle, never a cartesian
+    over events x windows."""
+    plan = plan_of(spark, "sliding_distinct_users")
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
+
+
+def test_mad_stats_broadcast_back(spark):
+    """Median and MAD (tiny per-type rows) must broadcast onto the
+    event scan in both passes; a shuffle join would repartition the
+    events by 5-key event_type (maximal skew)."""
+    plan = plan_of(spark, "events_mad_outliers")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_source_overlap_is_posting_equi_join(spark):
+    """Source-pair candidates come from the shared-shingle equi-join
+    over the distinct (source, shingle) table — never a nested loop
+    over source pairs."""
+    plan = plan_of(spark, "source_overlap_matrix")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
