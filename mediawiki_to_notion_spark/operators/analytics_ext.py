@@ -912,3 +912,141 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers",
         )
     )
+
+
+@register(
+    "user_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', min(ts))::DATE AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             datediff('day', f.cohort_week,
+                      date_trunc('week', e.ts)::DATE) // 7 AS week_offset
+      FROM events e JOIN firsts f USING (user_id)
+    )
+    SELECT cohort_week, week_offset,
+           count(*) AS n_active_users
+    FROM activity GROUP BY cohort_week, week_offset
+    """,
+)
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen week, and
+    for each cohort the distinct users active at each week offset —
+    the standard product-analytics retention matrix.
+
+    100 TB shape: first-seen is one user_id groupBy (map-side partial
+    min); the join back is on the SAME key, so AQE reuses the hash
+    partitioning; the (user, cohort, offset) dedup and the final count
+    are one more partial-agg shuffle.  Nothing fans out."""
+    e = load_table(spark, "events", sf_dir)
+    firsts = e.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    activity = (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id", "cohort_week",
+            (
+                F.datediff(
+                    F.to_date(F.date_trunc("week", F.col("ts"))),
+                    F.col("cohort_week"),
+                ) / 7
+            ).cast("long").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active_users")
+    )
+
+
+BASKET_MIN_SUPPORT = 3  # pairs co-ordered in fewer orders are noise
+
+
+@register(
+    "market_basket_part_pairs",
+    oracle=f"""
+    WITH lines AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n_orders AS (SELECT count(DISTINCT l_orderkey) AS n FROM lines),
+    part_orders AS (
+      SELECT l_partkey, count(*) AS n_ord FROM lines GROUP BY l_partkey
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*) AS n_together
+      FROM lines a JOIN lines b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+      HAVING count(*) >= {BASKET_MIN_SUPPORT}
+    )
+    SELECT part_a, part_b, n_together,
+           round(
+             (n_together::DOUBLE / n.n)
+             / ((pa.n_ord::DOUBLE / n.n) * (pb.n_ord::DOUBLE / n.n)), 6
+           ) AS lift
+    FROM pairs
+    JOIN part_orders pa ON part_a = pa.l_partkey
+    JOIN part_orders pb ON part_b = pb.l_partkey
+    CROSS JOIN n_orders n
+    """,
+)
+def market_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence with lift: part pairs appearing in
+    the same order, support-filtered, scored by lift = P(a,b) /
+    (P(a)P(b)) — the association-rule statistic (Agrawal a-priori's
+    2-itemset pass).
+
+    100 TB shape: the pair join is an equi-join on l_orderkey with
+    fan-out bounded by lines-per-order (single digits in TPC-H-like
+    data), never a part-pair cartesian; the min-support HAVING prunes
+    the long tail before the (tiny) per-part marginals broadcast on;
+    the order count is one scalar broadcast."""
+    li = load_table(spark, "lineitem", sf_dir)
+    lines = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = lines.agg(
+        F.countDistinct("l_orderkey").alias("n")
+    )
+    part_orders = lines.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_ord")
+    )
+    a, b = lines.alias("a"), lines.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_together"))
+        .filter(F.col("n_together") >= BASKET_MIN_SUPPORT)
+    )
+    pa = part_orders.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_ord").alias("na")
+    )
+    pb = part_orders.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_ord").alias("nb")
+    )
+    return (
+        pairs.join(pa, "part_a")
+        .join(pb, "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a", "part_b", "n_together",
+            F.round(
+                (F.col("n_together").cast("double") / F.col("n"))
+                / (
+                    (F.col("na").cast("double") / F.col("n"))
+                    * (F.col("nb").cast("double") / F.col("n"))
+                ),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -447,3 +447,20 @@ def test_source_overlap_is_posting_equi_join(spark):
     plan = plan_of(spark, "source_overlap_matrix")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_retention_cohort_reuses_user_partitioning(spark):
+    """First-seen groupBy and the join back share the user_id key — no
+    range partitioning, no nested loop; everything partial-aggregated."""
+    plan = plan_of(spark, "user_retention_cohorts")
+    assert "CartesianProduct" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "partial_min" in plan
+
+
+def test_market_basket_pairs_from_order_equi_join(spark):
+    """Pair candidates must come from the l_orderkey equi-join (fan-out
+    bounded by lines per order) — never a part-pair nested loop; the
+    marginals and order count join after support pruning."""
+    plan = plan_of(spark, "market_basket_part_pairs")
+    assert "CartesianProduct" not in plan
