@@ -795,7 +795,7 @@ def time_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ev AS (
       SELECT date_trunc('hour', ts) AS h0, user_id FROM events
     ),
-    bounds AS (SELECT min(h0) AS mn, max(h0) AS mx FROM ev),
+    bounds AS (SELECT max(h0) AS mx FROM ev),
     contrib AS (
       SELECT g.e AS window_end_hour, user_id
       FROM ev, bounds,
@@ -865,8 +865,9 @@ MAD_K = 3  # |x - median| > K * MAD flags an outlier
            round(med, 6) AS median_v,
            round(mad, 6) AS mad_v,
            count(*) AS n_events,
-           count(*) FILTER (abs(value - med) > {MAD_K} * mad)
-             AS n_outliers
+           CASE WHEN mad > 0
+                THEN count(*) FILTER (abs(value - med) > {MAD_K} * mad)
+           END AS n_outliers
     FROM events e JOIN mad USING (event_type)
     GROUP BY e.event_type, med, mad
     """,
@@ -877,12 +878,17 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     (mean/std blow up under the very outliers being hunted; median/MAD
     do not).
 
-    100 TB shape: two tiny per-type aggregates (median, then MAD of
-    the broadcast-centered values), each broadcast back onto the event
-    scan — the scan runs twice because MAD is inherently two-pass;
-    both passes are map-side-partial aggregates, no data-volume
-    shuffle.  Exact percentiles per type swap for approx_percentile at
-    the 100 TB call-site."""
+    A degenerate group (MAD = 0: more than half the values sit exactly
+    on the median) reports NULL n_outliers instead of flagging every
+    off-median value — same convention as the zscore twin's NULL z.
+
+    100 TB shape: two tiny per-type stat aggregates (median, then MAD
+    of the broadcast-centered values), each broadcast back — the event
+    scan runs three times (median pass, MAD pass, outlier count)
+    because MAD is inherently multi-pass; every pass is a
+    map-side-partial aggregate, no data-volume shuffle.  Exact
+    percentiles per type swap for approx_percentile at the 100 TB
+    call-site."""
     e = load_table(spark, "events", sf_dir)
     med = e.groupBy("event_type").agg(
         F.expr("percentile(value, 0.5)").alias("med")
@@ -902,14 +908,14 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                     > MAD_K * F.col("mad"),
                     1,
                 )
-            ).alias("n_outliers"),
+            ).alias("n_out_raw"),
         )
         .select(
             "event_type",
             F.round("med", 6).alias("median_v"),
             F.round("mad", 6).alias("mad_v"),
             "n_events",
-            "n_outliers",
+            F.when(F.col("mad") > 0, F.col("n_out_raw")).alias("n_outliers"),
         )
     )
 
@@ -1007,7 +1013,11 @@ def market_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the long tail before the (tiny) per-part marginals broadcast on;
     the order count is one scalar broadcast."""
     li = load_table(spark, "lineitem", sf_dir)
-    lines = li.select("l_orderkey", "l_partkey").distinct()
+    # materialize once: four consumers (order count, marginals, both
+    # self-join sides) would each re-run the scan + dedup shuffle
+    lines = (
+        li.select("l_orderkey", "l_partkey").distinct().localCheckpoint()
+    )
     n_orders = lines.agg(
         F.countDistinct("l_orderkey").alias("n")
     )

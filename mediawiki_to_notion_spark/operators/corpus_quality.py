@@ -444,16 +444,15 @@ def source_drift_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "source_overlap_matrix",
-    oracle="""
+    oracle=f"""
     WITH toks AS (
       SELECT source, string_split(text, ' ') AS t
       FROM documents WHERE len(string_split(text, ' ')) >= 3
     ),
     sh AS (
       SELECT DISTINCT source,
-             ('0x' || substr(md5(
-               t[u.i+1] || ' ' || t[u.i+2] || ' ' || t[u.i+3]
-             ), 1, 15))::BIGINT AS h
+             {H.token_hash60_sql(
+                 "t[u.i+1] || ' ' || t[u.i+2] || ' ' || t[u.i+3]")} AS h
       FROM toks, LATERAL (SELECT unnest(range(0, len(t) - 2)) AS i) u
     )
     SELECT a.source AS src_a, b.source AS src_b,
@@ -474,26 +473,12 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join on the shingle hash fans out at most C(n_sources, 2)
     pairs per shingle — bounded by the source count, never by corpus
     size."""
+    from mediawiki_to_notion_spark.operators.dedup import _hashed_shingles
+
     d = load_table(spark, "documents", sf_dir)
-    toks = d.select("source", F.split("text", " ").alias("t")).filter(
-        F.size("t") >= 3
-    )
-    sh = toks.select(
-        "source",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("t") - 3),
-                lambda i: H.token_hash60(
-                    F.concat_ws(
-                        " ",
-                        F.element_at("t", i + 1),
-                        F.element_at("t", i + 2),
-                        F.element_at("t", i + 3),
-                    )
-                ),
-            )
-        ).alias("h"),
-    ).distinct()
+    # the shared shingle recipe, keyed by source; distinct() collapses
+    # the same shingle appearing in many docs of one source
+    sh = _hashed_shingles(d.select("source", "text"), key="source").distinct()
     a, b = sh.alias("a"), sh.alias("b")
     return (
         a.join(

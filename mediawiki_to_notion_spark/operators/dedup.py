@@ -51,8 +51,10 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- shared shingle builders -------------------------------------------------
 
-def _shingles(d: DataFrame) -> DataFrame:
-    """Distinct word-trigram shingles per doc (guarded for short docs).
+def _shingles(d: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Distinct word-trigram shingles per ``key`` row (guarded for
+    short docs).  ``key`` defaults to doc_id; source_overlap_matrix
+    reuses the same recipe keyed by source.
 
     The shingle expansion is the CPU-heavy narrow stage of every dedup
     op; a small single-file input would serialize it through one task,
@@ -63,9 +65,9 @@ def _shingles(d: DataFrame) -> DataFrame:
     # measured at sf0.1: 8 splits beats both 1 (serialized CPU) and 32
     # (per-task scheduling overhead dominates this row count)
     d = ensure_parallelism(d)
-    toks = d.select("doc_id", F.split("text", " ").alias("t")).filter(F.size("t") >= 3)
+    toks = d.select(key, F.split("text", " ").alias("t")).filter(F.size("t") >= 3)
     tri = toks.select(
-        "doc_id",
+        key,
         F.explode(
             F.array_distinct(
                 F.transform(
@@ -97,12 +99,12 @@ def _shingle_pairs(sh: DataFrame) -> DataFrame:
     )
 
 
-def _hashed_shingles(d: DataFrame) -> DataFrame:
-    """(doc_id, h) with h the portable 60-bit shingle id.  Hashing once
+def _hashed_shingles(d: DataFrame, key: str = "doc_id") -> DataFrame:
+    """(key, h) with h the portable 60-bit shingle id.  Hashing once
     up front shrinks every downstream shuffle/join key from a ~30-byte
     string to 8 bytes — at 100 TB the md5 runs once per shingle instead
     of once per consumer."""
-    return _shingles(d).select("doc_id", H.token_hash60(F.col("shingle")).alias("h"))
+    return _shingles(d, key).select(key, H.token_hash60(F.col("shingle")).alias("h"))
 
 
 _SHINGLES_SQL = """
