@@ -68,6 +68,10 @@ HEADLINE = [
     "dense_global_ids",
     "graph_triangle_count",
     "bpe_pair_counts",
+    "sliding_distinct_users",
+    "source_overlap_matrix",
+    "market_basket_part_pairs",
+    "user_retention_cohorts",
 ]
 
 
