@@ -91,7 +91,8 @@ _DEFER = ["multimodal_feature_extract",  # upgraded rows-only -> oracled
           "dense_global_ids", "graph_triangle_count", "bpe_pair_counts",
           "time_gapfill_interpolate", "sliding_distinct_users",
           "events_mad_outliers", "source_overlap_matrix",
-          "user_retention_cohorts", "market_basket_part_pairs"]
+          "user_retention_cohorts", "market_basket_part_pairs",
+          "graph_clustering_coefficient"]
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -125,6 +125,45 @@ def pagerank_word_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks
 
 
+def _oriented_word_edges(spark: SparkSession, sf_dir: str):
+    """(undirected edges, degrees, degree-oriented edges) of the word
+    adjacency graph — the shared substrate of the triangle queries.
+    Edge list and oriented list are localCheckpointed: each is consumed
+    by several plan branches, and the dedup shuffle must run once."""
+    from mediawiki_to_notion_spark.functions.text import adjacent_bigrams
+
+    d = load_table(spark, "documents", sf_dir)
+    adj = adjacent_bigrams(d)
+    eu = (
+        adj.filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        eu.select(F.col("x").alias("node"))
+        .unionAll(eu.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    dx, dy = deg.alias("dx"), deg.alias("dy")
+    fwd = (F.col("dx.d") < F.col("dy.d")) | (
+        (F.col("dx.d") == F.col("dy.d")) & (F.col("x") < F.col("y"))
+    )
+    o = (
+        eu.join(dx, F.col("x") == F.col("dx.node"))
+        .join(dy, F.col("y") == F.col("dy.node"))
+        .select(
+            F.when(fwd, F.col("x")).otherwise(F.col("y")).alias("src"),
+            F.when(fwd, F.col("y")).otherwise(F.col("x")).alias("dst"),
+        )
+        .localCheckpoint()
+    )
+    return eu, deg, o
+
+
 def _triangle_oracle() -> str:
     from mediawiki_to_notion_spark.functions.text import ADJ_BIGRAMS_SQL
     return f"""
@@ -173,37 +212,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedge counting dies on power-law graphs).  Edge list is
     localCheckpointed: dedup shuffle runs once, not once per consumer.
     Joins are equi-joins on node ids."""
-    from mediawiki_to_notion_spark.functions.text import adjacent_bigrams
-
-    d = load_table(spark, "documents", sf_dir)
-    adj = adjacent_bigrams(d)
-    eu = (
-        adj.filter(F.col("a") != F.col("b"))
-        .select(
-            F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y")
-        )
-        .distinct()
-        .localCheckpoint()
-    )
-    deg = (
-        eu.select(F.col("x").alias("node"))
-        .unionAll(eu.select(F.col("y").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    dx, dy = deg.alias("dx"), deg.alias("dy")
-    fwd = (F.col("dx.d") < F.col("dy.d")) | (
-        (F.col("dx.d") == F.col("dy.d")) & (F.col("x") < F.col("y"))
-    )
-    o = (
-        eu.join(dx, F.col("x") == F.col("dx.node"))
-        .join(dy, F.col("y") == F.col("dy.node"))
-        .select(
-            F.when(fwd, F.col("x")).otherwise(F.col("y")).alias("src"),
-            F.when(fwd, F.col("y")).otherwise(F.col("x")).alias("dst"),
-        )
-        .localCheckpoint()
-    )
+    eu, deg, o = _oriented_word_edges(spark, sf_dir)
     e1, e2 = o.alias("e1"), o.alias("e2")
     wedges = e1.join(e2, F.col("e1.dst") == F.col("e2.src")).select(
         F.col("e1.src").alias("wa"), F.col("e2.dst").alias("wc")
@@ -217,3 +226,87 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         deg.agg(F.count(F.lit(1)).alias("n_nodes"))
     )
     return counts.crossJoin(tris).select("n_nodes", "n_edges", "n_triangles")
+
+
+def _clustering_oracle() -> str:
+    from mediawiki_to_notion_spark.functions.text import ADJ_BIGRAMS_SQL
+    return f"""
+    WITH {ADJ_BIGRAMS_SQL.strip()},
+    eu AS (
+      SELECT DISTINCT least(a, b) AS x, greatest(a, b) AS y
+      FROM adj WHERE a != b
+    ),
+    deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT x AS node FROM eu UNION ALL SELECT y AS node FROM eu
+      ) GROUP BY node
+    ),
+    o AS (
+      SELECT CASE WHEN (dx.d < dy.d) OR (dx.d = dy.d AND x < y)
+                  THEN x ELSE y END AS src,
+             CASE WHEN (dx.d < dy.d) OR (dx.d = dy.d AND x < y)
+                  THEN y ELSE x END AS dst
+      FROM eu JOIN deg dx ON eu.x = dx.node JOIN deg dy ON eu.y = dy.node
+    ),
+    tris AS (
+      SELECT e1.src AS ta, e1.dst AS tb, e2.dst AS tc
+      FROM o e1 JOIN o e2 ON e1.dst = e2.src
+      JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    ),
+    pertri AS (
+      SELECT node, count(*) AS t FROM (
+        SELECT ta AS node FROM tris
+        UNION ALL SELECT tb FROM tris
+        UNION ALL SELECT tc FROM tris
+      ) GROUP BY node
+    )
+    SELECT d.node, d.d AS degree,
+           coalesce(t, 0) AS n_triangles,
+           CASE WHEN d.d >= 2
+                THEN round(2.0 * coalesce(t, 0) / (d.d * (d.d - 1)), 6)
+                ELSE 0.0 END AS clustering_coef
+    FROM deg d LEFT JOIN pertri ON d.node = pertri.node
+    """
+
+
+@register("graph_clustering_coefficient", oracle=_clustering_oracle())
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node: 2T(v) / (d(v)(d(v)-1)) —
+    how much of each word's neighborhood is itself connected (Watts &
+    Strogatz), the standard community-structure signal on top of the
+    degree-oriented triangle machinery shared with
+    graph_triangle_count.
+
+    Each triangle survives orientation as exactly one (a→b→c, a→c)
+    wedge closure, so exploding its three vertices counts every
+    node's triangles once.  Same 100 TB posture as the global count:
+    equi-joins only, fan-out bounded by oriented out-degree."""
+    _, deg, o = _oriented_word_edges(spark, sf_dir)
+    e1, e2 = o.alias("e1"), o.alias("e2")
+    wedges = e1.join(e2, F.col("e1.dst") == F.col("e2.src")).select(
+        F.col("e1.src").alias("ta"),
+        F.col("e1.dst").alias("tb"),
+        F.col("e2.dst").alias("tc"),
+    )
+    tris = wedges.join(
+        o,
+        (F.col("ta") == F.col("src")) & (F.col("tc") == F.col("dst")),
+        "inner",
+    ).select("ta", "tb", "tc")
+    pertri = (
+        tris.select(F.explode(F.array("ta", "tb", "tc")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    t0 = F.coalesce(F.col("t"), F.lit(0))
+    return deg.join(pertri, "node", "left").select(
+        "node",
+        F.col("d").alias("degree"),
+        t0.alias("n_triangles"),
+        F.when(
+            F.col("d") >= 2,
+            F.round(
+                F.lit(2.0) * t0 / (F.col("d") * (F.col("d") - 1)), 6
+            ),
+        ).otherwise(F.lit(0.0)).alias("clustering_coef"),
+    )

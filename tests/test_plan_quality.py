@@ -464,3 +464,12 @@ def test_market_basket_pairs_from_order_equi_join(spark):
     marginals and order count join after support pruning."""
     plan = plan_of(spark, "market_basket_part_pairs")
     assert "CartesianProduct" not in plan
+
+
+def test_clustering_coef_equi_joins_only(spark):
+    """Per-node triangle counting must stay on the oriented equi-join
+    substrate — no cartesian, no nested loop."""
+    plan = plan_of(spark, "graph_clustering_coefficient")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Scan ExistingRDD" in plan  # shared checkpointed edge list
