@@ -1060,3 +1060,61 @@ def market_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type
+      FROM events
+    ),
+    trans AS (
+      SELECT prev_type, event_type AS next_type, count(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ),
+    outdeg AS (
+      SELECT prev_type, sum(n) AS total FROM trans GROUP BY prev_type
+    )
+    SELECT t.prev_type, t.next_type, t.n AS n_transitions,
+           round(t.n::DOUBLE / o.total, 6) AS p_transition
+    FROM trans t JOIN outdeg o USING (prev_type)
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current) — the behavioral-model
+    summary behind next-action prediction and anomaly scoring on
+    event streams (complements event_funnel_conversion's fixed-path
+    view with the full transition graph).
+
+    100 TB shape: the lag window partitions by user_id — one
+    hash-partitioned shuffle of the events, each user's timeline sorted
+    within its partition (no global sort); the transition and marginal
+    aggregates are tiny (|types|^2 rows).  Ties in ts break by
+    event_id so the sequence — and therefore the matrix — is unique at
+    any parallelism."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, "events", sf_dir)
+    seq = e.select(
+        "event_type",
+        F.lag("event_type").over(
+            W.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    trans = seq.groupBy("prev_type", F.col("event_type").alias("next_type")) \
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    outdeg = trans.groupBy("prev_type").agg(
+        F.sum("n_transitions").alias("total")
+    )
+    return trans.join(F.broadcast(outdeg), "prev_type").select(
+        "prev_type", "next_type", "n_transitions",
+        F.round(
+            F.col("n_transitions").cast("double") / F.col("total"), 6
+        ).alias("p_transition"),
+    )

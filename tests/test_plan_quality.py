@@ -473,3 +473,11 @@ def test_clustering_coef_equi_joins_only(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Scan ExistingRDD" in plan  # shared checkpointed edge list
+
+
+def test_transition_matrix_single_user_shuffle(spark):
+    """The lag window hash-partitions by user_id (no global sort); the
+    transition/marginal joins broadcast the tiny matrix."""
+    plan = plan_of(spark, "event_transition_matrix")
+    assert "Exchange rangepartitioning" not in plan
+    assert "BroadcastHashJoin" in plan
