@@ -92,7 +92,8 @@ _DEFER = ["multimodal_feature_extract",  # upgraded rows-only -> oracled
           "time_gapfill_interpolate", "sliding_distinct_users",
           "events_mad_outliers", "source_overlap_matrix",
           "user_retention_cohorts", "market_basket_part_pairs",
-          "graph_clustering_coefficient", "event_transition_matrix"]
+          "graph_clustering_coefficient", "event_transition_matrix",
+          "contrastive_triplet_mining"]
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -476,3 +476,89 @@ def _register_rrf_oracle() -> None:
     ORDER BY rrf_score DESC, coalesce(l.doc_id, d.doc_id)
     LIMIT {RRF_TOP}
     """
+
+
+N_NEGATIVES = 3  # hard negatives per anchor (ranks 2..4 in-bucket)
+
+
+@register(
+    "contrastive_triplet_mining",
+    oracle=None,  # assembled below from the bucketed-candidate oracle
+)
+def contrastive_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (DPR / SimCSE
+    data prep): per anchor, the in-bucket nearest neighbour is the
+    positive and the next {N_NEGATIVES} ranks are the hard negatives —
+    near the anchor in the ANN index, so they carry actual training
+    signal, unlike random negatives.
+
+    Composed from similarity_lsh_bucketed's candidate set (same SRP
+    buckets the index serves), so mining cost is the index probe plus
+    two tiny windows — nothing new shuffles at corpus scale.  Anchors
+    whose bucket has no further candidates emit an empty negative
+    list, deterministically."""
+    cand = similarity_lsh_bucketed(spark, sf_dir)
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("cosine_r"), F.asc("vec_id")
+    )
+    ranked = cand.withColumn("rn", F.row_number().over(w))
+    pos = ranked.filter(F.col("rn") == 1).select(
+        F.col("query_id").alias("anchor_id"),
+        F.col("vec_id").alias("positive_id"),
+        F.col("cosine_r").alias("positive_cos"),
+    )
+    negs = (
+        ranked.filter(
+            (F.col("rn") >= 2) & (F.col("rn") <= 1 + N_NEGATIVES)
+        )
+        .groupBy(F.col("query_id").alias("anchor_id"))
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("rn"), F.col("vec_id")))
+                ),
+                lambda s: s["vec_id"],
+            ).alias("neg_ids"),
+            F.count(F.lit(1)).alias("n_negatives"),
+        )
+    )
+    return pos.join(negs, "anchor_id", "left").select(
+        "anchor_id", "positive_id", "positive_cos",
+        F.coalesce(
+            F.col("neg_ids"), F.array().cast("array<bigint>")
+        ).alias("neg_ids"),
+        F.coalesce(F.col("n_negatives"), F.lit(0)).alias("n_negatives"),
+    )
+
+
+def _register_triplet_oracle() -> None:
+    from mediawiki_to_notion_spark.operators.registry import ORACLES
+
+    ORACLES["contrastive_triplet_mining"] = f"""
+    WITH lsh AS ({_subquery("similarity_lsh_bucketed")}),
+    ranked AS (
+      SELECT query_id, vec_id, cosine_r,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine_r DESC, vec_id) AS rn
+      FROM lsh
+    ),
+    pos AS (
+      SELECT query_id AS anchor_id, vec_id AS positive_id,
+             cosine_r AS positive_cos
+      FROM ranked WHERE rn = 1
+    ),
+    negs AS (
+      SELECT query_id AS anchor_id,
+             list(vec_id ORDER BY rn) AS neg_ids,
+             count(*) AS n_negatives
+      FROM ranked WHERE rn BETWEEN 2 AND {1 + N_NEGATIVES}
+      GROUP BY query_id
+    )
+    SELECT pos.anchor_id, positive_id, positive_cos,
+           coalesce(neg_ids, []::BIGINT[]) AS neg_ids,
+           coalesce(n_negatives, 0) AS n_negatives
+    FROM pos LEFT JOIN negs USING (anchor_id)
+    """
+
+
+_register_triplet_oracle()

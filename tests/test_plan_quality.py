@@ -481,3 +481,11 @@ def test_transition_matrix_single_user_shuffle(spark):
     plan = plan_of(spark, "event_transition_matrix")
     assert "Exchange rangepartitioning" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_triplet_mining_stays_on_bucket_probe(spark):
+    """Mining composes the SRP bucket probe — no all-pairs join appears
+    anywhere in the plan."""
+    plan = plan_of(spark, "contrastive_triplet_mining")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
