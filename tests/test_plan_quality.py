@@ -489,3 +489,40 @@ def test_triplet_mining_stays_on_bucket_probe(spark):
     plan = plan_of(spark, "contrastive_triplet_mining")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_aqe_skew_join_split_available(spark):
+    """SCALING.md names AQE skew-join as the runtime backstop for hot
+    keys.  This pins that a genuinely skewed join (80% of rows on one
+    key) is re-planned at runtime with the skewed partition split —
+    SortMergeJoin(skew=true) — once the production-scale thresholds
+    are met (emulated by lowering them)."""
+    from pyspark.sql import functions as F
+
+    tuned = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        fact = spark.range(0, 200000).select(
+            F.when(F.col("id") % 5 != 0, F.lit(7))
+            .otherwise(F.col("id") % 1000).alias("k"),
+            F.col("id").alias("payload"),
+        )
+        dim = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        j = fact.join(dim, "k").groupBy().count()
+        j.collect()  # finalize the adaptive plan
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
