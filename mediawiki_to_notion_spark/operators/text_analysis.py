@@ -197,15 +197,19 @@ def keyword_search_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     TF multiply so Spark's and DuckDB's `ln` (both ≤1 ulp) can never
     disagree post-rounding."""
     d = load_table(spark, "documents", sf_dir)
-    n_docs = d.count()
+    # corpus size stays IN the plan (1-row aggregate, broadcast cross
+    # join) — a driver-side d.count() here would run a full extra scan
+    # at query-construction time, before the query itself executes
+    n_docs = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     tf = (
         tok.filter(F.col("token").isin(*SEARCH_TERMS))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 6)
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df")) \
+        .crossJoin(F.broadcast(n_docs))
+    idf = F.round(F.log(F.col("n_docs") / F.col("df")), 6)
     scored = (
         tf.join(F.broadcast(df_.withColumn("idf", idf)), "token")
         .groupBy("doc_id")
