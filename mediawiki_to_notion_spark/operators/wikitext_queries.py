@@ -320,3 +320,65 @@ def code_fence_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.coalesce(F.last("boundary", ignorenulls=True).over(w), F.lit("close")) == "open")
         .alias("in_code"),
     )
+
+
+@register(
+    "filename_collision_detect",
+    oracle=r"""
+    WITH titles AS (
+      SELECT doc_id,
+             (CASE WHEN (doc_id // 50) % 2 = 0 THEN 'Guide ' ELSE 'guide ' END)
+               || (doc_id % 50)::VARCHAR AS title
+      FROM documents
+    ),
+    named AS (
+      SELECT doc_id, title,
+             rtrim(regexp_replace(replace(title, '/', '-'),
+                                  '[^\p{L}\p{N} ._-]', '', 'g')) AS filename
+      FROM titles
+    )
+    SELECT lower(filename) AS collision_key,
+           count(*) AS n_pages,
+           count(DISTINCT filename) AS n_variants,
+           min(doc_id) AS first_doc
+    FROM named
+    GROUP BY lower(filename)
+    HAVING count(DISTINCT filename) > 1
+    """,
+)
+def filename_collision_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-collision audit for the markdown output tree: sanitized
+    filenames that differ only by case clobber each other on
+    case-insensitive filesystems — the exact pathology reference
+    FAQ.md:24-28 warns about (it keeps filenames case-sensitive and
+    tells users to use a case-sensitive volume).  This query finds
+    every lower-cased filename claimed by more than one distinct
+    sanitized name, with the first page involved, BEFORE any file is
+    written.  Titles are doc_id-derived with alternating case so the
+    machinery is value-checked (same construction in both engines).
+
+    100 TB shape: one groupBy on the folded key with partial
+    aggregation; output is only the colliding groups."""
+    from mediawiki_to_notion_spark.functions.wikitext import safe_filename
+
+    d = load_table(spark, "documents", sf_dir)
+    titles = d.select(
+        "doc_id",
+        F.concat(
+            F.when((F.col("doc_id") / 50).cast("long") % 2 == 0, F.lit("Guide "))
+            .otherwise(F.lit("guide ")),
+            (F.col("doc_id") % 50).cast("string"),
+        ).alias("title"),
+    )
+    named = titles.select(
+        "doc_id", safe_filename(F.col("title")).alias("filename")
+    )
+    return (
+        named.groupBy(F.lower("filename").alias("collision_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.countDistinct("filename").alias("n_variants"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_variants") > 1)
+    )
