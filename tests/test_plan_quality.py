@@ -526,3 +526,17 @@ def test_aqe_skew_join_split_available(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_no_cartesian_product_in_any_registered_query(spark):
+    """Blanket gate over the ENTIRE registry: no query may plan a
+    CartesianProduct, ever.  (BroadcastNestedLoopJoin is allowed only
+    where a 1-row summary frame or an intended broadcast NLJ makes it
+    trivially bounded — those are pinned per-query above; an
+    unbounded cartesian is never acceptable.)"""
+    bad = []
+    for name, fn in sorted(QUERIES.items()):
+        plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            bad.append(name)
+    assert not bad, f"cartesian products in: {bad}"
