@@ -93,7 +93,9 @@ _DEFER = ["multimodal_feature_extract",  # upgraded rows-only -> oracled
           "events_mad_outliers", "source_overlap_matrix",
           "user_retention_cohorts", "market_basket_part_pairs",
           "graph_clustering_coefficient", "event_transition_matrix",
-          "contrastive_triplet_mining", "filename_collision_detect"]
+          "contrastive_triplet_mining", "filename_collision_detect",
+          "dedup_normalized_exact", "orders_rfm_segmentation",
+          "embedding_centroid_drift"]
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1118,3 +1118,168 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_transitions").cast("double") / F.col("total"), 6
         ).alias("p_transition"),
     )
+
+
+RFM_EPOCH = "1992-01-01"  # fixed anchor for recency-in-days arithmetic
+
+
+@register(
+    "orders_rfm_segmentation",
+    oracle=f"""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             datediff('day', DATE '{RFM_EPOCH}', max(o_orderdate)::DATE)
+               AS recency_d,
+             count(*) AS frequency,
+             CAST(SUM(CAST(round(o_totalprice, 6) AS DECIMAL(18,6)))
+                  AS DOUBLE) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    bounds AS (
+      SELECT quantile_cont(recency_d, 0.25) AS r1,
+             quantile_cont(recency_d, 0.5) AS r2,
+             quantile_cont(recency_d, 0.75) AS r3,
+             quantile_cont(frequency, 0.25) AS f1,
+             quantile_cont(frequency, 0.5) AS f2,
+             quantile_cont(frequency, 0.75) AS f3,
+             quantile_cont(monetary, 0.25) AS m1,
+             quantile_cont(monetary, 0.5) AS m2,
+             quantile_cont(monetary, 0.75) AS m3
+      FROM per_cust
+    )
+    SELECT o_custkey, recency_d, frequency, monetary,
+           CASE WHEN recency_d <= r1 THEN 1 WHEN recency_d <= r2 THEN 2
+                WHEN recency_d <= r3 THEN 3 ELSE 4 END AS r_score,
+           CASE WHEN frequency <= f1 THEN 1 WHEN frequency <= f2 THEN 2
+                WHEN frequency <= f3 THEN 3 ELSE 4 END AS f_score,
+           CASE WHEN monetary <= m1 THEN 1 WHEN monetary <= m2 THEN 2
+                WHEN monetary <= m3 THEN 3 ELSE 4 END AS m_score
+    FROM per_cust CROSS JOIN bounds
+    """,
+)
+def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quartile segmentation per
+    customer — the classic CRM cohorting op, expressed scale-first:
+    per-customer aggregates in one partial-agg shuffle, quartile
+    BOUNDARIES from one 1-row percentile aggregate broadcast back (the
+    doc_length_equal_freq_bins pattern — never an ntile window over
+    all customers), scores as pure CASE chains.
+
+    Recency is integer days from a fixed anchor so the percentile
+    interpolation runs on exact ints; monetary sums are exact DECIMAL
+    before the single double division."""
+    o = load_table(spark, "orders", sf_dir)
+    per_cust = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.max(F.col("o_orderdate").cast("date")), F.lit(RFM_EPOCH).cast("date")
+        ).alias("recency_d"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round("o_totalprice", 6).cast("decimal(18,6)"))
+         .cast("double").alias("monetary"),
+    )
+    bounds = per_cust.agg(
+        *[
+            F.expr(f"percentile({c}, {q})").alias(f"{c[0]}{i}")
+            for c in ("recency_d", "frequency", "monetary")
+            for i, q in ((1, 0.25), (2, 0.5), (3, 0.75))
+        ]
+    )
+
+    def score(col: str, p: str):
+        return (
+            F.when(F.col(col) <= F.col(f"{p}1"), 1)
+            .when(F.col(col) <= F.col(f"{p}2"), 2)
+            .when(F.col(col) <= F.col(f"{p}3"), 3)
+            .otherwise(4)
+        )
+
+    return per_cust.crossJoin(F.broadcast(bounds)).select(
+        "o_custkey", "recency_d", "frequency", "monetary",
+        score("recency_d", "r").alias("r_score"),
+        score("frequency", "f").alias("f_score"),
+        score("monetary", "m").alias("m_score"),
+    )
+
+
+@register(
+    "embedding_centroid_drift",
+    oracle="""
+    WITH dims AS (
+      SELECT vec_id, label, vec_id % 2 AS half, u.i AS dim,
+             round(embedding[u.i+1]::DOUBLE, 6) AS val
+      FROM embeddings,
+           LATERAL (SELECT unnest(range(0, len(embedding))) AS i) u
+    ),
+    means AS (
+      SELECT label, half, dim,
+             CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+               AS mean_v,
+             count(*) AS n
+      FROM dims GROUP BY label, half, dim
+    ),
+    diffs AS (
+      SELECT a.label, a.dim,
+             round(a.mean_v - b.mean_v, 6) AS diff,
+             a.n AS n_a, b.n AS n_b
+      FROM means a JOIN means b
+        ON a.label = b.label AND a.dim = b.dim
+       AND a.half = 0 AND b.half = 1
+    )
+    SELECT label, n_a AS n_half_a, n_b AS n_half_b,
+           round(sqrt(CAST(SUM(CAST(diff AS DECIMAL(18,6))
+                               * CAST(diff AS DECIMAL(18,6))) AS DOUBLE)), 6)
+             AS centroid_l2_drift
+    FROM diffs GROUP BY label, n_a, n_b
+    """,
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor: per label, the L2 distance
+    between the class centroid of one corpus half and the other
+    (vec_id parity stands in for old-crawl / new-crawl) — the
+    model-input drift check that complements source_drift_detect's
+    text-length view with the embedding modality.
+
+    Every accumulation is an exact DECIMAL sum of 6-dp-rounded values
+    (per-dim means, then squared mean-differences), so the result is
+    identical at any parallelism; the only doubles operations are one
+    division and one final sqrt.
+
+    100 TB shape: posexplode is linear; the (label, half, dim)
+    aggregate is the classic partial-agg shuffle; the half-vs-half
+    join is an equi-join on (label, dim) over |labels| x dims rows —
+    tiny — and the final per-label fold is trivial."""
+    e = load_table(spark, "embeddings", sf_dir)
+    dims = e.select(
+        "vec_id", "label", (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("dim", "valf"),
+    ).select(
+        "label", "half", "dim",
+        F.round(F.col("valf").cast("double"), 6).alias("val"),
+    )
+    means = dims.groupBy("label", "half", "dim").agg(
+        (
+            F.sum(F.col("val").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_v"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    a = means.filter(F.col("half") == 0).select(
+        "label", "dim", F.col("mean_v").alias("ma"), F.col("n").alias("n_a")
+    )
+    b = means.filter(F.col("half") == 1).select(
+        "label", "dim", F.col("mean_v").alias("mb"), F.col("n").alias("n_b")
+    )
+    diffs = a.join(b, ["label", "dim"]).select(
+        "label", "n_a", "n_b",
+        F.round(F.col("ma") - F.col("mb"), 6).alias("diff"),
+    )
+    dd = F.col("diff").cast("decimal(18,6)")
+    return diffs.groupBy("label", "n_a", "n_b").agg(
+        F.round(F.sqrt(F.sum(dd * dd).cast("double")), 6)
+         .alias("centroid_l2_drift"),
+    ).select(
+        "label",
+        F.col("n_a").alias("n_half_a"),
+        F.col("n_b").alias("n_half_b"),
+        "centroid_l2_drift",
+    )

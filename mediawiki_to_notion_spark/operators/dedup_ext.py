@@ -297,3 +297,80 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
     )
+
+
+@register(
+    "dedup_normalized_exact",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id AS base_id, text FROM documents WHERE doc_id % 4 = 0
+    ),
+    variants AS (
+      SELECT d.doc_id,
+             CASE CAST(d.doc_id % 4 AS INTEGER)
+               WHEN 0 THEN b.text
+               WHEN 1 THEN upper(b.text)
+               WHEN 2 THEN b.text || '!!'
+               ELSE replace(b.text, ' ', '  ')
+             END AS text
+      FROM documents d JOIN base b ON (d.doc_id // 4) * 4 = b.base_id
+    ),
+    normed AS (
+      SELECT doc_id,
+             regexp_replace(
+               trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g'))),
+               ' +', ' ', 'g') AS norm_text
+      FROM variants
+    ),
+    grouped AS (
+      SELECT norm_text, count(*) AS n_docs, min(doc_id) AS keeper_doc
+      FROM normed GROUP BY norm_text
+    )
+    SELECT keeper_doc, n_docs, n_docs - 1 AS n_removed
+    FROM grouped WHERE n_docs > 1
+    """,
+)
+def dedup_normalized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized exact dedup (Dolma's 'exact' dedup pass): lowercase,
+    strip punctuation, collapse whitespace, then group identical
+    normalized bodies — catches trivial near-dups (case or punctuation
+    edits) that byte-exact hashing (dedup_exact_hash) misses, at
+    exact-dedup cost rather than MinHash cost.
+
+    The synthetic corpus has no organic case/punctuation variants, so
+    each group of 4 docs is deterministically rewritten as variants of
+    its base doc's REAL text (identity / UPPER / trailing '!!' /
+    doubled spaces) — identically in both engines — and the dedup must
+    collapse exactly those groups.
+
+    100 TB shape: normalization is a narrow codegen'd pass; one groupBy
+    on the normalized text (at real scale: on its 60-bit hash — see
+    _hashed_shingles' rationale) with map-side partial aggregation;
+    only duplicate groups are emitted."""
+    d = load_table(spark, "documents", sf_dir)
+    base = d.filter(F.col("doc_id") % 4 == 0).select(
+        F.col("doc_id").alias("base_id"), F.col("text").alias("base_text")
+    )
+    variants = d.select("doc_id").join(
+        base, (F.col("doc_id") / 4).cast("long") * 4 == F.col("base_id")
+    ).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 0, F.col("base_text"))
+        .when(F.col("doc_id") % 4 == 1, F.upper("base_text"))
+        .when(F.col("doc_id") % 4 == 2, F.concat("base_text", F.lit("!!")))
+        .otherwise(F.regexp_replace("base_text", " ", "  "))
+        .alias("text"),
+    )
+    norm = F.regexp_replace(
+        F.trim(F.lower(F.regexp_replace(F.col("text"), r"[^a-zA-Z0-9 ]", " "))),
+        " +", " ")
+    normed = variants.select("doc_id", norm.alias("norm_text"))
+    return (
+        normed.groupBy("norm_text")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .select("keeper_doc", "n_docs", (F.col("n_docs") - 1).alias("n_removed"))
+    )

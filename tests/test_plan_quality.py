@@ -540,3 +540,27 @@ def test_no_cartesian_product_in_any_registered_query(spark):
         if "CartesianProduct" in plan:
             bad.append(name)
     assert not bad, f"cartesian products in: {bad}"
+
+
+def test_rfm_bounds_broadcast_back(spark):
+    """The 1-row quartile-boundary frame broadcasts onto the
+    per-customer aggregate — never an ntile window over all customers
+    (which would range-partition)."""
+    plan = plan_of(spark, "orders_rfm_segmentation")
+    assert "Exchange rangepartitioning" not in plan
+    assert "Window" not in plan
+
+
+def test_normalized_dedup_partial_agg(spark):
+    plan = plan_of(spark, "dedup_normalized_exact")
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_centroid_drift_decimal_partial_agg(spark):
+    """Per-(label,half,dim) means and the squared-diff fold are exact
+    decimal partial aggregates; the half-vs-half join is an equi-join
+    over the tiny means table."""
+    plan = plan_of(spark, "embedding_centroid_drift")
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
