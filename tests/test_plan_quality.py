@@ -564,3 +564,13 @@ def test_centroid_drift_decimal_partial_agg(spark):
     plan = plan_of(spark, "embedding_centroid_drift")
     assert "partial_sum" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_quality_ensemble_no_rank_window(spark):
+    """Ensemble scoring uses broadcast quartile boundaries — never a
+    corpus-wide rank window (which would range-partition or single-
+    partition the corpus)."""
+    plan = plan_of(spark, "quality_signal_ensemble")
+    assert "Exchange rangepartitioning" not in plan
+    assert "Exchange SinglePartition" not in plan or "percentile" in plan
+    assert "CartesianProduct" not in plan
