@@ -1121,6 +1121,12 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 RFM_EPOCH = "1992-01-01"  # fixed anchor for recency-in-days arithmetic
+from mediawiki_to_notion_spark.functions import stats as _S  # noqa: E402
+_RFM_BOUNDS_SQL = _S.quartile_bounds_sql(
+    {"r": "recency_d", "f": "frequency", "m": "monetary"})
+_RFM_R_SQL = _S.quartile_score_sql("recency_d", "r")
+_RFM_F_SQL = _S.quartile_score_sql("frequency", "f")
+_RFM_M_SQL = _S.quartile_score_sql("monetary", "m")
 
 
 @register(
@@ -1135,25 +1141,11 @@ RFM_EPOCH = "1992-01-01"  # fixed anchor for recency-in-days arithmetic
                   AS DOUBLE) AS monetary
       FROM orders GROUP BY o_custkey
     ),
-    bounds AS (
-      SELECT quantile_cont(recency_d, 0.25) AS r1,
-             quantile_cont(recency_d, 0.5) AS r2,
-             quantile_cont(recency_d, 0.75) AS r3,
-             quantile_cont(frequency, 0.25) AS f1,
-             quantile_cont(frequency, 0.5) AS f2,
-             quantile_cont(frequency, 0.75) AS f3,
-             quantile_cont(monetary, 0.25) AS m1,
-             quantile_cont(monetary, 0.5) AS m2,
-             quantile_cont(monetary, 0.75) AS m3
-      FROM per_cust
-    )
+    bounds AS (SELECT {_RFM_BOUNDS_SQL} FROM per_cust)
     SELECT o_custkey, recency_d, frequency, monetary,
-           CASE WHEN recency_d <= r1 THEN 1 WHEN recency_d <= r2 THEN 2
-                WHEN recency_d <= r3 THEN 3 ELSE 4 END AS r_score,
-           CASE WHEN frequency <= f1 THEN 1 WHEN frequency <= f2 THEN 2
-                WHEN frequency <= f3 THEN 3 ELSE 4 END AS f_score,
-           CASE WHEN monetary <= m1 THEN 1 WHEN monetary <= m2 THEN 2
-                WHEN monetary <= m3 THEN 3 ELSE 4 END AS m_score
+           {_RFM_R_SQL} AS r_score,
+           {_RFM_F_SQL} AS f_score,
+           {_RFM_M_SQL} AS m_score
     FROM per_cust CROSS JOIN bounds
     """,
 )
@@ -1177,27 +1169,17 @@ def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round("o_totalprice", 6).cast("decimal(18,6)"))
          .cast("double").alias("monetary"),
     )
-    bounds = per_cust.agg(
-        *[
-            F.expr(f"percentile({c}, {q})").alias(f"{c[0]}{i}")
-            for c in ("recency_d", "frequency", "monetary")
-            for i, q in ((1, 0.25), (2, 0.5), (3, 0.75))
-        ]
+    from mediawiki_to_notion_spark.functions import stats as S
+
+    bounds = S.quartile_bounds(
+        per_cust,
+        {"r": "recency_d", "f": "frequency", "m": "monetary"},
     )
-
-    def score(col: str, p: str):
-        return (
-            F.when(F.col(col) <= F.col(f"{p}1"), 1)
-            .when(F.col(col) <= F.col(f"{p}2"), 2)
-            .when(F.col(col) <= F.col(f"{p}3"), 3)
-            .otherwise(4)
-        )
-
     return per_cust.crossJoin(F.broadcast(bounds)).select(
         "o_custkey", "recency_d", "frequency", "monetary",
-        score("recency_d", "r").alias("r_score"),
-        score("frequency", "f").alias("f_score"),
-        score("monetary", "m").alias("m_score"),
+        S.quartile_score("recency_d", "r").alias("r_score"),
+        S.quartile_score("frequency", "f").alias("f_score"),
+        S.quartile_score("monetary", "m").alias("m_score"),
     )
 
 
@@ -1213,23 +1195,31 @@ def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     means AS (
       SELECT label, half, dim,
              CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DOUBLE) / count(*)
-               AS mean_v,
-             count(*) AS n
+               AS mean_v
       FROM dims GROUP BY label, half, dim
     ),
-    diffs AS (
-      SELECT a.label, a.dim,
-             round(a.mean_v - b.mean_v, 6) AS diff,
-             a.n AS n_a, b.n AS n_b
-      FROM means a JOIN means b
+    halves AS (
+      SELECT coalesce(a.label, b.label) AS label,
+             round(coalesce(a.mean_v, 0) - coalesce(b.mean_v, 0), 6) AS diff
+      FROM (SELECT * FROM means WHERE half = 0) a
+      FULL JOIN (SELECT * FROM means WHERE half = 1) b
         ON a.label = b.label AND a.dim = b.dim
-       AND a.half = 0 AND b.half = 1
+    ),
+    counts AS (
+      SELECT label,
+             count(*) FILTER (vec_id % 2 = 0) AS n_half_a,
+             count(*) FILTER (vec_id % 2 = 1) AS n_half_b
+      FROM embeddings GROUP BY label
+    ),
+    drift AS (
+      SELECT label,
+             round(sqrt(CAST(SUM(CAST(diff AS DECIMAL(18,6))
+                                 * CAST(diff AS DECIMAL(18,6)))
+                             AS DOUBLE)), 6) AS centroid_l2_drift
+      FROM halves GROUP BY label
     )
-    SELECT label, n_a AS n_half_a, n_b AS n_half_b,
-           round(sqrt(CAST(SUM(CAST(diff AS DECIMAL(18,6))
-                               * CAST(diff AS DECIMAL(18,6))) AS DOUBLE)), 6)
-             AS centroid_l2_drift
-    FROM diffs GROUP BY label, n_a, n_b
+    SELECT d.label, n_half_a, n_half_b, centroid_l2_drift
+    FROM drift d JOIN counts c ON d.label = c.label
     """,
 )
 def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1239,18 +1229,24 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     model-input drift check that complements source_drift_detect's
     text-length view with the embedding modality.
 
+    Robustness: the half-vs-half comparison is a FULL OUTER join per
+    (label, dim) with missing means as 0 — a label present in only one
+    half (the most-drifted case: a brand-new class) reports its
+    centroid norm as drift instead of vanishing, and ragged embedding
+    lengths contribute their one-sided dims the same way.  The final
+    fold groups by label alone.
+
     Every accumulation is an exact DECIMAL sum of 6-dp-rounded values
     (per-dim means, then squared mean-differences), so the result is
     identical at any parallelism; the only doubles operations are one
     division and one final sqrt.
 
     100 TB shape: posexplode is linear; the (label, half, dim)
-    aggregate is the classic partial-agg shuffle; the half-vs-half
-    join is an equi-join on (label, dim) over |labels| x dims rows —
-    tiny — and the final per-label fold is trivial."""
+    aggregate is the classic partial-agg shuffle; everything after it
+    operates on |labels| x dims rows — tiny."""
     e = load_table(spark, "embeddings", sf_dir)
     dims = e.select(
-        "vec_id", "label", (F.col("vec_id") % 2).alias("half"),
+        "label", (F.col("vec_id") % 2).alias("half"),
         F.posexplode("embedding").alias("dim", "valf"),
     ).select(
         "label", "half", "dim",
@@ -1261,25 +1257,28 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("val").cast("decimal(18,6)")).cast("double")
             / F.count(F.lit(1))
         ).alias("mean_v"),
-        F.count(F.lit(1)).alias("n"),
     )
     a = means.filter(F.col("half") == 0).select(
-        "label", "dim", F.col("mean_v").alias("ma"), F.col("n").alias("n_a")
+        "label", "dim", F.col("mean_v").alias("ma")
     )
     b = means.filter(F.col("half") == 1).select(
-        "label", "dim", F.col("mean_v").alias("mb"), F.col("n").alias("n_b")
+        "label", "dim", F.col("mean_v").alias("mb")
     )
-    diffs = a.join(b, ["label", "dim"]).select(
-        "label", "n_a", "n_b",
-        F.round(F.col("ma") - F.col("mb"), 6).alias("diff"),
+    halves = a.join(b, ["label", "dim"], "full_outer").select(
+        "label",
+        F.round(
+            F.coalesce("ma", F.lit(0.0)) - F.coalesce("mb", F.lit(0.0)), 6
+        ).alias("diff"),
     )
     dd = F.col("diff").cast("decimal(18,6)")
-    return diffs.groupBy("label", "n_a", "n_b").agg(
+    drift = halves.groupBy("label").agg(
         F.round(F.sqrt(F.sum(dd * dd).cast("double")), 6)
          .alias("centroid_l2_drift"),
-    ).select(
-        "label",
-        F.col("n_a").alias("n_half_a"),
-        F.col("n_b").alias("n_half_b"),
-        "centroid_l2_drift",
+    )
+    counts = e.groupBy("label").agg(
+        F.count(F.when(F.col("vec_id") % 2 == 0, 1)).alias("n_half_a"),
+        F.count(F.when(F.col("vec_id") % 2 == 1, 1)).alias("n_half_b"),
+    )
+    return drift.join(counts, "label").select(
+        "label", "n_half_a", "n_half_b", "centroid_l2_drift"
     )

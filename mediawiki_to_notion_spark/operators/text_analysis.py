@@ -600,41 +600,34 @@ def quality_signal_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     pretraining pipelines run after the hard filter funnel;
     cf. RefinedWeb's combined heuristics).
 
-    Scale shape: the three signal queries join on doc_id (equi-joins on
-    the same key), quartile BOUNDARIES come from one 1-row percentile
-    aggregate broadcast back (the RFM pattern) — never a corpus-wide
-    rank window."""
+    Coverage: EVERY document gets a row (text_quality_score is
+    unfiltered; the other signals attach by LEFT join).  A document too
+    short/degenerate for a signal scores that signal's WORST quartile
+    (repetition -> 4, logprob -> 1) — junk the signal cannot measure
+    must not slip past the gate unscored.
+
+    Scale shape: doc_id equi-joins; quartile BOUNDARIES from one 1-row
+    percentile aggregate broadcast back (functions.stats — the RFM
+    pattern), never a corpus-wide rank window."""
+    from mediawiki_to_notion_spark.functions import stats as S
+
     q = text_quality_score(spark, sf_dir).select("doc_id", "stopword_ratio")
     r = text_repetition_ratio(spark, sf_dir).select(
         "doc_id", "repetition_ratio"
     )
     u = text_unigram_logprob(spark, sf_dir).select("doc_id", "mean_logprob")
-    sig = q.join(r, "doc_id").join(u, "doc_id")
-    bounds = sig.agg(
-        *[
-            F.expr(f"percentile({c}, {p})").alias(f"{a}{i}")
-            for c, a in (
-                ("stopword_ratio", "s"),
-                ("repetition_ratio", "r"),
-                ("mean_logprob", "l"),
-            )
-            for i, p in ((1, 0.25), (2, 0.5), (3, 0.75))
-        ]
+    sig = q.join(r, "doc_id", "left").join(u, "doc_id", "left")
+    bounds = S.quartile_bounds(
+        sig,
+        {"s": "stopword_ratio", "r": "repetition_ratio", "l": "mean_logprob"},
     )
-
-    def quartile(col: str, p: str):
-        return (
-            F.when(F.col(col) <= F.col(f"{p}1"), 1)
-            .when(F.col(col) <= F.col(f"{p}2"), 2)
-            .when(F.col(col) <= F.col(f"{p}3"), 3)
-            .otherwise(4)
-        )
-
     scored = sig.crossJoin(F.broadcast(bounds)).select(
         "doc_id",
-        quartile("stopword_ratio", "s").alias("q_stopword"),
-        quartile("repetition_ratio", "r").alias("q_repetition"),
-        quartile("mean_logprob", "l").alias("q_logprob"),
+        S.quartile_score("stopword_ratio", "s").alias("q_stopword"),
+        S.quartile_score("repetition_ratio", "r", null_score=4)
+         .alias("q_repetition"),
+        S.quartile_score("mean_logprob", "l", null_score=1)
+         .alias("q_logprob"),
     )
     return scored.select(
         "doc_id", "q_stopword", "q_repetition", "q_logprob",
@@ -646,43 +639,32 @@ def quality_signal_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _register_ensemble_oracle() -> None:
-    from mediawiki_to_notion_spark.operators.registry import ORACLES
+    from mediawiki_to_notion_spark.functions import stats as S
+    from mediawiki_to_notion_spark.operators.similarity import _subquery
 
-    def sub(name: str) -> str:
-        return ORACLES[name].strip().rstrip(";")
-
+    ORACLES = __import__(
+        "mediawiki_to_notion_spark.operators.registry", fromlist=["ORACLES"]
+    ).ORACLES
+    bounds_sql = S.quartile_bounds_sql(
+        {"s": "stopword_ratio", "r": "repetition_ratio", "l": "mean_logprob"}
+    )
     ORACLES["quality_signal_ensemble"] = f"""
-    WITH qq AS ({sub("text_quality_score")}),
-    rr AS ({sub("text_repetition_ratio")}),
-    uu AS ({sub("text_unigram_logprob")}),
+    WITH qq AS ({_subquery("text_quality_score")}),
+    rr AS ({_subquery("text_repetition_ratio")}),
+    uu AS ({_subquery("text_unigram_logprob")}),
     sig AS (
       SELECT qq.doc_id, stopword_ratio, repetition_ratio, mean_logprob
-      FROM qq JOIN rr ON qq.doc_id = rr.doc_id
-              JOIN uu ON qq.doc_id = uu.doc_id
+      FROM qq LEFT JOIN rr ON qq.doc_id = rr.doc_id
+              LEFT JOIN uu ON qq.doc_id = uu.doc_id
     ),
-    bounds AS (
-      SELECT quantile_cont(stopword_ratio, 0.25) AS s1,
-             quantile_cont(stopword_ratio, 0.5) AS s2,
-             quantile_cont(stopword_ratio, 0.75) AS s3,
-             quantile_cont(repetition_ratio, 0.25) AS r1,
-             quantile_cont(repetition_ratio, 0.5) AS r2,
-             quantile_cont(repetition_ratio, 0.75) AS r3,
-             quantile_cont(mean_logprob, 0.25) AS l1,
-             quantile_cont(mean_logprob, 0.5) AS l2,
-             quantile_cont(mean_logprob, 0.75) AS l3
-      FROM sig
-    ),
+    bounds AS (SELECT {bounds_sql} FROM sig),
     scored AS (
       SELECT doc_id,
-             CASE WHEN stopword_ratio <= s1 THEN 1
-                  WHEN stopword_ratio <= s2 THEN 2
-                  WHEN stopword_ratio <= s3 THEN 3 ELSE 4 END AS q_stopword,
-             CASE WHEN repetition_ratio <= r1 THEN 1
-                  WHEN repetition_ratio <= r2 THEN 2
-                  WHEN repetition_ratio <= r3 THEN 3 ELSE 4 END AS q_repetition,
-             CASE WHEN mean_logprob <= l1 THEN 1
-                  WHEN mean_logprob <= l2 THEN 2
-                  WHEN mean_logprob <= l3 THEN 3 ELSE 4 END AS q_logprob
+             {S.quartile_score_sql("stopword_ratio", "s")} AS q_stopword,
+             {S.quartile_score_sql("repetition_ratio", "r", null_score=4)}
+               AS q_repetition,
+             {S.quartile_score_sql("mean_logprob", "l", null_score=1)}
+               AS q_logprob
       FROM sig CROSS JOIN bounds
     )
     SELECT doc_id, q_stopword, q_repetition, q_logprob,

@@ -572,5 +572,5 @@ def test_quality_ensemble_no_rank_window(spark):
     partition the corpus)."""
     plan = plan_of(spark, "quality_signal_ensemble")
     assert "Exchange rangepartitioning" not in plan
-    assert "Exchange SinglePartition" not in plan or "percentile" in plan
+    assert "Window" not in plan  # quartiles via broadcast bounds, no rank
     assert "CartesianProduct" not in plan
