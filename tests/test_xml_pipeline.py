@@ -310,3 +310,41 @@ def test_jsonl_corpus_source_roundtrip(spark, tmp_path):
     # pinned by multiLine (a one-file read may still be 1 split at this
     # size; assert the option path by checking schema fidelity instead)
     assert "_corrupt_record" not in clean.columns
+
+
+def test_csv_corpus_source_roundtrip(spark, tmp_path):
+    """CSV corpus source: documents survive a CSV round-trip, a
+    wrong-arity / unparseable row is quarantined instead of failing
+    the job, and jsonl.split_corrupt works on the frame unchanged."""
+    import csv as _csv
+
+    from mediawiki_to_notion_spark.sources.csv_source import (
+        load_documents_csv,
+    )
+    from mediawiki_to_notion_spark.sources.jsonl import split_corrupt
+    from mediawiki_to_notion_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001").limit(20)
+    rows = [r.asDict() for r in docs.collect()]
+    path = tmp_path / "corpus.csv"
+    with open(path, "w", newline="") as f:
+        w = _csv.writer(f)
+        w.writerow(["doc_id", "text", "lang", "source", "n_chars"])
+        for r in rows:
+            w.writerow([r["doc_id"], r["text"], r["lang"],
+                        r["source"], r["n_chars"]])
+        f.write("not-a-number,oops\n")          # wrong arity + bad long
+        f.write("also-bad,x,y,z,not-a-count\n")  # unparseable n_chars
+
+    df = load_documents_csv(spark, str(path))
+    clean, bad = split_corrupt(df)
+    assert bad.count() == 2
+    got = {
+        (r.doc_id, r.text, r.lang, r.source, r.n_chars)
+        for r in clean.collect()
+    }
+    want = {
+        (r["doc_id"], r["text"], r["lang"], r["source"], r["n_chars"])
+        for r in rows
+    }
+    assert got == want
