@@ -303,3 +303,50 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     want = {(r.purchase_id, r.click_id) for r in batch.collect()}
     assert got == want
     assert len(want) > 0
+
+
+def test_stream_static_dimension_join_matches_batch(spark, tmp_path):
+    """Stream-static join: the event stream enriches against a static
+    dimension frame inside the streaming query itself (not foreachBatch)
+    — the standard reference-data enrichment — and a windowed count per
+    dimension attribute matches the batch equivalent."""
+    src = tmp_path / "ss_events"
+    events = load_table(spark, "events", SF).select(
+        "event_id", "ts", "user_id", "event_type"
+    ).orderBy("event_id").limit(3000)
+    events.coalesce(1).write.mode("overwrite").parquet(str(src))
+
+    # static dimension: user tier derived deterministically
+    tiers = (
+        events.select("user_id").distinct()
+        .withColumn("tier", (F.col("user_id") % 3).cast("int"))
+    )
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    stream = (
+        spark.readStream.schema(schema).parquet(str(src))
+        .join(F.broadcast(tiers), "user_id")  # stream-static join
+        .groupBy("tier", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        stream.writeStream.format("memory").queryName("ssdim")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.tier, r.event_type): r.n
+        for r in spark.sql("select * from ssdim").collect()
+    }
+    want = {
+        (r.tier, r.event_type): r.n
+        for r in spark.read.parquet(str(src))
+        .join(tiers, "user_id")
+        .groupBy("tier", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and len(want) > 0
