@@ -95,7 +95,8 @@ _DEFER = ["multimodal_feature_extract",  # upgraded rows-only -> oracled
           "graph_clustering_coefficient", "event_transition_matrix",
           "contrastive_triplet_mining", "filename_collision_detect",
           "dedup_normalized_exact", "orders_rfm_segmentation",
-          "embedding_centroid_drift", "quality_signal_ensemble"]
+          "embedding_centroid_drift", "quality_signal_ensemble",
+          "events_cusum_changepoint", "lineitem_pareto_abc"]
 
 
 def entry(spark: SparkSession) -> DataFrame:

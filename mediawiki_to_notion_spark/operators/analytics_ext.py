@@ -1282,3 +1282,153 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drift.join(counts, "label").select(
         "label", "n_half_a", "n_half_b", "centroid_l2_drift"
     )
+
+
+@register(
+    "events_cusum_changepoint",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    rates AS (
+      SELECT event_type,
+             round(sum(n)::DOUBLE / count(*), 6) AS mean_n
+      FROM hourly GROUP BY event_type
+    ),
+    cusum AS (
+      SELECT h.event_type, h.h,
+             SUM(CAST(n AS DECIMAL(18,6))
+                 - CAST(round(mean_n, 6) AS DECIMAL(18,6)))
+               OVER (PARTITION BY h.event_type ORDER BY h.h
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS s
+      FROM hourly h JOIN rates USING (event_type)
+    ),
+    ranked AS (
+      SELECT event_type, h, s,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY abs(s) DESC, h) AS rn
+      FROM cusum
+    )
+    SELECT event_type, h AS changepoint_hour,
+           CAST(s AS DOUBLE) AS cusum_at_peak
+    FROM ranked WHERE rn = 1
+    """,
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per event type: cumulative sum of
+    (hourly count - mean rate); the hour where |CUSUM| peaks is the
+    most likely rate-change point (Page's cumulative-sum test — the
+    drift detector that catches gradual rate shifts the per-point
+    z-score/MAD screens miss).
+
+    Parity: the running sum accumulates exact DECIMALs over the
+    window's defined hour order, so it is bit-identical across engines
+    and parallelism; only the final output casts to double.
+
+    100 TB shape: hourly pre-aggregation collapses the stream to
+    |types| x |hours| rows; the per-type window and the peak pick
+    (WindowGroupLimit) run over that tiny frame."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, "events", sf_dir)
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    rates = hourly.groupBy("event_type").agg(
+        F.round(F.sum("n").cast("double") / F.count(F.lit(1)), 6)
+         .alias("mean_n")
+    )
+    win = (
+        W.partitionBy("event_type").orderBy("h")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cusum = hourly.join(F.broadcast(rates), "event_type").select(
+        "event_type", "h",
+        F.sum(
+            F.col("n").cast("decimal(18,6)")
+            - F.round("mean_n", 6).cast("decimal(18,6)")
+        ).over(win).alias("s"),
+    )
+    rank_w = W.partitionBy("event_type").orderBy(
+        F.abs(F.col("s")).desc(), F.asc("h")
+    )
+    return (
+        cusum.withColumn("rn", F.row_number().over(rank_w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type", F.col("h").alias("changepoint_hour"),
+            F.col("s").cast("double").alias("cusum_at_peak"),
+        )
+    )
+
+
+@register(
+    "lineitem_pareto_abc",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             SUM(CAST(round(l_extendedprice, 6) AS DECIMAL(18,6)))
+               AS revenue_d
+      FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT SUM(revenue_d) AS total_d FROM rev),
+    ranked AS (
+      SELECT l_partkey, revenue_d,
+             SUM(revenue_d) OVER (
+               ORDER BY revenue_d DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_d
+      FROM rev
+    )
+    SELECT l_partkey,
+           CAST(revenue_d AS DOUBLE) AS revenue,
+           round(CAST(cum_d AS DOUBLE) / CAST(total_d AS DOUBLE), 6)
+             AS cum_share,
+           CASE WHEN CAST(cum_d AS DOUBLE) / CAST(total_d AS DOUBLE) <= 0.8
+                  THEN 'A'
+                WHEN CAST(cum_d AS DOUBLE) / CAST(total_d AS DOUBLE) <= 0.95
+                  THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked CROSS JOIN tot
+    """,
+)
+def lineitem_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC classification of parts by revenue: the cumulative
+    revenue share in descending order splits the catalog into A
+    (first 80% of revenue), B (to 95%), C (tail) — the inventory-
+    analytics standard.
+
+    This is the one operator family where a GLOBAL ordered cumulative
+    sum is the semantics.  The discipline that keeps it tractable at
+    100 TB: the ordered window runs over the PER-PART aggregate
+    (catalog cardinality, ~30x reduced from lineitem — materialized
+    once), never the fact table; Spark executes the unpartitioned
+    window on one task, which is fine at catalog scale — if the
+    catalog itself outgrows a task, swap in the two-phase
+    range-partition + broadcast-offsets cumsum (the dense_global_ids
+    pattern, same module family).  Cumulative sums accumulate exact
+    DECIMALs in the window's defined order (parity-safe)."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, "lineitem", sf_dir)
+    # materialized once: the total and the window both consume it
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.round("l_extendedprice", 6).cast("decimal(18,6)"))
+         .alias("revenue_d")
+    ).localCheckpoint()
+    tot = rev.agg(F.sum("revenue_d").alias("total_d"))
+    win = (
+        W.orderBy(F.desc("revenue_d"), F.asc("l_partkey"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ranked = rev.withColumn("cum_d", F.sum("revenue_d").over(win))
+    share = F.col("cum_d").cast("double") / F.col("total_d").cast("double")
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "l_partkey",
+        F.col("revenue_d").cast("double").alias("revenue"),
+        F.round(share, 6).alias("cum_share"),
+        F.when(share <= 0.8, "A").when(share <= 0.95, "B")
+         .otherwise("C").alias("abc_class"),
+    )

@@ -574,3 +574,24 @@ def test_quality_ensemble_no_rank_window(spark):
     assert "Exchange rangepartitioning" not in plan
     assert "Window" not in plan  # quartiles via broadcast bounds, no rank
     assert "CartesianProduct" not in plan
+
+
+def test_cusum_windows_over_tiny_frame(spark):
+    """CUSUM runs over the hourly pre-aggregate (|types| x |hours|) —
+    the event stream collapses before any window; mean rates broadcast."""
+    plan = plan_of(spark, "events_cusum_changepoint")
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan  # hourly pre-agg has map-side combine
+    assert "WindowGroupLimit" in plan  # peak pick prunes pre-exchange
+
+
+def test_pareto_sorts_catalog_not_facts(spark):
+    """The global ordered cumsum — inherent to Pareto semantics — must
+    run over the MATERIALIZED per-part aggregate: lineitem shuffles
+    once into the checkpoint, and the single-partition window (fine at
+    catalog cardinality; dense_global_ids is the swap-in if not)
+    consumes the checkpointed frame, never raw lineitem."""
+    plan = plan_of(spark, "lineitem_pareto_abc")
+    assert "Scan ExistingRDD" in plan            # aggregate materialized once
+    assert "hashpartitioning(l_partkey" not in plan  # fact shuffle pre-done
+    assert "Window" in plan
