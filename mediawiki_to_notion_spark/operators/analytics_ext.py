@@ -1206,10 +1206,12 @@ def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ON a.label = b.label AND a.dim = b.dim
     ),
     counts AS (
+      -- derived from the SAME exploded scan (dim 0 marks each
+      -- non-empty vector exactly once) — no second embeddings pass
       SELECT label,
-             count(*) FILTER (vec_id % 2 = 0) AS n_half_a,
-             count(*) FILTER (vec_id % 2 = 1) AS n_half_b
-      FROM embeddings GROUP BY label
+             count(*) FILTER (half = 0) AS n_half_a,
+             count(*) FILTER (half = 1) AS n_half_b
+      FROM dims WHERE dim = 0 GROUP BY label
     ),
     drift AS (
       SELECT label,
@@ -1275,9 +1277,11 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(F.sum(dd * dd).cast("double")), 6)
          .alias("centroid_l2_drift"),
     )
-    counts = e.groupBy("label").agg(
-        F.count(F.when(F.col("vec_id") % 2 == 0, 1)).alias("n_half_a"),
-        F.count(F.when(F.col("vec_id") % 2 == 1, 1)).alias("n_half_b"),
+    # per-half vector counts ride the same exploded stream: dim 0
+    # appears once per non-empty vector, so no second fact-table scan
+    counts = dims.filter(F.col("dim") == 0).groupBy("label").agg(
+        F.count(F.when(F.col("half") == 0, 1)).alias("n_half_a"),
+        F.count(F.when(F.col("half") == 1, 1)).alias("n_half_b"),
     )
     return drift.join(counts, "label").select(
         "label", "n_half_a", "n_half_b", "centroid_l2_drift"
@@ -1291,19 +1295,30 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
       FROM events GROUP BY 1, 2
     ),
+    bounds AS (SELECT min(h) AS mn, max(h) AS mx FROM hourly),
+    spine AS (
+      SELECT t.event_type, g.h
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+                  FROM bounds) g
+    ),
+    dense AS (
+      SELECT s.event_type, s.h, coalesce(n, 0) AS n
+      FROM spine s LEFT JOIN hourly USING (event_type, h)
+    ),
     rates AS (
       SELECT event_type,
              round(sum(n)::DOUBLE / count(*), 6) AS mean_n
-      FROM hourly GROUP BY event_type
+      FROM dense GROUP BY event_type
     ),
     cusum AS (
-      SELECT h.event_type, h.h,
+      SELECT d.event_type, d.h,
              SUM(CAST(n AS DECIMAL(18,6))
                  - CAST(round(mean_n, 6) AS DECIMAL(18,6)))
-               OVER (PARTITION BY h.event_type ORDER BY h.h
+               OVER (PARTITION BY d.event_type ORDER BY d.h
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS s
-      FROM hourly h JOIN rates USING (event_type)
+      FROM dense d JOIN rates USING (event_type)
     ),
     ranked AS (
       SELECT event_type, h, s,
@@ -1318,25 +1333,38 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM change-point detection per event type: cumulative sum of
-    (hourly count - mean rate); the hour where |CUSUM| peaks is the
-    most likely rate-change point (Page's cumulative-sum test — the
-    drift detector that catches gradual rate shifts the per-point
-    z-score/MAD screens miss).
+    (hourly count - mean rate) over the DENSE hour spine; the hour
+    where |CUSUM| peaks is the most likely rate-change point (Page's
+    cumulative-sum test — the drift detector that catches gradual rate
+    shifts the per-point z-score/MAD screens miss).
+
+    The spine (time_gapfill_interpolate's pattern) matters: silent
+    hours count as n=0, so a complete outage — the starkest rate
+    change — accumulates full negative deviation instead of being
+    invisible to a present-hours-only scan.
 
     Parity: the running sum accumulates exact DECIMALs over the
     window's defined hour order, so it is bit-identical across engines
     and parallelism; only the final output casts to double.
 
     100 TB shape: hourly pre-aggregation collapses the stream to
-    |types| x |hours| rows; the per-type window and the peak pick
-    (WindowGroupLimit) run over that tiny frame."""
+    |types| x |hours| rows; the generated spine, per-type window, and
+    peak pick (WindowGroupLimit) all run over that tiny frame."""
     from pyspark.sql import Window as W
 
     e = load_table(spark, "events", sf_dir)
     hourly = e.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
     ).agg(F.count(F.lit(1)).alias("n"))
-    rates = hourly.groupBy("event_type").agg(
+    bounds = hourly.agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+    hours = bounds.select(
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    spine = e.select("event_type").distinct().crossJoin(F.broadcast(hours))
+    dense = spine.join(hourly, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    rates = dense.groupBy("event_type").agg(
         F.round(F.sum("n").cast("double") / F.count(F.lit(1)), 6)
          .alias("mean_n")
     )
@@ -1344,7 +1372,7 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         W.partitionBy("event_type").orderBy("h")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    cusum = hourly.join(F.broadcast(rates), "event_type").select(
+    cusum = dense.join(F.broadcast(rates), "event_type").select(
         "event_type", "h",
         F.sum(
             F.col("n").cast("decimal(18,6)")

@@ -642,9 +642,7 @@ def _register_ensemble_oracle() -> None:
     from mediawiki_to_notion_spark.functions import stats as S
     from mediawiki_to_notion_spark.operators.similarity import _subquery
 
-    ORACLES = __import__(
-        "mediawiki_to_notion_spark.operators.registry", fromlist=["ORACLES"]
-    ).ORACLES
+    from mediawiki_to_notion_spark.operators.registry import ORACLES
     bounds_sql = S.quartile_bounds_sql(
         {"s": "stopword_ratio", "r": "repetition_ratio", "l": "mean_logprob"}
     )

@@ -4,21 +4,26 @@ as CSV).
 
 Same 100 TB design points as sources/jsonl.py:
 
-- **Line-delimited CSV is byte-splittable** when ``multiLine`` is off:
-  one huge manifest fans out across tasks.  Fields containing raw
-  newlines would force multiLine — corpora should quote or escape them
-  instead, and this reader deliberately keeps the splittable path.
+- **Line-delimited CSV is byte-splittable**: one huge manifest fans
+  out across tasks.  The hard constraint that buys this: records must
+  be one physical line — fields may contain quotes and commas (RFC4180
+  quoting, doubled quotes), but RAW NEWLINES inside quoted fields are
+  NOT supported on the splittable path (a newline-spanning record
+  cannot be re-assembled after byte splitting).  Corpora must escape
+  newlines (\\n) in fields; rows that look like split quoted records
+  (odd number of quote characters on the line) are QUARANTINED rather
+  than parsed into fabricated rows.
 - **Explicit schema** — no double-pass nondeterministic inference.
 - **PERMISSIVE + corrupt-record side-channel** — malformed rows (wrong
-  arity, unparseable numerics) land in ``_corrupt_record`` and route
-  to the same quarantine discipline as JSONL (``jsonl.split_corrupt``
-  works on this frame unchanged).
+  arity, unparseable numerics, split-record fragments) land in
+  ``_corrupt_record`` and route to the same quarantine discipline as
+  JSONL (``jsonl.split_corrupt`` works on this frame unchanged).
 
 Like the JSONL reader, this is ``read.text`` + ``from_csv`` rather
 than ``read.csv``: a raw CSV scan's corrupt column is barely queryable
 (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN blocks any plan
-pruned to it — e.g. ``quarantine.count()``), while a parsed-struct
-column composes like any other data.
+pruned to it), while a parsed-struct column composes like any other
+data.
 """
 
 from __future__ import annotations
@@ -33,11 +38,20 @@ DOCUMENTS_CSV_SCHEMA = (
 
 
 def _field_names(schema: str) -> list[str]:
-    return [
-        part.strip().split()[0]
-        for part in schema.split(",")
-        if part.strip() and not part.strip().startswith("_corrupt_record")
-    ]
+    """Top-level field names of a DDL schema string (paren-aware, so
+    parameterized types like decimal(18,6) do not split)."""
+    names, depth, start = [], 0, 0
+    for i, ch in enumerate(schema + ","):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            part = schema[start:i].strip()
+            start = i + 1
+            if part and not part.startswith("_corrupt_record"):
+                names.append(part.split()[0])
+    return names
 
 
 def load_documents_csv(spark: SparkSession, path: str,
@@ -53,27 +67,42 @@ def load_documents_csv(spark: SparkSession, path: str,
         raw = raw.filter(
             F.col("value") != ",".join(_field_names(schema))
         )
+    # a well-formed single-line RFC4180 record has an EVEN number of
+    # quote characters; an odd count means this line is a fragment of a
+    # record whose quoted field spanned a newline — parsing it would
+    # fabricate a clean-looking row from the fragment, so quarantine it
+    balanced = (
+        F.length(F.regexp_replace("value", '[^"]', "")) % 2 == 0
+    )
     parsed = raw.select(
         "value",
+        balanced.alias("_balanced"),
         F.from_csv(
             "value", schema,
             {"mode": "PERMISSIVE",
-             "columnNameOfCorruptRecord": "_corrupt_record"},
+             "columnNameOfCorruptRecord": "_corrupt_record",
+             # RFC4180: quotes inside quoted fields are escaped by
+             # doubling; Spark's default escape is backslash
+             "escape": '"'},
         ).alias("d"),
     )
     # blank/whitespace lines parse to an all-null struct with no corrupt
     # marker — quarantine them instead of passing phantom rows (same
     # discipline as the JSONL reader)
     flat = parsed.select(
-        "value", F.col("d").isNull().alias("_null_struct"), "d.*"
+        "value", "_balanced",
+        F.col("d").isNull().alias("_null_struct"), "d.*",
     )
     corrupt = F.coalesce(
         F.col("_corrupt_record"),
         F.when(
-            F.col("_null_struct") | (F.trim("value") == ""), F.col("value")
+            F.col("_null_struct")
+            | ~F.col("_balanced")
+            | (F.trim("value") == ""),
+            F.col("value"),
         ),
     )
     return (
         flat.withColumn("_corrupt_record", corrupt)
-        .drop("value", "_null_struct")
+        .drop("value", "_null_struct", "_balanced")
     )

@@ -333,12 +333,24 @@ def test_csv_corpus_source_roundtrip(spark, tmp_path):
         for r in rows:
             w.writerow([r["doc_id"], r["text"], r["lang"],
                         r["source"], r["n_chars"]])
+        # RFC4180 quoting: a text field containing quotes and commas
+        w.writerow([9001, 'he said "hi", twice', "en", "web", 19])
         f.write("not-a-number,oops\n")          # wrong arity + bad long
         f.write("also-bad,x,y,z,not-a-count\n")  # unparseable n_chars
+        # a quoted field spanning a raw newline: unsupported on the
+        # splittable path — BOTH fragments must quarantine (the tail
+        # would otherwise parse as a fabricated clean row)
+        f.write('7777,"intro\n42,middle",en,web,15\n')
 
     df = load_documents_csv(spark, str(path))
     clean, bad = split_corrupt(df)
-    assert bad.count() == 2
+    assert bad.count() == 4
+    # the doubled-quote text field round-trips exactly
+    quoted = clean.filter(clean.doc_id == 9001).collect()
+    assert quoted[0].text == 'he said "hi", twice'
+    clean = clean.filter(clean.doc_id != 9001)
+    # no fabricated row leaked from the split record
+    assert clean.filter(clean.doc_id == 42).count() == 0
     got = {
         (r.doc_id, r.text, r.lang, r.source, r.n_chars)
         for r in clean.collect()
