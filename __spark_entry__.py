@@ -96,7 +96,8 @@ _DEFER = ["multimodal_feature_extract",  # upgraded rows-only -> oracled
           "contrastive_triplet_mining", "filename_collision_detect",
           "dedup_normalized_exact", "orders_rfm_segmentation",
           "embedding_centroid_drift", "quality_signal_ensemble",
-          "events_cusum_changepoint", "lineitem_pareto_abc"]
+          "events_cusum_changepoint", "lineitem_pareto_abc",
+          "dedup_cluster_size_histogram"]
 
 
 def entry(spark: SparkSession) -> DataFrame:

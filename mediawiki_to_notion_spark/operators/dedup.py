@@ -976,3 +976,42 @@ def dedup_minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFram
         ).alias("mean_abs_err"),
         F.max("err").alias("max_abs_err"),
     )
+
+
+@register("dedup_cluster_size_histogram", oracle=None)  # assembled below
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup audit artifact: how big are the duplicate clusters?
+    Histogram of connected-component sizes (cluster size -> number of
+    clusters, plus docs covered) — the number every dedup report leads
+    with, and the skew check before survivorship (one giant cluster
+    means a boilerplate template, not real duplication).
+
+    Composed from dedup_connected_components; on top of it this is two
+    tiny aggregates (per-component size, then per-size count) — cost
+    is the CC run itself."""
+    cc = dedup_connected_components(spark, sf_dir)
+    sizes = cc.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.count(F.lit(1)) * F.col("cluster_size")).alias("n_docs"),
+    ).select("cluster_size", "n_clusters", "n_docs")
+
+
+def _register_histogram_oracle() -> None:
+    from mediawiki_to_notion_spark.operators.registry import ORACLES
+
+    cc_sql = ORACLES["dedup_connected_components"].strip().rstrip(";")
+    ORACLES["dedup_cluster_size_histogram"] = f"""
+    WITH cc AS ({cc_sql}),
+    sizes AS (
+      SELECT component, count(*) AS cluster_size FROM cc GROUP BY component
+    )
+    SELECT cluster_size, count(*) AS n_clusters,
+           count(*) * cluster_size AS n_docs
+    FROM sizes GROUP BY cluster_size
+    """
+
+
+_register_histogram_oracle()
