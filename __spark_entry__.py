@@ -97,7 +97,8 @@ _DEFER = ["multimodal_feature_extract",  # upgraded rows-only -> oracled
           "dedup_normalized_exact", "orders_rfm_segmentation",
           "embedding_centroid_drift", "quality_signal_ensemble",
           "events_cusum_changepoint", "lineitem_pareto_abc",
-          "dedup_cluster_size_histogram"]
+          "dedup_cluster_size_histogram", "lang_confusion_matrix",
+          "event_hourly_seasonality"]
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1460,3 +1460,39 @@ def lineitem_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(share <= 0.8, "A").when(share <= 0.95, "B")
          .otherwise("C").alias("abc_class"),
     )
+
+
+@register(
+    "event_hourly_seasonality",
+    oracle="""
+    WITH by_hour AS (
+      SELECT event_type, extract(hour FROM ts)::INTEGER AS hour_of_day,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    totals AS (
+      SELECT event_type, sum(n) AS total FROM by_hour GROUP BY event_type
+    )
+    SELECT b.event_type, hour_of_day, n AS n_events,
+           round(n::DOUBLE / total, 6) AS share_of_type
+    FROM by_hour b JOIN totals t ON b.event_type = t.event_type
+    """,
+)
+def event_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality fingerprint per event type: counts and
+    within-type share for each of the 24 daily hours — the profile
+    capacity planning and anomaly baselines start from (a z-score/CUSUM
+    alert only means something against the expected diurnal shape).
+
+    100 TB shape: one partial-agg shuffle to a |types| x 24 frame;
+    per-type totals broadcast back."""
+    e = load_table(spark, "events", sf_dir)
+    by_hour = e.groupBy(
+        "event_type", F.hour("ts").alias("hour_of_day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    totals = by_hour.groupBy("event_type").agg(F.sum("n").alias("total"))
+    return by_hour.join(F.broadcast(totals), "event_type").select(
+        "event_type", "hour_of_day", F.col("n").alias("n_events"),
+        F.round(F.col("n").cast("double") / F.col("total"), 6)
+         .alias("share_of_type"),
+    )

@@ -672,3 +672,52 @@ def _register_ensemble_oracle() -> None:
 
 
 _register_ensemble_oracle()
+
+
+@register("lang_confusion_matrix", oracle=None)  # assembled below
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Labeling-QA confusion matrix: labeled language x predicted
+    language with counts and row-normalized rates — the audit that
+    decides whether to trust the corpus's lang labels or re-run
+    language-ID (composed on text_lang_id).
+
+    100 TB shape: the heavy part is the per-doc prediction (one narrow
+    pass, inside text_lang_id); the matrix itself is a
+    |langs|^2-row partial-agg aggregate with the per-label totals
+    broadcast back."""
+    pred = text_lang_id(spark, sf_dir)
+    cells = pred.groupBy("labeled_lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    totals = cells.groupBy("labeled_lang").agg(
+        F.sum("n_docs").alias("n_label_total")
+    )
+    return cells.join(F.broadcast(totals), "labeled_lang").select(
+        "labeled_lang", "pred_lang", "n_docs",
+        F.round(
+            F.col("n_docs").cast("double") / F.col("n_label_total"), 6
+        ).alias("rate_within_label"),
+    )
+
+
+def _register_confusion_oracle() -> None:
+    from mediawiki_to_notion_spark.operators.registry import ORACLES
+    from mediawiki_to_notion_spark.operators.similarity import _subquery
+
+    ORACLES["lang_confusion_matrix"] = f"""
+    WITH pred AS ({_subquery("text_lang_id")}),
+    cells AS (
+      SELECT labeled_lang, pred_lang, count(*) AS n_docs
+      FROM pred GROUP BY labeled_lang, pred_lang
+    ),
+    totals AS (
+      SELECT labeled_lang, sum(n_docs) AS n_label_total
+      FROM cells GROUP BY labeled_lang
+    )
+    SELECT c.labeled_lang, pred_lang, n_docs,
+           round(n_docs::DOUBLE / n_label_total, 6) AS rate_within_label
+    FROM cells c JOIN totals t ON c.labeled_lang = t.labeled_lang
+    """
+
+
+_register_confusion_oracle()
