@@ -98,7 +98,8 @@ _DEFER = ["multimodal_feature_extract",  # upgraded rows-only -> oracled
           "embedding_centroid_drift", "quality_signal_ensemble",
           "events_cusum_changepoint", "lineitem_pareto_abc",
           "dedup_cluster_size_histogram", "lang_confusion_matrix",
-          "event_hourly_seasonality"]
+          "event_hourly_seasonality", "trade_volume_nation_pairs",
+          "text_kwic_concordance"]
 
 
 def entry(spark: SparkSession) -> DataFrame:

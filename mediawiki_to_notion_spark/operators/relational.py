@@ -810,3 +810,59 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "trade_volume_nation_pairs",
+    oracle="""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           count(*) AS n_lineitems,
+           CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount), 6)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS volume
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE sn.n_nationkey != cn.n_nationkey
+    GROUP BY sn.n_name, cn.n_name
+    """,
+)
+def trade_volume_nation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-nation trade-flow matrix (TPC-H Q7's shape, undated):
+    discounted revenue between every (supplier nation, customer nation)
+    pair where the nations differ — the two-dimension star join the
+    volume-shipping report runs.
+
+    100 TB shape: lineitem joins orders on the shared orderkey (the one
+    big equi-join); customer, supplier, and both nation aliases are
+    dimensions and broadcast; revenue accumulates as exact DECIMAL of
+    6-dp-rounded products so the matrix is order-independent."""
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 6
+    ).cast("decimal(18,6)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
+        .filter(F.col("sn_key") != F.col("cn_key"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.sum(rev).cast("double").alias("volume"),
+        )
+    )

@@ -721,3 +721,48 @@ def _register_confusion_oracle() -> None:
 
 
 _register_confusion_oracle()
+
+
+KWIC_TERM = "vector"
+KWIC_CTX = 3  # words of context each side
+
+
+@register(
+    "text_kwic_concordance",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    occ AS (
+      SELECT doc_id, t, u.i AS pos
+      FROM toks, LATERAL (SELECT unnest(range(0, len(t))) AS i) u
+      WHERE t[u.i+1] = '{KWIC_TERM}'
+    )
+    SELECT doc_id, pos,
+           array_to_string(
+             t[greatest(1, pos+1-{KWIC_CTX}) : pos+1+{KWIC_CTX}], ' '
+           ) AS context
+    FROM occ
+    """,
+)
+def text_kwic_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context concordance for '{KWIC_TERM}': every
+    occurrence with {KWIC_CTX} words of context each side — the corpus
+    inspection tool linguists and data auditors reach for when a
+    filter/dedup decision needs human eyes on actual usage.
+
+    100 TB shape: a narrow posexplode + slice per occurrence — no
+    shuffle at all; at real scale the context slice rides the same
+    scan as the match (the token array is carried only to the project,
+    never shuffled)."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    occ = toks.select(
+        "doc_id", "t", F.posexplode("t").alias("pos", "tok")
+    ).filter(F.col("tok") == KWIC_TERM)
+    start = F.greatest(F.lit(1), F.col("pos") + 1 - KWIC_CTX)
+    length = (F.col("pos") + 1 + KWIC_CTX) - start + 1
+    return occ.select(
+        "doc_id", "pos",
+        F.concat_ws(" ", F.slice("t", start, length)).alias("context"),
+    )

@@ -595,3 +595,16 @@ def test_pareto_sorts_catalog_not_facts(spark):
     assert "Scan ExistingRDD" in plan            # aggregate materialized once
     assert "hashpartitioning(l_partkey" not in plan  # fact shuffle pre-done
     assert "Window" in plan
+
+
+def test_q7_broadcasts_all_dimensions(spark):
+    """The nation-pair trade matrix has ONE big equi-join (lineitem x
+    orders); customer/supplier/nation sides all broadcast."""
+    plan = plan_of(spark, "trade_volume_nation_pairs")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_kwic_is_shuffle_free(spark):
+    """Concordance is a narrow explode+slice beside the scan."""
+    assert "Exchange" not in plan_of(spark, "text_kwic_concordance")
