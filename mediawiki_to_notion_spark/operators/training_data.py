@@ -517,3 +517,93 @@ def tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("token_ids"),
         )
     )
+
+
+SPAN_EVERY = 7   # candidate span start every 7 tokens
+SPAN_LEN = 2     # tokens masked per selected span
+SPAN_MOD = 5     # select span when (doc_id + span_idx) % SPAN_MOD == 0
+
+
+@register(
+    "span_corruption_t5",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= {SPAN_EVERY}
+    ),
+    spans AS (
+      SELECT doc_id, t, u.k AS span_idx, u.k * {SPAN_EVERY} AS start0
+      FROM toks, LATERAL (
+        SELECT unnest(range(0, (len(t) - {SPAN_LEN}) // {SPAN_EVERY} + 1)) AS k
+      ) u
+      WHERE (doc_id + u.k) % {SPAN_MOD} = 0
+    ),
+    masked AS (
+      SELECT doc_id, span_idx, start0,
+             array_to_string(t[start0+1 : start0+{SPAN_LEN}], ' ') AS target
+      FROM spans
+    )
+    SELECT doc_id,
+           count(*) AS n_spans,
+           sum({SPAN_LEN}) AS n_masked_tokens,
+           string_agg('<extra_id_' || span_idx || '> ' || target,
+                      ' ' ORDER BY span_idx) AS targets
+    FROM masked GROUP BY doc_id
+    """,
+)
+def span_corruption_t5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/UL2 span-corruption preprocessing: deterministic spans of
+    {SPAN_LEN} tokens (candidate starts every {SPAN_EVERY} tokens,
+    selected when (doc_id + span_idx) % {SPAN_MOD} == 0 — the
+    hash-free stand-in for the sampled mask) become sentinel targets
+    '<extra_id_k> tokens...' per document, the denoising-objective
+    label stream.  Real pipelines sample the mask; the selection rule
+    here is pure integer arithmetic so both engines mask identical
+    spans and the whole transform is value-checked.
+
+    100 TB shape: span generation is a bounded per-row explode (one
+    candidate per {SPAN_EVERY} tokens); target assembly is one doc_id
+    aggregate with an in-group sort — no corpus-wide ordering."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= SPAN_EVERY
+    )
+    n_spans = (F.size("t") - SPAN_LEN) / SPAN_EVERY
+    spans = toks.select(
+        "doc_id", "t",
+        F.explode(
+            F.sequence(F.lit(0), n_spans.cast("int"))
+        ).alias("span_idx"),
+    ).filter((F.col("doc_id") + F.col("span_idx")) % SPAN_MOD == 0)
+    masked = spans.select(
+        "doc_id", "span_idx",
+        F.concat_ws(
+            " ",
+            F.slice(
+                "t", F.col("span_idx") * SPAN_EVERY + F.lit(1), F.lit(SPAN_LEN)
+            ),
+        ).alias("target"),
+    )
+    return masked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.lit(SPAN_LEN)).alias("n_masked_tokens"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("span_idx").alias("span_idx"),
+                            F.concat(
+                                F.lit("<extra_id_"),
+                                F.col("span_idx").cast("string"),
+                                F.lit("> "),
+                                F.col("target"),
+                            ).alias("s"),
+                        )
+                    )
+                ),
+                lambda x: x["s"],
+            ),
+        ).alias("targets"),
+    )
