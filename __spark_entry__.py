@@ -99,7 +99,8 @@ _DEFER = ["multimodal_feature_extract",  # upgraded rows-only -> oracled
           "events_cusum_changepoint", "lineitem_pareto_abc",
           "dedup_cluster_size_histogram", "lang_confusion_matrix",
           "event_hourly_seasonality", "trade_volume_nation_pairs",
-          "text_kwic_concordance", "span_corruption_t5"]
+          "text_kwic_concordance", "span_corruption_t5",
+          "returned_item_customers"]
 
 
 def entry(spark: SparkSession) -> DataFrame:

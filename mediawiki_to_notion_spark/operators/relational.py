@@ -866,3 +866,67 @@ def trade_volume_nation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(rev).cast("double").alias("volume"),
         )
     )
+
+
+RETURNED_TOP_K = 20
+
+
+@register(
+    "returned_item_customers",
+    oracle=f"""
+    WITH rev AS (
+      SELECT c_custkey, c_name, n_name,
+             SUM(CAST(round(l_extendedprice * (1 - l_discount), 6)
+                      AS DECIMAL(18,6))) AS lost_d,
+             count(*) AS n_returned_items
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+      GROUP BY c_custkey, c_name, n_name
+    )
+    SELECT c_custkey, c_name, n_name,
+           CAST(lost_d AS DOUBLE) AS lost_revenue, n_returned_items
+    FROM rev
+    ORDER BY lost_d DESC, c_custkey
+    LIMIT {RETURNED_TOP_K}
+    """,
+)
+def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item reporting (TPC-H Q10's shape, undated): the
+    top-{RETURNED_TOP_K} customers by revenue lost to returns, with
+    nationality — the churn-risk report.
+
+    100 TB shape: the returnflag filter pushes into the lineitem scan
+    before the one big equi-join (orders); customer and nation
+    broadcast; revenue is exact DECIMAL; top-k plans as TakeOrdered
+    on the aggregated (per-customer) frame — no global sort."""
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        F.col("l_returnflag") == "R"
+    )
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 6
+    ).cast("decimal(18,6)")
+    agg = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(rev).alias("lost_d"),
+            F.count(F.lit(1)).alias("n_returned_items"),
+        )
+    )
+    return (
+        agg.orderBy(F.desc("lost_d"), F.asc("c_custkey"))
+        .limit(RETURNED_TOP_K)
+        .select(
+            "c_custkey", "c_name", "n_name",
+            F.col("lost_d").cast("double").alias("lost_revenue"),
+            "n_returned_items",
+        )
+    )
