@@ -562,3 +562,64 @@ def _register_triplet_oracle() -> None:
 
 
 _register_triplet_oracle()
+
+
+@register("knn_label_predict", oracle=None)  # assembled below
+def knn_label_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification over the ANN index: each query vector's
+    label is predicted by majority vote of its in-bucket top-k
+    neighbours' labels (ties break to the smaller label id), and
+    compared to its true label — the classify-by-similarity op (and
+    the eval harness for embedding quality) running entirely on the
+    SRP bucket probe.
+
+    Scale shape: the candidate set IS similarity_lsh_bucketed's output
+    (top-{TOP_K} per query); voting adds a broadcast label join and
+    two tiny windows."""
+    cand = similarity_lsh_bucketed(spark, sf_dir)
+    e = load_table(spark, "embeddings", sf_dir)
+    labels = e.select("vec_id", "label")
+    votes = (
+        cand.join(labels, "vec_id")
+        .groupBy(F.col("query_id"), F.col("label").alias("pred_label"))
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.asc("pred_label")
+    )
+    pred = votes.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    truth = labels.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return pred.join(truth, "query_id").select(
+        "query_id", "true_label", "pred_label", "n_votes",
+        (F.col("pred_label") == F.col("true_label")).alias("is_correct"),
+    )
+
+
+def _register_knn_oracle() -> None:
+    from mediawiki_to_notion_spark.operators.registry import ORACLES
+
+    ORACLES["knn_label_predict"] = f"""
+    WITH lsh AS ({_subquery("similarity_lsh_bucketed")}),
+    votes AS (
+      SELECT l.query_id, e.label AS pred_label, count(*) AS n_votes
+      FROM lsh l JOIN embeddings e ON l.vec_id = e.vec_id
+      GROUP BY l.query_id, e.label
+    ),
+    pred AS (
+      SELECT query_id, pred_label, n_votes,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY n_votes DESC, pred_label) AS rn
+      FROM votes
+    )
+    SELECT p.query_id, e.label AS true_label, pred_label, n_votes,
+           pred_label = e.label AS is_correct
+    FROM pred p JOIN embeddings e ON p.query_id = e.vec_id
+    WHERE rn = 1
+    """
+
+
+_register_knn_oracle()
