@@ -100,7 +100,8 @@ _DEFER = ["multimodal_feature_extract",  # upgraded rows-only -> oracled
           "dedup_cluster_size_histogram", "lang_confusion_matrix",
           "event_hourly_seasonality", "trade_volume_nation_pairs",
           "text_kwic_concordance", "span_corruption_t5",
-          "returned_item_customers", "knn_label_predict"]
+          "returned_item_customers", "knn_label_predict",
+          "embedding_label_outliers"]
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1496,3 +1496,89 @@ def event_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n").cast("double") / F.col("total"), 6)
          .alias("share_of_type"),
     )
+
+
+@register(
+    "embedding_label_outliers",
+    oracle="""
+    WITH dims AS (
+      SELECT vec_id, label, u.i AS dim,
+             CAST(CAST(round(embedding[u.i+1]::DOUBLE, 6) AS DECIMAL(18,6))
+                  * 1000000 AS BIGINT) AS vi
+      FROM embeddings,
+           LATERAL (SELECT unnest(range(0, len(embedding))) AS i) u
+    ),
+    sums AS (
+      SELECT label, dim, sum(vi) AS s, count(*) AS n
+      FROM dims GROUP BY label, dim
+    ),
+    dists AS (
+      SELECT vec_id, d.label, max(n) AS n,
+             SUM(CAST(n*vi - s AS HUGEINT) * CAST(n*vi - s AS HUGEINT))
+               AS dd
+      FROM dims d JOIN sums m ON d.label = m.label AND d.dim = m.dim
+      GROUP BY vec_id, d.label
+    ),
+    scored AS (
+      SELECT vec_id, label,
+             CAST(dd AS DOUBLE) / (n*n) / 1000000000000.0 AS dist2
+      FROM dists
+    ),
+    cuts AS (
+      SELECT label, quantile_cont(dist2, 0.99) AS p99 FROM scored
+      GROUP BY label
+    )
+    SELECT vec_id, s.label, dist2, dist2 > p99 AS is_outlier
+    FROM scored s JOIN cuts c ON s.label = c.label
+    """,
+)
+def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise screen in embedding space: each vector's squared L2
+    distance to its OWN class centroid, flagged when above the class's
+    p99 — the confident-learning-style check that surfaces mislabeled
+    or off-distribution examples before they poison contrastive /
+    classifier training.
+
+    Parity: the whole distance is INTEGER arithmetic — values become
+    exact micro-units vi, and sum_d (vi - s_d/n)^2 is computed as
+    sum_d (n*vi - s_d)^2 / (n^2 * 1e12), where numerator sums are
+    exact 128-bit/decimal integers.  No double is ever rounded (engine
+    round() implementations disagree on ~1e-7 ties — measured); the
+    one double division chain is fixed-order on identical inputs.
+
+    100 TB shape: one (label, dim) aggregate (tiny), broadcast back
+    onto the exploded stream; one vec_id regroup; p99 cuts are
+    |labels| rows broadcast again.  Never pairwise."""
+    e = load_table(spark, "embeddings", sf_dir)
+    dims = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "valf")
+    ).select(
+        "vec_id", "label", "dim",
+        (
+            F.round(F.col("valf").cast("double"), 6)
+            .cast("decimal(18,6)") * 1000000
+        ).cast("long").alias("vi"),
+    )
+    sums = dims.groupBy("label", "dim").agg(
+        F.sum("vi").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    term = (F.col("n") * F.col("vi") - F.col("s")).cast("decimal(19,0)")
+    dists = (
+        dims.join(F.broadcast(sums), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(F.max("n").alias("n"), F.sum(term * term).alias("dd"))
+    )
+    scored = dists.select(
+        "vec_id", "label",
+        (
+            F.col("dd").cast("double") / (F.col("n") * F.col("n"))
+            / F.lit(1000000000000.0)
+        ).alias("dist2"),
+    )
+    cuts = scored.groupBy("label").agg(
+        F.expr("percentile(dist2, 0.99)").alias("p99")
+    )
+    return scored.join(F.broadcast(cuts), "label").select(
+        "vec_id", "label", "dist2",
+        (F.col("dist2") > F.col("p99")).alias("is_outlier"),
+    )
