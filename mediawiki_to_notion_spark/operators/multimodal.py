@@ -327,3 +327,76 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.select("doc_id", "content").mapInPandas(
         window_energy, "doc_id long, window_idx long, energy long"
     )
+
+
+PHASH_HAMMING_MAX = 2
+
+
+@register(
+    "multimodal_image_phash_dedup",
+    oracle=f"""
+    WITH media AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(text), 1, 15))::BIGINT AS checksum
+      FROM documents
+    ),
+    ph AS (
+      SELECT doc_id, checksum & 65535 AS phash FROM media
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             bit_count(xor(a.phash, b.phash)) AS hamming
+      FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_HAMMING_MAX}
+    )
+    SELECT doc_a, doc_b, hamming FROM pairs
+    """,
+)
+def multimodal_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection for the image modality:
+    a 16-bit pHash per image (derived from the deterministic fake
+    codec's content checksum — a real pipeline computes dHash/pHash
+    from decoded pixels in the same mapInPandas stage), banded with the
+    SAME pigeonhole scheme as dedup_simhash: Hamming <= 
+    {PHASH_HAMMING_MAX} implies an exact match in one of
+    {PHASH_HAMMING_MAX + 1} disjoint bit bands, so candidates come
+    from a band equi-join — never the all-pairs nested loop the oracle
+    uses.
+
+    100 TB shape: identical to the text simhash path — one narrow
+    banding explode, equi-join on (band, value), bit_count verify."""
+    from mediawiki_to_notion_spark.functions import hashing as H
+
+    d = load_table(spark, "documents", sf_dir)
+    ph = d.select(
+        "doc_id",
+        H.token_hash60(F.col("text")).bitwiseAND(F.lit(65535)).alias("phash"),
+    )
+    band_vals = [
+        F.shiftright(F.col("phash"), off).bitwiseAND(F.lit((1 << width) - 1))
+        for off, width in H.simhash_band_bounds(PHASH_HAMMING_MAX)
+    ]
+    banded = ph.select(
+        "doc_id", "phash",
+        F.posexplode(F.array(*band_vals)).alias("band", "bv"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.phash").alias("pa"),
+            F.col("b.phash").alias("pb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("pa").bitwiseXOR(F.col("pb")))
+    return cands.select(
+        "doc_a", "doc_b", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= PHASH_HAMMING_MAX)

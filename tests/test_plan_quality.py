@@ -608,3 +608,11 @@ def test_q7_broadcasts_all_dimensions(spark):
 def test_kwic_is_shuffle_free(spark):
     """Concordance is a narrow explode+slice beside the scan."""
     assert "Exchange" not in plan_of(spark, "text_kwic_concordance")
+
+
+def test_phash_dedup_band_equi_join(spark):
+    """Image pHash candidates come from the pigeonhole band equi-join —
+    never the all-pairs nested loop the oracle shape uses."""
+    plan = plan_of(spark, "multimodal_image_phash_dedup")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
