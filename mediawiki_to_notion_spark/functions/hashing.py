@@ -117,3 +117,54 @@ def simhash_sql(hash_expr: str) -> tuple[list[str], str]:
         f"(CASE WHEN w{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
     )
     return aggs, combine
+
+
+def hamming_band_pairs(hashed, hash_col: str, max_hamming: int,
+                       id_col: str = "doc_id"):
+    """(id_a, id_b, hamming) pairs within ``max_hamming`` of each other,
+    via pigeonhole band blocking over a SIMHASH_BITS-wide hash column —
+    the shared candidate generator of dedup_simhash and the multimodal
+    pHash dedup.
+
+    Lossless: a pair within ``max_hamming`` differs in at most
+    ``max_hamming`` of the ``max_hamming + 1`` disjoint bands, so at
+    least one band matches exactly and the (band, value) equi-join
+    finds every qualifying pair; the exact bit_count check runs on
+    candidates only.  Pairs matching in several bands collapse via
+    distinct (the hash is functionally dependent on the id, so carrying
+    it through adds no groups).
+
+    Candidate volume is bounded by band-value cardinality: with
+    SIMHASH_BITS=16, bands hold 2^6/2^5/2^5 values, so expect
+    ~N^2/2^5-ish candidates — fine for a demonstration hash; a
+    production 64-bit fingerprint makes the buckets sparse and the
+    same plan linear-ish.  Callers at scale should size the hash width
+    to their corpus."""
+    band_vals = [
+        F.shiftright(F.col(hash_col), off).bitwiseAND(F.lit((1 << width) - 1))
+        for off, width in simhash_band_bounds(max_hamming)
+    ]
+    bands = hashed.select(
+        id_col, hash_col, F.posexplode(F.array(*band_vals)).alias("band", "bv")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{hash_col}").alias("h_a"),
+            F.col(f"b.{hash_col}").alias("h_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        cands.select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1542,9 +1542,11 @@ def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Parity: the whole distance is INTEGER arithmetic — values become
     exact micro-units vi, and sum_d (vi - s_d/n)^2 is computed as
     sum_d (n*vi - s_d)^2 / (n^2 * 1e12), where numerator sums are
-    exact 128-bit/decimal integers.  No double is ever rounded (engine
-    round() implementations disagree on ~1e-7 ties — measured); the
-    one double division chain is fixed-order on identical inputs.
+    exact 128-bit/decimal integers.  No DERIVED double (difference,
+    mean, product) is ever rounded — engine round() implementations
+    disagree on ~1e-7 ties (measured); the single rounding quantizes
+    the raw float32 inputs once at ingestion (stable across SFs), and
+    the one double division chain is fixed-order on identical inputs.
 
     100 TB shape: one (label, dim) aggregate (tiny), broadcast back
     onto the exploded stream; one vec_id regroup; p99 cuts are

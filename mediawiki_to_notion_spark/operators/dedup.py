@@ -351,37 +351,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _hashed_shingles(d)
     weights = sh.groupBy("doc_id").agg(*H.simhash_bit_aggs(F.col("h")))
     sims = weights.select("doc_id", H.simhash_from_weights().alias("simhash"))
-    band_vals = [
-        F.shiftright(F.col("simhash"), off).bitwiseAND(F.lit((1 << width) - 1))
-        for off, width in H.simhash_band_bounds()
-    ]
-    bands = sims.select(
-        "doc_id", "simhash", F.posexplode(F.array(*band_vals)).alias("band", "bv")
-    )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        # pairs matching in >1 band appear once per band → distinct.
-        # simhash is functionally dependent on doc_id, so carrying it
-        # through the distinct adds no extra groups.
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
-        )
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
-        cands.select("doc_a", "doc_b", hamming.alias("hamming"))
-        .filter(F.col("hamming") <= HAMMING_MAX)
+    return H.hamming_band_pairs(sims, "simhash", HAMMING_MAX).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "hamming"
     )
 
 
@@ -1001,8 +972,9 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _register_histogram_oracle() -> None:
     from mediawiki_to_notion_spark.operators.registry import ORACLES
+    from mediawiki_to_notion_spark.operators.similarity import _subquery
 
-    cc_sql = ORACLES["dedup_connected_components"].strip().rstrip(";")
+    cc_sql = _subquery("dedup_connected_components")
     ORACLES["dedup_cluster_size_histogram"] = f"""
     WITH cc AS ({cc_sql}),
     sizes AS (

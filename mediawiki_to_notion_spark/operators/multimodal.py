@@ -363,8 +363,13 @@ def multimodal_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from a band equi-join — never the all-pairs nested loop the oracle
     uses.
 
-    100 TB shape: identical to the text simhash path — one narrow
-    banding explode, equi-join on (band, value), bit_count verify."""
+    Shape: the simhash band equi-join (shared helper
+    hashing.hamming_band_pairs).  Scale caveat, honestly: a 16-bit
+    hash caps band-value cardinality at 2^6/2^5/2^5, so candidate
+    volume is ~N^2/2^5 — demonstration-width.  A production pHash is
+    64-bit, which makes the same plan's buckets sparse and candidate
+    volume near-linear; the helper takes the width from
+    hashing.SIMHASH_BITS."""
     from mediawiki_to_notion_spark.functions import hashing as H
 
     d = load_table(spark, "documents", sf_dir)
@@ -372,31 +377,6 @@ def multimodal_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         H.token_hash60(F.col("text")).bitwiseAND(F.lit(65535)).alias("phash"),
     )
-    band_vals = [
-        F.shiftright(F.col("phash"), off).bitwiseAND(F.lit((1 << width) - 1))
-        for off, width in H.simhash_band_bounds(PHASH_HAMMING_MAX)
-    ]
-    banded = ph.select(
-        "doc_id", "phash",
-        F.posexplode(F.array(*band_vals)).alias("band", "bv"),
+    return H.hamming_band_pairs(ph, "phash", PHASH_HAMMING_MAX).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "hamming"
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.phash").alias("pa"),
-            F.col("b.phash").alias("pb"),
-        )
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("pa").bitwiseXOR(F.col("pb")))
-    return cands.select(
-        "doc_a", "doc_b", hamming.alias("hamming")
-    ).filter(F.col("hamming") <= PHASH_HAMMING_MAX)

@@ -568,7 +568,9 @@ def span_corruption_t5(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select("doc_id", F.split("text", " ").alias("t")).filter(
         F.size("t") >= SPAN_EVERY
     )
-    n_spans = (F.size("t") - SPAN_LEN) / SPAN_EVERY
+    # integer floor-div, NOT double division + cast (the double path
+    # rounds — see sources/tables.py's microsecond-off warning)
+    n_spans = F.expr(f"(size(t) - {SPAN_LEN}) div {SPAN_EVERY}")
     spans = toks.select(
         "doc_id", "t",
         F.explode(
