@@ -101,7 +101,8 @@ _DEFER = ["multimodal_feature_extract",  # upgraded rows-only -> oracled
           "event_hourly_seasonality", "trade_volume_nation_pairs",
           "text_kwic_concordance", "span_corruption_t5",
           "returned_item_customers", "knn_label_predict",
-          "embedding_label_outliers", "multimodal_image_phash_dedup"]
+          "embedding_label_outliers", "multimodal_image_phash_dedup",
+          "doc_keyword_extraction"]
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -766,3 +766,93 @@ def text_kwic_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "pos",
         F.concat_ws(" ", F.slice("t", start, length)).alias("context"),
     )
+
+
+KEYWORDS_PER_DOC = 3
+
+
+@register(
+    "doc_keyword_extraction",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM tok
+      WHERE token != '' GROUP BY doc_id, token
+    ),
+    df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT t.doc_id, t.token,
+             CAST(round(t.tf * round(ln(n.n_docs::DOUBLE / d.df), 6), 6)
+                  AS DECIMAL(18,6)) AS w
+      FROM tf t JOIN df d ON t.token = d.token CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, token, w,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY w DESC, token) AS rn
+      FROM scored
+    )
+    SELECT doc_id,
+           string_agg(token, ' ' ORDER BY rn) AS keywords,
+           CAST(max(w) AS DOUBLE) AS top_weight
+    FROM ranked WHERE rn <= {KEYWORDS_PER_DOC}
+    GROUP BY doc_id
+    """,
+)
+def doc_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: the top-{KEYWORDS_PER_DOC}
+    tokens by TF-IDF weight (deterministic tie order) concatenated as
+    the document's keyword label — the distinguishing-term summary
+    behind faceted browsing, weak topic labels, and cluster naming.
+
+    Differs from keyword_search_tfidf (fixed query terms -> top docs):
+    here EVERY token scores and the top-k is per document.
+
+    100 TB shape: tf is one (doc, token) partial-agg shuffle; document
+    frequencies aggregate to vocabulary cardinality and broadcast back;
+    the per-doc top-k prunes via WindowGroupLimit before the final
+    per-doc fold.  IDF rounds to 6 dp before the TF multiply (the
+    pinned keyword_search_tfidf parity pattern) and weights stay
+    DECIMAL through ranking."""
+    d = load_table(spark, "documents", sf_dir)
+    n_docs = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = (
+        tok.filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df")) \
+        .crossJoin(F.broadcast(n_docs))
+    idf = F.round(F.log(F.col("n_docs") / F.col("df")), 6)
+    scored = tf.join(
+        F.broadcast(df_.withColumn("idf", idf)), "token"
+    ).select(
+        "doc_id", "token",
+        F.round(F.col("tf") * F.col("idf"), 6).cast("decimal(18,6)")
+         .alias("w"),
+    )
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(F.desc("w"), F.asc("token"))
+    )
+    ranked = scored.withColumn("rn", rn).filter(
+        F.col("rn") <= KEYWORDS_PER_DOC
+    )
+    return ranked.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("rn"), F.col("token")))
+                ),
+                lambda s: s["token"],
+            ),
+        ).alias("keywords"),
+        F.max("w").cast("double").alias("top_weight"),
+    )

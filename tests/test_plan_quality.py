@@ -616,3 +616,11 @@ def test_phash_dedup_band_equi_join(spark):
     plan = plan_of(spark, "multimodal_image_phash_dedup")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_keyword_extraction_prunes_topk_pre_exchange(spark):
+    """Per-doc top-k must prune via WindowGroupLimit; the vocabulary
+    IDF table broadcasts back onto the token stream."""
+    plan = plan_of(spark, "doc_keyword_extraction")
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
