@@ -161,6 +161,35 @@ SEARCH_TERMS = ("window", "scan", "sort")
 SEARCH_TOP_K = 20
 
 
+
+
+def _tfidf_token_weights(d, terms=None):
+    """(doc_id, token, tf, w) with w = DECIMAL(18,6) TF-IDF weight —
+    the scaffold shared by keyword_search_tfidf (terms=query probe,
+    filtered BEFORE the tf shuffle — the inverted-index optimization)
+    and doc_keyword_extraction (terms=None: every token scores).
+    IDF rounds to 6 dp before the TF multiply (pinned parity pattern).
+
+    The document-frequency table broadcasts; for query probes it is a
+    handful of rows, for the full vocabulary it is vocabulary-sized —
+    fine for curated corpora, but web-scale raw vocabularies (1e8+
+    tokens) should drop the broadcast hint to a shuffle join (the
+    text_unigram_logprob caveat)."""
+    n_docs = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tok = tok.filter(
+        F.col("token").isin(*terms) if terms else (F.col("token") != "")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))         .crossJoin(F.broadcast(n_docs))
+    idf = F.round(F.log(F.col("n_docs") / F.col("df")), 6)
+    return tf.join(F.broadcast(df_.withColumn("idf", idf)), "token").select(
+        "doc_id", "token", "tf",
+        F.round(F.col("tf") * F.col("idf"), 6).cast("decimal(18,6)")
+         .alias("w"),
+    )
+
+
 @register(
     "keyword_search_tfidf",
     oracle=f"""
@@ -197,26 +226,11 @@ def keyword_search_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     TF multiply so Spark's and DuckDB's `ln` (both ≤1 ulp) can never
     disagree post-rounding."""
     d = load_table(spark, "documents", sf_dir)
-    # corpus size stays IN the plan (1-row aggregate, broadcast cross
-    # join) — a driver-side d.count() here would run a full extra scan
-    # at query-construction time, before the query itself executes
-    n_docs = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
-    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-    tf = (
-        tok.filter(F.col("token").isin(*SEARCH_TERMS))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df")) \
-        .crossJoin(F.broadcast(n_docs))
-    idf = F.round(F.log(F.col("n_docs") / F.col("df")), 6)
     scored = (
-        tf.join(F.broadcast(df_.withColumn("idf", idf)), "token")
+        _tfidf_token_weights(d, SEARCH_TERMS)
         .groupBy("doc_id")
         .agg(
-            F.sum(
-                F.round(F.col("tf") * F.col("idf"), 6).cast("decimal(18,6)")
-            ).alias("score_d"),
+            F.sum("w").alias("score_d"),
             F.count(F.lit(1)).alias("n_terms_hit"),
         )
     )
@@ -812,30 +826,14 @@ def doc_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     Differs from keyword_search_tfidf (fixed query terms -> top docs):
     here EVERY token scores and the top-k is per document.
 
-    100 TB shape: tf is one (doc, token) partial-agg shuffle; document
-    frequencies aggregate to vocabulary cardinality and broadcast back;
-    the per-doc top-k prunes via WindowGroupLimit before the final
-    per-doc fold.  IDF rounds to 6 dp before the TF multiply (the
-    pinned keyword_search_tfidf parity pattern) and weights stay
-    DECIMAL through ranking."""
+    100 TB shape: tf is one (doc, token) partial-agg shuffle; the
+    IDF table aggregates to vocabulary cardinality and broadcasts —
+    fine for curated vocabularies; a web-scale raw vocabulary (1e8+
+    distinct tokens) swaps the broadcast for a shuffle join, like
+    text_unigram_logprob's caveat.  The per-doc top-k prunes via
+    WindowGroupLimit; weights stay DECIMAL through ranking."""
     d = load_table(spark, "documents", sf_dir)
-    n_docs = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
-    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-    tf = (
-        tok.filter(F.col("token") != "")
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df")) \
-        .crossJoin(F.broadcast(n_docs))
-    idf = F.round(F.log(F.col("n_docs") / F.col("df")), 6)
-    scored = tf.join(
-        F.broadcast(df_.withColumn("idf", idf)), "token"
-    ).select(
-        "doc_id", "token",
-        F.round(F.col("tf") * F.col("idf"), 6).cast("decimal(18,6)")
-         .alias("w"),
-    )
+    scored = _tfidf_token_weights(d)
     from pyspark.sql import Window as W
 
     rn = F.row_number().over(
