@@ -102,7 +102,7 @@ _DEFER = ["multimodal_feature_extract",  # upgraded rows-only -> oracled
           "text_kwic_concordance", "span_corruption_t5",
           "returned_item_customers", "knn_label_predict",
           "embedding_label_outliers", "multimodal_image_phash_dedup",
-          "doc_keyword_extraction"]
+          "doc_keyword_extraction", "dashboard_status_widget"]
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -930,3 +930,67 @@ def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_returned_items",
         )
     )
+
+
+WIDGET_TZ_OFFSET_MIN = -300  # dashboard viewer at UTC-5, like the widget's
+                             # offsetInMinutes handling
+WIDGET_TOP_N = 20
+
+
+@register(
+    "dashboard_status_widget",
+    oracle=f"""
+    WITH recent AS (
+      SELECT event_id, ts, event_type,
+             row_number() OVER (ORDER BY ts DESC, event_id) AS rn
+      FROM events
+    )
+    SELECT rn,
+           strftime(ts + INTERVAL ({WIDGET_TZ_OFFSET_MIN}) MINUTE,
+                    '%b %d %H:%M:%S') AS status_time,
+           'events/' || event_id::VARCHAR AS page_key,
+           event_type AS status,
+           '| ' || strftime(ts + INTERVAL ({WIDGET_TZ_OFFSET_MIN}) MINUTE,
+                            '%b %d %H:%M:%S')
+                || ' | events/' || event_id::VARCHAR || ' | '
+                || event_type || ' |' AS row_md
+    FROM recent WHERE rn <= {WIDGET_TOP_N}
+    """,
+)
+def dashboard_status_widget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's CloudWatch custom widget as ONE query
+    (notion_pages_custom_widget.py:63-90): most-recent-first status
+    rows rendered as markdown table lines, with the viewer's timezone
+    offset applied exactly like the widget's offsetInMinutes handling
+    (here a fixed UTC-5 viewer).  Composes the time scan, recency
+    top-N, dashboard strftime, and markdown row fold that exist as
+    separate operators into the end-user artifact.
+
+    100 TB shape: the recency cut is orderBy().limit() — TakeOrdered,
+    never a corpus-wide sort or single-partition window; the rank and
+    row assembly run over the {WIDGET_TOP_N} surviving rows."""
+    e = load_table(spark, "events", sf_dir)
+    top = (
+        e.select("event_id", "ts", "event_type")
+        .orderBy(F.desc("ts"), F.asc("event_id"))
+        .limit(WIDGET_TOP_N)
+    )
+    rn = F.row_number().over(
+        W.orderBy(F.desc("ts"), F.asc("event_id"))  # over 20 rows
+    )
+    shifted = F.col("ts") + F.expr(f"INTERVAL {WIDGET_TZ_OFFSET_MIN} MINUTE")
+    t_str = F.date_format(shifted, "MMM dd HH:mm:ss")
+    key = F.concat(F.lit("events/"), F.col("event_id").cast("string"))
+    return (
+        top.withColumn("rn", rn)
+        .select(
+            "rn",
+            t_str.alias("status_time"),
+            key.alias("page_key"),
+            F.col("event_type").alias("status"),
+            F.concat(
+                F.lit("| "), t_str, F.lit(" | "), key, F.lit(" | "),
+                F.col("event_type"), F.lit(" |"),
+            ).alias("row_md"),
+        )
+    )

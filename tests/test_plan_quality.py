@@ -624,3 +624,11 @@ def test_keyword_extraction_prunes_topk_pre_exchange(spark):
     plan = plan_of(spark, "doc_keyword_extraction")
     assert "WindowGroupLimit" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_dashboard_widget_takes_ordered(spark):
+    """The widget's recency cut must plan as TakeOrdered — never a
+    corpus-wide sort or single-partition window over all events."""
+    plan = plan_of(spark, "dashboard_status_widget")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
