@@ -40,7 +40,13 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 
 def _confirmed() -> tuple[set[str], dict[str, int]]:
     """(all-rounds confirmed, name → latest confirming round) from the
-    driver's CORRECTNESS files; missing/corrupt files are skipped."""
+    driver's CORRECTNESS files; missing/corrupt files are skipped.
+
+    A completed rows-only check (``no_oracle`` + a row count) confirms a
+    query ONLY while it still has no registered oracle: once an oracle is
+    added (e.g. pipeline_prepare_convert / multimodal_feature_extract,
+    upgraded after r1's rows-only rows), the old weak row no longer
+    counts and the query re-fronts for a real hash-checked slot."""
     all_ok: set[str] = set()
     last_round: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json"))):
@@ -54,6 +60,7 @@ def _confirmed() -> tuple[set[str], dict[str, int]]:
             if row.get("hash_match") or (
                 row.get("err") == "no_oracle"
                 and row.get("spark_rows") is not None
+                and name not in ORACLES
             ):
                 all_ok.add(name)
                 last_round[name] = max(last_round.get(name, 0), rnd)
@@ -63,8 +70,11 @@ def _confirmed() -> tuple[set[str], dict[str, int]]:
 # Confirmed earlier but rewritten since — need a fresh driver row.  The
 # value is the round the rewrite happened in: the entry expires on its
 # own once a correctness file from that round or later re-confirms it.
-_RECHECK = {"dedup_simhash": 2, "dedup_embedding_cosine": 2,
-            "dedup_connected_components": 2}
+# (The r2 rewrites — dedup_simhash, dedup_embedding_cosine,
+# dedup_connected_components — re-confirmed in CORRECTNESS_r02 and
+# expired out.)  pack_sequences_greedy: r3 rewrite — partitioned
+# two-pass prefix sum + BIGINT-cast oracle after its r2 hash_match:false.
+_RECHECK = {"pack_sequences_greedy": 3}
 # Added after the current round's ~50-query window filled; placed right
 # behind the fresh backlog (locally oracle-checked already).  All
 # round-2 additions queue here so the r1-era never-driver-checked
@@ -103,6 +113,15 @@ _DEFER = ["multimodal_feature_extract",  # upgraded rows-only -> oracled
           "returned_item_customers", "knn_label_predict",
           "embedding_label_outliers", "multimodal_image_phash_dedup",
           "doc_keyword_extraction", "dashboard_status_widget"]
+
+# Slot accounting (VERDICT r2 item 8): _RECHECK/_DEFER are hand-kept —
+# a typo'd or stale name would silently starve a query of its window
+# slot (the `n in QUERIES` filters below would just drop it).  Fail
+# loudly at import instead; the driver imports this module, so a broken
+# rotation can never reach the gate unnoticed.
+_unknown = [n for n in (*_RECHECK, *_DEFER) if n not in QUERIES]
+assert not _unknown, f"rotation names not in registry: {_unknown}"
+assert len(_DEFER) == len(set(_DEFER)), "duplicate names in _DEFER"
 
 
 def entry(spark: SparkSession) -> DataFrame:

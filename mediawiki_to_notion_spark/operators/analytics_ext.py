@@ -1010,8 +1010,11 @@ def market_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: the pair join is an equi-join on l_orderkey with
     fan-out bounded by lines-per-order (single digits in TPC-H-like
     data), never a part-pair cartesian; the min-support HAVING prunes
-    the long tail before the (tiny) per-part marginals broadcast on;
-    the order count is one scalar broadcast."""
+    the long tail before the per-part marginals join on (explicitly
+    F.broadcast-hinted — catalog-sized, fine up to ~10M parts; past
+    that drop the hint and the marginals equi-join the already-pruned
+    pair table on part key, still never a wide-side shuffle); the
+    order count is one scalar broadcast."""
     li = load_table(spark, "lineitem", sf_dir)
     # materialize once: four consumers (order count, marginals, both
     # self-join sides) would each re-run the scan + dedup shuffle
@@ -1045,8 +1048,8 @@ def market_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("part_b"), F.col("n_ord").alias("nb")
     )
     return (
-        pairs.join(pa, "part_a")
-        .join(pb, "part_b")
+        pairs.join(F.broadcast(pa), "part_a")
+        .join(F.broadcast(pb), "part_b")
         .crossJoin(F.broadcast(n_orders))
         .select(
             "part_a", "part_b", "n_together",
@@ -1188,24 +1191,16 @@ def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH dims AS (
       SELECT vec_id, label, vec_id % 2 AS half, u.i AS dim,
-             round(embedding[u.i+1]::DOUBLE, 6) AS val
+             CAST(CAST(round(embedding[u.i+1]::DOUBLE, 6) AS DECIMAL(18,6))
+                  * 1000000 AS BIGINT) AS vi
       FROM embeddings,
            LATERAL (SELECT unnest(range(0, len(embedding))) AS i) u
     ),
-    means AS (
-      SELECT label, half, dim,
-             CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DOUBLE) / count(*)
-               AS mean_v
+    sums AS (
+      SELECT label, half, dim, sum(vi) AS s
       FROM dims GROUP BY label, half, dim
     ),
-    halves AS (
-      SELECT coalesce(a.label, b.label) AS label,
-             round(coalesce(a.mean_v, 0) - coalesce(b.mean_v, 0), 6) AS diff
-      FROM (SELECT * FROM means WHERE half = 0) a
-      FULL JOIN (SELECT * FROM means WHERE half = 1) b
-        ON a.label = b.label AND a.dim = b.dim
-    ),
-    counts AS (
+    pops AS (
       -- derived from the SAME exploded scan (dim 0 marks each
       -- non-empty vector exactly once) — no second embeddings pass
       SELECT label,
@@ -1213,15 +1208,28 @@ def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
              count(*) FILTER (half = 1) AS n_half_b
       FROM dims WHERE dim = 0 GROUP BY label
     ),
-    drift AS (
-      SELECT label,
-             round(sqrt(CAST(SUM(CAST(diff AS DECIMAL(18,6))
-                                 * CAST(diff AS DECIMAL(18,6)))
-                             AS DOUBLE)), 6) AS centroid_l2_drift
-      FROM halves GROUP BY label
+    halves AS (
+      SELECT coalesce(a.label, b.label) AS label,
+             coalesce(a.s, 0) AS sa, coalesce(b.s, 0) AS sb
+      FROM (SELECT * FROM sums WHERE half = 0) a
+      FULL JOIN (SELECT * FROM sums WHERE half = 1) b
+        ON a.label = b.label AND a.dim = b.dim
+    ),
+    folded AS (
+      SELECT h.label,
+             greatest(n_half_a, 1) AS da, greatest(n_half_b, 1) AS db,
+             max(n_half_a) AS n_half_a, max(n_half_b) AS n_half_b,
+             SUM(CAST(sa * greatest(n_half_b, 1)
+                      - sb * greatest(n_half_a, 1) AS HUGEINT)
+                 * CAST(sa * greatest(n_half_b, 1)
+                        - sb * greatest(n_half_a, 1) AS HUGEINT)) AS sdd
+      FROM halves h JOIN pops p USING (label)
+      GROUP BY h.label, da, db
     )
-    SELECT d.label, n_half_a, n_half_b, centroid_l2_drift
-    FROM drift d JOIN counts c ON d.label = c.label
+    SELECT label, n_half_a, n_half_b,
+           round(sqrt(CAST(sdd AS DOUBLE)) / (da * db) / 1000000.0, 6)
+             AS centroid_l2_drift
+    FROM folded
     """,
 )
 def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1232,16 +1240,21 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     text-length view with the embedding modality.
 
     Robustness: the half-vs-half comparison is a FULL OUTER join per
-    (label, dim) with missing means as 0 — a label present in only one
+    (label, dim) with missing sums as 0 — a label present in only one
     half (the most-drifted case: a brand-new class) reports its
-    centroid norm as drift instead of vanishing, and ragged embedding
-    lengths contribute their one-sided dims the same way.  The final
-    fold groups by label alone.
+    centroid norm as drift instead of vanishing.
 
-    Every accumulation is an exact DECIMAL sum of 6-dp-rounded values
-    (per-dim means, then squared mean-differences), so the result is
-    identical at any parallelism; the only doubles operations are one
-    division and one final sqrt.
+    Parity (the embedding_label_outliers micro-unit trick — r2 ADVICE
+    flagged the previous formulation's round() of a derived double):
+    values quantize ONCE at ingestion to exact micro-unit integers vi;
+    per-dim mean difference ma−mb = (sa·nb − sb·na)/(na·nb), so with
+    per-label populations na, nb constant across dims the whole fold is
+    Σ_d (sa_d·nb − sb_d·na)² — exact 128-bit integers — and the only
+    double ops are one sqrt, two fixed-order divisions, one final
+    round(6).  No derived double is ever rounded before aggregation.
+    (Missing dims of a shorter vector contribute 0 to its half's sum —
+    zero-padded semantics; exact while na·nb ≲ 3e15, far past any
+    realistic per-label population.)
 
     100 TB shape: posexplode is linear; the (label, half, dim)
     aggregate is the classic partial-agg shuffle; everything after it
@@ -1252,39 +1265,53 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode("embedding").alias("dim", "valf"),
     ).select(
         "label", "half", "dim",
-        F.round(F.col("valf").cast("double"), 6).alias("val"),
-    )
-    means = dims.groupBy("label", "half", "dim").agg(
         (
-            F.sum(F.col("val").cast("decimal(18,6)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("mean_v"),
+            F.round(F.col("valf").cast("double"), 6)
+            .cast("decimal(18,6)") * 1000000
+        ).cast("long").alias("vi"),
     )
-    a = means.filter(F.col("half") == 0).select(
-        "label", "dim", F.col("mean_v").alias("ma")
-    )
-    b = means.filter(F.col("half") == 1).select(
-        "label", "dim", F.col("mean_v").alias("mb")
-    )
-    halves = a.join(b, ["label", "dim"], "full_outer").select(
-        "label",
-        F.round(
-            F.coalesce("ma", F.lit(0.0)) - F.coalesce("mb", F.lit(0.0)), 6
-        ).alias("diff"),
-    )
-    dd = F.col("diff").cast("decimal(18,6)")
-    drift = halves.groupBy("label").agg(
-        F.round(F.sqrt(F.sum(dd * dd).cast("double")), 6)
-         .alias("centroid_l2_drift"),
-    )
+    sums = dims.groupBy("label", "half", "dim").agg(F.sum("vi").alias("s"))
     # per-half vector counts ride the same exploded stream: dim 0
     # appears once per non-empty vector, so no second fact-table scan
-    counts = dims.filter(F.col("dim") == 0).groupBy("label").agg(
+    pops = dims.filter(F.col("dim") == 0).groupBy("label").agg(
         F.count(F.when(F.col("half") == 0, 1)).alias("n_half_a"),
         F.count(F.when(F.col("half") == 1, 1)).alias("n_half_b"),
     )
-    return drift.join(counts, "label").select(
-        "label", "n_half_a", "n_half_b", "centroid_l2_drift"
+    a = sums.filter(F.col("half") == 0).select(
+        "label", "dim", F.col("s").alias("sa")
+    )
+    b = sums.filter(F.col("half") == 1).select(
+        "label", "dim", F.col("s").alias("sb")
+    )
+    halves = a.join(b, ["label", "dim"], "full_outer").select(
+        "label",
+        F.coalesce("sa", F.lit(0)).alias("sa"),
+        F.coalesce("sb", F.lit(0)).alias("sb"),
+    )
+    da = F.greatest(F.col("n_half_a"), F.lit(1))
+    db = F.greatest(F.col("n_half_b"), F.lit(1))
+    num = (
+        F.col("sa").cast("decimal(38,0)") * db
+        - F.col("sb").cast("decimal(38,0)") * da
+    )
+    folded = (
+        halves.join(F.broadcast(pops), "label")
+        .groupBy("label")
+        .agg(
+            F.max("n_half_a").alias("n_half_a"),
+            F.max("n_half_b").alias("n_half_b"),
+            F.sum(num * num).alias("sdd"),
+        )
+    )
+    return folded.select(
+        "label", "n_half_a", "n_half_b",
+        F.round(
+            F.sqrt(F.col("sdd").cast("double"))
+            / (F.greatest(F.col("n_half_a"), F.lit(1))
+               * F.greatest(F.col("n_half_b"), F.lit(1)))
+            / F.lit(1000000.0),
+            6,
+        ).alias("centroid_l2_drift"),
     )
 
 

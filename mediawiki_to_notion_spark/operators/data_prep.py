@@ -365,7 +365,10 @@ SKEW_HOT_FACTOR = 2  # a key is "hot" above this multiple of the mean
       SELECT sum(n)::DOUBLE / count(*) AS mean_n FROM counts
     )
     SELECT count(*) AS n_keys,
-           sum(n) AS n_rows,
+           -- BIGINT cast: DuckDB SUM(BIGINT) is HUGEINT, which fetches
+           -- as float64 on the driver's pandas hash path (the
+           -- pack_sequences_greedy r2 failure class)
+           CAST(sum(n) AS BIGINT) AS n_rows,
            max(n) AS max_key_rows,
            round(quantile_cont(n, 0.99), 6) AS p99_key_rows,
            round(max(n) / mean_n, 6) AS skew_ratio,

@@ -432,6 +432,11 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense = (
         similarity_topk_bruteforce(spark, sf_dir)
         .filter(F.col("query_id") == 0)
+        # the per-query top-k already bounds this to TOP_K rows; the
+        # explicit limit makes the bound *physical* (GlobalLimit in the
+        # plan) so the global dense-rank window below is provably tiny —
+        # the blanket no-unpartitioned-corpus-window gate checks this
+        .limit(TOP_K)
         .select(
             F.col("vec_id").alias("doc_id"),
             F.row_number()

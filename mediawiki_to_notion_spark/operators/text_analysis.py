@@ -561,7 +561,10 @@ BPE_TOP_K = 50
       WHERE len(word) >= 2
     ),
     scored AS (
-      SELECT pair, sum(freq) AS n_occurrences FROM pairs GROUP BY pair
+      -- BIGINT cast: SUM(BIGINT) is HUGEINT → float64 on the driver's
+      -- pandas hash path (the pack_sequences_greedy r2 failure class)
+      SELECT pair, CAST(sum(freq) AS BIGINT) AS n_occurrences
+      FROM pairs GROUP BY pair
     )
     SELECT pair, n_occurrences FROM scored
     ORDER BY n_occurrences DESC, pair ASC LIMIT {BPE_TOP_K}

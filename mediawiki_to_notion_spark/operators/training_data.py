@@ -198,6 +198,9 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_PACK_PARTITIONS = 8  # fixed so the range partitioning is reproducible
+
+
 @register(
     "pack_sequences_greedy",
     oracle=f"""
@@ -211,8 +214,13 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
       FROM sized
     )
+    -- both derived columns cast to BIGINT: DuckDB's SUM(BIGINT) window
+    -- yields HUGEINT, and an uncast HUGEINT // k output column arrives
+    -- as float64 on the pandas/Arrow fetch path the driver hashes —
+    -- exactly the r2 hash_match:false on this query (fetchall-based
+    -- harnesses normalize it away; oracle.compare now checks dtypes)
     SELECT doc_id, lang, n_tokens,
-           cum_before // {PACK_WINDOW_TOKENS} AS pack_id,
+           CAST(cum_before // {PACK_WINDOW_TOKENS} AS BIGINT) AS pack_id,
            CAST(cum_before % {PACK_WINDOW_TOKENS} AS BIGINT) AS pack_offset
     FROM cum
     """,
@@ -224,16 +232,47 @@ def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     `pack_offset` its position inside it (the streaming concat-and-chunk
     packing used to build pretraining batches).
 
-    The running total is a single window over a global order; at 100 TB
-    this runs per shard (partition the order key first) — the global
-    prefix-sum shape is still one shuffle + one pass."""
+    The global prefix sum runs as a partitioned two-pass (the
+    `dense_global_ids` pattern, JVM-side throughout):
+
+    1. repartitionByRange(doc_id): rows land in doc_id-ordered ranges,
+       pid i holding strictly smaller doc_ids than pid i+1; the frame is
+       localCheckpoint'd so the offsets subtree and the main pass share
+       ONE sampling of the range boundaries (RangePartitioner re-samples
+       per execution — divergent boundaries would double-count tokens);
+    2. in-range running totals via a window partitioned by pid — each
+       window partition is one range bucket, never the corpus;
+    3. per-range token totals ({N_PACK_PARTITIONS} rows) become
+       cumulative offsets via a tiny window, broadcast back;
+       cum_before = range offset + in-range running total.
+
+    A bare `W.orderBy(doc_id)` window — the oracle's formulation — would
+    funnel the corpus through ONE task at 100 TB; this plan's wide ops
+    are the range exchange, a pid hash exchange, and a broadcast of
+    {N_PACK_PARTITIONS} offset rows."""
     d = load_table(spark, "documents", sf_dir)
     sized = d.select(
-        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tokens")
+        "doc_id", "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
     )
-    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
-    cum = sized.withColumn(
-        "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    ranged = (
+        sized.repartitionByRange(N_PACK_PARTITIONS, "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    w_local = (
+        W.partitionBy("pid").orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    local_cum = ranged.withColumn(
+        "local_before", F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
+    )
+    totals = ranged.groupBy("pid").agg(F.sum("n_tokens").alias("t"))
+    offsets = totals.select(
+        "pid", (F.sum("t").over(W.orderBy("pid")) - F.col("t")).alias("offset")
+    )
+    cum = local_cum.join(F.broadcast(offsets), "pid").withColumn(
+        "cum_before", F.col("offset") + F.col("local_before")
     )
     return cum.select(
         "doc_id", "lang", "n_tokens",
@@ -545,7 +584,9 @@ SPAN_MOD = 5     # select span when (doc_id + span_idx) % SPAN_MOD == 0
     )
     SELECT doc_id,
            count(*) AS n_spans,
-           sum({SPAN_LEN}) AS n_masked_tokens,
+           -- BIGINT cast: SUM over INTEGER is HUGEINT → float64 on the
+           -- driver's pandas hash path (pack_sequences_greedy r2 class)
+           CAST(sum({SPAN_LEN}) AS BIGINT) AS n_masked_tokens,
            string_agg('<extra_id_' || span_idx || '> ' || target,
                       ' ' ORDER BY span_idx) AS targets
     FROM masked GROUP BY doc_id

@@ -50,6 +50,65 @@ def _rows_to_multiset(cols: list[str], rows: list[tuple]) -> Counter:
     return Counter(tuple(_norm(r[i]) for i in order) for r in rows)
 
 
+# ---------------------------------------------------------------------------
+# Driver-parity dtype classes.
+#
+# The driver fetches both sides through pandas/Arrow before hashing, so a
+# column whose *logical* values match can still hash-mismatch when the
+# physical types land in different pandas classes.  The canonical trap
+# (CORRECTNESS_r02's pack_sequences_greedy): DuckDB SUM(BIGINT) is HUGEINT,
+# and HUGEINT arrives as float64 on the pandas path — `195` vs `195.0`.
+# fetchall()-based comparison (the old harness) silently normalized this.
+# Each engine type maps to the pandas-class it fetches as; classes must
+# match per column.  Integer *widths* are interchangeable (int32 vs int64
+# both fetch integral — driver-confirmed by text_token_counting r2).
+
+_DUCK_CLASS = {
+    "TINYINT": "int", "SMALLINT": "int", "INTEGER": "int", "BIGINT": "int",
+    "UTINYINT": "int", "USMALLINT": "int", "UINTEGER": "int", "UBIGINT": "int",
+    "HUGEINT": "float", "UHUGEINT": "float",  # pandas path: float64
+    "FLOAT": "float", "DOUBLE": "float",
+    "VARCHAR": "str", "BOOLEAN": "bool", "BLOB": "bytes",
+    "DATE": "date", "INTERVAL": "interval",
+}
+
+
+def _duck_col_class(t) -> str:
+    s = str(t).upper()
+    if s.startswith("DECIMAL"):
+        return "decimal"
+    if s.startswith("TIMESTAMP"):
+        return "ts"
+    if s.endswith("[]") or s.startswith("LIST") or s.startswith("ARRAY"):
+        return "list"
+    if s.startswith("STRUCT"):
+        return "struct"
+    if s.startswith("MAP"):
+        return "map"
+    return _DUCK_CLASS.get(s, s.lower())
+
+
+def _spark_col_class(dtype: str) -> str:
+    s = dtype.lower()
+    if s in ("tinyint", "smallint", "int", "bigint", "byte", "short", "long",
+             "integer"):
+        return "int"
+    if s in ("float", "double"):
+        return "float"
+    if s.startswith("decimal"):
+        return "decimal"
+    if s.startswith("timestamp"):
+        return "ts"
+    if s.startswith("array"):
+        return "list"
+    if s.startswith("struct"):
+        return "struct"
+    if s.startswith("map"):
+        return "map"
+    return {"string": "str", "boolean": "bool", "binary": "bytes",
+            "date": "date", "interval": "interval"}.get(s, s)
+
+
 def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for name in TABLE_NAMES:
@@ -63,12 +122,15 @@ def compare(spark: SparkSession, query_fn, oracle_sql: str, sf_dir: str) -> dict
     """Run both sides; return a diagnostics dict with ``match: bool``."""
     sdf = query_fn(spark, sf_dir)
     s_cols = [c.lower() for c in sdf.columns]
+    s_classes = {c.lower(): _spark_col_class(t) for c, t in sdf.dtypes}
     s_rows = [tuple(r) for r in sdf.collect()]
 
     con = duckdb_connection(sf_dir)
-    res = con.execute(oracle_sql)
-    d_cols = [d[0].lower() for d in res.description]
-    d_rows = res.fetchall()
+    rel = con.sql(oracle_sql)
+    d_cols = [c.lower() for c in rel.columns]
+    d_classes = {c.lower(): _duck_col_class(t)
+                 for c, t in zip(rel.columns, rel.types)}
+    d_rows = rel.fetchall()
     con.close()
 
     out = {
@@ -83,10 +145,19 @@ def compare(spark: SparkSession, query_fn, oracle_sql: str, sf_dir: str) -> dict
         out["match"] = False
         return out
 
+    class_mismatch = {
+        c: (s_classes[c], d_classes[c])
+        for c in s_classes
+        if s_classes[c] != d_classes[c]
+    }
+    out["dtype_class_match"] = not class_mismatch
+    if class_mismatch:
+        out["dtype_class_mismatch"] = class_mismatch
+
     s_ms = _rows_to_multiset(s_cols, s_rows)
     d_ms = _rows_to_multiset(d_cols, d_rows)
     out["values_match"] = s_ms == d_ms
-    out["match"] = out["values_match"]
+    out["match"] = out["values_match"] and out["dtype_class_match"]
     if not out["values_match"]:
         only_s = list((s_ms - d_ms).keys())[:3]
         only_d = list((d_ms - s_ms).keys())[:3]

@@ -56,17 +56,49 @@ def _field_names(schema: str) -> list[str]:
 
 def load_documents_csv(spark: SparkSession, path: str,
                        schema: str = DOCUMENTS_CSV_SCHEMA,
-                       header: bool = True) -> DataFrame:
+                       header: bool = True,
+                       strict_headers: bool = False) -> DataFrame:
     """Read a CSV documents table with explicit schema and corrupt-
     record capture.  ``path`` may be a file, directory, or glob.
-    With ``header=True`` the canonical header line (the schema's field
-    names, comma-joined) is dropped wherever it appears — per-file
-    headers in a multi-file directory all match it."""
+
+    With ``header=True`` (default mode) any line byte-equal to the
+    canonical header (the schema's field names, comma-joined) is
+    dropped — per-file headers in a multi-file directory all match it.
+    Caveat (r2 ADVICE): a MID-FILE line byte-identical to the header is
+    dropped too, silently, rather than quarantined.  Under a typed
+    schema such a line could never have parsed as data (the header's
+    first token cannot parse as ``doc_id long``) — it would have been
+    quarantined anyway — so the only loss is quarantine visibility of
+    a pathological fragment.
+
+    ``strict_headers=True`` removes that caveat exactly: only each
+    file's true FIRST line is header-eligible (per-file min of
+    monotonically_increasing_id — correct because split ids increase
+    with (partition, row) and file splits are ordered, so the per-file
+    min is the file's first physical line); mid-file header-equal
+    lines then flow to the typed parse and land in ``_corrupt_record``.
+    Costs one extra pass over the text (a map-side-combined per-file
+    min + a broadcast join — no corpus shuffle), so it is opt-in for
+    audit-grade ingestion rather than the default."""
     raw = spark.read.text(path)
-    if header:
-        raw = raw.filter(
-            F.col("value") != ",".join(_field_names(schema))
+    header_line = ",".join(_field_names(schema))
+    if header and strict_headers:
+        tagged = raw.select(
+            "value",
+            F.input_file_name().alias("_f"),
+            F.monotonically_increasing_id().alias("_id"),
         )
+        first = tagged.groupBy("_f").agg(F.min("_id").alias("_first"))
+        raw = (
+            tagged.join(F.broadcast(first), "_f")
+            .filter(
+                ~((F.col("_id") == F.col("_first"))
+                  & (F.col("value") == header_line))
+            )
+            .select("value")
+        )
+    elif header:
+        raw = raw.filter(F.col("value") != header_line)
     # a well-formed single-line RFC4180 record has an EVEN number of
     # quote characters; an odd count means this line is a fragment of a
     # record whose quoted field spanned a newline — parsing it would

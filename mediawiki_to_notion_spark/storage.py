@@ -169,7 +169,11 @@ class ParquetTable:
             return self.spark.read.parquet(*paths)
         vs = self._versions()
         if at not in vs:
-            if not vs or at > vs[-1]:
+            # commit ids are sequential from 1, so ids below 1 (or past
+            # the head) never existed — only ids inside [1, head] that
+            # fell off the retention window were vacuumed (r2 ADVICE:
+            # at=0 must not claim "no longer retained")
+            if not vs or at > vs[-1] or at < 1:
                 raise ValueError(f"commit {at} does not exist")
             raise ValueError(
                 f"commit {at} is no longer retained (last two only)"

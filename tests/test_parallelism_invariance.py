@@ -30,6 +30,31 @@ def test_shard_assign_invariant_under_partitioning(spark):
     assert _rows(shard_assign(one)) == _rows(shard_assign(many))
 
 
+def test_pack_sequences_invariant_under_partitioning(spark, tmp_path):
+    """The r3 two-pass prefix sum must produce identical packing no
+    matter how the input parquet is laid out: the range partitioning
+    re-buckets rows, the localCheckpoint freezes ONE boundary sampling,
+    and the offsets make the result a pure function of (doc_id,
+    n_tokens).  Exercised by rewriting the documents table 1-way and
+    17-way and running the registered query against each copy."""
+    from mediawiki_to_notion_spark.operators.training_data import (
+        pack_sequences_greedy,
+    )
+
+    docs = load_table(spark, "documents", SF)
+    for n, sub in ((1, "one"), (17, "many")):
+        docs.repartition(n).write.mode("overwrite").parquet(
+            str(tmp_path / sub / "documents.parquet")
+        )
+    one = pack_sequences_greedy(spark, str(tmp_path / "one"))
+    many = pack_sequences_greedy(spark, str(tmp_path / "many"))
+    r_one, r_many = _rows(one), _rows(many)
+    assert r_one == r_many
+    # and both equal the run on the canonical table layout
+    ref = _rows(pack_sequences_greedy(spark, SF))
+    assert r_one == ref
+
+
 def test_funnel_invariant_under_partitioning(spark):
     from mediawiki_to_notion_spark.operators.corpus_quality import apply_funnel
 

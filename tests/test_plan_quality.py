@@ -528,6 +528,64 @@ def test_aqe_skew_join_split_available(spark):
             spark.conf.set(k, v)
 
 
+def _iter_subtrees(nodes: list[dict]):
+    """Reconstruct the pre-order + num-children JSON plan into (node,
+    subtree-nodes) pairs."""
+    result = []
+
+    def walk(i: int) -> int:
+        node = nodes[i]
+        j = i + 1
+        start = i
+        for _ in range(node.get("num-children", 0)):
+            j = walk(j)
+        result.append((node, nodes[start:j]))
+        return j
+
+    i = 0
+    while i < len(nodes):
+        i = walk(i)
+    return result
+
+
+def test_no_unpartitioned_corpus_window_in_any_registered_query(spark):
+    """Blanket gate over the ENTIRE registry (the companion to the
+    no-CartesianProduct sweep): no query may plan a Window with an empty
+    partitionSpec over table-sized input — the single-task funnel that
+    killed pack_sequences_greedy at scale (r2's one red row).
+
+    A global window IS allowed when its input is provably bounded:
+    its subtree contains an Aggregate or a Limit (vocabulary ranks,
+    per-partition offset windows — group-count-sized), or reads only
+    LogicalRDD leaves (explicitly localCheckpoint'd pre-aggregates,
+    e.g. lineitem_pareto_abc's per-part rollup — each such checkpoint
+    is pinned catalog-sized by its own named gate above)."""
+    import json as _json
+
+    bad = []
+    for name, fn in sorted(QUERIES.items()):
+        plan = fn(spark, SF)._jdf.queryExecution().optimizedPlan()
+        nodes = _json.loads(plan.toJSON())
+        for node, subtree in _iter_subtrees(nodes):
+            if not node["class"].endswith(".Window"):
+                continue
+            if node.get("partitionSpec"):
+                continue
+            classes = {n["class"].rsplit(".", 1)[-1] for n in subtree[1:]}
+            if classes & {"Aggregate", "GlobalLimit", "LocalLimit"}:
+                continue
+            leaves = {
+                n["class"].rsplit(".", 1)[-1]
+                for n in subtree
+                if n.get("num-children", 0) == 0
+            }
+            if leaves <= {"LogicalRDD", "LocalRelation", "OneRowRelation"}:
+                continue
+            bad.append(name)
+            break
+    assert not bad, f"unbounded global windows in: {bad}"
+
+
 def test_no_cartesian_product_in_any_registered_query(spark):
     """Blanket gate over the ENTIRE registry: no query may plan a
     CartesianProduct, ever.  (BroadcastNestedLoopJoin is allowed only

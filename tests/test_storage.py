@@ -248,3 +248,9 @@ def test_time_travel_read_previous_commit(spark, tmp_path):
         t.read(at=n1)  # vacuumed past the retention horizon
     with _pytest.raises(ValueError, match="does not exist"):
         t.read(at=99999)  # never existed — distinct message
+    # ids below the first-ever commit (1) never existed either — they
+    # must NOT claim "no longer retained" (r2 ADVICE)
+    with _pytest.raises(ValueError, match="does not exist"):
+        t.read(at=0)
+    with _pytest.raises(ValueError, match="does not exist"):
+        t.read(at=-3)

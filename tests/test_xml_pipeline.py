@@ -360,3 +360,35 @@ def test_csv_corpus_source_roundtrip(spark, tmp_path):
         for r in rows
     }
     assert got == want
+
+
+def test_csv_strict_headers_quarantines_midfile_header(spark, tmp_path):
+    """strict_headers=True: only each file's FIRST line is dropped as a
+    header; a mid-file line byte-equal to the header is quarantined
+    (r2 ADVICE — default mode silently drops it, documented caveat).
+    Multi-file: every file's own first-line header is still stripped."""
+    from mediawiki_to_notion_spark.sources.csv_source import (
+        load_documents_csv,
+    )
+    from mediawiki_to_notion_spark.sources.jsonl import split_corrupt
+
+    hdr = "doc_id,text,lang,source,n_chars"
+    d = tmp_path / "multi"
+    d.mkdir()
+    (d / "a.csv").write_text(
+        f"{hdr}\n1,alpha,en,web,5\n{hdr}\n2,beta,en,web,4\n"
+    )
+    (d / "b.csv").write_text(f"{hdr}\n3,gamma,fr,web,5\n")
+
+    strict = load_documents_csv(spark, str(d), strict_headers=True)
+    clean, bad = split_corrupt(strict)
+    assert {r.doc_id for r in clean.collect()} == {1, 2, 3}
+    bad_rows = [r._corrupt_record for r in bad.collect()]
+    assert bad_rows == [hdr]  # the mid-file copy, quarantined not dropped
+
+    # default mode on the same input: header-equal lines all dropped,
+    # clean rows identical, nothing quarantined
+    default = load_documents_csv(spark, str(d))
+    dclean, dbad = split_corrupt(default)
+    assert {r.doc_id for r in dclean.collect()} == {1, 2, 3}
+    assert dbad.count() == 0
