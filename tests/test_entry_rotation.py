@@ -58,6 +58,31 @@ def test_rows_only_counts_as_confirmed(tmp_path, monkeypatch):
     assert names.index(name) > len(names) // 2
 
 
+def test_rows_only_confirmation_expires_when_oracle_added(tmp_path,
+                                                          monkeypatch):
+    """A query confirmed rows-only in an old round but oracled SINCE
+    must re-front: the weak row no longer reflects what the gate would
+    check (r2 VERDICT item 6 — multimodal_feature_extract was
+    rows-only in r1, upgraded to a SQL oracle in r2, and needs a real
+    hash row)."""
+    name = "multimodal_feature_extract"
+    assert name in ent.ORACLES  # the upgrade this test is about
+    others = [n for n in list(ent.QUERIES)[:20] if n != name]
+    _fake_rounds(tmp_path, monkeypatch, {
+        1: {name: {"err": "no_oracle", "spark_rows": 500,
+                   "hash_match": None},
+            **{n: {"hash_match": True} for n in others}},
+    })
+    confirmed, _ = ent._confirmed()
+    assert name not in confirmed
+    # fronted ahead of every hash-confirmed query
+    names = list(ent.queries())
+    assert names.index(name) < min(
+        names.index(n) for n in others
+        if n not in ent._RECHECK and n not in ent._DEFER
+    )
+
+
 def test_no_correctness_files_means_everything_fresh(tmp_path, monkeypatch):
     monkeypatch.setattr(ent, "_HERE", str(tmp_path))
     names = list(ent.queries())
