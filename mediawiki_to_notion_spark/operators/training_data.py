@@ -540,10 +540,14 @@ def tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
     ).filter(F.col("token") != "")
     counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    # long ids: DuckDB's row_number() is BIGINT, so its list(id) is
+    # BIGINT[] — element widths must match at the Arrow layer (scalar
+    # ints are driver-normalized; nested element types are not proven
+    # to be)
     vocab = counts.select(
         "token",
         (F.row_number().over(W.orderBy(F.desc("c"), F.asc("token"))) - 1)
-        .alias("id"),
+        .cast("long").alias("id"),
     )
     return (
         tok.join(F.broadcast(vocab), "token")

@@ -79,7 +79,12 @@ def _duck_col_class(t) -> str:
         return "decimal"
     if s.startswith("TIMESTAMP"):
         return "ts"
-    if s.endswith("[]") or s.startswith("LIST") or s.startswith("ARRAY"):
+    if s.endswith("[]"):
+        # one level of element typing: an int32 column is driver-
+        # normalized against BIGINT, but nested widths ride the Arrow
+        # list type — compare element classes too
+        return f"list<{_duck_col_class(s[:-2])}>"
+    if s.startswith("LIST") or s.startswith("ARRAY"):
         return "list"
     if s.startswith("STRUCT"):
         return "struct"
@@ -99,6 +104,8 @@ def _spark_col_class(dtype: str) -> str:
         return "decimal"
     if s.startswith("timestamp"):
         return "ts"
+    if s.startswith("array<") and s.endswith(">"):
+        return f"list<{_spark_col_class(s[6:-1])}>"
     if s.startswith("array"):
         return "list"
     if s.startswith("struct"):

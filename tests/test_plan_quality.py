@@ -591,13 +591,32 @@ def test_no_cartesian_product_in_any_registered_query(spark):
     CartesianProduct, ever.  (BroadcastNestedLoopJoin is allowed only
     where a 1-row summary frame or an intended broadcast NLJ makes it
     trivially bounded — those are pinned per-query above; an
-    unbounded cartesian is never acceptable.)"""
-    bad = []
+    unbounded cartesian is never acceptable.)  The same sweep asserts
+    no ROW-AT-A-TIME Python UDF anywhere (BatchEvalPython): Python in
+    the hot path is sanctioned only as Arrow-batched kernels
+    (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas)."""
+    cartesian, rowpy = [], []
     for name, fn in sorted(QUERIES.items()):
         plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
         if "CartesianProduct" in plan:
-            bad.append(name)
-    assert not bad, f"cartesian products in: {bad}"
+            cartesian.append(name)
+        if "BatchEvalPython" in plan:
+            rowpy.append(name)
+    assert not cartesian, f"cartesian products in: {cartesian}"
+    assert not rowpy, f"row-at-a-time Python UDFs in: {rowpy}"
+
+
+def test_pack_sequences_two_pass_shape(spark):
+    """The r3 rewrite's execution shape, pinned: ONE range exchange
+    (the doc_id bucketing) frozen behind a checkpoint, the in-range
+    window keyed by pid (hash exchange), the offsets side joined by
+    broadcast — and no empty-partitionSpec window over the corpus
+    (the r2 scale-killer this replaced)."""
+    plan = plan_of(spark, "pack_sequences_greedy")
+    assert "Scan ExistingRDD" in plan          # checkpointed ranged frame
+    assert "Exchange rangepartitioning" not in plan  # inside the checkpoint
+    assert "BroadcastHashJoin" in plan         # offsets broadcast back
+    assert plan.count("Exchange SinglePartition") <= 1  # offsets window only
 
 
 def test_rfm_bounds_broadcast_back(spark):
