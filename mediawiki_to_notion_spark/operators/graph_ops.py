@@ -92,6 +92,10 @@ def pagerank_word_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # flat (see dedup_connected_components for the measured rationale)
     nodes = tokall.distinct().localCheckpoint()
     n = nodes.count()
+    if n == 0:
+        # empty corpus → empty rank vector (the teleport term below
+        # divides by |V|; an empty graph must not crash the pipeline)
+        return nodes.select("token", F.lit(0).cast("long").alias("rank"))
 
     from mediawiki_to_notion_spark.functions.text import adjacent_bigrams
 
