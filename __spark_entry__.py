@@ -80,6 +80,10 @@ _RECHECK = {"pack_sequences_greedy": 3}
 # round-2 additions queue here so the r1-era never-driver-checked
 # queries (chiefly the wikitext family) get the window first.
 _DEFER = ["multimodal_feature_extract",  # upgraded rows-only -> oracled
+          # r3 rewrites without a prior driver row — fronted so the
+          # fixed versions (HUGEINT oracle cast / integer micro-unit
+          # reformulation) are gated THIS round, not next:
+          "span_corruption_t5", "embedding_centroid_drift",
           "corpus_filter_funnel", "lang_temperature_resample",
           "doc_length_histogram", "zorder_cluster_events",
           "dedup_minhash_incremental", "context_window_chunks",
@@ -105,11 +109,11 @@ _DEFER = ["multimodal_feature_extract",  # upgraded rows-only -> oracled
           "graph_clustering_coefficient", "event_transition_matrix",
           "contrastive_triplet_mining", "filename_collision_detect",
           "dedup_normalized_exact", "orders_rfm_segmentation",
-          "embedding_centroid_drift", "quality_signal_ensemble",
+          "quality_signal_ensemble",
           "events_cusum_changepoint", "lineitem_pareto_abc",
           "dedup_cluster_size_histogram", "lang_confusion_matrix",
           "event_hourly_seasonality", "trade_volume_nation_pairs",
-          "text_kwic_concordance", "span_corruption_t5",
+          "text_kwic_concordance",
           "returned_item_customers", "knn_label_predict",
           "embedding_label_outliers", "multimodal_image_phash_dedup",
           "doc_keyword_extraction", "dashboard_status_widget"]
