@@ -1,0 +1,86 @@
+"""Oracle parity under adversarial data distributions.
+
+The normal testdata is well-behaved; this sweep re-verifies every
+oracled query on a worst-case distribution the driver never generates:
+
+- documents: every row IDENTICAL text/lang/source — maximal duplicate
+  density (the LSH candidate set becomes a clique, connected components
+  collapse to one giant component, every similarity score ties);
+- events: a single hot user_id — every per-user window/aggregate lands
+  in ONE group (the skew pathology of reference FAQ.md:68);
+- embeddings: every vector identical — all cosine similarities tie at
+  1.0 and all centroid distances at 0, so any rank/top-k whose ordering
+  is not fully tie-broken diverges between engines.
+
+A query that hash-matches here cannot hide an under-specified ORDER BY,
+a divide-by-zero on degenerate groups, or an engine-divergent tie.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from mediawiki_to_notion_spark.operators import ORACLES, QUERIES, load_all
+from mediawiki_to_notion_spark.oracle import compare
+
+load_all()
+SRC = "/root/testdata/sf0.001"
+
+ADV_TEXT = (
+    "the quick brown fox jumps over the lazy dog and then runs far away "
+    "into the deep dark woods tonight again"
+)
+
+
+@pytest.fixture(scope="session")
+def adversarial_sf_dir(tmp_path_factory):
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    adv = str(tmp_path_factory.mktemp("adv_sf"))
+    con = duckdb.connect()
+    con.execute(f"""
+    COPY (SELECT doc_id, '{ADV_TEXT}' AS text, 'en' AS lang,
+                 'src0' AS source, CAST({len(ADV_TEXT)} AS BIGINT) AS n_chars
+          FROM '{SRC}/documents.parquet' ORDER BY doc_id)
+    TO '{adv}/documents.parquet' (FORMAT PARQUET)
+    """)
+    con.execute(f"""
+    COPY (SELECT vec_id,
+                 (SELECT embedding FROM '{SRC}/embeddings.parquet'
+                  ORDER BY vec_id LIMIT 1) AS embedding,
+                 label
+          FROM '{SRC}/embeddings.parquet' ORDER BY vec_id)
+    TO '{adv}/embeddings.parquet' (FORMAT PARQUET)
+    """)
+    con.close()
+    # events via pyarrow so the ts column keeps its physical parquet
+    # type exactly (tables.load_table branches on it); only user_id
+    # becomes the single hot key
+    t = pq.read_table(f"{SRC}/events.parquet")
+    idx = t.schema.get_field_index("user_id")
+    hot = pa.array([1] * len(t), type=t.schema.field("user_id").type)
+    t = t.set_column(idx, "user_id", hot)
+    pq.write_table(t, f"{adv}/events.parquet", version="2.6")
+    for name in ("region", "nation", "customer", "supplier", "part",
+                 "orders", "lineitem"):
+        shutil.copy(f"{SRC}/{name}.parquet", f"{adv}/{name}.parquet")
+    return adv
+
+
+def test_all_oracles_match_on_adversarial_distribution(spark,
+                                                       adversarial_sf_dir):
+    failures = []
+    for name in sorted(ORACLES):
+        try:
+            r = compare(spark, QUERIES[name], ORACLES[name],
+                        adversarial_sf_dir)
+            if not r["match"]:
+                failures.append(f"{name}: {r}")
+        except Exception as e:  # noqa: BLE001 — collecting a report
+            failures.append(f"{name}: {type(e).__name__}: {e}")
+    assert not failures, "\n".join(failures)
