@@ -74,6 +74,14 @@ def _confirmed() -> tuple[set[str], dict[str, int]]:
 # dedup_connected_components — re-confirmed in CORRECTNESS_r02 and
 # expired out.)  pack_sequences_greedy: r3 rewrite — partitioned
 # two-pass prefix sum + BIGINT-cast oracle after its r2 hash_match:false.
+#
+# NOT rechecked, deliberately: the r3 NULL-hardening touched a dozen
+# already-confirmed queries (vector hygiene filters, to_json-parity
+# oracle, media NULL guards).  On the driver's NULL-free data every one
+# is a semantic no-op — verified bit-identical via oracle.compare (the
+# gate's own check) at sf0.01 — so fronting them would displace
+# never-checked backlog queries from the ~50-slot window for zero new
+# information; they re-gate through the natural rotation instead.
 _RECHECK = {"pack_sequences_greedy": 3}
 # Added after the current round's ~50-query window filled; placed right
 # behind the fresh backlog (locally oracle-checked already).  All

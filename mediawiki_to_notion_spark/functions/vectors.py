@@ -17,6 +17,40 @@ def to_double_array(v: Column) -> Column:
     return F.transform(v, lambda x: x.cast("double"))
 
 
+EMB_DIM = 64  # the corpus embedding dimensionality (TESTDATA.md)
+
+
+def hygiene(df, col: str = "embedding", dim: int = EMB_DIM):
+    """Drop NULL and wrong-dimension vectors before whole-vector math.
+
+    Cosine/dot/norm are undefined on missing, empty, or mis-sized
+    vectors, and both engines CRASH rather than degrade (Spark: ANSI
+    divide-by-zero on the norm; DuckDB: list_inner_product rejects NULL
+    elements and unequal lengths) — at 100 TB one malformed row must
+    not kill the job.  The vector-math query family filters through
+    this (and its SQL twin ``hygiene_oracle``) so both engines operate
+    on the identical clean set; malformed vectors are the corrupt-
+    record-quarantine concern of the ingest layer, not of similarity
+    math."""
+    return df.filter(F.col(col).isNotNull() & (F.size(col) == dim))
+
+
+def _emb_clean(dim: int) -> str:
+    return ('(SELECT * FROM "embeddings" '
+            f"WHERE embedding IS NOT NULL AND len(embedding) = {dim})")
+
+
+def hygiene_oracle(sql: str, dim: int = EMB_DIM) -> str:
+    """SQL twin of :func:`hygiene`: rewrite every reference to the raw
+    ``embeddings`` view into the hygiene-filtered derived table.  Single
+    pass, so the quoted view name inside the replacement is not itself
+    rewritten; the word boundary keeps the ``embedding`` column and
+    other identifiers untouched."""
+    import re
+
+    return re.sub(r'(?<!")\bembeddings\b(?!")', _emb_clean(dim), sql)
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),

@@ -129,7 +129,7 @@ _IVF_ASSIGN_SQL = f"""
 
 @register(
     "similarity_ivf_probe",
-    oracle=f"""
+    oracle=V.hygiene_oracle(f"""
     WITH {_IVF_ASSIGN_SQL}
     , assigned AS (
       SELECT vec_id, embedding, centroid_id FROM assign_scored WHERE rn = 1
@@ -149,7 +149,7 @@ _IVF_ASSIGN_SQL = f"""
       FROM scored
     )
     SELECT query_id, vec_id, cosine_r FROM ranked WHERE rn <= {IVF_TOP_K}
-    """,
+    """),
 )
 def similarity_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) approximate nearest neighbour: a coarse
@@ -163,7 +163,7 @@ def similarity_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate join shuffles by centroid_id — the IVF partition — instead
     of all-pairs.  This is the same plan skeleton Faiss IVF-Flat runs,
     expressed relationally."""
-    e = load_table(spark, "embeddings", sf_dir)
+    e = V.hygiene(load_table(spark, "embeddings", sf_dir))
     cent = e.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
     )

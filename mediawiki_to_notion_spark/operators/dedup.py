@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mediawiki_to_notion_spark.functions import hashing as H
+from mediawiki_to_notion_spark.functions import vectors as V
 from mediawiki_to_notion_spark.operators.registry import register
 from mediawiki_to_notion_spark.sources.tables import load_table
 
@@ -361,14 +362,14 @@ COSINE_N_BLOCKS = 16
 
 @register(
     "dedup_embedding_cosine",
-    oracle=f"""
+    oracle=V.hygiene_oracle(f"""
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
              AS cosine_r
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
           >= {COSINE_DUP_THRESHOLD}
-    """,
+    """),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding-cosine near-dup pairs as a distributed block
@@ -396,7 +397,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    e = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    e = V.hygiene(load_table(spark, "embeddings", sf_dir)) \
+        .select("vec_id", "embedding")
     nb = COSINE_N_BLOCKS
     block_pairs = spark.createDataFrame(
         [(i, j) for i in range(nb) for j in range(i, nb)], "bi INT, bj INT"
@@ -478,7 +480,7 @@ LSH_PROBE_HAMMING = 1
 
 @register(
     "dedup_embedding_cosine_lsh",
-    oracle=f"""
+    oracle=V.hygiene_oracle(f"""
     WITH bucketed AS (
       SELECT vec_id, embedding, {_bucket_sql()} AS bucket FROM embeddings
     )
@@ -489,7 +491,7 @@ LSH_PROBE_HAMMING = 1
     WHERE bit_count(xor(a.bucket, b.bucket)) <= {LSH_PROBE_HAMMING}
       AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
           >= {COSINE_DUP_THRESHOLD}
-    """,
+    """),
 )
 def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate cosine dedup: SRP-LSH bucket blocking with multi-probe,
@@ -526,7 +528,7 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from mediawiki_to_notion_spark.plans.pipeline import ensure_parallelism
 
-    e = load_table(spark, "embeddings", sf_dir)
+    e = V.hygiene(load_table(spark, "embeddings", sf_dir))
     bucketed = e.select("vec_id", "embedding", _bucket_col().alias("bucket"))
     probe_keys = F.array(
         F.col("bucket"),
@@ -582,7 +584,7 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_cosine_lsh_recall",
-    oracle=f"""
+    oracle=V.hygiene_oracle(f"""
     WITH bucketed AS (
       SELECT vec_id, embedding, {_bucket_sql()} AS bucket FROM embeddings
     ),
@@ -603,7 +605,7 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT count(*) FROM lshp) AS n_lsh,
            (SELECT count(*) FROM lshp)::DOUBLE
              / nullif((SELECT count(*) FROM exact), 0) AS recall
-    """,
+    """),
 )
 def dedup_cosine_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall of the SRP multi-probe dedup against the exact block-GEMM

@@ -145,7 +145,7 @@ _SEMDEDUP_ASSIGN_SQL = f"""
 
 @register(
     "semantic_dedup_clustered",
-    oracle=f"""
+    oracle=V.hygiene_oracle(f"""
     WITH {_SEMDEDUP_ASSIGN_SQL}
     SELECT a.centroid_id AS cluster_id,
            a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -156,7 +156,7 @@ _SEMDEDUP_ASSIGN_SQL = f"""
     WHERE round(list_cosine_similarity(
             a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
           >= {SEMDEDUP_THRESHOLD}
-    """,
+    """),
 )
 def semantic_dedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al., 2023): assign every embedding to its
@@ -176,7 +176,9 @@ def semantic_dedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     on this codebook)."""
     from mediawiki_to_notion_spark.plans.pipeline import ensure_parallelism
 
-    e = ensure_parallelism(load_table(spark, "embeddings", sf_dir))
+    e = ensure_parallelism(
+        V.hygiene(load_table(spark, "embeddings", sf_dir))
+    )
     cent = e.filter(F.col("vec_id") < SEMDEDUP_K).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
     )

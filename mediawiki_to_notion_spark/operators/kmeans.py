@@ -71,7 +71,7 @@ def _kmeans_oracle() -> str:
     """
 
 
-@register("kmeans_lloyd_refine", oracle=_kmeans_oracle())
+@register("kmeans_lloyd_refine", oracle=V.hygiene_oracle(_kmeans_oracle()))
 def kmeans_lloyd_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """{KM_ITERS} Lloyd iterations refining the first-{KM_K} codebook
     (cosine assignment, exact-decimal mean update, 6-dp centroids).
@@ -88,7 +88,9 @@ def kmeans_lloyd_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # spread the single-file embeddings scan: assignment scoring is a
     # map-side stage and would otherwise serialize through one task
-    e = ensure_parallelism(load_table(spark, "embeddings", sf_dir))
+    e = ensure_parallelism(
+        V.hygiene(load_table(spark, "embeddings", sf_dir))
+    )
     cents = (
         e.filter(F.col("vec_id") < KM_K)
         .select(

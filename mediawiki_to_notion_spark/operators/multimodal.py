@@ -35,8 +35,15 @@ FEATURE_SCHEMA = (
 
 
 def _media_frame(d: DataFrame) -> DataFrame:
-    """documents → opaque media rows: binary payload + typed metadata."""
-    return d.select(
+    """documents → opaque media rows: binary payload + typed metadata.
+
+    Rows with a NULL payload are dropped HERE, at the media-ingest
+    boundary: every downstream Arrow kernel calls ``bytes(content)``
+    and would crash on None (the NULL-injection sweep did), and a media
+    row without bytes is the quarantine concern of ingest, not of the
+    decode stage.  Each oracle carries the matching
+    ``text IS NOT NULL``."""
+    return d.filter(F.col("text").isNotNull()).select(
         "doc_id",
         F.encode("text", "UTF-8").alias("content"),
         F.element_at(
@@ -101,7 +108,7 @@ def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 ELSE 'video/mp4' END AS media_type,
            octet_length(encode(text)) AS n_bytes,
            md5(text) AS content_md5
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     """,
 )
 def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -189,7 +196,7 @@ def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
            len(text) AS orig_chars,
            len(regexp_replace(text, '(.).', '\\1', 'gs')) AS resized_chars,
            md5(regexp_replace(text, '(.).', '\\1', 'gs')) AS resized_md5
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     """,
 )
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -206,7 +213,8 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH video AS (
       SELECT doc_id, text, greatest(len(text) // {N_FRAMES}, 1) AS stride
-      FROM documents WHERE CAST(doc_id % 3 AS INTEGER) = 2
+      FROM documents
+      WHERE CAST(doc_id % 3 AS INTEGER) = 2 AND text IS NOT NULL
     ), frames AS (
       SELECT doc_id, u.k AS frame_index,
              substr(text, u.k * stride + 1, {FRAME_LEN}) AS frame
@@ -238,7 +246,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ELSE 'video/mp4' END AS media_type,
              octet_length(encode(text)) AS n_bytes,
              ('0x' || substr(md5(text), 1, 15))::BIGINT AS checksum
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     )
     SELECT doc_id, media_type, n_bytes,
            CAST(16 + checksum % 640 AS INT) AS width,
@@ -290,7 +298,7 @@ def window_energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     oracle=f"""
     WITH audio AS (
       SELECT doc_id, text FROM documents
-      WHERE CAST(doc_id % 3 AS INTEGER) = 1
+      WHERE CAST(doc_id % 3 AS INTEGER) = 1 AND text IS NOT NULL
         AND octet_length(encode(text)) >= {ENERGY_WINDOW}
     ), bytes AS (
       SELECT a.doc_id, u.i,

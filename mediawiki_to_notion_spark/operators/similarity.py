@@ -27,7 +27,7 @@ N_PLANES = 4        # 16 LSH buckets
 
 @register(
     "similarity_topk_bruteforce",
-    oracle=f"""
+    oracle=V.hygiene_oracle(f"""
     WITH scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
              round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6)
@@ -41,12 +41,13 @@ N_PLANES = 4        # 16 LSH buckets
       FROM scored
     )
     SELECT query_id, vec_id, cosine_r FROM ranked WHERE rn <= {TOP_K}
-    """,
+    """),
 )
 def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k for each query vector: broadcast the (tiny)
-    query side, score every candidate, rank per query."""
-    e = load_table(spark, "embeddings", sf_dir)
+    query side, score every candidate, rank per query.  NULL/empty
+    vectors are hygiene-filtered (V.hygiene) before the math."""
+    e = V.hygiene(load_table(spark, "embeddings", sf_dir))
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -86,7 +87,7 @@ def _bucket_col() -> F.Column:
 
 @register(
     "similarity_lsh_bucketed",
-    oracle=f"""
+    oracle=V.hygiene_oracle(f"""
     WITH bucketed AS (
       SELECT vec_id, embedding, {_bucket_sql()} AS bucket FROM embeddings
     ), scored AS (
@@ -103,14 +104,15 @@ def _bucket_col() -> F.Column:
       FROM scored
     )
     SELECT query_id, vec_id, cosine_r FROM ranked WHERE rn <= {TOP_K}
-    """,
+    """),
 )
 def similarity_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k: random-hyperplane (SRP) LSH — sign-bit bucket
     per vector, candidates restricted to the query's bucket.  The
     bucket equi-join is the 100 TB shape: shuffle by bucket, never
-    all-pairs.  (Charikar 2002 similarity-preserving hashing.)"""
-    e = load_table(spark, "embeddings", sf_dir)
+    all-pairs.  (Charikar 2002 similarity-preserving hashing.)
+    NULL/empty vectors hygiene-filtered before bucketing."""
+    e = V.hygiene(load_table(spark, "embeddings", sf_dir))
     bucketed = e.select("vec_id", "embedding", _bucket_col().alias("bucket"))
     q = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -137,19 +139,20 @@ def similarity_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_norm_stats",
-    oracle="""
+    oracle=V.hygiene_oracle("""
     SELECT label, count(*) AS n_vectors,
            CAST(SUM(CAST(round(sqrt(list_dot_product(embedding::DOUBLE[],
                                                      embedding::DOUBLE[])), 6)
                          AS DECIMAL(18,6))) AS DOUBLE) AS total_norm,
            min(len(embedding)) AS min_dim, max(len(embedding)) AS max_dim
     FROM embeddings GROUP BY label
-    """,
+    """),
 )
 def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label vector-norm bookkeeping (norms rounded then summed as
-    decimals so the aggregate is accumulation-order-independent)."""
-    e = load_table(spark, "embeddings", sf_dir)
+    decimals so the aggregate is accumulation-order-independent).
+    NULL/empty vectors hygiene-filtered before the norm fold."""
+    e = V.hygiene(load_table(spark, "embeddings", sf_dir))
     return e.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vectors"),
         F.sum(
@@ -296,7 +299,7 @@ _PQ_CODES_SQL = f"""
 
 @register(
     "similarity_pq_encode",
-    oracle=f"""
+    oracle=V.hygiene_oracle(f"""
     WITH {_PQ_CODES_SQL}
     SELECT vec_id,
            {', '.join(
@@ -304,7 +307,7 @@ _PQ_CODES_SQL = f"""
                for j in range(PQ_M)
            )}
     FROM pq_codes GROUP BY vec_id
-    """,
+    """),
 )
 def similarity_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization (Jégou et al., IVF-PQ's compression half):
@@ -322,7 +325,9 @@ def similarity_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     data vectors is ever compared."""
     from mediawiki_to_notion_spark.plans.pipeline import ensure_parallelism
 
-    e = ensure_parallelism(load_table(spark, "embeddings", sf_dir))
+    e = ensure_parallelism(
+        V.hygiene(load_table(spark, "embeddings", sf_dir))
+    )
     codes = _pq_codes(e)
     return codes.groupBy("vec_id").agg(
         *[
@@ -338,7 +343,7 @@ PQ_TOP_K = 10
 
 @register(
     "similarity_pq_adc",
-    oracle=f"""
+    oracle=V.hygiene_oracle(f"""
     WITH {_PQ_CODES_SQL},
     lut AS (
       SELECT q.vec_id AS query_id, q.j, cb.centroid_id AS code,
@@ -358,7 +363,7 @@ PQ_TOP_K = 10
       FROM adc
     )
     SELECT query_id, vec_id, score FROM ranked WHERE rn <= {PQ_TOP_K}
-    """,
+    """),
 )
 def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric distance computation over PQ codes (the query half of
@@ -375,7 +380,9 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     6-dp rounded then summed as DECIMAL(18,6)."""
     from mediawiki_to_notion_spark.plans.pipeline import ensure_parallelism
 
-    e = ensure_parallelism(load_table(spark, "embeddings", sf_dir))
+    e = ensure_parallelism(
+        V.hygiene(load_table(spark, "embeddings", sf_dir))
+    )
     codes = _pq_codes(e)
     cb = _pq_subcodebook(e)
     qs = e.filter(F.col("vec_id") < PQ_QUERIES).select(
@@ -583,7 +590,11 @@ def knn_label_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     two tiny windows."""
     cand = similarity_lsh_bucketed(spark, sf_dir)
     e = load_table(spark, "embeddings", sf_dir)
-    labels = e.select("vec_id", "label")
+    # a neighbour with an unknown label cannot vote (and engines also
+    # disagree on NULL placement in the tie-break order — NULLS FIRST
+    # in Spark asc vs NULLS LAST in SQL: the NULL-injection sweep
+    # caught a NULL "label" winning the vote on one engine only)
+    labels = e.filter(F.col("label").isNotNull()).select("vec_id", "label")
     votes = (
         cand.join(labels, "vec_id")
         .groupBy(F.col("query_id"), F.col("label").alias("pred_label"))
@@ -595,7 +606,9 @@ def knn_label_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     pred = votes.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") == 1
     )
-    truth = labels.select(
+    # truth side stays UNfiltered: a query whose own label is unknown
+    # still gets its prediction (is_correct = NULL), matching the oracle
+    truth = e.select(
         F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
     )
     return pred.join(truth, "query_id").select(
@@ -612,6 +625,7 @@ def _register_knn_oracle() -> None:
     votes AS (
       SELECT l.query_id, e.label AS pred_label, count(*) AS n_votes
       FROM lsh l JOIN embeddings e ON l.vec_id = e.vec_id
+      WHERE e.label IS NOT NULL
       GROUP BY l.query_id, e.label
     ),
     pred AS (
