@@ -6,9 +6,15 @@ a typed metadata struct — the reference's embedded-file model
 
 The decode / feature-extract stage is a `mapInPandas` pipeline whose
 Spark-side plumbing (schema, Arrow batching, partitioning) is real and
-tested; the actual codec call is stubbed behind an import-try
-(image/audio libs are not in this container) with a deterministic fake
-so tests exercise the full path.
+tested.  Codec status (r3): **PNG and WAV decode are REAL** — pure
+stdlib codecs in ``functions.png_codec`` / ``functions.wav_codec``
+(zlib inflate + scanline unfiltering; RIFF/PCM parsing), exercised
+end-to-end through the actual mapInPandas kernels in
+``tests/test_multimodal_codecs.py``.  Compressed formats a stdlib
+cannot express (JPEG, MP3, H.264) remain behind an import-try on
+PIL/libvips with a clear ``NotImplementedError``; the registered
+oracle queries keep the deterministic md5 stand-in so their
+cross-engine value checks stay engine-computable.
 """
 
 from __future__ import annotations
@@ -58,14 +64,43 @@ def _media_frame(d: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(content: bytes) -> tuple[int, int]:  # pragma: no cover
-    """Real decode path — requires an imaging library.
+def decode_image(content: bytes) -> tuple[int, int]:
+    """REAL image decode: PNG via the pure-stdlib codec
+    (functions.png_codec — zlib inflate + scanline unfiltering), any
+    other format via PIL when present.  Raises NotImplementedError
+    naming the format when neither path applies (JPEG etc. without
+    PIL) — the pipeline's quarantine layer routes those rows."""
+    from mediawiki_to_notion_spark.functions.png_codec import (
+        _SIGNATURE,
+        decode_png,
+    )
 
-    STUB: PIL/libvips are not available in this environment; the
-    mapInPandas pipeline below substitutes :func:`fake_decode`."""
-    if not HAVE_PIL:
-        raise NotImplementedError("image decoding requires PIL/pyvips")
-    raise NotImplementedError("wire Image.open(BytesIO(content)).size here")
+    if content[:8] == _SIGNATURE:
+        w, h, _pixels = decode_png(content)
+        return w, h
+    if HAVE_PIL:  # pragma: no cover - PIL absent in this container
+        import io
+
+        with Image.open(io.BytesIO(content)) as im:
+            return im.size
+    raise NotImplementedError(
+        f"no decoder for magic {content[:4]!r} (PNG is built in; "
+        "other formats need PIL/pyvips)"
+    )
+
+
+def decode_audio(content: bytes) -> tuple[int, int, int]:
+    """REAL audio decode: WAV/PCM via the pure-stdlib RIFF parser
+    (functions.wav_codec) → (sample_rate, channels, n_samples)."""
+    from mediawiki_to_notion_spark.functions.wav_codec import decode_wav
+
+    if content[:4] == b"RIFF":
+        rate, channels, samples = decode_wav(content)
+        return rate, channels, len(samples)
+    raise NotImplementedError(
+        f"no decoder for magic {content[:4]!r} (WAV is built in; "
+        "compressed audio needs an audio library)"
+    )
 
 
 def fake_decode(content: bytes) -> tuple[int, int, int]:
@@ -80,6 +115,48 @@ def fake_decode(content: bytes) -> tuple[int, int, int]:
     w = 16 + checksum % 640
     h = 16 + (checksum // 640) % 480
     return w, h, checksum
+
+
+REAL_FEATURE_SCHEMA = (
+    "doc_id long, media_type string, n_bytes int, width int, height int, "
+    "sample_rate int, channels int, n_samples int, decode_error string"
+)
+
+
+def extract_real_features(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker over REAL media bytes: PNG payloads decode to
+    (width, height), WAV payloads to (sample_rate, channels,
+    n_samples); anything undecodable carries its error in
+    ``decode_error`` instead of killing the task — the per-row
+    quarantine discipline every 100 TB media scan needs (one corrupt
+    image out of a billion must not fail the stage)."""
+    for pdf in batches:
+        rows = []
+        for doc_id, media_type, content in zip(
+            pdf["doc_id"], pdf["media_type"], pdf["content"]
+        ):
+            data = bytes(content)
+            w = h = rate = ch = ns = None
+            err = None
+            try:
+                if media_type.startswith("image/"):
+                    w, h = decode_image(data)
+                elif media_type.startswith("audio/"):
+                    rate, ch, ns = decode_audio(data)
+                else:
+                    err = f"no decoder for media_type {media_type}"
+            except Exception as e:  # noqa: BLE001 — per-row quarantine
+                err = f"{type(e).__name__}: {e}"
+            rows.append(
+                (doc_id, media_type, len(data), w, h, rate, ch, ns, err)
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "media_type", "n_bytes", "width", "height",
+                     "sample_rate", "channels", "n_samples", "decode_error"],
+        )
 
 
 def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

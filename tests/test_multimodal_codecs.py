@@ -1,0 +1,142 @@
+"""Real PNG/WAV codecs (pure stdlib) + the real-decode Spark pipeline.
+
+These close the r2 'real image/audio codecs absent' gap to the extent
+the environment allows: PNG (zlib + scanline filters) and WAV
+(RIFF/PCM) are fully decodable with the standard library, so those
+paths are REAL; only formats needing external codecs (JPEG/MP3/H.264)
+stay stubbed behind import-tries.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from mediawiki_to_notion_spark.functions.png_codec import (
+    PNGError,
+    UnsupportedPNGError,
+    decode_png,
+    encode_png,
+)
+from mediawiki_to_notion_spark.functions.wav_codec import (
+    UnsupportedWAVError,
+    WAVError,
+    decode_wav,
+    encode_wav,
+)
+
+
+def _image(h, w, channels, seed):
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if channels == 1 else (h, w, 3)
+    return rng.integers(0, 256, size=shape, dtype=np.uint8)
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("channels", [1, 3])
+def test_png_roundtrip_every_filter(filter_type, channels):
+    """Every scanline filter the spec defines decodes back bit-exact,
+    for grayscale and RGB."""
+    img = _image(13, 17, channels, seed=filter_type * 10 + channels)
+    data = encode_png(img, filter_type=filter_type)
+    w, h, out = decode_png(data)
+    assert (w, h) == (17, 13)
+    np.testing.assert_array_equal(out, img)
+
+
+def test_png_gradient_and_edge_sizes():
+    # gradients stress Sub/Average/Paeth correctness; 1x1 and 1xN are
+    # the degenerate strides
+    grad = np.add.outer(np.arange(64), np.arange(64)).astype(np.uint8)
+    for ft in range(5):
+        _, _, out = decode_png(encode_png(grad, filter_type=ft))
+        np.testing.assert_array_equal(out, grad)
+    one = np.array([[7]], dtype=np.uint8)
+    assert decode_png(encode_png(one))[2][0, 0] == 7
+    row = np.arange(256, dtype=np.uint8).reshape(1, 256)
+    np.testing.assert_array_equal(decode_png(encode_png(row, 4))[2], row)
+
+
+def test_png_rejects_malformed_and_unsupported():
+    img = _image(4, 4, 1, seed=1)
+    good = encode_png(img)
+    with pytest.raises(PNGError, match="signature"):
+        decode_png(b"JFIF" + good[4:])
+    corrupt = bytearray(good)
+    corrupt[40] ^= 0xFF  # flip a byte inside IHDR/IDAT → CRC fails
+    with pytest.raises(PNGError, match="CRC"):
+        decode_png(bytes(corrupt))
+    # unsupported subset features are named, not mis-decoded
+    import struct as _s
+    import zlib as _z
+    ihdr16 = _s.pack(">IIBBBBB", 4, 4, 16, 0, 0, 0, 0)
+    chunk = _s.pack(">I", len(ihdr16)) + b"IHDR" + ihdr16 + _s.pack(
+        ">I", _z.crc32(b"IHDR" + ihdr16) & 0xFFFFFFFF
+    )
+    with pytest.raises(UnsupportedPNGError, match="bit depth 16"):
+        decode_png(good[:8] + chunk)
+
+
+@pytest.mark.parametrize("dtype,depth", [(np.uint8, 8), (np.int16, 16),
+                                         (np.int32, 32)])
+def test_wav_roundtrip_depths(dtype, depth):
+    rng = np.random.default_rng(depth)
+    info = np.iinfo(dtype)
+    mono = rng.integers(info.min, info.max, size=500).astype(dtype)
+    rate, ch, out = decode_wav(encode_wav(mono, sample_rate=22050))
+    assert (rate, ch) == (22050, 1)
+    np.testing.assert_array_equal(out[:, 0], mono)
+    stereo = rng.integers(info.min, info.max, size=(300, 2)).astype(dtype)
+    rate, ch, out = decode_wav(encode_wav(stereo, sample_rate=8000))
+    assert (rate, ch) == (8000, 2)
+    np.testing.assert_array_equal(out, stereo)
+
+
+def test_wav_rejects_malformed_and_unsupported():
+    with pytest.raises(WAVError, match="RIFF"):
+        decode_wav(b"OggS" + b"\x00" * 40)
+    good = encode_wav(np.zeros(10, dtype=np.int16))
+    # flip the PCM format tag to 3 (IEEE float) — named, not mis-read
+    bad = bytearray(good)
+    assert bad[20] == 1
+    bad[20] = 3
+    with pytest.raises(UnsupportedWAVError, match="format tag 3"):
+        decode_wav(bytes(bad))
+
+
+def test_real_decode_pipeline_in_spark(spark):
+    """End-to-end: REAL PNG and WAV bytes flow through the actual
+    mapInPandas kernel; dimensions/rates come from genuinely parsed
+    headers and a corrupt payload lands in decode_error instead of
+    failing the stage."""
+    from mediawiki_to_notion_spark.operators.multimodal import (
+        REAL_FEATURE_SCHEMA,
+        extract_real_features,
+    )
+
+    rows = [
+        (1, "image/png", bytearray(encode_png(_image(24, 32, 3, seed=9),
+                                              filter_type=4))),
+        (2, "image/png", bytearray(encode_png(_image(5, 7, 1, seed=2)))),
+        (3, "audio/wav", bytearray(encode_wav(
+            np.arange(-400, 400, dtype=np.int16), sample_rate=44100))),
+        (4, "image/png", bytearray(b"\x89PNG\r\n\x1a\nGARBAGE")),
+        (5, "image/jpeg", bytearray(b"\xff\xd8\xff\xe0 not decodable")),
+    ]
+    src = spark.createDataFrame(
+        rows, "doc_id long, media_type string, content binary"
+    )
+    out = {
+        r.doc_id: r
+        for r in src.mapInPandas(
+            extract_real_features, REAL_FEATURE_SCHEMA
+        ).collect()
+    }
+    assert (out[1].width, out[1].height) == (32, 24)
+    assert out[1].decode_error is None
+    assert (out[2].width, out[2].height) == (7, 5)
+    assert (out[3].sample_rate, out[3].channels, out[3].n_samples) == \
+        (44100, 1, 800)
+    assert out[4].decode_error is not None and out[4].width is None
+    assert out[5].decode_error is not None  # JPEG without PIL → quarantined
+    assert out[5].width is None  # undecodable never fabricates dims
