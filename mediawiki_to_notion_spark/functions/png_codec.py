@@ -28,6 +28,20 @@ import numpy as np
 _SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
 
+def resize_nearest(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbour raster resize (the minimal real resample op,
+    co-located with the raster codec): pixel-center mapping
+    src = floor((dst + 0.5) * scale), the convention PIL NEAREST and
+    OpenCV INTER_NEAREST share."""
+    a = np.asarray(pixels)
+    h, w = a.shape[:2]
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError(f"bad target size {out_w}x{out_h}")
+    ys = np.minimum(((np.arange(out_h) + 0.5) * h / out_h).astype(int), h - 1)
+    xs = np.minimum(((np.arange(out_w) + 0.5) * w / out_w).astype(int), w - 1)
+    return a[ys][:, xs]
+
+
 class PNGError(ValueError):
     """Malformed PNG byte stream."""
 

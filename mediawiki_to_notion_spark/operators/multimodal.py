@@ -159,6 +159,47 @@ def extract_real_features(
         )
 
 
+RESIZE_REAL_SCHEMA = (
+    "doc_id long, orig_width int, orig_height int, width int, height int, "
+    "resized_png binary, decode_error string"
+)
+
+
+def resize_real_media(
+    batches: Iterator[pd.DataFrame], out_w: int = 16, out_h: int = 16
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: REAL decode→resize→re-encode loop for PNG
+    payloads — parse pixels, nearest-neighbour resample to
+    (out_w, out_h), emit a fresh PNG.  Per-row errors quarantine in
+    ``decode_error``; the output column is itself decodable, so a
+    downstream stage can chain on it (thumbnail pipelines do)."""
+    from mediawiki_to_notion_spark.functions.png_codec import (
+        decode_png,
+        encode_png,
+        resize_nearest,
+    )
+
+    for pdf in batches:
+        rows = []
+        for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+            ow = oh = None
+            out = None
+            err = None
+            try:
+                ow, oh, px = decode_png(bytes(content))
+                out = encode_png(resize_nearest(px, out_w, out_h))
+            except Exception as e:  # noqa: BLE001 — per-row quarantine
+                err = f"{type(e).__name__}: {e}"
+            rows.append((doc_id, ow, oh,
+                         out_w if out else None, out_h if out else None,
+                         out, err))
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "orig_width", "orig_height", "width",
+                     "height", "resized_png", "decode_error"],
+        )
+
+
 def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas worker: one Arrow batch in, one feature batch out.
     Bounded memory per task regardless of total corpus size."""

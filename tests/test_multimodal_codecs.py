@@ -104,6 +104,48 @@ def test_wav_rejects_malformed_and_unsupported():
         decode_wav(bytes(bad))
 
 
+def test_resize_nearest_semantics():
+    from mediawiki_to_notion_spark.functions.png_codec import resize_nearest
+
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    # 2x downsample picks pixel centers: rows/cols 1 and 3 under the
+    # (dst+0.5)*scale convention
+    np.testing.assert_array_equal(
+        resize_nearest(img, 2, 2), img[[1, 3]][:, [1, 3]]
+    )
+    # identity resize is exact
+    np.testing.assert_array_equal(resize_nearest(img, 4, 4), img)
+    # upsample replicates without fabricating values
+    up = resize_nearest(img, 8, 8)
+    assert up.shape == (8, 8) and set(up.ravel()) <= set(img.ravel())
+
+
+def test_real_resize_pipeline_in_spark(spark):
+    """decode→resize→re-encode over real PNG bytes in mapInPandas; the
+    emitted thumbnails are themselves decodable (chainable stage)."""
+    from mediawiki_to_notion_spark.operators.multimodal import (
+        RESIZE_REAL_SCHEMA,
+        resize_real_media,
+    )
+
+    img = _image(40, 60, 3, seed=5)
+    rows = [
+        (1, bytearray(encode_png(img, filter_type=3))),
+        (2, bytearray(b"\x89PNG\r\n\x1a\nnot really")),
+    ]
+    src = spark.createDataFrame(rows, "doc_id long, content binary")
+    out = {
+        r.doc_id: r
+        for r in src.mapInPandas(resize_real_media, RESIZE_REAL_SCHEMA).collect()
+    }
+    assert (out[1].orig_width, out[1].orig_height) == (60, 40)
+    w, h, thumb = decode_png(bytes(out[1].resized_png))
+    assert (w, h) == (16, 16)
+    # thumbnail pixels are actual source pixels (nearest-neighbour)
+    assert thumb.dtype == np.uint8 and thumb.shape == (16, 16, 3)
+    assert out[2].decode_error is not None and out[2].resized_png is None
+
+
 def test_real_decode_pipeline_in_spark(spark):
     """End-to-end: REAL PNG and WAV bytes flow through the actual
     mapInPandas kernel; dimensions/rates come from genuinely parsed
