@@ -74,15 +74,26 @@ def _confirmed() -> tuple[set[str], dict[str, int]]:
 # dedup_connected_components — re-confirmed in CORRECTNESS_r02 and
 # expired out.)  pack_sequences_greedy: r3 rewrite — partitioned
 # two-pass prefix sum + BIGINT-cast oracle after its r2 hash_match:false.
-#
-# NOT rechecked, deliberately: the r3 NULL-hardening touched a dozen
-# already-confirmed queries (vector hygiene filters, to_json-parity
-# oracle, media NULL guards).  On the driver's NULL-free data every one
-# is a semantic no-op — verified bit-identical via oracle.compare (the
-# gate's own check) at sf0.01 — so fronting them would displace
-# never-checked backlog queries from the ~50-slot window for zero new
-# information; they re-gate through the natural rotation instead.
 _RECHECK = {"pack_sequences_greedy": 3}
+
+# SOFT rechecks: confirmed queries EDITED since their green row where
+# the edit is a verified semantic no-op on the driver's data (the r3
+# NULL-hardening: vector hygiene filters, to_json-parity oracle, media
+# NULL guards — each re-verified bit-identical via oracle.compare at
+# sf0.01).  Hard-fronting them would displace never-checked backlog
+# queries for zero new information, but pure rotation could leave the
+# stale status standing for several rounds — so they slot BEHIND the
+# unconfirmed backlog and AHEAD of the confirmed tail: re-gated the
+# moment the window has room.  Same expiry rule as _RECHECK.
+_RECHECK_SOFT = {n: 3 for n in (
+    "similarity_topk_bruteforce", "similarity_lsh_bucketed",
+    "embedding_norm_stats", "similarity_lsh_recall",
+    "similarity_ivf_probe", "dedup_embedding_cosine",
+    "dedup_embedding_cosine_lsh", "dedup_cosine_lsh_recall",
+    "json_encode_struct", "markdown_block_explode",
+    "multimodal_binary_stats", "multimodal_resize",
+    "multimodal_frame_sample",
+)}
 # Added after the current round's ~50-query window filled; placed right
 # behind the fresh backlog (locally oracle-checked already).  All
 # round-2 additions queue here so the r1-era never-driver-checked
@@ -131,7 +142,8 @@ _DEFER = ["multimodal_feature_extract",  # upgraded rows-only -> oracled
 # slot (the `n in QUERIES` filters below would just drop it).  Fail
 # loudly at import instead; the driver imports this module, so a broken
 # rotation can never reach the gate unnoticed.
-_unknown = [n for n in (*_RECHECK, *_DEFER) if n not in QUERIES]
+_unknown = [n for n in (*_RECHECK, *_RECHECK_SOFT, *_DEFER)
+            if n not in QUERIES]
 assert not _unknown, f"rotation names not in registry: {_unknown}"
 assert len(_DEFER) == len(set(_DEFER)), "duplicate names in _DEFER"
 
@@ -149,15 +161,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         n for n, rewritten_in in _RECHECK.items()
         if n in QUERIES and last_round.get(n, 0) < rewritten_in
     ]
+    soft = [
+        n for n, rewritten_in in _RECHECK_SOFT.items()
+        if n in QUERIES and last_round.get(n, 0) < rewritten_in
+        and n not in recheck
+    ]
     defer = [n for n in _DEFER
              if n in QUERIES and n not in confirmed and n not in recheck]
-    front = set(recheck) | set(defer)
+    front = set(recheck) | set(defer) | set(soft)
     fresh = [n for n in QUERIES if n not in confirmed and n not in front]
-    rest = [n for n in QUERIES if n in confirmed and n not in front]
+    rest = [n for n in QUERIES
+            if n in confirmed and n not in front]
     # rechecks lead (rewritten since their last green row — stale status
     # is worse than no status), then the fresh backlog, then deferred
-    # newcomers, then the confirmed remainder
-    return {n: QUERIES[n] for n in (*recheck, *fresh, *defer, *rest)}
+    # newcomers, then soft rechecks (no-op edits, re-gated as soon as
+    # the window has room), then the confirmed remainder
+    return {n: QUERIES[n] for n in (*recheck, *fresh, *defer, *soft, *rest)}
 
 
 def oracle_sql() -> dict[str, str]:

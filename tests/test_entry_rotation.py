@@ -22,9 +22,9 @@ def test_unconfirmed_queries_front_the_window(tmp_path, monkeypatch):
         1: {n: {"hash_match": True} for n in some},
     })
     names = list(ent.queries())
-    assert set(names[-len(some):]) >= set(some) - set(ent._RECHECK) - set(ent._DEFER)
-    assert all(n not in some or n in ent._RECHECK or n in ent._DEFER
-               for n in names[:5])
+    pinned = set(ent._RECHECK) | set(ent._RECHECK_SOFT) | set(ent._DEFER)
+    assert set(names[-len(some):]) >= set(some) - pinned
+    assert all(n not in some or n in pinned for n in names[:5])
 
 
 def test_recheck_expires_at_or_after_rewrite_round(tmp_path, monkeypatch):
@@ -81,6 +81,40 @@ def test_rows_only_confirmation_expires_when_oracle_added(tmp_path,
         names.index(n) for n in others
         if n not in ent._RECHECK and n not in ent._DEFER
     )
+
+
+def test_soft_recheck_sits_between_backlog_and_confirmed(tmp_path,
+                                                         monkeypatch):
+    """Soft rechecks (no-op edits of confirmed queries) must come AFTER
+    every unconfirmed query but BEFORE the confirmed tail, and expire
+    once re-confirmed at/after their rewrite round."""
+    soft = next(iter(ent._RECHECK_SOFT))
+    rewrite_round = ent._RECHECK_SOFT[soft]
+    plain = [n for n in list(ent.QUERIES)
+             if n not in ent._RECHECK and n not in ent._RECHECK_SOFT
+             and n not in ent._DEFER][:5]
+    # soft confirmed BEFORE its rewrite round, plain queries confirmed
+    _fake_rounds(tmp_path, monkeypatch, {
+        rewrite_round - 1: {soft: {"hash_match": True},
+                            **{n: {"hash_match": True} for n in plain}},
+    })
+    names = list(ent.queries())
+    confirmed, _ = ent._confirmed()
+    i_soft = names.index(soft)
+    # behind every unconfirmed query (other soft members are themselves
+    # in the soft band, so exclude the band)...
+    assert all(names.index(n) < i_soft
+               for n in names
+               if n not in confirmed and n not in ent._RECHECK_SOFT)
+    # ...but ahead of every plain confirmed query
+    assert all(i_soft < names.index(n) for n in plain)
+    # re-confirmation at the rewrite round expires it behind the plains
+    _fake_rounds(tmp_path, monkeypatch, {
+        rewrite_round - 1: {n: {"hash_match": True} for n in plain},
+        rewrite_round: {soft: {"hash_match": True}},
+    })
+    names = list(ent.queries())
+    assert names.index(soft) > min(names.index(n) for n in plain)
 
 
 def test_no_correctness_files_means_everything_fresh(tmp_path, monkeypatch):
