@@ -104,6 +104,40 @@ def test_wav_rejects_malformed_and_unsupported():
         decode_wav(bytes(bad))
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 24), w=st.integers(1, 24),
+        channels=st.sampled_from([1, 3]),
+        filter_type=st.integers(0, 4), seed=st.integers(0, 2**16),
+    )
+    def test_png_roundtrip_fuzz(h, w, channels, filter_type, seed):
+        img = _image(h, w, channels, seed)
+        ww, hh, out = decode_png(encode_png(img, filter_type=filter_type))
+        assert (ww, hh) == (w, h)
+        np.testing.assert_array_equal(out, img)
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        n=st.integers(1, 400), channels=st.integers(1, 4),
+        depth=st.sampled_from([8, 16, 32]),
+        rate=st.integers(1, 192000), seed=st.integers(0, 2**16),
+    )
+    def test_wav_roundtrip_fuzz(n, channels, depth, rate, seed):
+        dtype = {8: np.uint8, 16: np.int16, 32: np.int32}[depth]
+        info = np.iinfo(dtype)
+        rng = np.random.default_rng(seed)
+        s = rng.integers(info.min, info.max, size=(n, channels)).astype(dtype)
+        r, ch, out = decode_wav(encode_wav(s, sample_rate=rate))
+        assert (r, ch) == (rate, channels)
+        np.testing.assert_array_equal(out, s)
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
+
+
 def test_resize_nearest_semantics():
     from mediawiki_to_notion_spark.functions.png_codec import resize_nearest
 
