@@ -1,0 +1,151 @@
+"""WARC source: split-safety, gzip member sync, HTTP payload parsing.
+
+The invariant under test is the same one the XML dump scanner pins:
+for ANY split size, the union of per-split records equals the
+whole-file read, each record exactly once.
+"""
+
+from __future__ import annotations
+
+import io
+
+import pytest
+
+from mediawiki_to_notion_spark.sources.warc import (
+    WARCError,
+    encode_warc_record,
+    encode_warc_record_gz,
+    iter_warc_records_gz,
+    iter_warc_records_plain,
+    read_warc,
+)
+
+
+def _corpus(n=40):
+    """n records with wildly varying payload sizes, including one whose
+    BODY embeds WARC-looking decoy bytes (no inter-record CRLF context,
+    so sync validation must reject it)."""
+    recs = []
+    for k in range(n):
+        payload = (f"payload-{k}-" + "x" * ((k * 137) % 5000)).encode()
+        if k == 7:
+            payload += b"\nWARC/1.0\r\nnot-a-header\r\n"  # decoy, malformed
+        headers = {
+            "WARC-Type": "resource",
+            "WARC-Record-ID": f"<urn:test:{k}>",
+            "WARC-Target-URI": f"https://example.org/{k}",
+            "WARC-Date": "2026-08-14T00:00:00Z",
+            "Content-Type": "text/plain",
+        }
+        recs.append((headers, payload))
+    return recs
+
+
+def _plain_bytes(recs):
+    return b"".join(encode_warc_record(h, p) for h, p in recs)
+
+
+def _gz_bytes(recs):
+    return b"".join(encode_warc_record_gz(h, p) for h, p in recs)
+
+
+@pytest.mark.parametrize("gz", [False, True])
+@pytest.mark.parametrize("split", [1, 100, 1777, 4096, 10_000_000])
+def test_split_union_equals_whole(gz, split):
+    recs = _corpus()
+    data = _gz_bytes(recs) if gz else _plain_bytes(recs)
+    it = iter_warc_records_gz if gz else iter_warc_records_plain
+    whole = list(it(io.BytesIO(data), 0, len(data)))
+    assert [h["WARC-Record-ID"] for _, h, _ in whole] == \
+        [h["WARC-Record-ID"] for h, _ in recs]
+    assert [p for _, _, p in whole] == [p for _, p in recs]
+
+    pieces = []
+    start = 0
+    while start < len(data):
+        end = min(start + split, len(data))
+        pieces.extend(it(io.BytesIO(data), start, end))
+        start = end
+    assert [h["WARC-Record-ID"] for _, h, _ in pieces] == \
+        [h["WARC-Record-ID"] for _, h, _ in whole]
+    assert [o for o, _, _ in pieces] == [o for o, _, _ in whole]
+
+
+def test_plain_sync_rejects_wellformed_decoy_without_boundary_context():
+    """A payload embedding a HEADER-valid WARC fragment not preceded by
+    CRLF CRLF must not fool the sync scan."""
+    decoy = (b"before " + b"WARC/1.0\r\nWARC-Type: resource\r\n"
+             b"Content-Length: 3\r\n\r\nabc\r\n\r\n" + b"after")
+    recs = [({"WARC-Type": "resource", "WARC-Record-ID": "<urn:a>"}, decoy),
+            ({"WARC-Type": "resource", "WARC-Record-ID": "<urn:b>"}, b"tail")]
+    data = _plain_bytes(recs)
+    # sync from inside record a's payload, before the decoy: the only
+    # boundary at-or-after it within range is record b's
+    inside = data.find(b"before") + 2
+    got = list(iter_warc_records_plain(io.BytesIO(data), inside, len(data)))
+    assert [h["WARC-Record-ID"] for _, h, _ in got] == ["<urn:b>"]
+
+
+def test_gz_sync_rejects_false_magic():
+    """Gzip magic bytes inside a compressed body must fail the
+    inflate-and-check proof, not desync the scan."""
+    recs = [({"WARC-Type": "resource", "WARC-Record-ID": f"<urn:{k}>"},
+             b"\x1f\x8b\x08" * 50 + b"junk" * 200) for k in range(5)]
+    data = _gz_bytes(recs)
+    for split in (64, 257, 1000):
+        pieces = []
+        start = 0
+        while start < len(data):
+            pieces.extend(iter_warc_records_gz(
+                io.BytesIO(data), start, min(start + split, len(data))))
+            start += split
+        assert [h["WARC-Record-ID"] for _, h, _ in pieces] == \
+            [h["WARC-Record-ID"] for h, _ in recs]
+
+
+def test_corrupt_record_raises_with_offset():
+    recs = _corpus(3)
+    data = bytearray(_plain_bytes(recs))
+    # wreck record 1's Content-Length value
+    i = data.find(b"Content-Length", data.find(b"<urn:test:1>"))
+    data[i + 16:i + 18] = b"xx"
+    with pytest.raises(WARCError):
+        list(iter_warc_records_plain(io.BytesIO(bytes(data)), 0, len(data)))
+
+
+def test_read_warc_in_spark(spark, tmp_path):
+    """End-to-end: plain + gzip files in one directory, tiny split size
+    so splits genuinely exercise sync; HTTP response payloads split
+    into status/content-type/body."""
+    http_payload = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+        b"Server: test\r\n\r\n<html>hello</html>"
+    )
+    recs = _corpus(12)
+    recs.append((
+        {"WARC-Type": "response", "WARC-Record-ID": "<urn:test:http>",
+         "WARC-Target-URI": "https://example.org/page",
+         "WARC-Date": "2026-08-14T00:00:00Z",
+         "Content-Type": "application/http; msgtype=response"},
+        http_payload,
+    ))
+    (tmp_path / "a.warc").write_bytes(_plain_bytes(recs[:7]))
+    (tmp_path / "b.warc.gz").write_bytes(_gz_bytes(recs[7:]))
+
+    df = read_warc(spark, str(tmp_path), split_bytes=1 << 20)
+    rows = {r.record_id: r for r in df.collect()}
+    assert len(rows) == len(recs)
+    ids = {h["WARC-Record-ID"] for h, _ in recs}
+    assert set(rows) == ids
+    hr = rows["<urn:test:http>"]
+    assert hr.http_status == 200
+    assert hr.http_content_type == "text/html; charset=utf-8"
+    assert bytes(hr.payload) == b"<html>hello</html>"
+    assert rows["<urn:test:0>"].http_status is None
+    assert bytes(rows["<urn:test:3>"].payload) == recs[3][1]
+    # offsets are per-file record starts: unique within each file
+    per_file = {}
+    for r in rows.values():
+        per_file.setdefault(r.source_file, []).append(r.offset)
+    for offs in per_file.values():
+        assert len(offs) == len(set(offs))
