@@ -383,6 +383,67 @@ def _list_files(path: str) -> list[str]:
     return sorted(glob.glob(path)) or [path]
 
 
+def html_to_text(col: F.Column) -> F.Column:
+    """Naive JVM-side HTML → text: drop script/style subtrees, strip
+    tags, unescape the common entities, collapse whitespace.  All
+    codegen'd regexp_replace — no Python in the hot path.  (A
+    production extractor — trafilatura/jusText — slots in as an Arrow
+    kernel behind the same column contract.)"""
+    t = F.regexp_replace(col, r"(?is)<(script|style)[^>]*>.*?</\1>", " ")
+    t = F.regexp_replace(t, r"(?i)<(br|/p|/div|/li|/h[1-6]|/tr)[^>]*>", "\n")
+    t = F.regexp_replace(t, r"<[^>]*>", " ")
+    for ent, ch in (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                    ("&quot;", "\""), ("&#39;", "'"), ("&amp;", "&")):
+        t = F.regexp_replace(t, ent, ch)
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def warc_to_documents(warc: DataFrame) -> DataFrame:
+    """Crawl records → the engine's ``documents`` contract (doc_id,
+    text, lang, source, n_chars), so every registered operator —
+    the filter funnel, the dedup family, shard assignment, the whole
+    corpus_prepare composition — runs on a crawl unchanged.
+
+    - keeps HTTP 200 text/* responses only (the quarantine cut);
+    - text: payload decoded UTF-8, HTML stripped JVM-side;
+    - doc_id: content-addressed 60-bit md5 of the target URI — stable
+      across re-crawls, re-splits, and retries;
+    - lang: the engine's lexicon-anchor predictor
+      (functions.text.lang_predict);
+    - source: the URI host (the per-domain mixture key).
+
+    Narrow ops only — the conversion plans beside the WARC scan with
+    zero shuffles."""
+    from mediawiki_to_notion_spark.functions import text as tx
+
+    kept = warc.filter(
+        (F.col("record_type") == "response")
+        & (F.col("http_status") == 200)
+        & (F.col("http_content_type").startswith("text/"))
+        & F.col("payload").isNotNull()
+    )
+    # binary→string CAST, not decode(): Catalyst legitimately pushes
+    # downstream predicates (rewritten through this projection) below
+    # the content-type filter, so the conversion can run on non-text
+    # payloads — decode() raises MALFORMED_CHARACTER_CODING under ANSI
+    # on the first PNG, while the cast substitutes U+FFFD and the
+    # filters then drop the row (observed, pinned by the bridge test)
+    raw = F.col("payload").cast("string")
+    text = F.when(
+        F.col("http_content_type").startswith("text/html"),
+        html_to_text(raw),
+    ).otherwise(F.trim(raw))
+    return kept.select(
+        F.conv(
+            F.substring(F.md5(F.col("target_uri")), 1, 15), 16, 10
+        ).cast("long").alias("doc_id"),
+        text.alias("text"),
+        tx.lang_predict(text).alias("lang"),
+        F.expr("parse_url(target_uri, 'HOST')").alias("source"),
+        F.length(text).cast("long").alias("n_chars"),
+    )
+
+
 def read_warc(spark: SparkSession, path: str,
               split_bytes: int | None = None) -> DataFrame:
     """WARC file(s)/dir/glob → one row per record, split-parallel.

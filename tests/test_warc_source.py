@@ -113,6 +113,67 @@ def test_corrupt_record_raises_with_offset():
         list(iter_warc_records_plain(io.BytesIO(bytes(data)), 0, len(data)))
 
 
+def test_warc_to_documents_feeds_corpus_pipeline(spark, tmp_path):
+    """The crawl bridge: WARC response records become documents-contract
+    rows (content-addressed ids, stripped HTML, predicted lang, host as
+    source) that the registered corpus operators consume unchanged."""
+    from mediawiki_to_notion_spark.operators.corpus_quality import (
+        apply_funnel,
+    )
+    from mediawiki_to_notion_spark.sources.warc import warc_to_documents
+
+    # must pass the registered funnel: >=20 tokens, <500 chars, mostly
+    # distinct words, English anchor words for the lang predictor
+    prose = ("the quick river is of a bright valley and "
+             + " ".join(f"word{i}" for i in range(20)))
+    body = ("<html><head><style>p{color:red}</style>"
+            "<script>var x = 1 &amp;&amp; 2;</script></head><body>"
+            f"<h1>Title</h1><p>{prose} "
+            "&amp; more &lt;tags&gt;</p></body></html>").encode()
+    pages = []
+    for k in range(4):
+        pages.append((
+            {"WARC-Type": "response",
+             "WARC-Record-ID": f"<urn:test:p{k}>",
+             "WARC-Target-URI": f"https://site{k % 2}.example.org/a/{k}",
+             "Content-Type": "application/http; msgtype=response"},
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body,
+        ))
+    # a 404 and a non-text response must be cut by the bridge
+    pages.append((
+        {"WARC-Type": "response", "WARC-Record-ID": "<urn:test:miss>",
+         "WARC-Target-URI": "https://site0.example.org/missing",
+         "Content-Type": "application/http; msgtype=response"},
+        b"HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n\r\ngone",
+    ))
+    pages.append((
+        {"WARC-Type": "response", "WARC-Record-ID": "<urn:test:img>",
+         "WARC-Target-URI": "https://site0.example.org/i.png",
+         "Content-Type": "application/http; msgtype=response"},
+        b"HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n\r\n\x89PNG....",
+    ))
+    (tmp_path / "crawl.warc.gz").write_bytes(_gz_bytes(pages))
+
+    docs = warc_to_documents(read_warc(spark, str(tmp_path)))
+    rows = docs.collect()
+    assert len(rows) == 4  # 404 and image cut
+    by_src = {r.source for r in rows}
+    assert by_src == {"site0.example.org", "site1.example.org"}
+    for r in rows:
+        # markup gone (tags, script/style bodies) — but entity-decoded
+        # literals like "<tags>" survive as text
+        assert "<html" not in r.text and "<p>" not in r.text
+        assert "color:red" not in r.text and "var x" not in r.text
+        assert "& more <tags>" in r.text        # entities unescaped
+        assert r.text.startswith("Title")
+        assert r.lang == "en"                   # lexicon anchors hit
+        assert r.n_chars == len(r.text)
+    assert len({r.doc_id for r in rows}) == 4   # content-addressed ids
+    # the registered funnel consumes the frame unchanged
+    funneled = apply_funnel(docs.select("doc_id", "lang", "text", "n_chars"))
+    assert funneled.filter("keep").count() == 4
+
+
 def test_read_warc_in_spark(spark, tmp_path):
     """End-to-end: plain + gzip files in one directory, tiny split size
     so splits genuinely exercise sync; HTTP response payloads split
