@@ -71,6 +71,48 @@ def test_split_union_equals_whole(gz, split):
     assert [o for o, _, _ in pieces] == [o for o, _, _ in whole]
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        sizes=st.lists(st.integers(0, 3000), min_size=1, max_size=20),
+        split=st.integers(1, 6000),
+        gz=st.booleans(),
+        data=st.data(),
+    )
+    def test_warc_split_safety_fuzz(sizes, split, gz, data):
+        """For ANY corpus and ANY split size, split-union == whole —
+        payloads are arbitrary bytes (may embed markers/magics)."""
+        recs = []
+        for k, n in enumerate(sizes):
+            payload = bytes(data.draw(st.binary(min_size=n, max_size=n)))
+            recs.append((
+                {"WARC-Type": "resource", "WARC-Record-ID": f"<urn:f{k}>"},
+                payload,
+            ))
+        raw = _gz_bytes(recs) if gz else _plain_bytes(recs)
+        it = iter_warc_records_gz if gz else iter_warc_records_plain
+        pieces = []
+        start = 0
+        while start < len(raw):
+            pieces.extend(
+                it(io.BytesIO(raw), start, min(start + split, len(raw)))
+            )
+            start += split
+        # arbitrary binary payloads can in principle embed a byte-exact
+        # valid record (the documented uncompressed-layout caveat), so
+        # assert the whole-read is a subsequence-equal of pieces only
+        # when ids match — in practice random bytes never form one, and
+        # a mismatch here is a real bug
+        assert [h["WARC-Record-ID"] for _, h, _ in pieces] == \
+            [h["WARC-Record-ID"] for h, _ in recs]
+        assert [p for _, _, p in pieces] == [p for h, p in recs]
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
+
+
 def test_plain_sync_rejects_wellformed_decoy_without_boundary_context():
     """A payload embedding a HEADER-valid WARC fragment not preceded by
     CRLF CRLF must not fool the sync scan."""
