@@ -216,6 +216,69 @@ def test_warc_to_documents_feeds_corpus_pipeline(spark, tmp_path):
     assert funneled.filter("keep").count() == 4
 
 
+def test_warc_bridge_plan_is_narrow(spark, tmp_path):
+    """warc_to_documents must add ZERO exchanges beyond the split-frame
+    repartition: the whole crawl→documents conversion runs beside the
+    record scan."""
+    from mediawiki_to_notion_spark.sources.warc import warc_to_documents
+
+    recs = _corpus(3)
+    (tmp_path / "c.warc").write_bytes(_plain_bytes(recs))
+    docs = warc_to_documents(read_warc(spark, str(tmp_path)))
+    plan = docs._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1  # only the tiny split-frame spread
+    assert "BatchEvalPython" not in plan  # conversion is all codegen
+
+
+def test_recrawl_upsert_is_idempotent(spark, tmp_path):
+    """Content-addressed doc ids make crawl ingestion idempotent: a
+    re-crawl of the same pages upserted into ParquetTable changes
+    nothing; one changed page updates exactly one row."""
+    from mediawiki_to_notion_spark.sources.warc import warc_to_documents
+    from mediawiki_to_notion_spark.storage import ParquetTable
+
+    def crawl(version: int) -> bytes:
+        prose = ("the quick river is of a bright valley and "
+                 + " ".join(f"word{i}" for i in range(20)))
+        out = b""
+        for k in range(3):
+            body = prose + (f" revision{version}" if k == 0 else "")
+            payload = (b"HTTP/1.1 200 OK\r\nContent-Type: text/plain"
+                       b"\r\n\r\n" + body.encode())
+            out += encode_warc_record(
+                {"WARC-Type": "response",
+                 "WARC-Record-ID": f"<urn:v{version}:{k}>",
+                 "WARC-Target-URI": f"https://example.org/page/{k}",
+                 "Content-Type": "application/http; msgtype=response"},
+                payload,
+            )
+        return out
+
+    def ingest(version: int) -> None:
+        (tmp_path / "crawl.warc").write_bytes(crawl(version))
+        docs = warc_to_documents(
+            read_warc(spark, str(tmp_path / "crawl.warc"))
+        )
+        table.upsert(docs.select("doc_id", "text", "lang", "source",
+                                 "n_chars"))
+
+    table = ParquetTable(
+        spark, str(tmp_path / "docs_table"), key_cols=["doc_id"],
+        schema="doc_id long, text string, lang string, source string, "
+               "n_chars long",
+    )
+    ingest(1)
+    first = {r.doc_id: r.text for r in table.read().collect()}
+    assert len(first) == 3
+    ingest(1)  # identical re-crawl: no growth, no change
+    again = {r.doc_id: r.text for r in table.read().collect()}
+    assert again == first
+    ingest(2)  # one page changed: same ids, exactly one text differs
+    third = {r.doc_id: r.text for r in table.read().collect()}
+    assert set(third) == set(first)
+    assert sum(third[k] != first[k] for k in first) == 1
+
+
 def test_read_warc_in_spark(spark, tmp_path):
     """End-to-end: plain + gzip files in one directory, tiny split size
     so splits genuinely exercise sync; HTTP response payloads split
