@@ -414,16 +414,23 @@ def window_energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 @register(
     "multimodal_audio_energy",
     oracle=f"""
+    -- byte-TRUE on any text: each payload byte comes from its hex pair
+    -- (ord(substr(text,...)) reads CODE POINTS, which diverges from the
+    -- kernel's UTF-8 bytes the moment the corpus is non-ASCII — caught
+    -- by the unicode-stress sweep)
     WITH audio AS (
-      SELECT doc_id, text FROM documents
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS nbytes
+      FROM documents
       WHERE CAST(doc_id % 3 AS INTEGER) = 1 AND text IS NOT NULL
         AND octet_length(encode(text)) >= {ENERGY_WINDOW}
     ), bytes AS (
       SELECT a.doc_id, u.i,
-             ord(substr(a.text, CAST(u.i + 1 AS INTEGER), 1)) AS val
+             ('0x' || substr(a.hx, CAST(2*u.i + 1 AS INTEGER), 2))::INTEGER
+               AS val
       FROM audio a, LATERAL (
         SELECT unnest(range(0,
-          (octet_length(encode(a.text)) // {ENERGY_WINDOW}) * {ENERGY_WINDOW}
+          (a.nbytes // {ENERGY_WINDOW}) * {ENERGY_WINDOW}
         )) AS i) u
     )
     SELECT doc_id,
@@ -436,9 +443,9 @@ def window_energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed audio analysis over opaque binary payloads: per
     {ENERGY_WINDOW}-byte window, the sample-value sum ("energy") — the
-    RMS/VAD feature-extraction shape with the codec faked by reading the
-    payload bytes directly (ASCII corpus ⇒ byte == code point, so the
-    SQL oracle can value-check the whole Python stage).
+    RMS/VAD feature-extraction shape with the codec faked by reading
+    the payload bytes directly (the SQL oracle reads the SAME bytes
+    via hex pairs, so the value check is byte-true on any unicode).
 
     Scale shape: audio rows are filtered relationally BEFORE the Arrow
     stage; the worker is one vectorized reshape+sum per payload with
