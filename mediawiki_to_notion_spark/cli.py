@@ -11,6 +11,7 @@ Here the same workflows are:
     python -m mediawiki_to_notion_spark.cli ingest   --input out/staged --tables t
     python -m mediawiki_to_notion_spark.cli upload   --tables t [--max-blocks 50]
     python -m mediawiki_to_notion_spark.cli status   --tables t
+    python -m mediawiki_to_notion_spark.cli crawl    --warc crawl.warc.gz --outdir corpus
 
 `process-dump` writes one .md per page under <outdir>/<ns_name>/ and
 extracts embedded files, exactly like the reference CLI; `ingest` and
@@ -186,6 +187,63 @@ def cmd_dashboard(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_crawl(args: argparse.Namespace) -> int:
+    """WARC crawl → quality-filtered, exact-deduped training shards —
+    the pretraining-corpus workflow as one command, composed from the
+    registered pieces (read_warc split scan, documents bridge, C4-style
+    funnel, first-occurrence dedup, content-addressed shard layout).
+    Prints the funnel report (per-gate drop counts) and the shard
+    manifest; full drop detail persists under <outdir>/_warnings/."""
+    from mediawiki_to_notion_spark.operators.corpus_quality import (
+        apply_funnel,
+    )
+    from mediawiki_to_notion_spark.operators.physical import (
+        write_training_shards,
+    )
+    from mediawiki_to_notion_spark.operators.training_data import shard_assign
+    from mediawiki_to_notion_spark.sources.warc import (
+        read_warc,
+        warc_to_documents,
+    )
+
+    spark = get_spark("crawl")
+    docs = warc_to_documents(read_warc(spark, args.warc))
+    funneled = apply_funnel(
+        docs.select("doc_id", "lang", "text", "n_chars")
+    ).localCheckpoint()  # funnel report + keep-join share one pass
+    for r in (
+        funneled.groupBy("drop_reason").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("drop_reason").collect()  # bounded: one row per gate
+    ):
+        label = r.drop_reason or "kept"
+        print(f"{label:18s} {r.n}")
+    _report_side_output(
+        funneled.filter(~F.col("keep")).select("doc_id", "drop_reason"),
+        args.outdir, "crawl_dropped",
+        lambda w: f"\tDROPPED doc {w.doc_id}: {w.drop_reason}",
+    )
+    kept = funneled.filter("keep").select("doc_id")
+    clean = docs.join(kept, "doc_id", "left_semi")
+    first = clean.groupBy(F.lower(F.trim("text")).alias("norm")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    survivors = clean.join(first.select("doc_id"), "doc_id", "left_semi")
+    assigned = shard_assign(survivors.select("doc_id", "text"))
+    shards_dir = os.path.join(args.outdir, "shards")
+    write_training_shards(assigned, shards_dir,
+                          max_records_per_file=args.max_records_per_file)
+    manifest = (
+        assigned.groupBy("shard_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_tokens").alias("n_tokens"))
+        .orderBy("shard_id").collect()  # bounded: one row per shard
+    )
+    for r in manifest:
+        print(f"shard {r.shard_id:3d}  docs={r.n_docs}  tokens={r.n_tokens}")
+    print(f"wrote {sum(r.n_docs for r in manifest)} documents to {shards_dir}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="mediawiki_to_notion_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -215,6 +273,15 @@ def main(argv: list[str] | None = None) -> int:
     w.add_argument("--since-minutes", type=int, default=60)
     w.add_argument("--limit", type=int, default=50)
     w.set_defaults(fn=cmd_dashboard)
+
+    c = sub.add_parser(
+        "crawl", help="WARC crawl → filtered, deduped training shards"
+    )
+    c.add_argument("--warc", required=True,
+                   help="WARC file, dir, or glob (.warc / .warc.gz)")
+    c.add_argument("--outdir", required=True)
+    c.add_argument("--max-records-per-file", type=int, default=None)
+    c.set_defaults(fn=cmd_crawl)
 
     args = p.parse_args(argv)
     return args.fn(args)

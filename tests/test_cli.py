@@ -52,3 +52,43 @@ def test_cli_full_workflow(spark, tmp_path, capsys):
     assert lines[0] == "| Time | Page | Status"
     # keys are stored URI-encoded (file-source paths), like S3 event keys
     assert any("SUCCESS" in ln and "Notes.md" in ln for ln in lines[2:])
+
+
+def test_cli_crawl_to_shards(spark, tmp_path, capsys):
+    """The `crawl` command: WARC in, funnel report + shard manifest out,
+    shard-partitioned parquet + drop side-output on disk."""
+    from mediawiki_to_notion_spark.sources.warc import encode_warc_record_gz
+
+    prose = ("the quick river is of a bright valley and "
+             + " ".join(f"word{i}" for i in range(20)))
+    raw = b""
+    for k in range(6):
+        body = "the the the " * 20 if k == 5 else f"{prose} page{k}"
+        raw += encode_warc_record_gz(
+            {"WARC-Type": "response", "WARC-Record-ID": f"<urn:cli:{k}>",
+             "WARC-Target-URI": f"https://example.org/p/{k}",
+             "Content-Type": "application/http; msgtype=response"},
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
+            + body.encode(),
+        )
+    warc = tmp_path / "crawl.warc.gz"
+    warc.write_bytes(raw)
+    outdir = tmp_path / "corpus"
+
+    assert cli.main(["crawl", "--warc", str(warc),
+                     "--outdir", str(outdir)]) == 0
+    out = capsys.readouterr().out
+    assert "kept" in out and "wrote 5 documents" in out
+    # the boilerplate page is attributed to its failing gate
+    assert "low_diversity" in out or "too_long" in out
+    # shard layout on disk, readable with pruning
+    import glob as _glob
+
+    assert _glob.glob(os.path.join(str(outdir), "shards", "shard_id=*"))
+    back = spark.read.parquet(os.path.join(str(outdir), "shards"))
+    assert back.count() == 5
+    # full drop detail persisted
+    dropped = spark.read.parquet(
+        os.path.join(str(outdir), "_warnings", "crawl_dropped")
+    )
+    assert dropped.count() == 1
