@@ -30,6 +30,41 @@ def test_shard_assign_invariant_under_partitioning(spark):
     assert _rows(shard_assign(one)) == _rows(shard_assign(many))
 
 
+def _norm_row(r):
+    return tuple(tuple(v) if isinstance(v, list) else v for v in r)
+
+
+def test_entire_registry_invariant_under_shuffle_partitions(spark):
+    """SCALING.md's any-parallelism determinism claim, asserted for the
+    WHOLE registry: every query returns the identical row multiset at 2
+    and at 29 shuffle partitions.  Double-summation order dependence,
+    partition-local state leaks, and first()-style nondeterminism all
+    fail this.  The one sanctioned exception is uuid_batch_mint, whose
+    uuid() column is nondeterministic BY DESIGN (rows-only at the gate;
+    its content-addressed md5 column is covered by the oracle sweeps)."""
+    from collections import Counter
+
+    from mediawiki_to_notion_spark.operators import QUERIES, load_all
+
+    load_all()
+    skip = {"uuid_batch_mint"}
+
+    def rows_at(n_parts):
+        spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+        return {
+            name: Counter(_norm_row(r) for r in fn(spark, SF).collect())
+            for name, fn in sorted(QUERIES.items()) if name not in skip
+        }
+
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        low, high = rows_at(2), rows_at(29)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+    bad = [n for n in low if low[n] != high[n]]
+    assert not bad, f"parallelism-dependent results in: {bad}"
+
+
 def test_pack_sequences_invariant_under_partitioning(spark, tmp_path):
     """The r3 two-pass prefix sum must produce identical packing no
     matter how the input parquet is laid out: the range partitioning
