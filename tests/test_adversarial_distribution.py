@@ -84,3 +84,45 @@ def test_all_oracles_match_on_adversarial_distribution(spark,
         except Exception as e:  # noqa: BLE001 — collecting a report
             failures.append(f"{name}: {type(e).__name__}: {e}")
     assert not failures, "\n".join(failures)
+
+
+@pytest.fixture(scope="session")
+def skewed_sf_dir(tmp_path_factory):
+    """Relational-side skew: every order belongs to ONE customer and a
+    single part carries most lineitem rows — the hot-key pathology
+    (reference FAQ.md:68) hitting joins, RFM, retention, and the
+    market-basket pair fan-out."""
+    import duckdb
+
+    d = str(tmp_path_factory.mktemp("skew_sf"))
+    con = duckdb.connect()
+    con.execute(f"""
+    COPY (SELECT * REPLACE (CAST(1 AS BIGINT) AS o_custkey)
+          FROM '{SRC}/orders.parquet' ORDER BY o_orderkey)
+    TO '{d}/orders.parquet' (FORMAT PARQUET)
+    """)
+    con.execute(f"""
+    COPY (SELECT * REPLACE (
+            CASE WHEN l_linenumber <= 4
+                 THEN (SELECT min(p_partkey) FROM '{SRC}/part.parquet')
+                 ELSE l_partkey END AS l_partkey)
+          FROM '{SRC}/lineitem.parquet' ORDER BY l_orderkey, l_linenumber)
+    TO '{d}/lineitem.parquet' (FORMAT PARQUET)
+    """)
+    con.close()
+    for name in ("region", "nation", "customer", "supplier", "part",
+                 "events", "documents", "embeddings"):
+        shutil.copy(f"{SRC}/{name}.parquet", f"{d}/{name}.parquet")
+    return d
+
+
+def test_all_oracles_match_on_hot_key_skew(spark, skewed_sf_dir):
+    failures = []
+    for name in sorted(ORACLES):
+        try:
+            r = compare(spark, QUERIES[name], ORACLES[name], skewed_sf_dir)
+            if not r["match"]:
+                failures.append(f"{name}: {r}")
+        except Exception as e:  # noqa: BLE001 — collecting a report
+            failures.append(f"{name}: {type(e).__name__}: {e}")
+    assert not failures, "\n".join(failures)
