@@ -21,6 +21,7 @@ NULLS FIRST/LAST tie-break flip in knn voting.
 
 from __future__ import annotations
 
+import os
 import shutil
 
 import pytest
@@ -88,6 +89,48 @@ def test_all_oracles_match_on_null_injected_data(spark, null_sf_dir):
         except Exception as e:  # noqa: BLE001 — collecting a report
             failures.append(f"{name}: {type(e).__name__}: {e}")
     assert not failures, "\n".join(failures)
+
+
+def test_streaming_funnel_survives_null_injected_batch(spark, null_sf_dir,
+                                                       tmp_path):
+    """Batch/stream unification under NULLs: the same apply_funnel code
+    over a readStream of the NULL-injected documents neither crashes
+    nor diverges from the batch run (a NULL-text micro-batch at ingest
+    must not kill a long-running stream)."""
+    from mediawiki_to_notion_spark.operators.corpus_quality import (
+        apply_funnel,
+    )
+    from mediawiki_to_notion_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", null_sf_dir) \
+        .select("doc_id", "lang", "text", "n_chars")
+    # file streams need a DIRECTORY source; stage the single-file
+    # fixture table as one
+    src = tmp_path / "null_docs_dir"
+    docs.coalesce(1).write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema(
+        "doc_id long, lang string, text string, n_chars long"
+    ).parquet(str(src))
+    q = (
+        apply_funnel(stream)
+        .writeStream.format("memory").queryName("null_funnel_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_null_funnel"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.doc_id, r.drop_reason, r.keep)
+        for r in spark.sql(
+            "select doc_id, drop_reason, keep from null_funnel_stream"
+        ).collect()
+    }
+    want = {
+        (r.doc_id, r.drop_reason, r.keep)
+        for r in apply_funnel(docs).collect()
+    }
+    assert got == want and len(want) == docs.count()
 
 
 def test_rows_only_queries_survive_null_injected_data(spark, null_sf_dir):

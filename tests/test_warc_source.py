@@ -216,6 +216,20 @@ def test_warc_to_documents_feeds_corpus_pipeline(spark, tmp_path):
     assert funneled.filter("keep").count() == 4
 
 
+def test_read_warc_fans_out_across_tasks(spark, tmp_path):
+    """The point of split-parallel reading: ONE large file becomes many
+    tasks.  A ~3 MB archive with 1 MB splits must plan >= 3 partitions
+    and still recover every record exactly once."""
+    recs = [({"WARC-Type": "resource", "WARC-Record-ID": f"<urn:big:{k}>"},
+             bytes([65 + (k % 26)]) * 50_000) for k in range(64)]
+    f = tmp_path / "big.warc"
+    f.write_bytes(_plain_bytes(recs))
+    df = read_warc(spark, str(f), split_bytes=1 << 20)
+    assert df.rdd.getNumPartitions() >= 3
+    ids = [r.record_id for r in df.collect()]
+    assert sorted(ids) == sorted(h["WARC-Record-ID"] for h, _ in recs)
+
+
 def test_warc_bridge_plan_is_narrow(spark, tmp_path):
     """warc_to_documents must add ZERO exchanges beyond the split-frame
     repartition: the whole crawl→documents conversion runs beside the
