@@ -404,8 +404,11 @@ def warc_to_documents(warc: DataFrame) -> DataFrame:
     the filter funnel, the dedup family, shard assignment, the whole
     corpus_prepare composition — runs on a crawl unchanged.
 
-    - keeps HTTP 200 text/* responses only (the quarantine cut);
-    - text: payload decoded UTF-8, HTML stripped JVM-side;
+    - keeps HTTP 200 text/* ``response`` records (raw-crawl WARC) and
+      plain-text ``conversion`` records (Common Crawl's WET layout —
+      pre-extracted text whose payload IS the document);
+    - text: payload decoded UTF-8; HTML stripped JVM-side for
+      text/html responses, taken verbatim for WET conversions;
     - doc_id: content-addressed 60-bit md5 of the target URI — stable
       across re-crawls, re-splits, and retries;
     - lang: the engine's lexicon-anchor predictor
@@ -416,11 +419,17 @@ def warc_to_documents(warc: DataFrame) -> DataFrame:
     zero shuffles."""
     from mediawiki_to_notion_spark.functions import text as tx
 
-    kept = warc.filter(
+    is_http_text = (
         (F.col("record_type") == "response")
         & (F.col("http_status") == 200)
         & (F.col("http_content_type").startswith("text/"))
-        & F.col("payload").isNotNull()
+    )
+    is_wet = (
+        (F.col("record_type") == "conversion")
+        & F.col("content_type").startswith("text/plain")
+    )
+    kept = warc.filter(
+        (is_http_text | is_wet) & F.col("payload").isNotNull()
     )
     # binary→string CAST, not decode(): Catalyst legitimately pushes
     # downstream predicates (rewritten through this projection) below

@@ -244,6 +244,37 @@ def test_warc_bridge_plan_is_narrow(spark, tmp_path):
     assert "BatchEvalPython" not in plan  # conversion is all codegen
 
 
+def test_wet_conversion_records_feed_documents(spark, tmp_path):
+    """Common Crawl's WET layout: `conversion` records carry the
+    pre-extracted text verbatim — the bridge ingests them alongside
+    raw HTTP responses, with non-text conversions cut."""
+    from mediawiki_to_notion_spark.sources.warc import warc_to_documents
+
+    prose = ("the quick river is of a bright valley and "
+             + " ".join(f"word{i}" for i in range(20)))
+    recs = [
+        ({"WARC-Type": "conversion", "WARC-Record-ID": f"<urn:wet:{k}>",
+          "WARC-Target-URI": f"https://site{k}.example.org/p",
+          "Content-Type": "text/plain"},
+         f"{prose} wet{k}".encode())
+        for k in range(3)
+    ]
+    recs.append((
+        {"WARC-Type": "conversion", "WARC-Record-ID": "<urn:wet:bin>",
+         "WARC-Target-URI": "https://site9.example.org/x",
+         "Content-Type": "application/octet-stream"},
+        b"\x00\x01binary conversion",
+    ))
+    (tmp_path / "chunk.warc.wet.gz").write_bytes(_gz_bytes(recs))
+    docs = warc_to_documents(read_warc(spark, str(tmp_path)))
+    rows = sorted(docs.collect(), key=lambda r: r.source)
+    assert len(rows) == 3  # the octet-stream conversion is cut
+    for k, r in enumerate(rows):
+        assert r.text.endswith(f"wet{k}")     # payload verbatim, no HTML pass
+        assert r.source == f"site{k}.example.org"
+        assert r.lang == "en"
+
+
 def test_recrawl_upsert_is_idempotent(spark, tmp_path):
     """Content-addressed doc ids make crawl ingestion idempotent: a
     re-crawl of the same pages upserted into ParquetTable changes
