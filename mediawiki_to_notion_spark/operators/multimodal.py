@@ -462,6 +462,49 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+REAL_ENERGY_SCHEMA = (
+    "doc_id long, sample_rate int, window_idx long, energy long, "
+    "decode_error string"
+)
+REAL_ENERGY_WINDOW = 256  # samples per analysis window
+
+
+def wav_window_energy(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker over REAL WAV payloads: decode PCM samples
+    (functions.wav_codec) and emit per-{REAL_ENERGY_WINDOW}-sample
+    absolute-amplitude sums — the genuine RMS/VAD windowing over
+    decoded audio (the byte-fake twin, window_energy, stays for the
+    oracled query).  Multi-channel audio folds channels into each
+    window; undecodable payloads quarantine per row."""
+    import numpy as np
+
+    from mediawiki_to_notion_spark.functions.wav_codec import decode_wav
+
+    for pdf in batches:
+        rows = []
+        for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+            try:
+                rate, _ch, samples = decode_wav(bytes(content))
+            except Exception as e:  # noqa: BLE001 — per-row quarantine
+                rows.append((doc_id, None, None, None,
+                             f"{type(e).__name__}: {e}"))
+                continue
+            flat = np.abs(samples.astype(np.int64)).sum(axis=1)
+            n_win = len(flat) // REAL_ENERGY_WINDOW
+            if n_win == 0:
+                continue
+            trimmed = flat[: n_win * REAL_ENERGY_WINDOW]
+            energies = trimmed.reshape(n_win, REAL_ENERGY_WINDOW).sum(axis=1)
+            for w, e in enumerate(energies.tolist()):
+                rows.append((doc_id, rate, w, e, None))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "sample_rate", "window_idx", "energy",
+                           "decode_error"],
+        )
+
+
 PHASH_HAMMING_MAX = 2
 
 

@@ -180,6 +180,34 @@ def test_real_resize_pipeline_in_spark(spark):
     assert out[2].decode_error is not None and out[2].resized_png is None
 
 
+def test_real_wav_energy_pipeline_in_spark(spark):
+    """Windowed energy over REAL decoded PCM: a known ramp signal's
+    per-window sums are exactly predictable; corrupt audio quarantines."""
+    from mediawiki_to_notion_spark.operators.multimodal import (
+        REAL_ENERGY_SCHEMA,
+        REAL_ENERGY_WINDOW,
+        wav_window_energy,
+    )
+
+    n = REAL_ENERGY_WINDOW * 3 + 17  # 3 full windows + a remainder
+    ramp = np.arange(n, dtype=np.int16)
+    rows = [
+        (1, bytearray(encode_wav(ramp, sample_rate=8000))),
+        (2, bytearray(b"RIFFgarbage!")),
+    ]
+    src = spark.createDataFrame(rows, "doc_id long, content binary")
+    out = src.mapInPandas(wav_window_energy, REAL_ENERGY_SCHEMA).collect()
+    good = sorted((r for r in out if r.doc_id == 1),
+                  key=lambda r: r.window_idx)
+    assert [r.window_idx for r in good] == [0, 1, 2]  # remainder dropped
+    W = REAL_ENERGY_WINDOW
+    for w, r in enumerate(good):
+        assert r.energy == sum(range(w * W, (w + 1) * W))
+        assert r.sample_rate == 8000 and r.decode_error is None
+    bad = [r for r in out if r.doc_id == 2]
+    assert len(bad) == 1 and bad[0].decode_error is not None
+
+
 def test_real_decode_pipeline_in_spark(spark):
     """End-to-end: REAL PNG and WAV bytes flow through the actual
     mapInPandas kernel; dimensions/rates come from genuinely parsed
