@@ -72,9 +72,12 @@ def _confirmed() -> tuple[set[str], dict[str, int]]:
 # own once a correctness file from that round or later re-confirms it.
 # (The r2 rewrites — dedup_simhash, dedup_embedding_cosine,
 # dedup_connected_components — re-confirmed in CORRECTNESS_r02 and
-# expired out.)  pack_sequences_greedy: r3 rewrite — partitioned
-# two-pass prefix sum + BIGINT-cast oracle after its r2 hash_match:false.
-_RECHECK = {"pack_sequences_greedy": 3}
+# expired out; pack_sequences_greedy re-confirmed in CORRECTNESS_r03.)
+# markdown_blocks_golden: r4 — the GFM delimiter-row table fix
+# (VERDICT r3 item 3) changed the parser AND added the
+# pipe_without_delimiter_is_text golden case, so its r1 green row is
+# stale.
+_RECHECK = {"pack_sequences_greedy": 3, "markdown_blocks_golden": 4}
 
 # SOFT rechecks: confirmed queries EDITED since their green row where
 # the edit is a verified semantic no-op on the driver's data (the r3
@@ -90,10 +93,14 @@ _RECHECK_SOFT = {n: 3 for n in (
     "embedding_norm_stats", "similarity_lsh_recall",
     "similarity_ivf_probe", "dedup_embedding_cosine",
     "dedup_embedding_cosine_lsh", "dedup_cosine_lsh_recall",
-    "json_encode_struct", "markdown_block_explode",
+    "json_encode_struct",
     "multimodal_binary_stats", "multimodal_resize",
     "multimodal_frame_sample",
 )}
+# markdown_block_explode: r4 parser edit (GFM table lookahead) — a
+# verified no-op on the synth-markdown input (no pipe lines reach it;
+# oracle.compare green at sf0.01) but semantics-adjacent, so re-gate.
+_RECHECK_SOFT["markdown_block_explode"] = 4
 # Added after the current round's ~50-query window filled; placed right
 # behind the fresh backlog (locally oracle-checked already).  All
 # round-2 additions queue here so the r1-era never-driver-checked
@@ -141,11 +148,15 @@ _DEFER = ["multimodal_feature_extract",  # upgraded rows-only -> oracled
 # a typo'd or stale name would silently starve a query of its window
 # slot (the `n in QUERIES` filters below would just drop it).  Fail
 # loudly at import instead; the driver imports this module, so a broken
-# rotation can never reach the gate unnoticed.
+# rotation can never reach the gate unnoticed.  Real raises, not
+# `assert` — asserts are stripped under `python -O` (ADVICE r3), which
+# would silently re-open the exact hole this check closes.
 _unknown = [n for n in (*_RECHECK, *_RECHECK_SOFT, *_DEFER)
             if n not in QUERIES]
-assert not _unknown, f"rotation names not in registry: {_unknown}"
-assert len(_DEFER) == len(set(_DEFER)), "duplicate names in _DEFER"
+if _unknown:
+    raise ValueError(f"rotation names not in registry: {_unknown}")
+if len(_DEFER) != len(set(_DEFER)):
+    raise ValueError("duplicate names in _DEFER")
 
 
 def entry(spark: SparkSession) -> DataFrame:

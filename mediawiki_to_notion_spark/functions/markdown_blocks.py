@@ -41,10 +41,18 @@ def parse_markdown_blocks(md: str) -> list[dict]:
     Paragraph lines merge until a blank line / structural line, matching
     CommonMark's loose-paragraph behavior closely enough for the
     reference's own output (pandoc GFM with --wrap=none emits one line
-    per paragraph)."""
+    per paragraph).
+
+    GFM table discipline: a ``|...|`` line opens a table ONLY when the
+    next line is the alignment-delimiter row (``|---|---|``); once open,
+    consecutive pipe rows stay table rows until a non-pipe line.  A lone
+    pipe line (``'||'``, a delimiter-less ``| a | b |``) is paragraph
+    text — the CommonMark/md2notion behavior the r3 Hypothesis sweep
+    caught the old single-line classifier diverging from."""
     blocks: list[dict] = []
     para: list[str] = []
     in_fence = False
+    in_table = False
     fence_lang = ""
     fence_lines: list[str] = []
 
@@ -53,7 +61,8 @@ def parse_markdown_blocks(md: str) -> list[dict]:
             blocks.append({"type": "text", "title": " ".join(para)})
             para.clear()
 
-    for line in md.splitlines():
+    lines = md.splitlines()
+    for idx, line in enumerate(lines):
         if in_fence:
             if FENCE_RE.match(line) and line.strip().startswith("```"):
                 blocks.append(
@@ -67,6 +76,8 @@ def parse_markdown_blocks(md: str) -> list[dict]:
             continue
 
         stripped = line.strip()
+        if not TABLE_ROW_RE.match(stripped):
+            in_table = False  # any non-pipe line (incl. blank) ends a table
         m = FENCE_RE.match(stripped)
         if m:
             flush_para()
@@ -98,13 +109,24 @@ def parse_markdown_blocks(md: str) -> list[dict]:
             blocks.append({"type": "divider", "title": ""})
             continue
         if TABLE_ROW_RE.match(stripped):
-            flush_para()
             # GFM pipe table: one row block per line (md2notion renders
             # tables as a collection; a typed row block is the flat-
-            # relational equivalent), alignment separator dropped
-            if not TABLE_SEP_RE.match(stripped):
+            # relational equivalent), alignment separator dropped.  A
+            # table OPENS only on a header row whose NEXT line is the
+            # delimiter row; otherwise the pipe line is paragraph text.
+            if in_table:
+                if not TABLE_SEP_RE.match(stripped):
+                    flush_para()
+                    blocks.append({"type": "table_row", "title": stripped})
+                continue
+            nxt = lines[idx + 1].strip() if idx + 1 < len(lines) else ""
+            if TABLE_SEP_RE.match(nxt):
+                flush_para()
                 blocks.append({"type": "table_row", "title": stripped})
-            continue
+                in_table = True
+                continue
+            # delimiter-less pipe line → falls through to the paragraph
+            # accumulator below (after list/quote checks, as before)
         m = BULLET_RE.match(line)
         if m:
             flush_para()

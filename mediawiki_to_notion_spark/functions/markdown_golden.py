@@ -108,6 +108,17 @@ GOLDEN_BLOCK_CASES: list[tuple[str, str, list[tuple[int, str, str]]]] = [
         ],
     ),
     (
+        # GFM: a pipe line is a table ONLY when the NEXT line is the
+        # alignment-delimiter row; '||' and a delimiter-less pipe row
+        # are plain paragraph text (the r3 '||'→table_row divergence)
+        "pipe_without_delimiter_is_text",
+        "||\n\n| not | a table |\nplain tail.",
+        [
+            (0, "text", "||"),
+            (1, "text", "| not | a table | plain tail."),
+        ],
+    ),
+    (
         # CommonMark: an unterminated fence runs to EOF as code
         "unterminated_fence_runs_to_eof",
         "Intro.\n\n```python\ncode line\n",

@@ -250,7 +250,7 @@ def ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM dims JOIN mm USING (dim)
     )
     SELECT vec_id,
-           list(code ORDER BY dim) AS codes,
+           string_agg(code, ' ' ORDER BY dim) AS codes,
            round(max(abs(val - (lo + (code / 255.0) * (hi - lo)))), 6)
              AS max_abs_err
     FROM q GROUP BY vec_id
@@ -291,14 +291,22 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         - (F.col("lo") + (F.col("code") / F.lit(255.0))
            * (F.col("hi") - F.col("lo")))
     )
+    # codes serialize as a space-joined string: one scalar column per
+    # vector (driver-hashable — Arrow list columns crash the driver's
+    # pandas canonicalizer, CORRECTNESS_r03) and the same shape an SQ8
+    # code TEXT export takes; the fixed-width binary form would be the
+    # cluster variant.
     return q.groupBy("vec_id").agg(
-        F.transform(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(F.col("dim").alias("dim"), F.col("code").alias("code"))
-                )
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("dim").alias("dim"), F.col("code").alias("code"))
+                    )
+                ),
+                lambda s: s["code"].cast("string"),
             ),
-            lambda s: s["code"],
+            " ",
         ).alias("codes"),
         F.round(F.max(err), 6).alias("max_abs_err"),
     )

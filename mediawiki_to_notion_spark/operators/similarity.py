@@ -525,20 +525,25 @@ def contrastive_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("query_id").alias("anchor_id"))
         .agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("rn"), F.col("vec_id")))
+            # rank-ordered negatives as a space-joined string: scalar,
+            # driver-hashable (list columns crash the pandas
+            # canonicalizer, CORRECTNESS_r03), and the usual TSV shape
+            # of a mined-triplet export
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("rn"), F.col("vec_id")))
+                    ),
+                    lambda s: s["vec_id"].cast("string"),
                 ),
-                lambda s: s["vec_id"],
+                " ",
             ).alias("neg_ids"),
             F.count(F.lit(1)).alias("n_negatives"),
         )
     )
     return pos.join(negs, "anchor_id", "left").select(
         "anchor_id", "positive_id", "positive_cos",
-        F.coalesce(
-            F.col("neg_ids"), F.array().cast("array<bigint>")
-        ).alias("neg_ids"),
+        F.coalesce(F.col("neg_ids"), F.lit("")).alias("neg_ids"),
         F.coalesce(F.col("n_negatives"), F.lit(0)).alias("n_negatives"),
     )
 
@@ -561,13 +566,13 @@ def _register_triplet_oracle() -> None:
     ),
     negs AS (
       SELECT query_id AS anchor_id,
-             list(vec_id ORDER BY rn) AS neg_ids,
+             string_agg(vec_id, ' ' ORDER BY rn) AS neg_ids,
              count(*) AS n_negatives
       FROM ranked WHERE rn BETWEEN 2 AND {1 + N_NEGATIVES}
       GROUP BY query_id
     )
     SELECT pos.anchor_id, positive_id, positive_cos,
-           coalesce(neg_ids, []::BIGINT[]) AS neg_ids,
+           coalesce(neg_ids, '') AS neg_ids,
            coalesce(n_negatives, 0) AS n_negatives
     FROM pos LEFT JOIN negs USING (anchor_id)
     """

@@ -513,7 +513,7 @@ def _register_pipeline_oracle() -> None:
       FROM counts
     )
     SELECT tok.doc_id, count(*) AS n_tokens,
-           list(v.id ORDER BY tok.pos) AS token_ids
+           string_agg(v.id, ' ' ORDER BY tok.pos) AS token_ids
     FROM tok JOIN vocab v ON tok.token = v.token
     GROUP BY tok.doc_id
     """,
@@ -523,7 +523,12 @@ def tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary (id 0 = most common token, deterministic tie order) and
     re-emit every document as its ordered id sequence — the final
     "text → token_ids" materialization a training job consumes (feeds
-    pack_sequences_greedy / write_training_shards).
+    pack_sequences_greedy / write_training_shards).  The id sequence is
+    emitted as a space-joined string: variable-length sequences
+    serialize to one scalar column (Arrow list columns are unhashable
+    on the driver's pandas canonicalizer — CORRECTNESS_r03), and a
+    delimited string is also what a tokenized-shard TEXT column looks
+    like on disk.
 
     Scale shape: the vocabulary is one partial-agg shuffle plus a
     single-partition rank (the vocabulary is vocab-sized, not
@@ -554,9 +559,12 @@ def tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "id"))),
-                lambda s: s["id"],
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "id"))),
+                    lambda s: s["id"].cast("string"),
+                ),
+                " ",
             ).alias("token_ids"),
         )
     )

@@ -125,11 +125,37 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+_UNHASHABLE = ("list", "struct", "map")
+
+
+def _assert_driver_hashable(name_hint: str, classes: dict[str, str]) -> None:
+    """The driver's canonicalizer sorts both sides with pandas before
+    hashing; list/struct/map cells are unhashable there (`TypeError:
+    unhashable type` — CORRECTNESS_r03's three `err` rows), so an
+    oracled query must emit only scalar top-level columns.  The local
+    `tuple(r)` multiset happily hashed Python lists, which is exactly
+    how the r3 regressions slipped through — hence this gate-side
+    guard (VERDICT r3 item 2)."""
+    bad = {c: k for c, k in classes.items()
+           if any(k == u or k.startswith(f"{u}<") for u in _UNHASHABLE)}
+    if bad:
+        raise ValueError(
+            f"{name_hint}: oracled output has nested (driver-unhashable) "
+            f"columns {bad}; pivot to scalar columns or serialize to a "
+            f"delimited string on BOTH engines"
+        )
+
+
 def compare(spark: SparkSession, query_fn, oracle_sql: str, sf_dir: str) -> dict:
-    """Run both sides; return a diagnostics dict with ``match: bool``."""
+    """Run both sides; return a diagnostics dict with ``match: bool``.
+
+    Raises ValueError if either side's output schema contains a nested
+    top-level column — the driver gate cannot hash those (see
+    ``_assert_driver_hashable``)."""
     sdf = query_fn(spark, sf_dir)
     s_cols = [c.lower() for c in sdf.columns]
     s_classes = {c.lower(): _spark_col_class(t) for c, t in sdf.dtypes}
+    _assert_driver_hashable("spark side", s_classes)
     s_rows = [tuple(r) for r in sdf.collect()]
 
     con = duckdb_connection(sf_dir)
@@ -137,6 +163,7 @@ def compare(spark: SparkSession, query_fn, oracle_sql: str, sf_dir: str) -> dict
     d_cols = [c.lower() for c in rel.columns]
     d_classes = {c.lower(): _duck_col_class(t)
                  for c, t in zip(rel.columns, rel.types)}
+    _assert_driver_hashable("oracle side", d_classes)
     d_rows = rel.fetchall()
     con.close()
 

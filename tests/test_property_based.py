@@ -62,12 +62,17 @@ def test_markdown_parser_invariants(doc):
     # no empty paragraph blocks, known types only, fences always closed
     types = {
         "header", "sub_header", "sub_sub_header", "text", "bulleted_list",
-        "numbered_list", "quote", "code", "divider", "image",
+        "numbered_list", "quote", "code", "divider", "image", "table_row",
     }
     for b in blocks:
         assert b["type"] in types
         if b["type"] == "text":
             assert b["title"].strip() != ""
+        if b["type"] == "table_row":
+            # GFM: row blocks only come from real tables (header +
+            # delimiter row) — the r3 '||' divergence regression guard
+            t = b["title"]
+            assert t.startswith("|") and t.endswith("|")
 
 
 @settings(max_examples=200, deadline=None)
