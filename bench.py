@@ -125,7 +125,7 @@ def main() -> None:
     # comparable on a fixed query set, so emit its subtotal alongside
     # the full (growing) total
     r1_set = set(HEADLINE[:31])
-    out = {
+    detail = {
         "metric": "headline_query_wall_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
@@ -141,6 +141,10 @@ def main() -> None:
         # r1→r2 moved 1.40x on identical queries purely from a fresh VM
         # (SKILL.md gotcha) — fingerprint the box so the judge can tell
         "machine": _machine_fingerprint(spark),
+        # ... and only on the same DATA: fingerprint the benched parquet
+        # (row counts + file md5s) so a silent regeneration can't shift
+        # cross-round ratios unnoticed (VERDICT r3 item 8)
+        "data": _data_fingerprint(sf_dir),
         # methodology marker: totals are comparable only across rounds
         # that used the same scheme (r1/r2: warmup + best-of-2 best;
         # r3+: warmup + median of n_runs, min reported alongside)
@@ -148,7 +152,56 @@ def main() -> None:
                        "(min in queries_min), noop sink; value_r1_subset "
                        "= median total over the r1 31-query set",
     }
-    print(json.dumps(out))
+    # Emission contract (VERDICT r3 item 4: BENCH_r03 parsed:null — the
+    # single fat JSON line outgrew the driver's tail-capture window):
+    # the full detail goes to a FILE plus an early stdout line; the
+    # LAST stdout line is a compact headline the tail-parser always fits.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+    print(json.dumps(detail))
+    compact = {
+        "metric": detail["metric"],
+        "value": detail["value"],
+        "unit": "sec",
+        "n_queries": detail["n_queries"],
+        "value_r1_subset": detail["value_r1_subset"],
+        "value_min_total": detail["value_min_total"],
+        "sf": sf,
+        "machine_md5": _md5_str(json.dumps(detail["machine"], sort_keys=True)),
+        "data_md5": _md5_str(json.dumps(detail["data"], sort_keys=True)),
+        "detail": "BENCH_DETAIL.json",
+    }
+    print(json.dumps(compact))
+
+
+def _md5_str(s: str) -> str:
+    import hashlib
+
+    return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+
+def _data_fingerprint(sf_dir: str) -> dict:
+    """Per-table file md5 + byte size of the benched parquet directory.
+    Row counts live in the parquet footers the md5 already covers; the
+    hash alone proves the bytes are the same across rounds."""
+    import hashlib
+
+    out: dict[str, dict] = {}
+    try:
+        names = sorted(os.listdir(sf_dir))
+    except OSError:
+        return {"error": f"unreadable: {sf_dir}"}
+    for name in names:
+        if not name.endswith(".parquet"):
+            continue
+        path = os.path.join(sf_dir, name)
+        h = hashlib.md5()
+        with open(path, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+        out[name] = {"md5": h.hexdigest(), "bytes": os.path.getsize(path)}
+    return out
 
 
 def _machine_fingerprint(spark) -> dict:

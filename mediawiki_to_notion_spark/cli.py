@@ -224,9 +224,13 @@ def cmd_crawl(args: argparse.Namespace) -> int:
     )
     kept = funneled.filter("keep").select("doc_id")
     clean = docs.join(kept, "doc_id", "left_semi")
-    first = clean.groupBy(F.lower(F.trim("text")).alias("norm")).agg(
-        F.min("doc_id").alias("doc_id")
-    )
+    # group on the md5 of the normalized text, not the text itself: the
+    # shuffle key stays 32 bytes instead of the whole payload (the same
+    # fixed-width-fingerprint rule the registered dedup operators
+    # follow — ADVICE r3)
+    first = clean.groupBy(
+        F.md5(F.lower(F.trim("text"))).alias("norm")
+    ).agg(F.min("doc_id").alias("doc_id"))
     survivors = clean.join(first.select("doc_id"), "doc_id", "left_semi")
     assigned = shard_assign(survivors.select("doc_id", "text"))
     shards_dir = os.path.join(args.outdir, "shards")

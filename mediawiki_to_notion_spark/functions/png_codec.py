@@ -5,17 +5,23 @@ The container has no PIL/libvips, but PNG itself needs only ``zlib`` and
 zlib-compressed stream of filtered scanlines.  This module implements a
 REAL codec for the common uncompressed-workflow subset:
 
-- color types 0 (grayscale) and 2 (RGB), bit depth 8, non-interlaced;
+- color types 0 (grayscale), 2 (RGB), 3 (palette, with optional tRNS
+  alpha), 4 (gray+alpha) and 6 (RGBA) — i.e. every color type —
+  at bit depth 8, non-interlaced;
 - all five scanline filters (None/Sub/Up/Average/Paeth) on decode;
-- encode with a configurable per-row filter (so decode paths are
-  exercised by round-trips, not just filter-0 files).
+- encode for types 0/2/4/6 by array shape ((H,W) / (H,W,3) / (H,W,2) /
+  (H,W,4)) with a configurable per-row filter (so decode paths are
+  exercised by round-trips, not just filter-0 files), plus
+  ``encode_png_palette`` for type 3.
 
 Reference: the PNG specification (RFC 2083 / W3C PNG), which is public.
-Anything outside the subset (16-bit, palette, alpha, interlace) raises
+Anything outside the subset (bit depths other than 8, interlace) raises
 ``UnsupportedPNGError`` with the offending feature named — the honest
 boundary where a full imaging library would take over
 (reference parity: process-mw-dump.py:147-177 treats embedded media as
-opaque files; here the decode stage becomes real for PNG).
+opaque files; here the decode stage becomes real for PNG).  A tRNS
+chunk on color types 0/2 (single transparent color) is valid PNG and is
+deliberately ignored rather than rejected.
 """
 
 from __future__ import annotations
@@ -63,8 +69,14 @@ def _chunk(ctype: bytes, data: bytes) -> bytes:
     )
 
 
+# array shape (last axis) → (IHDR color type, channel count)
+_SHAPE_TO_COLOR_TYPE = {1: (0, 1), 2: (4, 2), 3: (2, 3), 4: (6, 4)}
+_COLOR_TYPE_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
 def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
-    """Encode an (H, W) grayscale or (H, W, 3) RGB uint8 array.
+    """Encode a uint8 array by shape: (H, W) grayscale, (H, W, 2)
+    gray+alpha, (H, W, 3) RGB, (H, W, 4) RGBA.
 
     ``filter_type`` 0-4 applies that PNG filter to every scanline —
     useful for exercising each decode path; 0 (None) is the default
@@ -73,12 +85,44 @@ def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
     if a.dtype != np.uint8:
         raise ValueError(f"pixels must be uint8, got {a.dtype}")
     if a.ndim == 2:
-        color_type, channels = 0, 1
         a = a[:, :, None]
-    elif a.ndim == 3 and a.shape[2] == 3:
-        color_type, channels = 2, 3
-    else:
-        raise ValueError(f"expected (H,W) or (H,W,3), got {a.shape}")
+    if a.ndim != 3 or a.shape[2] not in _SHAPE_TO_COLOR_TYPE:
+        raise ValueError(f"expected (H,W) or (H,W,{{2,3,4}}), got {a.shape}")
+    color_type, channels = _SHAPE_TO_COLOR_TYPE[a.shape[2]]
+    return _encode_scanlines(a, color_type, channels, filter_type)
+
+
+def encode_png_palette(
+    indices: np.ndarray,
+    palette: np.ndarray,
+    trns: np.ndarray | None = None,
+    filter_type: int = 0,
+) -> bytes:
+    """Encode a color-type-3 PNG: ``indices`` is (H, W) uint8 palette
+    indices, ``palette`` is (N, 3) uint8 RGB entries (N <= 256), and
+    ``trns`` optionally gives per-entry alpha (its length may be
+    shorter than the palette — trailing entries default opaque, as the
+    spec allows)."""
+    idx = np.asarray(indices)
+    pal = np.asarray(palette)
+    if idx.dtype != np.uint8 or idx.ndim != 2:
+        raise ValueError(f"indices must be (H,W) uint8, got {idx.shape}")
+    if pal.dtype != np.uint8 or pal.ndim != 2 or pal.shape[1] != 3 \
+            or not 1 <= pal.shape[0] <= 256:
+        raise ValueError(f"palette must be (N<=256, 3) uint8, got {pal.shape}")
+    if idx.max(initial=0) >= pal.shape[0]:
+        raise ValueError("palette index out of range")
+    extra = _chunk(b"PLTE", pal.tobytes())
+    if trns is not None:
+        t = np.asarray(trns)
+        if t.dtype != np.uint8 or t.ndim != 1 or len(t) > pal.shape[0]:
+            raise ValueError("trns must be uint8, at most one per entry")
+        extra += _chunk(b"tRNS", t.tobytes())
+    return _encode_scanlines(idx[:, :, None], 3, 1, filter_type, extra)
+
+
+def _encode_scanlines(a: np.ndarray, color_type: int, channels: int,
+                      filter_type: int, extra_chunks: bytes = b"") -> bytes:
     if not 0 <= filter_type <= 4:
         raise ValueError(f"filter_type must be 0..4, got {filter_type}")
     h, w = a.shape[:2]
@@ -95,6 +139,7 @@ def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
     return (
         _SIGNATURE
         + _chunk(b"IHDR", ihdr)
+        + extra_chunks
         + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
         + _chunk(b"IEND", b"")
     )
@@ -132,14 +177,18 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
 
 
 def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
-    """Decode PNG bytes → (width, height, uint8 array (H, W[, 3])).
+    """Decode PNG bytes → (width, height, uint8 array).
 
+    Output shape by color type: 0 → (H, W); 4 → (H, W, 2);
+    2 / 3-without-tRNS → (H, W, 3); 6 / 3-with-tRNS → (H, W, 4).
     Supports the encode subset plus any mix of per-row filters."""
     if data[:8] != _SIGNATURE:
         raise PNGError("not a PNG: bad signature")
     pos = 8
     width = height = None
     color_type = channels = None
+    palette = None
+    trns = None
     idat = bytearray()
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos:pos + 4])
@@ -156,21 +205,32 @@ def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
                 struct.unpack(">IIBBBBB", body)
             if depth != 8:
                 raise UnsupportedPNGError(f"bit depth {depth} (only 8)")
-            if color_type not in (0, 2):
-                raise UnsupportedPNGError(
-                    f"color type {color_type} (only 0=gray, 2=RGB)"
-                )
+            if color_type not in _COLOR_TYPE_CHANNELS:
+                raise UnsupportedPNGError(f"color type {color_type}")
             if interlace != 0:
                 raise UnsupportedPNGError("interlaced (Adam7) PNG")
             if comp != 0 or filt != 0:
                 raise PNGError("nonstandard compression/filter method")
-            channels = 1 if color_type == 0 else 3
+            channels = _COLOR_TYPE_CHANNELS[color_type]
+        elif ctype == b"PLTE":
+            if length % 3 != 0 or not 3 <= length <= 256 * 3:
+                raise PNGError(f"bad PLTE length {length}")
+            palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            # palette alpha for type 3; for types 0/2 tRNS names a
+            # single transparent color — valid, deliberately ignored
+            if color_type == 3:
+                if palette is None or length > len(palette):
+                    raise PNGError("tRNS without/exceeding PLTE")
+                trns = np.frombuffer(body, dtype=np.uint8)
         elif ctype == b"IDAT":
             idat.extend(body)
         elif ctype == b"IEND":
             break
     if width is None:
         raise PNGError("missing IHDR")
+    if color_type == 3 and palette is None:
+        raise PNGError("palette image missing PLTE")
     raw = zlib.decompress(bytes(idat))
     stride = width * channels
     if len(raw) != height * (stride + 1):
@@ -206,4 +266,17 @@ def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
             raise PNGError(f"unknown scanline filter {ft}")
         out[y] = cur.astype(np.uint8)
         prev = cur
-    return width, height, out[:, :, 0] if channels == 1 else out
+    if color_type == 3:
+        idx = out[:, :, 0]
+        if idx.max(initial=0) >= len(palette):
+            raise PNGError("palette index out of range")
+        rgb = palette[idx]  # (H, W, 3)
+        if trns is None:
+            return width, height, rgb
+        # spec: entries beyond the tRNS array are fully opaque
+        alpha_lut = np.full(len(palette), 255, dtype=np.uint8)
+        alpha_lut[:len(trns)] = trns
+        return width, height, np.dstack([rgb, alpha_lut[idx]])
+    if color_type == 0:
+        return width, height, out[:, :, 0]
+    return width, height, out

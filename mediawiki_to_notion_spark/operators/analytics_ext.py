@@ -845,6 +845,49 @@ def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("sliding_distinct_users_hll")  # rows-only: sketch estimates
+def sliding_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB swap-in for ``sliding_distinct_users`` (SCALING.md
+    rule: sketches over exact distinct at scale — now code, not prose;
+    VERDICT r3 item 6): ONE pass over events builds a per-hour
+    DataSketches HLL of user_id (catalog-sized output — one sketch per
+    hour), then the 24-pane trailing window is an explode + merge over
+    that TINY sketch table.  Events are never fanned out 24× — the row
+    explosion the exact formulation pays moves to the ~720-row hourly
+    aggregate, so the big-side cost is a single map-side-combinable
+    groupBy regardless of window length.
+
+    No SQL oracle: the estimate is sketch-implementation-defined
+    (DataSketches HLL_4), so the driver records rows-only; pytest pins
+    row-parity plus a relative-error band against the exact twin."""
+    e = load_table(spark, "events", sf_dir)
+    hourly = (
+        e.select(F.date_trunc("hour", F.col("ts")).alias("h0"), "user_id")
+        .groupBy("h0")
+        .agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"))
+    )
+    mx = hourly.agg(F.max("h0").alias("mx"))
+    contrib = (
+        hourly.crossJoin(F.broadcast(mx))
+        .select(
+            F.explode(
+                F.sequence(
+                    "h0",
+                    F.col("h0") + F.expr("INTERVAL 23 HOUR"),
+                    F.expr("INTERVAL 1 HOUR"),
+                )
+            ).alias("window_end_hour"),
+            "sk",
+            "mx",
+        )
+        .filter(F.col("window_end_hour") <= F.col("mx"))
+    )
+    return contrib.groupBy("window_end_hour").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk"))
+        .alias("n_distinct_users_approx")
+    )
+
+
 MAD_K = 3  # |x - median| > K * MAD flags an outlier
 
 

@@ -41,6 +41,10 @@ def get_spark(app_name: str = "mediawiki_to_notion_spark",
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
+        # no console progress bars: they interleave carriage-return
+        # frames into stdout, which corrupts line-oriented captures
+        # (the driver tail-parses bench.py's final JSON line)
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     )
     spark = builder.getOrCreate()

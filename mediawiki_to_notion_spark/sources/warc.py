@@ -156,7 +156,17 @@ def _valid_boundary(buf: bytes, i: int, base_is_file_start: bool) -> bool:
     if i == 0:
         if not base_is_file_start:
             return False
-    elif i >= 4 and buf[i - 4:i] != b"\r\n\r\n":
+    elif buf[max(0, i - 4):i] != b"\r\n\r\n":
+        # candidates at buffer offsets 1-3 can never prove their
+        # CRLF-CRLF context (fewer than 4 predecessor bytes in view) —
+        # reject them.  A TRUE boundary cannot land there: the initial
+        # read starts 4 bytes before `start`, and the no-candidate
+        # refill keeps len(_MARK)+4 tail bytes so a marker straddling a
+        # refill re-surfaces at offset >= 5.  Accepting them (the old
+        # `i >= 4 and ...` guard silently skipped the check) let a
+        # previously-rejected header-valid decoy near a chunk tail be
+        # re-examined context-free after the trim and accepted —
+        # phantom records in split reads (ADVICE r3).
         return False
     head_end = buf.find(b"\r\n\r\n", i + len(_MARK))
     if head_end == -1:
@@ -189,6 +199,14 @@ def iter_warc_records_plain(
             base += keep
             buf = buf[keep:]
             pos = 0
+            # no candidate can start at-or-after `base` and still own
+            # this split once base >= end — bail instead of scanning to
+            # EOF.  Without this, N splits landing inside one record
+            # far larger than split_bytes (or before a long marker-free
+            # tail) EACH rescan it: O(file x splits) read amplification
+            # (ADVICE r3).
+            if base >= end:
+                return
             chunk = f.read(_SCAN_CHUNK)
             if not chunk:
                 return
@@ -279,6 +297,12 @@ def iter_warc_records_gz(
             base += keep
             buf = buf[keep:]
             pos = 0
+            # every member this split owns starts before `end`; once the
+            # scan position passes it, stop rather than reading to EOF
+            # (same O(file x splits) amplification as the plain scan —
+            # ADVICE r3)
+            if base >= end:
+                return
             chunk = f.read(_SCAN_CHUNK)
             if not chunk:
                 return

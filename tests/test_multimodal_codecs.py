@@ -28,20 +28,77 @@ from mediawiki_to_notion_spark.functions.wav_codec import (
 
 def _image(h, w, channels, seed):
     rng = np.random.default_rng(seed)
-    shape = (h, w) if channels == 1 else (h, w, 3)
+    shape = (h, w) if channels == 1 else (h, w, channels)
     return rng.integers(0, 256, size=shape, dtype=np.uint8)
 
 
 @pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
-@pytest.mark.parametrize("channels", [1, 3])
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
 def test_png_roundtrip_every_filter(filter_type, channels):
     """Every scanline filter the spec defines decodes back bit-exact,
-    for grayscale and RGB."""
+    for grayscale, gray+alpha, RGB, and RGBA (color types 0/4/2/6)."""
     img = _image(13, 17, channels, seed=filter_type * 10 + channels)
     data = encode_png(img, filter_type=filter_type)
     w, h, out = decode_png(data)
     assert (w, h) == (17, 13)
     np.testing.assert_array_equal(out, img)
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_png_palette_roundtrip(filter_type):
+    """Color type 3: indices map through PLTE (+ optional tRNS alpha,
+    with entries beyond the tRNS array defaulting opaque)."""
+    from mediawiki_to_notion_spark.functions.png_codec import (
+        encode_png_palette,
+    )
+
+    rng = np.random.default_rng(filter_type)
+    pal = rng.integers(0, 256, size=(7, 3), dtype=np.uint8)
+    idx = rng.integers(0, 7, size=(9, 11), dtype=np.uint8)
+    w, h, out = decode_png(encode_png_palette(idx, pal,
+                                              filter_type=filter_type))
+    assert (w, h) == (11, 9)
+    np.testing.assert_array_equal(out, pal[idx])
+    # with per-entry alpha on the first 4 entries only
+    trns = np.array([0, 64, 128, 255], dtype=np.uint8)
+    w, h, out = decode_png(encode_png_palette(idx, pal, trns=trns,
+                                              filter_type=filter_type))
+    assert out.shape == (9, 11, 4)
+    np.testing.assert_array_equal(out[:, :, :3], pal[idx])
+    alpha_lut = np.array([0, 64, 128, 255, 255, 255, 255], dtype=np.uint8)
+    np.testing.assert_array_equal(out[:, :, 3], alpha_lut[idx])
+
+
+def test_png_palette_index_out_of_range_is_error():
+    from mediawiki_to_notion_spark.functions.png_codec import (
+        encode_png_palette,
+    )
+
+    pal = np.zeros((4, 3), dtype=np.uint8)
+    idx = np.full((2, 2), 9, dtype=np.uint8)
+    with pytest.raises(ValueError, match="index out of range"):
+        encode_png_palette(idx, pal)
+    # and a FILE with out-of-range indices (hand-built: palette smaller
+    # than the encoded index stream) must fail decode, not mis-index
+    good = encode_png_palette(np.full((2, 2), 3, dtype=np.uint8),
+                              np.zeros((4, 3), dtype=np.uint8))
+    import struct as _s
+    import zlib as _z
+    small_plte = np.zeros((2, 3), dtype=np.uint8).tobytes()
+    rebuilt = bytearray()
+    pos = 8
+    rebuilt += good[:8]
+    while pos + 8 <= len(good):
+        (length,) = _s.unpack(">I", good[pos:pos + 4])
+        ctype = good[pos + 4:pos + 8]
+        body = good[pos + 8:pos + 8 + length]
+        if ctype == b"PLTE":
+            body = small_plte
+        rebuilt += _s.pack(">I", len(body)) + ctype + body + _s.pack(
+            ">I", _z.crc32(ctype + body) & 0xFFFFFFFF)
+        pos += 12 + length
+    with pytest.raises(PNGError, match="index out of range"):
+        decode_png(bytes(rebuilt))
 
 
 def test_png_gradient_and_edge_sizes():
@@ -111,7 +168,7 @@ try:
     @settings(max_examples=25, deadline=None)
     @given(
         h=st.integers(1, 24), w=st.integers(1, 24),
-        channels=st.sampled_from([1, 3]),
+        channels=st.sampled_from([1, 2, 3, 4]),
         filter_type=st.integers(0, 4), seed=st.integers(0, 2**16),
     )
     def test_png_roundtrip_fuzz(h, w, channels, filter_type, seed):
@@ -119,6 +176,35 @@ try:
         ww, hh, out = decode_png(encode_png(img, filter_type=filter_type))
         assert (ww, hh) == (w, h)
         np.testing.assert_array_equal(out, img)
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 24), w=st.integers(1, 24),
+        n_pal=st.integers(1, 256), n_trns=st.integers(0, 256),
+        filter_type=st.integers(0, 4), seed=st.integers(0, 2**16),
+    )
+    def test_png_palette_roundtrip_fuzz(h, w, n_pal, n_trns, filter_type,
+                                        seed):
+        from mediawiki_to_notion_spark.functions.png_codec import (
+            encode_png_palette,
+        )
+
+        rng = np.random.default_rng(seed)
+        pal = rng.integers(0, 256, size=(n_pal, 3), dtype=np.uint8)
+        idx = rng.integers(0, n_pal, size=(h, w), dtype=np.uint8)
+        n_trns = min(n_trns, n_pal)
+        trns = (rng.integers(0, 256, size=n_trns, dtype=np.uint8)
+                if n_trns else None)
+        ww, hh, out = decode_png(
+            encode_png_palette(idx, pal, trns=trns, filter_type=filter_type))
+        assert (ww, hh) == (w, h)
+        if trns is None:
+            np.testing.assert_array_equal(out, pal[idx])
+        else:
+            np.testing.assert_array_equal(out[:, :, :3], pal[idx])
+            lut = np.full(n_pal, 255, dtype=np.uint8)
+            lut[:n_trns] = trns
+            np.testing.assert_array_equal(out[:, :, 3], lut[idx])
 
     @settings(max_examples=25, deadline=None)
     @given(

@@ -431,6 +431,41 @@ def test_sliding_distinct_fanout_then_one_dedup(spark):
     assert "partial_count" in plan
 
 
+def test_sliding_distinct_hll_fans_out_sketches_not_events(spark):
+    """The HLL twin must pay the 24x explode on the per-hour SKETCH
+    table (one row per hour), never on events: exactly one partial
+    aggregate over events (the hourly sketch build) and the explode
+    strictly downstream of it.  Row-parity + accuracy band vs the
+    exact twin pin the semantics."""
+    from mediawiki_to_notion_spark.operators.analytics_ext import (
+        sliding_distinct_users,
+        sliding_distinct_users_hll,
+    )
+
+    plan = plan_of(spark, "sliding_distinct_users_hll")
+    assert "CartesianProduct" not in plan
+    # the explode (Generate) runs on the aggregated hourly frame: the
+    # plan has a partial hll build BELOW the generate, so the generate's
+    # input is hour-sized.  A fan-out on raw events would put Generate
+    # directly over the file scan with no aggregate in between.
+    gen_pos = plan.find("Generate")
+    agg_pos = plan.find("partial_hll_sketch_agg")
+    assert gen_pos != -1 and agg_pos != -1 and agg_pos > gen_pos, \
+        "hourly sketch aggregate must sit beneath the window explode"
+
+    exact = {
+        r.window_end_hour: r.n_distinct_users
+        for r in sliding_distinct_users(spark, SF).collect()
+    }
+    approx = {
+        r.window_end_hour: r.n_distinct_users_approx
+        for r in sliding_distinct_users_hll(spark, SF).collect()
+    }
+    assert set(exact) == set(approx)  # same windows, clipped the same
+    for h, n in exact.items():
+        assert abs(approx[h] - n) <= max(3, 0.05 * n), (h, n, approx[h])
+
+
 def test_mad_stats_broadcast_back(spark):
     """Median and MAD (tiny per-type rows) must broadcast onto the
     event scan in both passes; a shuffle join would repartition the

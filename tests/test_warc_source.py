@@ -128,6 +128,71 @@ def test_plain_sync_rejects_wellformed_decoy_without_boundary_context():
     assert [h["WARC-Record-ID"] for _, h, _ in got] == ["<urn:b>"]
 
 
+def test_plain_sync_decoy_resurfacing_after_trim_is_rejected(monkeypatch):
+    """ADVICE r3 regression: with a small scan chunk, a header-valid
+    decoy near a chunk tail gets rejected (bad CRLF-CRLF context), then
+    the no-candidate refill trims the buffer and the decoy re-surfaces
+    at offset 1-3 WITHOUT its context bytes — the old `i >= 4 and ...`
+    guard then skipped the context check and accepted it, yielding
+    phantom records in split reads.  Sweep every start offset so the
+    trim geometry is hit regardless of chunk phase."""
+    import mediawiki_to_notion_spark.sources.warc as warc
+
+    decoy = (b"WARC/1.0\r\nWARC-Type: resource\r\n"
+             b"Content-Length: 3\r\n\r\nabc\r\n\r\n")
+    recs = []
+    for k in range(6):
+        # vary the padding so the decoy lands at every chunk phase
+        payload = b"p" * (37 * k + 5) + b"x" + decoy + b"y" + b"q" * 40
+        recs.append(({"WARC-Type": "resource",
+                      "WARC-Record-ID": f"<urn:d{k}>"}, payload))
+    data = _plain_bytes(recs)
+    whole = list(iter_warc_records_plain(io.BytesIO(data), 0, len(data)))
+    assert [h["WARC-Record-ID"] for _, h, _ in whole] == \
+        [h["WARC-Record-ID"] for h, _ in recs]
+    for chunk_size in (32, 48, 64):
+        monkeypatch.setattr(warc, "_SCAN_CHUNK", chunk_size)
+        for split in (17, 53, 128):
+            pieces = []
+            start = 0
+            while start < len(data):
+                pieces.extend(iter_warc_records_plain(
+                    io.BytesIO(data), start, min(start + split, len(data))))
+                start += split
+            assert [h["WARC-Record-ID"] for _, h, _ in pieces] == \
+                [h["WARC-Record-ID"] for _, h, _ in whole], \
+                f"chunk={chunk_size} split={split}"
+
+
+class _CountingFile(io.BytesIO):
+    def __init__(self, data):
+        super().__init__(data)
+        self.bytes_read = 0
+
+    def read(self, n=-1):
+        out = super().read(n)
+        self.bytes_read += len(out)
+        return out
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_sync_scan_bails_out_past_end(gz):
+    """ADVICE r3: a split landing inside a record/member much larger
+    than the split must NOT rescan to EOF looking for the next
+    boundary — it owns no record, so its read volume stays bounded by
+    a few scan chunks, not O(file)."""
+    import mediawiki_to_notion_spark.sources.warc as warc
+
+    big = [({"WARC-Type": "resource", "WARC-Record-ID": "<urn:big>"},
+            b"z" * 3_000_000)]
+    data = _gz_bytes(big) if gz else _plain_bytes(big)
+    it = iter_warc_records_gz if gz else iter_warc_records_plain
+    # a 4 KiB split in the middle of the single huge record
+    f = _CountingFile(data)
+    assert list(it(f, 1_000_000, 1_004_096)) == []
+    assert f.bytes_read <= 4096 + 3 * warc._SCAN_CHUNK, f.bytes_read
+
+
 def test_gz_sync_rejects_false_magic():
     """Gzip magic bytes inside a compressed body must fail the
     inflate-and-check proof, not desync the scan."""
