@@ -492,3 +492,175 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
     )
+
+
+# Gopher quality rules (Rae et al. 2021, table A1 — public paper):
+# the standard pretraining document-quality ruleset.  Thresholds follow
+# the paper where the synthetic corpus can exercise them.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MEAN_WORD_LEN = (3.0, 10.0)
+GOPHER_MAX_SYMBOL_RATIO = 0.1        # '#' or '...' per word
+GOPHER_MIN_ALPHA_WORD_RATIO = 0.8    # words containing a letter
+GOPHER_MIN_STOPWORDS = 2             # distinct stop words present
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with", "a")
+
+_SW_SQL = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+
+
+@register(
+    "text_gopher_quality_rules",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t, text FROM documents
+    ),
+    feats AS (
+      SELECT doc_id,
+             len(t) AS n_words,
+             round(len(replace(text, ' ', ''))::DOUBLE / len(t), 6)
+               AS mean_word_len,
+             round((
+               (len(text) - len(replace(text, '#', '')))
+               + (len(text) - len(replace(text, '...', ''))) / 3
+             )::DOUBLE / len(t), 6) AS symbol_ratio,
+             round(len(list_filter(t, w -> regexp_matches(w, '[A-Za-z]')))
+                   ::DOUBLE / len(t), 6) AS alpha_word_ratio,
+             len(list_distinct(list_filter(t,
+               w -> list_contains([{_SW_SQL}], lower(w))))) AS n_stopwords
+      FROM toks
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_ratio,
+           n_stopwords,
+           (n_words < {GOPHER_MIN_WORDS} OR n_words > {GOPHER_MAX_WORDS})
+             AS fail_word_count,
+           (mean_word_len < {GOPHER_MEAN_WORD_LEN[0]}
+            OR mean_word_len > {GOPHER_MEAN_WORD_LEN[1]})
+             AS fail_mean_word_len,
+           symbol_ratio > {GOPHER_MAX_SYMBOL_RATIO} AS fail_symbol_ratio,
+           alpha_word_ratio < {GOPHER_MIN_ALPHA_WORD_RATIO}
+             AS fail_alpha_ratio,
+           n_stopwords < {GOPHER_MIN_STOPWORDS} AS fail_stopwords,
+           NOT (n_words < {GOPHER_MIN_WORDS} OR n_words > {GOPHER_MAX_WORDS}
+                OR mean_word_len < {GOPHER_MEAN_WORD_LEN[0]}
+                OR mean_word_len > {GOPHER_MEAN_WORD_LEN[1]}
+                OR symbol_ratio > {GOPHER_MAX_SYMBOL_RATIO}
+                OR alpha_word_ratio < {GOPHER_MIN_ALPHA_WORD_RATIO}
+                OR n_stopwords < {GOPHER_MIN_STOPWORDS}) AS keep
+    FROM feats
+    """,
+)
+def text_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher document-quality ruleset (Rae et al. 2021, table A1 —
+    the filter battery MassiveText/Dolma/RefinedWeb all derive from):
+    word-count bounds, mean-word-length band, symbol-to-word ratio
+    ('#'/'...' artifacts), alphabetic-word ratio, and a minimum count
+    of distinct stop words.  Per-rule flags are emitted alongside the
+    combined keep bit so the funnel report can attribute drops to
+    individual rules (the qc view the paper's appendix tabulates).
+
+    100 TB shape: one narrow JVM-side pass beside the scan — every
+    feature is an expression over the token array, no shuffle at all.
+    Cross-engine parity: ratios are single divisions of exact integer
+    counts (mean word length = non-space chars / words), so both
+    engines round identical doubles."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n_words = F.size(toks)
+    mean_wl = F.round(
+        F.length(F.regexp_replace("text", " ", "")).cast("double") / n_words, 6
+    )
+    n_hash = F.length("text") - F.length(F.regexp_replace("text", "#", ""))
+    n_ellipsis = (
+        F.length("text")
+        - F.length(F.regexp_replace("text", r"\.\.\.", ""))
+    ) / 3
+    symbol_ratio = F.round(
+        (n_hash + n_ellipsis).cast("double") / n_words, 6
+    )
+    alpha_ratio = F.round(
+        F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
+        .cast("double") / n_words, 6,
+    )
+    sw = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    n_sw = F.size(F.array_distinct(
+        F.filter(toks, lambda w: F.array_contains(sw, F.lower(w)))
+    ))
+    feats = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        n_sw.alias("n_stopwords"),
+    )
+    f_wc = (F.col("n_words") < GOPHER_MIN_WORDS) | \
+        (F.col("n_words") > GOPHER_MAX_WORDS)
+    f_mwl = (F.col("mean_word_len") < GOPHER_MEAN_WORD_LEN[0]) | \
+        (F.col("mean_word_len") > GOPHER_MEAN_WORD_LEN[1])
+    f_sym = F.col("symbol_ratio") > GOPHER_MAX_SYMBOL_RATIO
+    f_alpha = F.col("alpha_word_ratio") < GOPHER_MIN_ALPHA_WORD_RATIO
+    f_sw = F.col("n_stopwords") < GOPHER_MIN_STOPWORDS
+    return feats.select(
+        "*",
+        f_wc.alias("fail_word_count"),
+        f_mwl.alias("fail_mean_word_len"),
+        f_sym.alias("fail_symbol_ratio"),
+        f_alpha.alias("fail_alpha_ratio"),
+        f_sw.alias("fail_stopwords"),
+        (~(f_wc | f_mwl | f_sym | f_alpha | f_sw)).alias("keep"),
+    )
+
+
+MIX_EPOCH_CAP = 5  # max oversampling epochs for tiny sources
+
+
+@register(
+    "corpus_mixture_weights",
+    oracle=f"""
+    WITH per_source AS (
+      SELECT source,
+             count(*) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    mx AS (SELECT max(n_tokens) AS max_tokens FROM per_source)
+    SELECT source, n_docs, n_tokens,
+           round(sqrt(n_tokens::DOUBLE / max_tokens), 6) AS rel_weight,
+           least({MIX_EPOCH_CAP}, CAST(ceil(
+             sqrt(max_tokens::DOUBLE / n_tokens)) AS BIGINT)) AS epochs
+    FROM per_source, mx
+    """,
+)
+def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture weight table: per-source token counts flattened
+    with a sqrt temperature (alpha = 0.5, the multilingual-LM mixing
+    rule) into a relative sampling weight against the LARGEST source,
+    plus the capped oversampling epoch count small sources need to hit
+    that weight — the table a data-loading pipeline consumes to mix
+    domains (complements lang_temperature_resample, which applies
+    per-document resampling; this emits the source-level plan).
+
+    100 TB shape: one map-side-combinable groupBy(source) over the
+    corpus; everything after runs on the source-count-sized aggregate.
+    Cross-engine parity: weights derive from ONE division of exact
+    integer token counts followed by ONE sqrt — no multi-term float
+    reductions, so both engines round the same doubles (the
+    lang_temperature_resample recipe)."""
+    d = load_table(spark, "documents", sf_dir)
+    per_source = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+    )
+    mx = per_source.agg(F.max("n_tokens").alias("max_tokens"))
+    return per_source.crossJoin(F.broadcast(mx)).select(
+        "source", "n_docs", "n_tokens",
+        F.round(
+            F.sqrt(F.col("n_tokens").cast("double") / F.col("max_tokens")), 6
+        ).alias("rel_weight"),
+        F.least(
+            F.lit(MIX_EPOCH_CAP).cast("long"),
+            F.ceil(
+                F.sqrt(F.col("max_tokens").cast("double") / F.col("n_tokens"))
+            ),
+        ).alias("epochs"),
+    )

@@ -496,3 +496,90 @@ def dense_global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.join(F.broadcast(offsets), "pid").select(
         "doc_id", (F.col("offset") + F.col("local_rank")).alias("dense_id")
     )
+
+
+PCA_COMPONENTS = 2  # leading principal components to report
+
+
+@register("embedding_pca_power")  # rows-only: float eigensolve
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading principal components of the embedding matrix — the
+    whitening/decorrelation step before quantization or outlier
+    screening (and the classic "remove the dominant direction"
+    embedding post-process).  The corpus-sized work is ONE pass
+    computing the d x d second-moment (Gram) matrix and the d-vector
+    sum via a JVM-side upper-triangle pair expansion with map-side
+    partial aggregation; the eigensolve then runs on the
+    catalog-sized (64 x 64) covariance on the driver — the same
+    driver-holds-the-codebook discipline as kmeans_lloyd_refine.
+    Deterministic sign: each component's largest-|loading| entry is
+    made positive.
+
+    No SQL oracle (iterative float eigensolve); pytest pins the
+    distributed moment computation and the components against a pure
+    numpy PCA of the same vectors.
+
+    100 TB shape: the pair expansion fans each row out to d(d+1)/2
+    products, but partial aggregation collapses them to d(d+1)/2
+    GROUPS before the (only) shuffle — the shuffle and the driver
+    transfer are dimension-sized, independent of corpus size.  This
+    beats 8 power-iteration passes over the corpus: one scan total."""
+    import numpy as np
+
+    e = load_table(spark, "embeddings", sf_dir).filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+    )
+    idx = F.sequence(F.lit(0), F.size("embedding") - 1)
+    pairs = F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.transform(
+                F.sequence(i, F.size("embedding") - 1),
+                lambda j: F.struct(
+                    i.cast("int").alias("i"),
+                    j.cast("int").alias("j"),
+                    (
+                        F.element_at("embedding", i + 1).cast("double")
+                        * F.element_at("embedding", j + 1).cast("double")
+                    ).alias("prod"),
+                ),
+            ),
+        )
+    )
+    moments = (
+        e.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.i").alias("i"), F.col("p.j").alias("j"))
+        .agg(F.sum("p.prod").alias("s"))
+        .collect()  # bounded: d(d+1)/2 rows (2080 at d=64)
+    )
+    sums = (
+        e.select(F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.sum(F.col("x").cast("double")).alias("s"),
+             F.count(F.lit(1)).alias("n"))
+        .collect()  # bounded: d rows
+    )
+    d_dim = max(r.dim for r in sums) + 1
+    n = sums[0].n
+    mu = np.zeros(d_dim)
+    for r in sums:
+        mu[r.dim] = r.s / n
+    gram = np.zeros((d_dim, d_dim))
+    for r in moments:
+        gram[r.i, r.j] = r.s
+        gram[r.j, r.i] = r.s
+    cov = gram / n - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    out_rows = []
+    for k in range(PCA_COMPONENTS):
+        v = evecs[:, -(k + 1)]
+        lam = float(evals[-(k + 1)])
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        for dim in range(d_dim):
+            out_rows.append((k, dim, float(mu[dim]), float(v[dim]), lam))
+    return spark.createDataFrame(
+        out_rows,
+        "component int, dim int, mean double, loading double, "
+        "eigenvalue double",
+    )

@@ -744,3 +744,40 @@ def test_dashboard_widget_takes_ordered(spark):
     plan = plan_of(spark, "dashboard_status_widget")
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_embedding_pca_matches_numpy(spark):
+    """The distributed Gram/mean computation must reproduce a pure
+    numpy PCA of the same vectors: same eigenvalues, |cosine| ~ 1
+    between loading vectors, deterministic sign (largest-|loading|
+    entry positive)."""
+    import numpy as np
+
+    from mediawiki_to_notion_spark.operators.data_prep import (
+        PCA_COMPONENTS,
+        embedding_pca_power,
+    )
+    from mediawiki_to_notion_spark.sources.tables import load_table
+
+    rows = embedding_pca_power(spark, SF).collect()
+    vecs = np.array([
+        r.embedding for r in
+        load_table(spark, "embeddings", SF).select("embedding").collect()
+        if r.embedding
+    ], dtype=np.float64)
+    cov = np.cov(vecs, rowvar=False, bias=True)
+    evals, evecs = np.linalg.eigh(cov)
+    d = vecs.shape[1]
+    for k in range(PCA_COMPONENTS):
+        got = sorted((r for r in rows if r.component == k),
+                     key=lambda r: r.dim)
+        v_got = np.array([r.loading for r in got])
+        lam_got = got[0].eigenvalue
+        v_np = evecs[:, -(k + 1)]
+        assert len(got) == d
+        assert abs(lam_got - evals[-(k + 1)]) < 1e-6 * max(1, abs(lam_got))
+        assert abs(abs(v_got @ v_np) - 1.0) < 1e-6
+        assert v_got[int(np.argmax(np.abs(v_got)))] > 0
+    mu_got = np.array([r.mean for r in sorted(
+        (r for r in rows if r.component == 0), key=lambda r: r.dim)])
+    np.testing.assert_allclose(mu_got, vecs.mean(axis=0), atol=1e-9)
