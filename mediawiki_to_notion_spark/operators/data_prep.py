@@ -559,6 +559,10 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.count(F.lit(1)).alias("n"))
         .collect()  # bounded: d rows
     )
+    schema = ("component int, dim int, mean double, loading double, "
+              "eigenvalue double")
+    if not sums:  # empty corpus: no dimensionality to decompose
+        return spark.createDataFrame([], schema)
     d_dim = max(r.dim for r in sums) + 1
     n = sums[0].n
     mu = np.zeros(d_dim)
@@ -578,8 +582,4 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             v = -v
         for dim in range(d_dim):
             out_rows.append((k, dim, float(mu[dim]), float(v[dim]), lam))
-    return spark.createDataFrame(
-        out_rows,
-        "component int, dim int, mean double, loading double, "
-        "eigenvalue double",
-    )
+    return spark.createDataFrame(out_rows, schema)
