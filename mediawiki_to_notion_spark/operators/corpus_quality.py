@@ -664,3 +664,91 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("epochs"),
     )
+
+
+# CCNet-style head/middle/tail split fractions (exact tertiles); the
+# literal is Python's repr of 1/3 so Spark and DuckDB parse the SAME
+# double for the interpolated-percentile position.
+PPL_T1 = "0.3333333333333333"
+PPL_T2 = "0.6666666666666666"
+
+
+@register(
+    "corpus_perplexity_buckets",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ), tk AS (SELECT doc_id, t FROM tok WHERE t != ''),
+    vocab AS (
+      SELECT t,
+             round(ln(count(*)::DOUBLE / (SELECT count(*) FROM tk)), 6) AS lp
+      FROM tk GROUP BY t
+    ),
+    scored AS (
+      SELECT tk.doc_id,
+             CAST(round(
+               (sum(CAST(v.lp AS DECIMAL(18,6)))::DOUBLE / count(*)) * 1e6
+             ) AS BIGINT) AS score_micro
+      FROM tk JOIN vocab v USING (t) GROUP BY tk.doc_id
+    ),
+    th AS (
+      SELECT round(quantile_cont(score_micro, {PPL_T1}), 6) AS t1,
+             round(quantile_cont(score_micro, {PPL_T2}), 6) AS t2
+      FROM scored
+    )
+    SELECT doc_id, score_micro,
+           CASE WHEN score_micro >= t2 THEN 'head'
+                WHEN score_micro >= t1 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scored CROSS JOIN th
+    """,
+)
+def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail corpus split (Wenzek et al. 2020 §4.3):
+    rank every document by its language-model score — here the unigram
+    mean log-probability, text_unigram_logprob's proven-parity recipe —
+    and cut the corpus at exact tertiles: 'head' = most natural third,
+    'tail' = the third a quality-focused pretraining run drops or
+    downweights.  The score is carried as integer micro-units so the
+    tertile thresholds interpolate over exact integers (the
+    doc_length_equal_freq_bins parity pattern).
+
+    100 TB shape: scoring is the unigram-LM join (vocab-sized partial
+    agg broadcast back); the tertiles are ONE exact-percentile aggregate
+    broadcast back (at real scale, swap in approx_percentile — the
+    CASE assignment is unchanged); no global sort, no corpus window."""
+    from mediawiki_to_notion_spark.plans.pipeline import ensure_parallelism
+
+    d = ensure_parallelism(load_table(spark, "documents", sf_dir))
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("t")
+    ).filter(F.col("t") != "")
+    vocab = tok.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+    total = vocab.agg(F.sum("n").alias("total"))
+    lp = vocab.crossJoin(F.broadcast(total)).select(
+        "t",
+        F.round(F.log(F.col("n").cast("double") / F.col("total")), 6)
+        .alias("lp"),
+    )
+    scored = (
+        tok.join(F.broadcast(lp), "t")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                (F.sum(F.col("lp").cast("decimal(18,6)")).cast("double")
+                 / F.count(F.lit(1))) * 1e6
+            ).cast("long").alias("score_micro")
+        )
+    )
+    th = scored.agg(
+        F.round(F.expr(f"percentile(score_micro, {PPL_T1})"), 6).alias("t1"),
+        F.round(F.expr(f"percentile(score_micro, {PPL_T2})"), 6).alias("t2"),
+    )
+    bucket = (
+        F.when(F.col("score_micro") >= F.col("t2"), "head")
+        .when(F.col("score_micro") >= F.col("t1"), "middle")
+        .otherwise("tail")
+    )
+    return scored.crossJoin(F.broadcast(th)).select(
+        "doc_id", "score_micro", bucket.alias("bucket")
+    )

@@ -857,3 +857,71 @@ def doc_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("keywords"),
         F.max("w").cast("double").alias("top_weight"),
     )
+
+
+VOCAB_COVERAGE_K = 200  # tokenizer vocabulary budget under evaluation
+
+
+@register(
+    "tokenizer_vocab_coverage",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ), tk AS (SELECT doc_id, t FROM tok WHERE t != ''),
+    counts AS (SELECT t, count(*) AS c FROM tk GROUP BY t),
+    vocab AS (
+      SELECT t FROM (
+        SELECT t, row_number() OVER (ORDER BY c DESC, t) AS rn FROM counts
+      ) WHERE rn <= {VOCAB_COVERAGE_K}
+    )
+    SELECT tk.doc_id,
+           count(*) AS n_tokens,
+           CAST(count(*) FILTER (v.t IS NULL) AS BIGINT) AS n_oov,
+           round(count(*) FILTER (v.t IS NULL)::DOUBLE / count(*), 6)
+             AS oov_rate
+    FROM tk LEFT JOIN vocab v USING (t)
+    GROUP BY tk.doc_id
+    """,
+)
+def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary-coverage evaluation: freeze a
+    {VOCAB_COVERAGE_K}-entry vocabulary (top corpus frequencies,
+    deterministic tie order — the budget a tokenizer trainer would
+    allocate) and report each document's out-of-vocabulary token count
+    and rate — the fertility/coverage metric that decides whether a
+    vocabulary budget fits a corpus before committing to a full
+    tokenizer train (and the per-document signal for routing
+    high-OOV documents to byte-fallback handling).
+
+    100 TB shape: the frequency table is one map-side-combinable
+    groupBy; the top-K rank runs on the vocabulary-sized aggregate
+    (gate-allowed bounded window), and membership joins back as a
+    broadcast onto the exploded token stream.  The OOV flag is a
+    null-side check on a LEFT join, so no second pass."""
+    from mediawiki_to_notion_spark.plans.pipeline import ensure_parallelism
+    from pyspark.sql import Window as W
+
+    d = ensure_parallelism(load_table(spark, "documents", sf_dir))
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("t")
+    ).filter(F.col("t") != "")
+    counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    vocab = (
+        counts.withColumn(
+            "rn", F.row_number().over(W.orderBy(F.desc("c"), F.asc("t")))
+        )
+        .filter(F.col("rn") <= VOCAB_COVERAGE_K)
+        .select("t", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "t", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(F.when(F.col("in_vocab").isNull(), 1)).alias("n_oov"),
+            F.round(
+                F.count(F.when(F.col("in_vocab").isNull(), 1))
+                .cast("double") / F.count(F.lit(1)), 6,
+            ).alias("oov_rate"),
+        )
+    )
