@@ -72,7 +72,16 @@ HEADLINE = [
     "source_overlap_matrix",
     "market_basket_part_pairs",
     "user_retention_cohorts",
+    # --- r4 additions (cross-round totals compare on value_r3_subset,
+    # the 53-query set above, exactly as value_r1_subset pins the r1 set)
+    "sliding_distinct_users_hll",
+    "text_gopher_quality_rules",
+    "corpus_mixture_weights",
+    "corpus_perplexity_buckets",
+    "tokenizer_vocab_coverage",
+    "embedding_pca_power",
 ]
+N_R3_SET = 53  # the first 53 entries are the r2/r3 headline set
 
 
 def main() -> None:
@@ -125,6 +134,7 @@ def main() -> None:
     # comparable on a fixed query set, so emit its subtotal alongside
     # the full (growing) total
     r1_set = set(HEADLINE[:31])
+    r3_set = set(HEADLINE[:N_R3_SET])
     detail = {
         "metric": "headline_query_wall_total",
         "value": round(sum(timings.values()), 3),
@@ -132,6 +142,9 @@ def main() -> None:
         "n_queries": len(timings),
         "value_r1_subset": round(
             sum(v for k, v in timings.items() if k in r1_set), 3
+        ),
+        "value_r3_subset": round(
+            sum(v for k, v in timings.items() if k in r3_set), 3
         ),
         "value_min_total": round(sum(timings_min.values()), 3),
         "queries": timings,
@@ -150,7 +163,8 @@ def main() -> None:
         # r3+: warmup + median of n_runs, min reported alongside)
         "methodology": f"sf0.001 warmup, median of {n_runs} timed runs "
                        "(min in queries_min), noop sink; value_r1_subset "
-                       "= median total over the r1 31-query set",
+                       "= median total over the r1 31-query set, "
+                       "value_r3_subset = over the r2/r3 53-query set",
     }
     # Emission contract (VERDICT r3 item 4: BENCH_r03 parsed:null — the
     # single fat JSON line outgrew the driver's tail-capture window):
@@ -166,6 +180,7 @@ def main() -> None:
         "unit": "sec",
         "n_queries": detail["n_queries"],
         "value_r1_subset": detail["value_r1_subset"],
+        "value_r3_subset": detail["value_r3_subset"],
         "value_min_total": detail["value_min_total"],
         "sf": sf,
         "machine_md5": _md5_str(json.dumps(detail["machine"], sort_keys=True)),

