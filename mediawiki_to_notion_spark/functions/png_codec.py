@@ -6,16 +6,20 @@ zlib-compressed stream of filtered scanlines.  This module implements a
 REAL codec for the common uncompressed-workflow subset:
 
 - color types 0 (grayscale), 2 (RGB), 3 (palette, with optional tRNS
-  alpha), 4 (gray+alpha) and 6 (RGBA) — i.e. every color type —
-  at bit depth 8, non-interlaced;
-- all five scanline filters (None/Sub/Up/Average/Paeth) on decode;
+  alpha), 4 (gray+alpha) and 6 (RGBA) — i.e. every color type — at
+  bit depths 8 AND 16 (palette is 8-bit only, as the spec requires),
+  non-interlaced;
+- all five scanline filters (None/Sub/Up/Average/Paeth) on decode,
+  applied at the BYTE level with the bytes-per-pixel distance the spec
+  defines (which is what makes one filter engine serve both depths);
 - encode for types 0/2/4/6 by array shape ((H,W) / (H,W,3) / (H,W,2) /
-  (H,W,4)) with a configurable per-row filter (so decode paths are
-  exercised by round-trips, not just filter-0 files), plus
-  ``encode_png_palette`` for type 3.
+  (H,W,4)) and dtype (uint8 → depth 8, uint16 → depth 16) with a
+  configurable per-row filter (so decode paths are exercised by
+  round-trips, not just filter-0 files), plus ``encode_png_palette``
+  for type 3.
 
 Reference: the PNG specification (RFC 2083 / W3C PNG), which is public.
-Anything outside the subset (bit depths other than 8, interlace) raises
+Anything outside the subset (bit depths 1/2/4, interlace) raises
 ``UnsupportedPNGError`` with the offending feature named — the honest
 boundary where a full imaging library would take over
 (reference parity: process-mw-dump.py:147-177 treats embedded media as
@@ -75,21 +79,27 @@ _COLOR_TYPE_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
-    """Encode a uint8 array by shape: (H, W) grayscale, (H, W, 2)
-    gray+alpha, (H, W, 3) RGB, (H, W, 4) RGBA.
+    """Encode an array by shape — (H, W) grayscale, (H, W, 2)
+    gray+alpha, (H, W, 3) RGB, (H, W, 4) RGBA — and dtype: uint8
+    encodes at bit depth 8, uint16 at depth 16 (big-endian samples,
+    as the spec requires).
 
     ``filter_type`` 0-4 applies that PNG filter to every scanline —
     useful for exercising each decode path; 0 (None) is the default
     and what a throughput-oriented writer would emit."""
     a = np.asarray(pixels)
-    if a.dtype != np.uint8:
-        raise ValueError(f"pixels must be uint8, got {a.dtype}")
+    if a.dtype not in (np.uint8, np.uint16):
+        raise ValueError(f"pixels must be uint8 or uint16, got {a.dtype}")
     if a.ndim == 2:
         a = a[:, :, None]
     if a.ndim != 3 or a.shape[2] not in _SHAPE_TO_COLOR_TYPE:
         raise ValueError(f"expected (H,W) or (H,W,{{2,3,4}}), got {a.shape}")
     color_type, channels = _SHAPE_TO_COLOR_TYPE[a.shape[2]]
-    return _encode_scanlines(a, color_type, channels, filter_type)
+    if a.dtype == np.uint16:
+        # byte matrix (H, W, channels*2), big-endian sample order
+        b = np.ascontiguousarray(a).astype(">u2").view(np.uint8)
+        return _encode_scanlines(b, color_type, 16, filter_type)
+    return _encode_scanlines(a, color_type, 8, filter_type)
 
 
 def encode_png_palette(
@@ -118,24 +128,28 @@ def encode_png_palette(
         if t.dtype != np.uint8 or t.ndim != 1 or len(t) > pal.shape[0]:
             raise ValueError("trns must be uint8, at most one per entry")
         extra += _chunk(b"tRNS", t.tobytes())
-    return _encode_scanlines(idx[:, :, None], 3, 1, filter_type, extra)
+    return _encode_scanlines(idx[:, :, None], 3, 8, filter_type, extra)
 
 
-def _encode_scanlines(a: np.ndarray, color_type: int, channels: int,
+def _encode_scanlines(a: np.ndarray, color_type: int, depth: int,
                       filter_type: int, extra_chunks: bytes = b"") -> bytes:
+    """``a`` is the (H, W, bpp) BYTE matrix of the image — one row of
+    ``bpp`` bytes per pixel (channels at depth 8, channels*2 big-endian
+    at depth 16).  The spec's filters operate on exactly this view:
+    'left' is the byte bpp positions earlier, which here is the same
+    byte column of the previous pixel."""
     if not 0 <= filter_type <= 4:
         raise ValueError(f"filter_type must be 0..4, got {filter_type}")
     h, w = a.shape[:2]
-    bpp = channels
 
     raw = bytearray()
-    prev = np.zeros((w, channels), dtype=np.uint8)
+    prev = np.zeros(a.shape[1:], dtype=np.uint8)
     for y in range(h):
         row = a[y]
         raw.append(filter_type)
-        raw.extend(_filter_row(row, prev, bpp, filter_type).tobytes())
+        raw.extend(_filter_row(row, prev, filter_type).tobytes())
         prev = row
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
     return (
         _SIGNATURE
         + _chunk(b"IHDR", ihdr)
@@ -145,8 +159,7 @@ def _encode_scanlines(a: np.ndarray, color_type: int, channels: int,
     )
 
 
-def _filter_row(row: np.ndarray, prev: np.ndarray, bpp: int,
-                ft: int) -> np.ndarray:
+def _filter_row(row: np.ndarray, prev: np.ndarray, ft: int) -> np.ndarray:
     cur = row.astype(np.int16)
     up = prev.astype(np.int16)
     left = np.zeros_like(cur)
@@ -177,11 +190,13 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
 
 
 def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
-    """Decode PNG bytes → (width, height, uint8 array).
+    """Decode PNG bytes → (width, height, pixel array).
 
     Output shape by color type: 0 → (H, W); 4 → (H, W, 2);
     2 / 3-without-tRNS → (H, W, 3); 6 / 3-with-tRNS → (H, W, 4).
-    Supports the encode subset plus any mix of per-row filters."""
+    Dtype follows the file's bit depth: uint8 at depth 8, uint16 at
+    depth 16.  Supports the encode subset plus any mix of per-row
+    filters."""
     if data[:8] != _SIGNATURE:
         raise PNGError("not a PNG: bad signature")
     pos = 8
@@ -203,10 +218,13 @@ def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
         if ctype == b"IHDR":
             width, height, depth, color_type, comp, filt, interlace = \
                 struct.unpack(">IIBBBBB", body)
-            if depth != 8:
-                raise UnsupportedPNGError(f"bit depth {depth} (only 8)")
+            if depth not in (8, 16):
+                raise UnsupportedPNGError(f"bit depth {depth} (only 8/16)")
             if color_type not in _COLOR_TYPE_CHANNELS:
                 raise UnsupportedPNGError(f"color type {color_type}")
+            if color_type == 3 and depth != 8:
+                # the spec caps palette depth at 8; 16 is malformed
+                raise PNGError("palette image with bit depth 16")
             if interlace != 0:
                 raise UnsupportedPNGError("interlaced (Adam7) PNG")
             if comp != 0 or filt != 0:
@@ -232,19 +250,20 @@ def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
     if color_type == 3 and palette is None:
         raise PNGError("palette image missing PLTE")
     raw = zlib.decompress(bytes(idat))
-    stride = width * channels
+    bpp = channels * (depth // 8)  # bytes per pixel: the filter distance
+    stride = width * bpp
     if len(raw) != height * (stride + 1):
         raise PNGError(
             f"decompressed size {len(raw)} != expected {height * (stride + 1)}"
         )
-    out = np.empty((height, width, channels), dtype=np.uint8)
-    prev = np.zeros((width, channels), dtype=np.int16)
+    out = np.empty((height, width, bpp), dtype=np.uint8)
+    prev = np.zeros((width, bpp), dtype=np.int16)
     for y in range(height):
         off = y * (stride + 1)
         ft = raw[off]
         row = np.frombuffer(
             raw, dtype=np.uint8, count=stride, offset=off + 1
-        ).reshape(width, channels).astype(np.int16)
+        ).reshape(width, bpp).astype(np.int16)
         if ft == 0:
             cur = row
         elif ft == 2:
@@ -253,9 +272,9 @@ def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
             # left-referencing filters are inherently sequential per row
             cur = np.empty_like(row)
             for x in range(width):
-                left = cur[x - 1] if x else np.zeros(channels, dtype=np.int16)
+                left = cur[x - 1] if x else np.zeros(bpp, dtype=np.int16)
                 up = prev[x]
-                ul = prev[x - 1] if x else np.zeros(channels, dtype=np.int16)
+                ul = prev[x - 1] if x else np.zeros(bpp, dtype=np.int16)
                 if ft == 1:
                     cur[x] = (row[x] + left) % 256
                 elif ft == 3:
@@ -266,6 +285,11 @@ def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
             raise PNGError(f"unknown scanline filter {ft}")
         out[y] = cur.astype(np.uint8)
         prev = cur
+    if depth == 16:
+        # reassemble big-endian sample pairs → native uint16 (H, W, C)
+        out16 = out.reshape(height, width, channels, 2)
+        px = (out16[..., 0].astype(np.uint16) << 8) | out16[..., 1]
+        return width, height, px[:, :, 0] if color_type == 0 else px
     if color_type == 3:
         idx = out[:, :, 0]
         if idx.max(initial=0) >= len(palette):

@@ -45,6 +45,21 @@ def test_png_roundtrip_every_filter(filter_type, channels):
 
 
 @pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+def test_png_roundtrip_16bit(filter_type, channels):
+    """Depth-16 images (big-endian samples, byte-level filters with
+    bpp = channels*2) decode back bit-exact for every color type."""
+    rng = np.random.default_rng(filter_type * 10 + channels)
+    shape = (11, 7) if channels == 1 else (11, 7, channels)
+    img = rng.integers(0, 65536, size=shape, dtype=np.uint16)
+    data = encode_png(img, filter_type=filter_type)
+    w, h, out = decode_png(data)
+    assert (w, h) == (7, 11)
+    assert out.dtype == np.uint16
+    np.testing.assert_array_equal(out, img)
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
 def test_png_palette_roundtrip(filter_type):
     """Color type 3: indices map through PLTE (+ optional tRNS alpha,
     with entries beyond the tRNS array defaulting opaque)."""
@@ -126,12 +141,19 @@ def test_png_rejects_malformed_and_unsupported():
     # unsupported subset features are named, not mis-decoded
     import struct as _s
     import zlib as _z
-    ihdr16 = _s.pack(">IIBBBBB", 4, 4, 16, 0, 0, 0, 0)
-    chunk = _s.pack(">I", len(ihdr16)) + b"IHDR" + ihdr16 + _s.pack(
-        ">I", _z.crc32(b"IHDR" + ihdr16) & 0xFFFFFFFF
-    )
-    with pytest.raises(UnsupportedPNGError, match="bit depth 16"):
-        decode_png(good[:8] + chunk)
+
+    def ihdr_chunk(depth, color, interlace):
+        body = _s.pack(">IIBBBBB", 4, 4, depth, color, 0, 0, interlace)
+        return _s.pack(">I", len(body)) + b"IHDR" + body + _s.pack(
+            ">I", _z.crc32(b"IHDR" + body) & 0xFFFFFFFF
+        )
+
+    with pytest.raises(UnsupportedPNGError, match="bit depth 4"):
+        decode_png(good[:8] + ihdr_chunk(4, 0, 0))
+    with pytest.raises(UnsupportedPNGError, match="interlaced"):
+        decode_png(good[:8] + ihdr_chunk(8, 0, 1))
+    with pytest.raises(PNGError, match="palette image with bit depth 16"):
+        decode_png(good[:8] + ihdr_chunk(16, 3, 0))
 
 
 @pytest.mark.parametrize("dtype,depth", [(np.uint8, 8), (np.int16, 16),
@@ -175,6 +197,21 @@ try:
         img = _image(h, w, channels, seed)
         ww, hh, out = decode_png(encode_png(img, filter_type=filter_type))
         assert (ww, hh) == (w, h)
+        np.testing.assert_array_equal(out, img)
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 16), w=st.integers(1, 16),
+        channels=st.sampled_from([1, 2, 3, 4]),
+        filter_type=st.integers(0, 4), seed=st.integers(0, 2**16),
+    )
+    def test_png_roundtrip_16bit_fuzz(h, w, channels, filter_type, seed):
+        rng = np.random.default_rng(seed)
+        shape = (h, w) if channels == 1 else (h, w, channels)
+        img = rng.integers(0, 65536, size=shape, dtype=np.uint16)
+        ww, hh, out = decode_png(encode_png(img, filter_type=filter_type))
+        assert (ww, hh) == (w, h)
+        assert out.dtype == np.uint16
         np.testing.assert_array_equal(out, img)
 
     @settings(max_examples=25, deadline=None)
