@@ -925,3 +925,113 @@ def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
     )
+
+
+@register(
+    "text_char_entropy",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch
+      FROM documents
+    ),
+    counts AS (
+      SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch
+    ),
+    totals AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM counts GROUP BY doc_id),
+    terms AS (
+      SELECT counts.doc_id, n,
+             round((c::DOUBLE / n) * ln(c::DOUBLE / n), 6) AS term
+      FROM counts JOIN totals USING (doc_id)
+    )
+    SELECT doc_id,
+           max(n) AS n_chars_counted,
+           CAST(count(*) AS BIGINT) AS n_distinct_chars,
+           round(-sum(CAST(term AS DECIMAL(18,6)))::DOUBLE, 6)
+             AS char_entropy_nats
+    FROM terms GROUP BY doc_id
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the classic
+    gibberish/encoding-artifact quality signal (low entropy = repeated
+    characters / base64 walls collapse to few symbols; compare
+    text_repetition_ratio, which works at the token level).
+
+    100 TB shape: the char explode is linear; per-(doc, char) counts
+    partial-aggregate map-side, and everything after runs on the
+    alphabet-sized per-doc count table.  Parity: each entropy term
+    p*ln(p) is one division, one ln, one multiply on exact-integer
+    inputs, rounded to 6 dp, then summed as DECIMAL — the
+    text_unigram_logprob recipe, immune to accumulation order."""
+    from mediawiki_to_notion_spark.plans.pipeline import ensure_parallelism
+
+    d = ensure_parallelism(load_table(spark, "documents", sf_dir))
+    chars = d.select(
+        "doc_id", F.explode(F.split("text", "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    counts = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    terms = counts.join(totals, "doc_id").select(
+        "doc_id", "n", F.round(p * F.log(p), 6).alias("term")
+    )
+    return terms.groupBy("doc_id").agg(
+        F.max("n").alias("n_chars_counted"),
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+        F.round(
+            -F.sum(F.col("term").cast("decimal(18,6)")).cast("double"), 6
+        ).alias("char_entropy_nats"),
+    )
+
+
+@register(
+    "text_readability_flesch",
+    oracle=r"""
+    WITH feats AS (
+      SELECT doc_id,
+             len(string_split_regex(text, '\s+')) AS n_words,
+             greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+               AS n_sentences,
+             greatest(1, len(regexp_extract_all(lower(text), '[aeiouy]+')))
+               AS n_syllables
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           round(206.835
+                 - 1.015 * (n_words::DOUBLE / n_sentences)
+                 - 84.6 * (n_syllables::DOUBLE / n_words), 6)
+             AS flesch_score
+    FROM feats
+    """,
+)
+def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document (Flesch 1948 — the standard
+    readability screen in web-corpus quality stacks): 206.835 -
+    1.015*(words/sentences) - 84.6*(syllables/words), with syllables
+    approximated by vowel-group counts (the usual heuristic) and
+    sentence count floored at 1 for fragment documents.
+
+    100 TB shape: three regexp counts inside one codegen'd scan —
+    zero shuffles.  Parity: all inputs are exact integer counts and
+    the score expression tree is written identically for both engines
+    (fixed operation order), so the rounded doubles agree bitwise."""
+    d = load_table(spark, "documents", sf_dir)
+    n_words = F.size(F.split("text", r"\s+"))
+    n_sentences = F.greatest(
+        F.lit(1), F.regexp_count("text", F.lit(r"[.!?]+"))
+    )
+    n_syllables = F.greatest(
+        F.lit(1), F.regexp_count(F.lower("text"), F.lit("[aeiouy]+"))
+    )
+    feats = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sentences.alias("n_sentences"),
+        n_syllables.alias("n_syllables"),
+    )
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("n_words").cast("double") / F.col("n_sentences"))
+        - F.lit(84.6) * (F.col("n_syllables").cast("double") / F.col("n_words"))
+    )
+    return feats.select("*", F.round(score, 6).alias("flesch_score"))
