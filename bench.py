@@ -80,6 +80,8 @@ HEADLINE = [
     "corpus_perplexity_buckets",
     "tokenizer_vocab_coverage",
     "embedding_pca_power",
+    "text_char_entropy",
+    "text_readability_flesch",
 ]
 N_R3_SET = 53  # the first 53 entries are the r2/r3 headline set
 
