@@ -931,7 +931,9 @@ def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_char_entropy",
     oracle="""
     WITH chars AS (
-      SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch
+      -- (?s) so '.' matches newline chars too, mirroring Spark's
+      -- split-per-character exactly (RE2 '.' excludes newlines)
+      SELECT doc_id, unnest(regexp_extract_all(text, '(?s).')) AS ch
       FROM documents
     ),
     counts AS (
