@@ -563,7 +563,15 @@ def text_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cross-engine parity: ratios are single divisions of exact integer
     counts (mean word length = non-space chars / words), so both
     engines round identical doubles."""
-    d = load_table(spark, "documents", sf_dir)
+    return apply_gopher_rules(load_table(spark, "documents", sf_dir))
+
+
+def apply_gopher_rules(d: DataFrame) -> DataFrame:
+    """The Gopher rule core over any (doc_id, text) frame — batch table
+    or readStream: all features are stateless narrow expressions, so
+    the SAME code gates a streaming ingest (stream-vs-batch parity
+    pinned in test_metrics_and_watermark.py), exactly like
+    ``apply_funnel``."""
     toks = F.split(F.col("text"), " ")
     n_words = F.size(toks)
     mean_wl = F.round(

@@ -350,3 +350,36 @@ def test_stream_static_dimension_join_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_gopher_rules_match_batch(spark, tmp_path):
+    """The Gopher quality ruleset is stateless narrow expressions, so
+    the SAME apply_gopher_rules core must produce identical rows on a
+    readStream as on the batch table (the apply_funnel discipline,
+    extended to the r4 rule battery)."""
+    from mediawiki_to_notion_spark.operators.corpus_quality import (
+        apply_gopher_rules,
+    )
+
+    src = tmp_path / "gopher_src"
+    docs = load_table(spark, "documents", SF).limit(200) \
+        .select("doc_id", "text")
+    docs.coalesce(1).write.mode("overwrite").parquet(str(src))
+
+    stream = apply_gopher_rules(
+        spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    )
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory").queryName("gopher_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_gopher"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id: r for r in spark.sql("select * from gopher_stream").collect()}
+    want = {r.doc_id: r for r in apply_gopher_rules(docs).collect()}
+    assert set(got) == set(want) and len(got) == 200
+    for k in want:
+        assert got[k] == want[k], k
