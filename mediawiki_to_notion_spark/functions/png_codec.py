@@ -7,11 +7,13 @@ REAL codec for the common uncompressed-workflow subset:
 
 - color types 0 (grayscale), 2 (RGB), 3 (palette, with optional tRNS
   alpha), 4 (gray+alpha) and 6 (RGBA) — i.e. every color type — at
-  bit depths 8 AND 16 (palette is 8-bit only, as the spec requires),
-  non-interlaced;
+  bit depths 8 AND 16 (palette is 8-bit only, as the spec requires);
+- BOTH interlace methods: progressive (none) and Adam7 (the seven-pass
+  sub-grid layout), encode and decode;
 - all five scanline filters (None/Sub/Up/Average/Paeth) on decode,
   applied at the BYTE level with the bytes-per-pixel distance the spec
-  defines (which is what makes one filter engine serve both depths);
+  defines (which is what makes one filter engine serve both depths,
+  and per-pass for Adam7, where each sub-image filters independently);
 - encode for types 0/2/4/6 by array shape ((H,W) / (H,W,3) / (H,W,2) /
   (H,W,4)) and dtype (uint8 → depth 8, uint16 → depth 16) with a
   configurable per-row filter (so decode paths are exercised by
@@ -19,8 +21,8 @@ REAL codec for the common uncompressed-workflow subset:
   for type 3.
 
 Reference: the PNG specification (RFC 2083 / W3C PNG), which is public.
-Anything outside the subset (bit depths 1/2/4, interlace) raises
-``UnsupportedPNGError`` with the offending feature named — the honest
+The one remaining unsupported feature — sub-byte bit depths (1/2/4) —
+raises ``UnsupportedPNGError`` with the depth named — the honest
 boundary where a full imaging library would take over
 (reference parity: process-mw-dump.py:147-177 treats embedded media as
 opaque files; here the decode stage becomes real for PNG).  A tRNS
@@ -78,7 +80,8 @@ _SHAPE_TO_COLOR_TYPE = {1: (0, 1), 2: (4, 2), 3: (2, 3), 4: (6, 4)}
 _COLOR_TYPE_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
-def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
+def encode_png(pixels: np.ndarray, filter_type: int = 0,
+               interlace: bool = False) -> bytes:
     """Encode an array by shape — (H, W) grayscale, (H, W, 2)
     gray+alpha, (H, W, 3) RGB, (H, W, 4) RGBA — and dtype: uint8
     encodes at bit depth 8, uint16 at depth 16 (big-endian samples,
@@ -86,7 +89,8 @@ def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
 
     ``filter_type`` 0-4 applies that PNG filter to every scanline —
     useful for exercising each decode path; 0 (None) is the default
-    and what a throughput-oriented writer would emit."""
+    and what a throughput-oriented writer would emit.  ``interlace``
+    writes the seven-pass Adam7 layout."""
     a = np.asarray(pixels)
     if a.dtype not in (np.uint8, np.uint16):
         raise ValueError(f"pixels must be uint8 or uint16, got {a.dtype}")
@@ -98,8 +102,10 @@ def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
     if a.dtype == np.uint16:
         # byte matrix (H, W, channels*2), big-endian sample order
         b = np.ascontiguousarray(a).astype(">u2").view(np.uint8)
-        return _encode_scanlines(b, color_type, 16, filter_type)
-    return _encode_scanlines(a, color_type, 8, filter_type)
+        return _encode_scanlines(b, color_type, 16, filter_type,
+                                 interlace=interlace)
+    return _encode_scanlines(a, color_type, 8, filter_type,
+                             interlace=interlace)
 
 
 def encode_png_palette(
@@ -107,6 +113,7 @@ def encode_png_palette(
     palette: np.ndarray,
     trns: np.ndarray | None = None,
     filter_type: int = 0,
+    interlace: bool = False,
 ) -> bytes:
     """Encode a color-type-3 PNG: ``indices`` is (H, W) uint8 palette
     indices, ``palette`` is (N, 3) uint8 RGB entries (N <= 256), and
@@ -128,28 +135,55 @@ def encode_png_palette(
         if t.dtype != np.uint8 or t.ndim != 1 or len(t) > pal.shape[0]:
             raise ValueError("trns must be uint8, at most one per entry")
         extra += _chunk(b"tRNS", t.tobytes())
-    return _encode_scanlines(idx[:, :, None], 3, 8, filter_type, extra)
+    return _encode_scanlines(idx[:, :, None], 3, 8, filter_type, extra,
+                             interlace=interlace)
 
 
-def _encode_scanlines(a: np.ndarray, color_type: int, depth: int,
-                      filter_type: int, extra_chunks: bytes = b"") -> bytes:
-    """``a`` is the (H, W, bpp) BYTE matrix of the image — one row of
-    ``bpp`` bytes per pixel (channels at depth 8, channels*2 big-endian
-    at depth 16).  The spec's filters operate on exactly this view:
-    'left' is the byte bpp positions earlier, which here is the same
-    byte column of the previous pixel."""
-    if not 0 <= filter_type <= 4:
-        raise ValueError(f"filter_type must be 0..4, got {filter_type}")
-    h, w = a.shape[:2]
+# Adam7 interlace pass grid: (x_start, y_start, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
+
+def _filter_image(a: np.ndarray, filter_type: int) -> bytearray:
+    """Filter one (sub-)image's scanlines: ``a`` is an (H, W, bpp) BYTE
+    matrix; each pass/image starts with a zero 'previous row' as the
+    spec requires."""
     raw = bytearray()
     prev = np.zeros(a.shape[1:], dtype=np.uint8)
-    for y in range(h):
+    for y in range(a.shape[0]):
         row = a[y]
         raw.append(filter_type)
         raw.extend(_filter_row(row, prev, filter_type).tobytes())
         prev = row
-    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
+    return raw
+
+
+def _encode_scanlines(a: np.ndarray, color_type: int, depth: int,
+                      filter_type: int, extra_chunks: bytes = b"",
+                      interlace: bool = False) -> bytes:
+    """``a`` is the (H, W, bpp) BYTE matrix of the image — one row of
+    ``bpp`` bytes per pixel (channels at depth 8, channels*2 big-endian
+    at depth 16).  The spec's filters operate on exactly this view:
+    'left' is the byte bpp positions earlier, which here is the same
+    byte column of the previous pixel.  With ``interlace`` the seven
+    Adam7 sub-images are filtered independently in pass order."""
+    if not 0 <= filter_type <= 4:
+        raise ValueError(f"filter_type must be 0..4, got {filter_type}")
+    h, w = a.shape[:2]
+
+    if interlace:
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = a[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue  # empty pass contributes NO bytes (spec)
+            raw += _filter_image(sub, filter_type)
+    else:
+        raw = _filter_image(a, filter_type)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0,
+                       1 if interlace else 0)
     return (
         _SIGNATURE
         + _chunk(b"IHDR", ihdr)
@@ -177,6 +211,47 @@ def _filter_row(row: np.ndarray, prev: np.ndarray, ft: int) -> np.ndarray:
     else:  # Paeth
         out = cur - _paeth(left, up, ul)
     return (out % 256).astype(np.uint8)
+
+
+def _unfilter_image(raw: bytes, off: int, width: int, height: int,
+                    bpp: int) -> tuple[np.ndarray, int]:
+    """Unfilter one (sub-)image of ``height`` scanlines of ``width``
+    pixels x ``bpp`` bytes starting at ``raw[off]``; returns the
+    (H, W, bpp) byte array and the offset just past the consumed
+    bytes.  The 'previous row' starts at zero per image/pass."""
+    stride = width * bpp
+    if off + height * (stride + 1) > len(raw):
+        raise PNGError("truncated image data")
+    out = np.empty((height, width, bpp), dtype=np.uint8)
+    prev = np.zeros((width, bpp), dtype=np.int16)
+    for y in range(height):
+        ft = raw[off]
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=off + 1
+        ).reshape(width, bpp).astype(np.int16)
+        off += stride + 1
+        if ft == 0:
+            cur = row
+        elif ft == 2:
+            cur = (row + prev) % 256
+        elif ft in (1, 3, 4):
+            # left-referencing filters are inherently sequential per row
+            cur = np.empty_like(row)
+            for x in range(width):
+                left = cur[x - 1] if x else np.zeros(bpp, dtype=np.int16)
+                up = prev[x]
+                ul = prev[x - 1] if x else np.zeros(bpp, dtype=np.int16)
+                if ft == 1:
+                    cur[x] = (row[x] + left) % 256
+                elif ft == 3:
+                    cur[x] = (row[x] + (left + up) // 2) % 256
+                else:
+                    cur[x] = (row[x] + _paeth(left, up, ul)) % 256
+        else:
+            raise PNGError(f"unknown scanline filter {ft}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out, off
 
 
 def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
@@ -225,8 +300,8 @@ def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
             if color_type == 3 and depth != 8:
                 # the spec caps palette depth at 8; 16 is malformed
                 raise PNGError("palette image with bit depth 16")
-            if interlace != 0:
-                raise UnsupportedPNGError("interlaced (Adam7) PNG")
+            if interlace not in (0, 1):
+                raise PNGError(f"unknown interlace method {interlace}")
             if comp != 0 or filt != 0:
                 raise PNGError("nonstandard compression/filter method")
             channels = _COLOR_TYPE_CHANNELS[color_type]
@@ -251,40 +326,28 @@ def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
         raise PNGError("palette image missing PLTE")
     raw = zlib.decompress(bytes(idat))
     bpp = channels * (depth // 8)  # bytes per pixel: the filter distance
-    stride = width * bpp
-    if len(raw) != height * (stride + 1):
-        raise PNGError(
-            f"decompressed size {len(raw)} != expected {height * (stride + 1)}"
-        )
-    out = np.empty((height, width, bpp), dtype=np.uint8)
-    prev = np.zeros((width, bpp), dtype=np.int16)
-    for y in range(height):
-        off = y * (stride + 1)
-        ft = raw[off]
-        row = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=off + 1
-        ).reshape(width, bpp).astype(np.int16)
-        if ft == 0:
-            cur = row
-        elif ft == 2:
-            cur = (row + prev) % 256
-        elif ft in (1, 3, 4):
-            # left-referencing filters are inherently sequential per row
-            cur = np.empty_like(row)
-            for x in range(width):
-                left = cur[x - 1] if x else np.zeros(bpp, dtype=np.int16)
-                up = prev[x]
-                ul = prev[x - 1] if x else np.zeros(bpp, dtype=np.int16)
-                if ft == 1:
-                    cur[x] = (row[x] + left) % 256
-                elif ft == 3:
-                    cur[x] = (row[x] + (left + up) // 2) % 256
-                else:
-                    cur[x] = (row[x] + _paeth(left, up, ul)) % 256
-        else:
-            raise PNGError(f"unknown scanline filter {ft}")
-        out[y] = cur.astype(np.uint8)
-        prev = cur
+    if interlace:
+        out = np.empty((height, width, bpp), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            w_p = (width - x0 + dx - 1) // dx
+            h_p = (height - y0 + dy - 1) // dy
+            if w_p == 0 or h_p == 0:
+                continue  # empty pass has no bytes in the stream
+            sub, off = _unfilter_image(raw, off, w_p, h_p, bpp)
+            out[y0::dy, x0::dx] = sub
+        if off != len(raw):
+            raise PNGError(
+                f"decompressed size {len(raw)} != expected {off}"
+            )
+    else:
+        stride = width * bpp
+        if len(raw) != height * (stride + 1):
+            raise PNGError(
+                f"decompressed size {len(raw)} != expected "
+                f"{height * (stride + 1)}"
+            )
+        out, _ = _unfilter_image(raw, 0, width, height, bpp)
     if depth == 16:
         # reassemble big-endian sample pairs → native uint16 (H, W, C)
         out16 = out.reshape(height, width, channels, 2)

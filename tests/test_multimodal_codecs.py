@@ -150,10 +150,17 @@ def test_png_rejects_malformed_and_unsupported():
 
     with pytest.raises(UnsupportedPNGError, match="bit depth 4"):
         decode_png(good[:8] + ihdr_chunk(4, 0, 0))
-    with pytest.raises(UnsupportedPNGError, match="interlaced"):
-        decode_png(good[:8] + ihdr_chunk(8, 0, 1))
+    with pytest.raises(PNGError, match="unknown interlace method"):
+        decode_png(good[:8] + ihdr_chunk(8, 0, 2))
     with pytest.raises(PNGError, match="palette image with bit depth 16"):
         decode_png(good[:8] + ihdr_chunk(16, 3, 0))
+    # Adam7 (interlace 1) is SUPPORTED — an interlaced header whose
+    # stream doesn't follow the pass layout fails as MALFORMED
+    # (truncated / bad filter byte), never as unsupported
+    with pytest.raises(PNGError) as exc:
+        decode_png(good[:8] + ihdr_chunk(8, 0, 1)
+                   + good[8 + 12 + 13:])  # original progressive IDAT+IEND
+    assert not isinstance(exc.value, UnsupportedPNGError)
 
 
 @pytest.mark.parametrize("dtype,depth", [(np.uint8, 8), (np.int16, 16),
@@ -212,6 +219,26 @@ try:
         ww, hh, out = decode_png(encode_png(img, filter_type=filter_type))
         assert (ww, hh) == (w, h)
         assert out.dtype == np.uint16
+        np.testing.assert_array_equal(out, img)
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 20), w=st.integers(1, 20),
+        channels=st.sampled_from([1, 2, 3, 4]),
+        depth=st.sampled_from([8, 16]),
+        filter_type=st.integers(0, 4), seed=st.integers(0, 2**16),
+    )
+    def test_png_adam7_roundtrip_fuzz(h, w, channels, depth, filter_type,
+                                      seed):
+        rng = np.random.default_rng(seed)
+        shape = (h, w) if channels == 1 else (h, w, channels)
+        if depth == 8:
+            img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        else:
+            img = rng.integers(0, 65536, size=shape, dtype=np.uint16)
+        ww, hh, out = decode_png(
+            encode_png(img, filter_type=filter_type, interlace=True))
+        assert (ww, hh) == (w, h)
         np.testing.assert_array_equal(out, img)
 
     @settings(max_examples=25, deadline=None)
@@ -367,3 +394,39 @@ def test_real_decode_pipeline_in_spark(spark):
     assert out[4].decode_error is not None and out[4].width is None
     assert out[5].decode_error is not None  # JPEG without PIL → quarantined
     assert out[5].width is None  # undecodable never fabricates dims
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+def test_png_adam7_roundtrip(filter_type, channels):
+    """Adam7 interlaced files round-trip bit-exact for every color
+    type and filter; sizes below 8 exercise empty passes."""
+    for h, w in ((13, 17), (1, 1), (3, 9), (8, 8), (2, 2)):
+        img = _image(h, w, channels, seed=h * 100 + w + filter_type)
+        data = encode_png(img, filter_type=filter_type, interlace=True)
+        ww, hh, out = decode_png(data)
+        assert (ww, hh) == (w, h)
+        np.testing.assert_array_equal(out, img)
+
+
+def test_png_adam7_16bit_and_palette():
+    from mediawiki_to_notion_spark.functions.png_codec import (
+        encode_png_palette,
+    )
+
+    rng = np.random.default_rng(7)
+    img16 = rng.integers(0, 65536, size=(11, 13, 3), dtype=np.uint16)
+    w, h, out = decode_png(encode_png(img16, filter_type=4, interlace=True))
+    assert (w, h) == (13, 11) and out.dtype == np.uint16
+    np.testing.assert_array_equal(out, img16)
+
+    pal = rng.integers(0, 256, size=(5, 3), dtype=np.uint8)
+    idx = rng.integers(0, 5, size=(9, 6), dtype=np.uint8)
+    trns = np.array([0, 128], dtype=np.uint8)
+    w, h, out = decode_png(
+        encode_png_palette(idx, pal, trns=trns, filter_type=2,
+                           interlace=True))
+    assert (w, h) == (6, 9)
+    np.testing.assert_array_equal(out[:, :, :3], pal[idx])
+    lut = np.array([0, 128, 255, 255, 255], dtype=np.uint8)
+    np.testing.assert_array_equal(out[:, :, 3], lut[idx])
