@@ -5,29 +5,35 @@ The container has no PIL/libvips, but PNG itself needs only ``zlib`` and
 zlib-compressed stream of filtered scanlines.  This module implements a
 REAL codec for the common uncompressed-workflow subset:
 
-- color types 0 (grayscale), 2 (RGB), 3 (palette, with optional tRNS
-  alpha), 4 (gray+alpha) and 6 (RGBA) — i.e. every color type — at
-  bit depths 8 AND 16 (palette is 8-bit only, as the spec requires);
+As of r4 this covers the COMPLETE baseline PNG format:
+
+- every color type — 0 (grayscale), 2 (RGB), 3 (palette, with
+  optional tRNS alpha), 4 (gray+alpha), 6 (RGBA) — at every legal bit
+  depth per the spec's table 11.1 (1/2/4/8/16 gray, 1/2/4/8 palette,
+  8/16 for the multi-channel types; sub-byte gray decodes with the
+  libpng bit-replication scaling to 8-bit);
 - BOTH interlace methods: progressive (none) and Adam7 (the seven-pass
   sub-grid layout), encode and decode;
 - all five scanline filters (None/Sub/Up/Average/Paeth) on decode,
   applied at the BYTE level with the bytes-per-pixel distance the spec
-  defines (which is what makes one filter engine serve both depths,
-  and per-pass for Adam7, where each sub-image filters independently);
+  defines (one filter engine serves every depth — sub-byte rows filter
+  on their packed scanline bytes with bpp=1 — and per Adam7 pass,
+  where each sub-image filters independently);
 - encode for types 0/2/4/6 by array shape ((H,W) / (H,W,3) / (H,W,2) /
-  (H,W,4)) and dtype (uint8 → depth 8, uint16 → depth 16) with a
-  configurable per-row filter (so decode paths are exercised by
-  round-trips, not just filter-0 files), plus ``encode_png_palette``
-  for type 3.
+  (H,W,4)) and dtype (uint8 → depth 8, uint16 → depth 16; ``depth=``
+  1/2/4 packs sub-byte grayscale) with a configurable per-row filter
+  (so decode paths are exercised by round-trips, not just filter-0
+  files), plus ``encode_png_palette`` for type 3 at depths 1/2/4/8.
 
-Reference: the PNG specification (RFC 2083 / W3C PNG), which is public.
-The one remaining unsupported feature — sub-byte bit depths (1/2/4) —
-raises ``UnsupportedPNGError`` with the depth named — the honest
-boundary where a full imaging library would take over
-(reference parity: process-mw-dump.py:147-177 treats embedded media as
-opaque files; here the decode stage becomes real for PNG).  A tRNS
-chunk on color types 0/2 (single transparent color) is valid PNG and is
-deliberately ignored rather than rejected.
+Reference: the PNG specification (RFC 2083 / W3C PNG), which is
+public.  ``UnsupportedPNGError`` now only fires for unknown color
+types (private extensions); illegal depth/type combinations and
+unknown interlace methods are rejected as MALFORMED, matching the
+spec's conformance language (reference parity:
+process-mw-dump.py:147-177 treats embedded media as opaque files;
+here the decode stage is real for all of PNG).  A tRNS chunk on color
+types 0/2 (single transparent color) is valid PNG and is deliberately
+ignored rather than rejected.
 """
 
 from __future__ import annotations
@@ -81,11 +87,13 @@ _COLOR_TYPE_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def encode_png(pixels: np.ndarray, filter_type: int = 0,
-               interlace: bool = False) -> bytes:
+               interlace: bool = False, depth: int | None = None) -> bytes:
     """Encode an array by shape — (H, W) grayscale, (H, W, 2)
     gray+alpha, (H, W, 3) RGB, (H, W, 4) RGBA — and dtype: uint8
     encodes at bit depth 8, uint16 at depth 16 (big-endian samples,
-    as the spec requires).
+    as the spec requires).  ``depth`` of 1/2/4 selects a sub-byte
+    grayscale encoding (only for (H, W) uint8 input whose values fit
+    the depth — the 1-bit B/W and 4-bit gray files common on the web).
 
     ``filter_type`` 0-4 applies that PNG filter to every scanline —
     useful for exercising each decode path; 0 (None) is the default
@@ -99,6 +107,15 @@ def encode_png(pixels: np.ndarray, filter_type: int = 0,
     if a.ndim != 3 or a.shape[2] not in _SHAPE_TO_COLOR_TYPE:
         raise ValueError(f"expected (H,W) or (H,W,{{2,3,4}}), got {a.shape}")
     color_type, channels = _SHAPE_TO_COLOR_TYPE[a.shape[2]]
+    if depth in (1, 2, 4):
+        if color_type != 0 or a.dtype != np.uint8:
+            raise ValueError("sub-byte depth needs (H, W) uint8 grayscale")
+        if a.max(initial=0) >= (1 << depth):
+            raise ValueError(f"sample exceeds {depth}-bit range")
+        return _encode_scanlines(a, 0, depth, filter_type,
+                                 interlace=interlace)
+    if depth not in (None, 8, 16):
+        raise ValueError(f"bad depth {depth}")
     if a.dtype == np.uint16:
         # byte matrix (H, W, channels*2), big-endian sample order
         b = np.ascontiguousarray(a).astype(">u2").view(np.uint8)
@@ -114,12 +131,14 @@ def encode_png_palette(
     trns: np.ndarray | None = None,
     filter_type: int = 0,
     interlace: bool = False,
+    depth: int = 8,
 ) -> bytes:
     """Encode a color-type-3 PNG: ``indices`` is (H, W) uint8 palette
     indices, ``palette`` is (N, 3) uint8 RGB entries (N <= 256), and
     ``trns`` optionally gives per-entry alpha (its length may be
     shorter than the palette — trailing entries default opaque, as the
-    spec allows)."""
+    spec allows).  ``depth`` 1/2/4 packs indices sub-byte (the tiny
+    icon/favicon layout); indices must fit the depth."""
     idx = np.asarray(indices)
     pal = np.asarray(palette)
     if idx.dtype != np.uint8 or idx.ndim != 2:
@@ -129,13 +148,17 @@ def encode_png_palette(
         raise ValueError(f"palette must be (N<=256, 3) uint8, got {pal.shape}")
     if idx.max(initial=0) >= pal.shape[0]:
         raise ValueError("palette index out of range")
+    if depth not in (1, 2, 4, 8):
+        raise ValueError(f"palette depth must be 1/2/4/8, got {depth}")
+    if depth < 8 and idx.max(initial=0) >= (1 << depth):
+        raise ValueError(f"index exceeds {depth}-bit range")
     extra = _chunk(b"PLTE", pal.tobytes())
     if trns is not None:
         t = np.asarray(trns)
         if t.dtype != np.uint8 or t.ndim != 1 or len(t) > pal.shape[0]:
             raise ValueError("trns must be uint8, at most one per entry")
         extra += _chunk(b"tRNS", t.tobytes())
-    return _encode_scanlines(idx[:, :, None], 3, 8, filter_type, extra,
+    return _encode_scanlines(idx[:, :, None], 3, depth, filter_type, extra,
                              interlace=interlace)
 
 
@@ -144,6 +167,32 @@ _ADAM7 = (
     (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
     (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
 )
+
+# per-color-type legal bit depths (PNG spec, table 11.1)
+_VALID_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                 4: (8, 16), 6: (8, 16)}
+
+
+def _pack_samples(a: np.ndarray, depth: int) -> np.ndarray:
+    """(H, W, 1) sub-byte samples → (H, stride, 1) packed scanline
+    bytes, depth bits per sample MSB-first, rows padded to a byte
+    boundary (the spec's packing)."""
+    h, w = a.shape[:2]
+    bits = np.unpackbits(a[:, :, 0][:, :, None], axis=2)[:, :, 8 - depth:]
+    bits = bits.reshape(h, w * depth)
+    pad = (-bits.shape[1]) % 8
+    if pad:
+        bits = np.pad(bits, ((0, 0), (0, pad)))
+    return np.packbits(bits, axis=1)[:, :, None]
+
+
+def _unpack_samples(b: np.ndarray, width: int, depth: int) -> np.ndarray:
+    """(H, stride, 1) packed scanline bytes → (H, width, 1) samples."""
+    h = b.shape[0]
+    bits = np.unpackbits(b[:, :, 0], axis=1)[:, :width * depth]
+    bits = bits.reshape(h, width, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (bits * weights).sum(axis=2).astype(np.uint8)[:, :, None]
 
 
 def _filter_image(a: np.ndarray, filter_type: int) -> bytearray:
@@ -163,15 +212,19 @@ def _filter_image(a: np.ndarray, filter_type: int) -> bytearray:
 def _encode_scanlines(a: np.ndarray, color_type: int, depth: int,
                       filter_type: int, extra_chunks: bytes = b"",
                       interlace: bool = False) -> bytes:
-    """``a`` is the (H, W, bpp) BYTE matrix of the image — one row of
-    ``bpp`` bytes per pixel (channels at depth 8, channels*2 big-endian
-    at depth 16).  The spec's filters operate on exactly this view:
-    'left' is the byte bpp positions earlier, which here is the same
-    byte column of the previous pixel.  With ``interlace`` the seven
-    Adam7 sub-images are filtered independently in pass order."""
+    """``a`` is the (H, W, bpp) BYTE matrix of the image at depths
+    8/16 (one row of ``bpp`` bytes per pixel: channels at depth 8,
+    channels*2 big-endian at depth 16) or the (H, W, 1) SAMPLE matrix
+    at sub-byte depths (packed per scanline just before filtering).
+    The spec's filters operate on exactly the byte view: 'left' is the
+    byte bpp positions earlier.  With ``interlace`` the seven Adam7
+    sub-images are packed and filtered independently in pass order."""
     if not 0 <= filter_type <= 4:
         raise ValueError(f"filter_type must be 0..4, got {filter_type}")
     h, w = a.shape[:2]
+
+    def to_bytes(sub: np.ndarray) -> np.ndarray:
+        return _pack_samples(sub, depth) if depth < 8 else sub
 
     if interlace:
         raw = bytearray()
@@ -179,9 +232,9 @@ def _encode_scanlines(a: np.ndarray, color_type: int, depth: int,
             sub = a[y0::dy, x0::dx]
             if sub.shape[0] == 0 or sub.shape[1] == 0:
                 continue  # empty pass contributes NO bytes (spec)
-            raw += _filter_image(sub, filter_type)
+            raw += _filter_image(to_bytes(sub), filter_type)
     else:
-        raw = _filter_image(a, filter_type)
+        raw = _filter_image(to_bytes(a), filter_type)
     ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0,
                        1 if interlace else 0)
     return (
@@ -293,13 +346,15 @@ def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
         if ctype == b"IHDR":
             width, height, depth, color_type, comp, filt, interlace = \
                 struct.unpack(">IIBBBBB", body)
-            if depth not in (8, 16):
-                raise UnsupportedPNGError(f"bit depth {depth} (only 8/16)")
             if color_type not in _COLOR_TYPE_CHANNELS:
                 raise UnsupportedPNGError(f"color type {color_type}")
-            if color_type == 3 and depth != 8:
-                # the spec caps palette depth at 8; 16 is malformed
-                raise PNGError("palette image with bit depth 16")
+            if depth not in (1, 2, 4, 8, 16):
+                raise PNGError(f"bad bit depth {depth}")
+            if depth not in _VALID_DEPTHS[color_type]:
+                # e.g. palette at 16 or RGB at 4 — malformed per spec
+                raise PNGError(
+                    f"bit depth {depth} invalid for color type {color_type}"
+                )
             if interlace not in (0, 1):
                 raise PNGError(f"unknown interlace method {interlace}")
             if comp != 0 or filt != 0:
@@ -325,7 +380,20 @@ def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
     if color_type == 3 and palette is None:
         raise PNGError("palette image missing PLTE")
     raw = zlib.decompress(bytes(idat))
-    bpp = channels * (depth // 8)  # bytes per pixel: the filter distance
+    # bytes per pixel (the filter distance): sub-byte depths filter on
+    # whole scanline bytes with bpp = 1, per the spec
+    bpp = max(1, channels * (depth // 8))
+
+    def read_subimage(raw, off, w_px, h_px):
+        """Unfilter one (sub-)image → ((h, w, bpp) array, new offset);
+        sub-byte rows unfilter as ceil(w*depth/8) byte columns, then
+        unpack to one sample byte per pixel."""
+        if depth >= 8:
+            return _unfilter_image(raw, off, w_px, h_px, bpp)
+        stride = (w_px * depth + 7) // 8
+        packed, off = _unfilter_image(raw, off, stride, h_px, 1)
+        return _unpack_samples(packed, w_px, depth), off
+
     if interlace:
         out = np.empty((height, width, bpp), dtype=np.uint8)
         off = 0
@@ -334,20 +402,28 @@ def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
             h_p = (height - y0 + dy - 1) // dy
             if w_p == 0 or h_p == 0:
                 continue  # empty pass has no bytes in the stream
-            sub, off = _unfilter_image(raw, off, w_p, h_p, bpp)
+            sub, off = read_subimage(raw, off, w_p, h_p)
             out[y0::dy, x0::dx] = sub
         if off != len(raw):
             raise PNGError(
                 f"decompressed size {len(raw)} != expected {off}"
             )
     else:
-        stride = width * bpp
-        if len(raw) != height * (stride + 1):
+        row_bytes = (width * channels * depth + 7) // 8
+        if len(raw) != height * (row_bytes + 1):
             raise PNGError(
                 f"decompressed size {len(raw)} != expected "
-                f"{height * (stride + 1)}"
+                f"{height * (row_bytes + 1)}"
             )
-        out, _ = _unfilter_image(raw, 0, width, height, bpp)
+        out, _ = read_subimage(raw, 0, width, height)
+    if depth < 8:
+        if color_type == 0:
+            # bit-replication scaling to 8-bit (17/85/255 factors are
+            # exact: 0..2^d-1 maps onto 0..255 like libpng/PIL)
+            return width, height, (out[:, :, 0]
+                                   * (255 // ((1 << depth) - 1))
+                                   ).astype(np.uint8)
+        # color type 3: fall through to the palette mapping below
     if depth == 16:
         # reassemble big-endian sample pairs → native uint16 (H, W, C)
         out16 = out.reshape(height, width, channels, 2)

@@ -148,12 +148,17 @@ def test_png_rejects_malformed_and_unsupported():
             ">I", _z.crc32(b"IHDR" + body) & 0xFFFFFFFF
         )
 
-    with pytest.raises(UnsupportedPNGError, match="bit depth 4"):
-        decode_png(good[:8] + ihdr_chunk(4, 0, 0))
+    with pytest.raises(PNGError, match="bad bit depth 3"):
+        decode_png(good[:8] + ihdr_chunk(3, 0, 0))
     with pytest.raises(PNGError, match="unknown interlace method"):
         decode_png(good[:8] + ihdr_chunk(8, 0, 2))
-    with pytest.raises(PNGError, match="palette image with bit depth 16"):
+    # per-color-type depth legality (spec table 11.1)
+    with pytest.raises(PNGError, match="invalid for color type 3"):
         decode_png(good[:8] + ihdr_chunk(16, 3, 0))
+    with pytest.raises(PNGError, match="invalid for color type 2"):
+        decode_png(good[:8] + ihdr_chunk(4, 2, 0))
+    with pytest.raises(UnsupportedPNGError, match="color type 5"):
+        decode_png(good[:8] + ihdr_chunk(8, 5, 0))
     # Adam7 (interlace 1) is SUPPORTED — an interlaced header whose
     # stream doesn't follow the pass layout fails as MALFORMED
     # (truncated / bad filter byte), never as unsupported
@@ -430,3 +435,48 @@ def test_png_adam7_16bit_and_palette():
     np.testing.assert_array_equal(out[:, :, :3], pal[idx])
     lut = np.array([0, 128, 255, 255, 255], dtype=np.uint8)
     np.testing.assert_array_equal(out[:, :, 3], lut[idx])
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+@pytest.mark.parametrize("interlace", [False, True])
+def test_png_subbyte_roundtrip(depth, interlace):
+    """Sub-byte depths (1/2/4): gray samples scale by bit replication
+    (x255/x85/x17, the libpng rule); palette indices map via PLTE.
+    Widths that don't fill the last byte exercise row padding."""
+    from mediawiki_to_notion_spark.functions.png_codec import (
+        encode_png_palette,
+    )
+
+    rng = np.random.default_rng(depth * 10 + interlace)
+    for ft in range(5):
+        for h, w in ((9, 13), (1, 1), (3, 8), (16, 5)):
+            img = rng.integers(0, 1 << depth, size=(h, w), dtype=np.uint8)
+            ww, hh, out = decode_png(
+                encode_png(img, filter_type=ft, interlace=interlace,
+                           depth=depth))
+            assert (ww, hh) == (w, h)
+            scale = 255 // ((1 << depth) - 1)
+            np.testing.assert_array_equal(out, img * scale)
+
+            n_pal = 1 << depth
+            pal = rng.integers(0, 256, size=(n_pal, 3), dtype=np.uint8)
+            idx = rng.integers(0, n_pal, size=(h, w), dtype=np.uint8)
+            ww, hh, out = decode_png(
+                encode_png_palette(idx, pal, filter_type=ft,
+                                   interlace=interlace, depth=depth))
+            assert (ww, hh) == (w, h)
+            np.testing.assert_array_equal(out, pal[idx])
+
+
+def test_png_subbyte_range_guards():
+    from mediawiki_to_notion_spark.functions.png_codec import (
+        encode_png_palette,
+    )
+
+    with pytest.raises(ValueError, match="2-bit range"):
+        encode_png(np.full((2, 2), 4, dtype=np.uint8), depth=2)
+    with pytest.raises(ValueError, match="1-bit range"):
+        encode_png_palette(np.full((2, 2), 2, dtype=np.uint8),
+                           np.zeros((3, 3), dtype=np.uint8), depth=1)
+    with pytest.raises(ValueError, match="sub-byte depth needs"):
+        encode_png(np.zeros((2, 2, 3), dtype=np.uint8), depth=4)
