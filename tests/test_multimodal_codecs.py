@@ -187,12 +187,63 @@ def test_wav_rejects_malformed_and_unsupported():
     with pytest.raises(WAVError, match="RIFF"):
         decode_wav(b"OggS" + b"\x00" * 40)
     good = encode_wav(np.zeros(10, dtype=np.int16))
-    # flip the PCM format tag to 3 (IEEE float) — named, not mis-read
+    # flip the format tag to 2 (ADPCM, compressed) — named, not mis-read
     bad = bytearray(good)
     assert bad[20] == 1
-    bad[20] = 3
-    with pytest.raises(UnsupportedWAVError, match="format tag 3"):
+    bad[20] = 2
+    with pytest.raises(UnsupportedWAVError, match="format tag 2"):
         decode_wav(bytes(bad))
+    # IEEE float (tag 3) is now SUPPORTED — but only at 32/64 bits, so
+    # tag 3 with the original 16-bit depth is malformed, not unsupported
+    bad[20] = 3
+    with pytest.raises(WAVError, match="invalid for IEEE float"):
+        decode_wav(bytes(bad))
+
+
+def test_wav_float_roundtrip():
+    rng = np.random.default_rng(3)
+    for dtype in (np.float32, np.float64):
+        s = rng.standard_normal((301, 2)).astype(dtype)
+        rate, ch, out = decode_wav(encode_wav(s, sample_rate=48000))
+        assert (rate, ch) == (48000, 2)
+        assert out.dtype == dtype
+        np.testing.assert_array_equal(out, s)
+
+
+def test_wav_24bit_roundtrip_and_range():
+    rng = np.random.default_rng(24)
+    s = rng.integers(-(1 << 23), 1 << 23, size=(257, 3)).astype(np.int32)
+    s[0] = [-(1 << 23), (1 << 23) - 1, 0]  # exact range endpoints
+    rate, ch, out = decode_wav(encode_wav(s, sample_rate=96000, depth=24))
+    assert (rate, ch) == (96000, 3)
+    np.testing.assert_array_equal(out, s)
+    with pytest.raises(ValueError, match="24-bit range"):
+        encode_wav(np.array([1 << 23], dtype=np.int32), depth=24)
+
+
+def test_wav_extensible_wrapper_decodes():
+    """WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE): real format resolved from
+    the SubFormat GUID — here wrapping plain PCM16."""
+    import struct as _s
+
+    s = np.arange(-50, 50, dtype=np.int16).reshape(-1, 2)
+    plain = encode_wav(s, sample_rate=44100)
+    # rebuild with an extensible fmt chunk (cbSize=22 + GUID)
+    guid = _s.pack("<H", 1) + bytes.fromhex("000000001000800000aa00389b71")
+    fmt = _s.pack("<HHIIHH", 0xFFFE, 2, 44100, 44100 * 4, 4, 16) \
+        + _s.pack("<HHI", 22, 16, 0b11) + guid
+    data = plain[plain.find(b"data"):]
+    body = b"WAVE" + b"fmt " + _s.pack("<I", len(fmt)) + fmt + data
+    ext = b"RIFF" + _s.pack("<I", len(body)) + body
+    rate, ch, out = decode_wav(ext)
+    assert (rate, ch) == (44100, 2)
+    np.testing.assert_array_equal(out, s)
+    # unknown SubFormat GUID → named rejection
+    bad_guid = _s.pack("<H", 1) + b"\x00" * 14
+    fmt_bad = fmt[:24] + bad_guid
+    body = b"WAVE" + b"fmt " + _s.pack("<I", len(fmt_bad)) + fmt_bad + data
+    with pytest.raises(UnsupportedWAVError, match="SubFormat"):
+        decode_wav(b"RIFF" + _s.pack("<I", len(body)) + body)
 
 
 try:
