@@ -65,11 +65,12 @@ def _media_frame(d: DataFrame) -> DataFrame:
 
 
 def decode_image(content: bytes) -> tuple[int, int]:
-    """REAL image decode: PNG via the pure-stdlib codec
-    (functions.png_codec — zlib inflate + scanline unfiltering), any
-    other format via PIL when present.  Raises NotImplementedError
-    naming the format when neither path applies (JPEG etc. without
-    PIL) — the pipeline's quarantine layer routes those rows."""
+    """REAL image decode: PNG and baseline JPEG via the pure-stdlib
+    codecs (functions.png_codec — zlib inflate + scanline unfiltering;
+    functions.jpeg_codec — Huffman + IDCT), any other format via PIL
+    when present.  Raises NotImplementedError naming the format when
+    neither path applies (WebP/GIF/progressive-JPEG without PIL) — the
+    pipeline's quarantine layer routes those rows."""
     from mediawiki_to_notion_spark.functions.png_codec import (
         _SIGNATURE,
         decode_png,
@@ -78,14 +79,19 @@ def decode_image(content: bytes) -> tuple[int, int]:
     if content[:8] == _SIGNATURE:
         w, h, _pixels = decode_png(content)
         return w, h
+    if content[:2] == b"\xff\xd8":
+        from mediawiki_to_notion_spark.functions.jpeg_codec import decode_jpeg
+
+        w, h, _pixels = decode_jpeg(content)
+        return w, h
     if HAVE_PIL:  # pragma: no cover - PIL absent in this container
         import io
 
         with Image.open(io.BytesIO(content)) as im:
             return im.size
     raise NotImplementedError(
-        f"no decoder for magic {content[:4]!r} (PNG is built in; "
-        "other formats need PIL/pyvips)"
+        f"no decoder for magic {content[:4]!r} (PNG and baseline JPEG "
+        "are built in; other formats need PIL/pyvips)"
     )
 
 

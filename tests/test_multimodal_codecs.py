@@ -1,10 +1,12 @@
-"""Real PNG/WAV codecs (pure stdlib) + the real-decode Spark pipeline.
+"""Real PNG/WAV/JPEG codecs (pure stdlib+numpy) + the real-decode
+Spark pipeline.
 
-These close the r2 'real image/audio codecs absent' gap to the extent
-the environment allows: PNG (zlib + scanline filters) and WAV
-(RIFF/PCM) are fully decodable with the standard library, so those
-paths are REAL; only formats needing external codecs (JPEG/MP3/H.264)
-stay stubbed behind import-tries.
+These close the r2 'real image/audio codecs absent' gap: complete
+baseline PNG (r4: every color type/depth/interlace), the real-world
+WAV surface (r4: PCM 8-32 incl. 24-bit, IEEE float, extensible), and
+baseline-sequential JPEG (r4: Huffman + IDCT, 4:4:4/4:2:0, restart
+markers).  Only genuinely out-of-scope processes (progressive JPEG,
+MP3, H.264) remain behind import-tries / named rejections.
 """
 
 from __future__ import annotations
@@ -531,3 +533,134 @@ def test_png_subbyte_range_guards():
                            np.zeros((3, 3), dtype=np.uint8), depth=1)
     with pytest.raises(ValueError, match="sub-byte depth needs"):
         encode_png(np.zeros((2, 2, 3), dtype=np.uint8), depth=4)
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline sequential, r4)
+
+
+def _smooth(h, w, seed=0):
+    """Low-frequency test image — the content JPEG is designed for."""
+    rng = np.random.default_rng(seed)
+    yy = np.linspace(0, 4 * np.pi, h)[:, None]
+    xx = np.linspace(0, 3 * np.pi, w)[None, :]
+    base = 120 + 60 * np.sin(yy) * np.cos(xx) + 40 * np.sin(xx / 2)
+    base = base + rng.normal(0, 2, size=(h, w))
+    return np.clip(base, 0, 255).astype(np.uint8)
+
+
+def test_jpeg_gray_roundtrip_tolerance():
+    from mediawiki_to_notion_spark.functions.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    img = _smooth(41, 57)
+    for quality, tol in ((95, 6), (75, 14)):
+        w, h, out = decode_jpeg(encode_jpeg(img, quality=quality))
+        assert (w, h) == (57, 41)
+        diff = np.abs(out.astype(int) - img.astype(int))
+        assert diff.max() <= tol, (quality, diff.max())
+    # determinism: identical bytes for identical input
+    assert encode_jpeg(img, 85) == encode_jpeg(img, 85)
+
+
+@pytest.mark.parametrize("subsample", ["444", "420"])
+@pytest.mark.parametrize("restart", [0, 3])
+def test_jpeg_rgb_roundtrip_all_layouts(subsample, restart):
+    """RGB through every encoder layout: 4:4:4 and 4:2:0 (the decoder's
+    generic MCU interleave + chroma upsampling), with and without
+    restart markers.  The luma channel must stay tight; chroma loss is
+    layout-inherent, so the bound is on the Y plane."""
+    from mediawiki_to_notion_spark.functions.jpeg_codec import (
+        _rgb_to_ycbcr,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    img = _smooth(37, 51, seed=3)
+    rgb = np.stack([img, np.roll(img, 9, axis=0), 255 - img], axis=-1)
+    data = encode_jpeg(rgb, quality=92, subsample=subsample,
+                       restart_interval=restart)
+    w, h, out = decode_jpeg(data)
+    assert (w, h) == (51, 37) and out.shape == (37, 51, 3)
+    y_in = _rgb_to_ycbcr(rgb)[..., 0]
+    y_out = _rgb_to_ycbcr(out)[..., 0]
+    assert np.abs(y_in - y_out).max() <= 10
+    if subsample == "444":
+        assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 14
+
+
+def test_jpeg_rejects_malformed_and_unsupported():
+    import struct as _s
+
+    from mediawiki_to_notion_spark.functions.jpeg_codec import (
+        JPEGError,
+        UnsupportedJPEGError,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    good = encode_jpeg(_smooth(16, 16))
+    with pytest.raises(JPEGError, match="SOI"):
+        decode_jpeg(b"\x89PNG" + good)
+    with pytest.raises(JPEGError, match="truncated"):
+        decode_jpeg(good[:len(good) // 2])
+    # flip SOF0 → SOF2 (progressive): named rejection.  The SOF0 marker
+    # is the first \xff\xc0 in the stream.
+    i = good.index(b"\xff\xc0")
+    with pytest.raises(UnsupportedJPEGError, match="SOF2"):
+        decode_jpeg(good[:i + 1] + b"\xc2" + good[i + 2:])
+    # 12-bit precision: named rejection
+    with pytest.raises(UnsupportedJPEGError, match="12-bit"):
+        decode_jpeg(good[:i + 4] + bytes([12]) + good[i + 5:])
+    # sampling factor 3: named rejection (rebuild the SOF payload)
+    (seglen,) = _s.unpack(">H", good[i + 2:i + 4])
+    sof = bytearray(good[i + 4:i + 2 + seglen])
+    sof[7] = 0x31  # component 1 sampling 3x1
+    with pytest.raises(UnsupportedJPEGError, match="sampling factor"):
+        decode_jpeg(good[:i + 4] + bytes(sof) + good[i + 2 + seglen:])
+
+
+def test_jpeg_feeds_decode_image_dispatcher():
+    from mediawiki_to_notion_spark.functions.jpeg_codec import encode_jpeg
+    from mediawiki_to_notion_spark.operators.multimodal import decode_image
+
+    w, h = decode_image(encode_jpeg(_smooth(24, 31)))
+    assert (w, h) == (31, 24)
+    with pytest.raises(NotImplementedError, match="magic"):
+        decode_image(b"RIFFxxxxWEBP" + b"\x00" * 20)
+
+
+try:
+    from hypothesis import given as _given, settings as _settings
+    from hypothesis import strategies as _st
+
+    @_settings(max_examples=20, deadline=None)
+    @_given(
+        h=_st.integers(1, 40), w=_st.integers(1, 40),
+        rgb=_st.booleans(), quality=_st.integers(30, 100),
+        subsample=_st.sampled_from(["444", "420"]),
+        restart=_st.integers(0, 4), seed=_st.integers(0, 2**16),
+    )
+    def test_jpeg_never_crashes_and_preserves_shape(h, w, rgb, quality,
+                                                    subsample, restart,
+                                                    seed):
+        """Arbitrary sizes (including < 8), qualities, layouts: encode
+        and decode must succeed with the exact input shape back —
+        content fidelity is quality-dependent, shape fidelity is not."""
+        from mediawiki_to_notion_spark.functions.jpeg_codec import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        rng = np.random.default_rng(seed)
+        shape = (h, w, 3) if rgb else (h, w)
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        ww, hh, out = decode_jpeg(
+            encode_jpeg(img, quality=quality, subsample=subsample,
+                        restart_interval=restart))
+        assert (ww, hh) == (w, h)
+        assert out.shape == shape
+except ImportError:  # pragma: no cover
+    pass
