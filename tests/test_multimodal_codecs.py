@@ -416,6 +416,13 @@ def test_real_wav_energy_pipeline_in_spark(spark):
     assert len(bad) == 1 and bad[0].decode_error is not None
 
 
+def _enc_jpeg_e2e():
+    from mediawiki_to_notion_spark.functions.jpeg_codec import encode_jpeg
+
+    rgb = np.stack([_image(12, 19, 1, seed=6)] * 3, axis=-1)
+    return encode_jpeg(rgb, quality=90, subsample="420")
+
+
 def test_real_decode_pipeline_in_spark(spark):
     """End-to-end: REAL PNG and WAV bytes flow through the actual
     mapInPandas kernel; dimensions/rates come from genuinely parsed
@@ -434,6 +441,7 @@ def test_real_decode_pipeline_in_spark(spark):
             np.arange(-400, 400, dtype=np.int16), sample_rate=44100))),
         (4, "image/png", bytearray(b"\x89PNG\r\n\x1a\nGARBAGE")),
         (5, "image/jpeg", bytearray(b"\xff\xd8\xff\xe0 not decodable")),
+        (6, "image/jpeg", bytearray(_enc_jpeg_e2e())),
     ]
     src = spark.createDataFrame(
         rows, "doc_id long, media_type string, content binary"
@@ -450,8 +458,11 @@ def test_real_decode_pipeline_in_spark(spark):
     assert (out[3].sample_rate, out[3].channels, out[3].n_samples) == \
         (44100, 1, 800)
     assert out[4].decode_error is not None and out[4].width is None
-    assert out[5].decode_error is not None  # JPEG without PIL → quarantined
+    # a torn JPEG quarantines; a real baseline JPEG decodes (r4 codec)
+    assert out[5].decode_error is not None
     assert out[5].width is None  # undecodable never fabricates dims
+    assert (out[6].width, out[6].height) == (19, 12)
+    assert out[6].decode_error is None
 
 
 @pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
