@@ -84,14 +84,24 @@ def decode_image(content: bytes) -> tuple[int, int]:
 
         w, h, _pixels = decode_jpeg(content)
         return w, h
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        from mediawiki_to_notion_spark.functions.gif_codec import decode_gif
+
+        w, h, _pixels = decode_gif(content)
+        return w, h
+    if content[:2] == b"BM":
+        from mediawiki_to_notion_spark.functions.bmp_codec import decode_bmp
+
+        w, h, _pixels = decode_bmp(content)
+        return w, h
     if HAVE_PIL:  # pragma: no cover - PIL absent in this container
         import io
 
         with Image.open(io.BytesIO(content)) as im:
             return im.size
     raise NotImplementedError(
-        f"no decoder for magic {content[:4]!r} (PNG and baseline JPEG "
-        "are built in; other formats need PIL/pyvips)"
+        f"no decoder for magic {content[:4]!r} (PNG, baseline JPEG, GIF, "
+        "and BMP are built in; other formats need PIL/pyvips)"
     )
 
 

@@ -675,3 +675,88 @@ try:
         assert out.shape == shape
 except ImportError:  # pragma: no cover
     pass
+
+
+# ---------------------------------------------------------------------------
+# GIF + BMP (r4)
+
+
+@pytest.mark.parametrize("interlace", [False, True])
+@pytest.mark.parametrize("n_pal", [2, 5, 64, 256])
+def test_gif_roundtrip(interlace, n_pal):
+    """LZW (incl. the 4096-entry dictionary reset on big frames) and
+    the 4-pass interlace round-trip bit-exact through the palette."""
+    from mediawiki_to_notion_spark.functions.gif_codec import (
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(n_pal + interlace)
+    pal = rng.integers(0, 256, size=(n_pal, 3), dtype=np.uint8)
+    for h, w in ((1, 1), (7, 13), (64, 64)):
+        idx = rng.integers(0, n_pal, size=(h, w), dtype=np.uint8)
+        ww, hh, out = decode_gif(encode_gif(idx, pal, interlace=interlace))
+        assert (ww, hh) == (w, h)
+        np.testing.assert_array_equal(out, pal[idx])
+
+
+def test_gif_transparency_and_errors():
+    from mediawiki_to_notion_spark.functions.gif_codec import (
+        GIFError,
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(8)
+    pal = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
+    idx = rng.integers(0, 4, size=(9, 9), dtype=np.uint8)
+    good = encode_gif(idx, pal, transparent=2)
+    w, h, out = decode_gif(good)
+    assert out.shape == (9, 9, 4)
+    np.testing.assert_array_equal(out[:, :, 3], np.where(idx == 2, 0, 255))
+    with pytest.raises(GIFError, match="signature"):
+        decode_gif(b"NOTAGIF" + good)
+    with pytest.raises(GIFError):
+        decode_gif(good[:20])  # truncated inside the color table/blocks
+
+
+def test_bmp_roundtrip_and_variants():
+    from mediawiki_to_notion_spark.functions.bmp_codec import (
+        BMPError,
+        UnsupportedBMPError,
+        decode_bmp,
+        encode_bmp,
+    )
+    import struct as _s
+
+    rng = np.random.default_rng(11)
+    rgb = rng.integers(0, 256, size=(15, 22, 3), dtype=np.uint8)
+    good = encode_bmp(rgb)
+    w, h, out = decode_bmp(good)
+    assert (w, h) == (22, 15)
+    np.testing.assert_array_equal(out, rgb)
+    with pytest.raises(BMPError, match="magic"):
+        decode_bmp(b"PM" + good[2:])
+    # RLE8 compression → named rejection
+    bad = bytearray(good)
+    _s.pack_into("<I", bad, 30, 1)
+    with pytest.raises(UnsupportedBMPError, match="compression 1"):
+        decode_bmp(bytes(bad))
+    # top-down (negative height) decodes to the same pixels
+    td = bytearray(encode_bmp(rgb[::-1]))
+    _s.pack_into("<i", td, 22, -15)
+    w, h, out = decode_bmp(bytes(td))
+    np.testing.assert_array_equal(out, rgb)
+
+
+def test_gif_bmp_feed_decode_image_dispatcher():
+    from mediawiki_to_notion_spark.functions.bmp_codec import encode_bmp
+    from mediawiki_to_notion_spark.functions.gif_codec import encode_gif
+    from mediawiki_to_notion_spark.operators.multimodal import decode_image
+
+    rng = np.random.default_rng(13)
+    pal = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+    idx = rng.integers(0, 8, size=(10, 17), dtype=np.uint8)
+    assert decode_image(encode_gif(idx, pal)) == (17, 10)
+    rgb = rng.integers(0, 256, size=(6, 9, 3), dtype=np.uint8)
+    assert decode_image(encode_bmp(rgb)) == (9, 6)
