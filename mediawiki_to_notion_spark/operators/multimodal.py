@@ -106,16 +106,22 @@ def decode_image(content: bytes) -> tuple[int, int]:
 
 
 def decode_audio(content: bytes) -> tuple[int, int, int]:
-    """REAL audio decode: WAV/PCM via the pure-stdlib RIFF parser
-    (functions.wav_codec) → (sample_rate, channels, n_samples)."""
+    """REAL audio decode: WAV (RIFF — integer/float PCM, extensible)
+    and AIFF/AIFC (FORM — big-endian PCM) via the pure-stdlib parsers
+    → (sample_rate, channels, n_samples)."""
     from mediawiki_to_notion_spark.functions.wav_codec import decode_wav
 
     if content[:4] == b"RIFF":
         rate, channels, samples = decode_wav(content)
         return rate, channels, len(samples)
+    if content[:4] == b"FORM":
+        from mediawiki_to_notion_spark.functions.aiff_codec import decode_aiff
+
+        rate, channels, samples = decode_aiff(content)
+        return rate, channels, len(samples)
     raise NotImplementedError(
-        f"no decoder for magic {content[:4]!r} (WAV is built in; "
-        "compressed audio needs an audio library)"
+        f"no decoder for magic {content[:4]!r} (WAV and AIFF are built "
+        "in; compressed audio needs an audio library)"
     )
 
 

@@ -760,3 +760,61 @@ def test_gif_bmp_feed_decode_image_dispatcher():
     assert decode_image(encode_gif(idx, pal)) == (17, 10)
     rgb = rng.integers(0, 256, size=(6, 9, 3), dtype=np.uint8)
     assert decode_image(encode_bmp(rgb)) == (9, 6)
+
+
+# ---------------------------------------------------------------------------
+# AIFF (r4)
+
+
+@pytest.mark.parametrize("dtype,depth", [(np.int8, 8), (np.int16, 16),
+                                         (np.int32, 32)])
+def test_aiff_roundtrip_depths(dtype, depth):
+    from mediawiki_to_notion_spark.functions.aiff_codec import (
+        decode_aiff,
+        encode_aiff,
+    )
+
+    rng = np.random.default_rng(depth)
+    info = np.iinfo(dtype)
+    stereo = rng.integers(info.min, info.max, size=(311, 2)).astype(dtype)
+    rate, ch, out = decode_aiff(encode_aiff(stereo, sample_rate=44100))
+    assert (rate, ch) == (44100, 2)
+    np.testing.assert_array_equal(out, stereo)
+
+
+def test_aiff_24bit_extended_rate_and_errors():
+    from mediawiki_to_notion_spark.functions.aiff_codec import (
+        AIFFError,
+        UnsupportedAIFFError,
+        decode_aiff,
+        encode_aiff,
+    )
+
+    rng = np.random.default_rng(5)
+    s = rng.integers(-(1 << 23), 1 << 23, size=(101, 1)).astype(np.int32)
+    s[0, 0] = -(1 << 23)
+    # odd rates stress the 80-bit extended-float sample-rate field
+    for rate in (8000, 11025, 22050, 44100, 48000, 96000, 192000):
+        r, ch, out = decode_aiff(encode_aiff(s, sample_rate=rate, depth=24))
+        assert (r, ch) == (rate, 1)
+        np.testing.assert_array_equal(out, s)
+    with pytest.raises(AIFFError, match="FORM"):
+        decode_aiff(b"RIFF" + b"\x00" * 40)
+    good = bytearray(encode_aiff(np.zeros(4, dtype=np.int16)))
+    good[8:12] = b"AIFC"  # claim AIFC; COMM has no compression field →
+    # short COMM still decodes as NONE; now fake a compressed AIFC COMM
+    import struct as _s
+    comm = _s.pack(">hIh", 1, 4, 16) + b"\x40\x0d" + b"\xfa\x00" + b"\x00" * 6 \
+        + b"ulaw"
+    body = b"AIFC" + b"COMM" + _s.pack(">I", len(comm)) + comm \
+        + b"SSND" + _s.pack(">I", 8) + b"\x00" * 8
+    with pytest.raises(UnsupportedAIFFError, match="ulaw"):
+        decode_aiff(b"FORM" + _s.pack(">I", len(body)) + body)
+
+
+def test_aiff_feeds_decode_audio_dispatcher():
+    from mediawiki_to_notion_spark.functions.aiff_codec import encode_aiff
+    from mediawiki_to_notion_spark.operators.multimodal import decode_audio
+
+    s = np.arange(-100, 100, dtype=np.int16)
+    assert decode_audio(encode_aiff(s, sample_rate=22050)) == (22050, 1, 200)
