@@ -501,15 +501,25 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
     restart_interval = 0
     frame = None
     out_planes = None
-    while pos + 4 <= len(data):
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise JPEGError(f"expected marker at offset {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker, and a trailing stuffed 0xFF00 from the entropy
+        # segment's pad bits is data, not a marker — skip both
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
+        if marker == 0x00:
+            pos += 2  # stray stuffed byte after a scan
+            continue
         if marker == 0xD9:  # EOI
             break
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             pos += 2  # parameterless markers outside a scan
             continue
+        if pos + 4 > len(data):
+            raise JPEGError("truncated marker segment")
         (length,) = struct.unpack(">H", data[pos + 2:pos + 4])
         body = data[pos + 4:pos + 2 + length]
         if len(body) != length - 2:

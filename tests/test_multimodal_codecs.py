@@ -818,3 +818,25 @@ def test_aiff_feeds_decode_audio_dispatcher():
 
     s = np.arange(-100, 100, dtype=np.int16)
     assert decode_audio(encode_aiff(s, sample_rate=22050)) == (22050, 1, 200)
+
+
+def test_jpeg_trailing_stuffed_ff00_before_eoi():
+    """Regression: when the entropy segment's last byte is 0xFF the
+    writer stuffs 0x00, leaving FF 00 immediately before EOI — the
+    marker loop must treat it as data, not a marker (T.81 B.1.1.2).
+    Seeds chosen so the ECS provably ends with the stuffed pair."""
+    from mediawiki_to_notion_spark.functions.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    hit = 0
+    for seed in (12, 13, 85):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+        data = encode_jpeg(img, quality=40)
+        if data[-4:-2] == b"\xff\x00":
+            hit += 1
+        w, h, out = decode_jpeg(data)
+        assert (w, h) == (8, 8) and out.shape == (8, 8)
+    assert hit >= 1, "test fixture drifted: no trailing FF00 produced"
