@@ -29,6 +29,10 @@ class GIFError(ValueError):
 # 4-pass interlace row schedule: (start, step)
 _INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
 
+# hostile-input ceiling: frame/canvas allocations scale with the
+# header-declared dimensions, so cap total pixels before allocating
+MAX_PIXELS = 1 << 26
+
 
 # ---------------------------------------------------------------------------
 # LZW
@@ -208,6 +212,8 @@ def decode_gif(data: bytes) -> tuple[int, int, np.ndarray]:
     if len(data) < 13:
         raise GIFError("truncated header")
     sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    if sw * sh > MAX_PIXELS:
+        raise GIFError(f"logical screen too large ({sw}x{sh})")
     pos = 13
     gct = None
     if flags & 0x80:
@@ -241,6 +247,8 @@ def decode_gif(data: bytes) -> tuple[int, int, np.ndarray]:
             raise GIFError("truncated image descriptor")
         left, top, iw, ih, iflags = struct.unpack("<HHHHB",
                                                   data[pos + 1:pos + 10])
+        if iw * ih > MAX_PIXELS:
+            raise GIFError(f"frame too large ({iw}x{ih})")
         pos += 10
         lct = gct
         if iflags & 0x80:

@@ -37,6 +37,11 @@ class JPEGError(ValueError):
     """Malformed JPEG byte stream."""
 
 
+# hostile-input ceiling: decode allocations scale with the SOF-declared
+# dimensions (4 attacker bytes), so cap total pixels before allocating
+MAX_PIXELS = 1 << 26
+
+
 class UnsupportedJPEGError(JPEGError):
     """Valid JPEG using a process outside this codec's subset."""
 
@@ -558,6 +563,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
             if prec != 8:
                 raise UnsupportedJPEGError(f"{prec}-bit precision")
             fh, fw, nc = struct.unpack(">HHB", body[1:6])
+            if fh * fw > MAX_PIXELS:
+                raise JPEGError(f"image too large ({fw}x{fh})")
             comps = []
             for ci in range(nc):
                 cid, samp, qid = body[6 + ci * 3:9 + ci * 3]

@@ -172,6 +172,28 @@ _ADAM7 = (
 _VALID_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
                  4: (8, 16), 6: (8, 16)}
 
+# hostile-input ceiling: decode allocations scale with header-declared
+# dimensions, so cap total pixels (64 MP covers any sane corpus image)
+MAX_PIXELS = 1 << 26
+
+
+def _expected_stream_bytes(width: int, height: int, channels: int,
+                           depth: int, interlace: int) -> int:
+    """Exact size of the filtered scanline stream — the inflate bound."""
+
+    def image_bytes(w, h):
+        if w == 0 or h == 0:
+            return 0
+        return h * (1 + (w * channels * depth + 7) // 8)
+
+    if not interlace:
+        return image_bytes(width, height)
+    total = 0
+    for x0, y0, dx, dy in _ADAM7:
+        total += image_bytes((width - x0 + dx - 1) // dx,
+                             (height - y0 + dy - 1) // dy)
+    return total
+
 
 def _pack_samples(a: np.ndarray, depth: int) -> np.ndarray:
     """(H, W, 1) sub-byte samples → (H, stride, 1) packed scanline
@@ -379,7 +401,22 @@ def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
         raise PNGError("missing IHDR")
     if color_type == 3 and palette is None:
         raise PNGError("palette image missing PLTE")
-    raw = zlib.decompress(bytes(idat))
+    if width * height > MAX_PIXELS:
+        # hostile-header guard: dimensions come from 8 attacker bytes,
+        # and every allocation below scales with them — refuse before
+        # touching memory (the decompression-bomb posture a 100 TB
+        # media scan needs; one crafted row must not OOM an executor)
+        raise PNGError(f"image too large ({width}x{height})")
+    # bound the inflate by the exact expected stream size: a zlib bomb
+    # (tiny IDAT → GB output) stops at the cap instead of allocating
+    expected = _expected_stream_bytes(width, height, channels, depth,
+                                      interlace)
+    d = zlib.decompressobj()
+    raw = d.decompress(bytes(idat), expected + 1)
+    while len(raw) <= expected and d.unconsumed_tail:
+        raw += d.decompress(d.unconsumed_tail, expected + 1 - len(raw))
+    if len(raw) > expected:
+        raise PNGError("decompressed data exceeds expected size")
     # bytes per pixel (the filter distance): sub-byte depths filter on
     # whole scanline bytes with bpp = 1, per the spec
     bpp = max(1, channels * (depth // 8))

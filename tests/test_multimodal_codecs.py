@@ -840,3 +840,56 @@ def test_jpeg_trailing_stuffed_ff00_before_eoi():
         w, h, out = decode_jpeg(data)
         assert (w, h) == (8, 8) and out.shape == (8, 8)
     assert hit >= 1, "test fixture drifted: no trailing FF00 produced"
+
+
+def test_decoders_refuse_decompression_bombs():
+    """Hostile-header hardening: decode allocations scale with
+    attacker-declared dimensions, so a 4-byte header claiming a
+    gigapixel image (or a zlib bomb inflating past the scanline
+    budget) must be REFUSED before memory is touched — a crafted row
+    in a 100 TB media scan must quarantine, not OOM the executor."""
+    import struct as _s
+    import zlib as _z
+
+    from mediawiki_to_notion_spark.functions.gif_codec import (
+        GIFError,
+        decode_gif,
+        encode_gif,
+    )
+    from mediawiki_to_notion_spark.functions.jpeg_codec import (
+        JPEGError,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    # PNG: 65535x65535 header on a tiny file
+    def ihdr(w, h):
+        body = _s.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        return _s.pack(">I", len(body)) + b"IHDR" + body + _s.pack(
+            ">I", _z.crc32(b"IHDR" + body) & 0xFFFFFFFF)
+
+    good = encode_png(np.zeros((4, 4), dtype=np.uint8))
+    with pytest.raises(PNGError, match="too large"):
+        decode_png(good[:8] + ihdr(65535, 65535) + good[8 + 25:])
+    # PNG: zlib bomb — sane dims but IDAT inflating to ~1 GB
+    bomb = _z.compress(b"\x00" * (1 << 30), 9)  # ~1 MB compressed
+    idat = _s.pack(">I", len(bomb)) + b"IDAT" + bomb + _s.pack(
+        ">I", _z.crc32(b"IDAT" + bomb) & 0xFFFFFFFF)
+    iend = _s.pack(">I", 0) + b"IEND" + _s.pack(
+        ">I", _z.crc32(b"IEND") & 0xFFFFFFFF)
+    with pytest.raises(PNGError, match="exceeds expected size"):
+        decode_png(good[:8] + ihdr(64, 64) + idat + iend)
+
+    # JPEG: gigapixel SOF
+    jgood = encode_jpeg(np.zeros((8, 8), dtype=np.uint8))
+    i = jgood.index(b"\xff\xc0")
+    huge = _s.pack(">HH", 65535, 65535)
+    with pytest.raises(JPEGError, match="too large"):
+        decode_jpeg(jgood[:i + 5] + huge + jgood[i + 9:])
+
+    # GIF: gigapixel logical screen / frame
+    ggood = bytearray(encode_gif(
+        np.zeros((4, 4), dtype=np.uint8), np.zeros((2, 3), dtype=np.uint8)))
+    _s.pack_into("<HH", ggood, 6, 65535, 65535)
+    with pytest.raises(GIFError, match="too large"):
+        decode_gif(bytes(ggood))
