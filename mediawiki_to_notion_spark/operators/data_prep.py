@@ -499,33 +499,18 @@ def dense_global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PCA_COMPONENTS = 2  # leading principal components to report
+PCA_REDUCE_FANIN = 32  # max Gram-partial rows the driver ever collects
 
 
-@register("embedding_pca_power")  # rows-only: float eigensolve
-def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Leading principal components of the embedding matrix — the
-    whitening/decorrelation step before quantization or outlier
-    screening (and the classic "remove the dominant direction"
-    embedding post-process).  The corpus-sized work is ONE
-    Arrow-batched pass: each mapInPandas task computes its batch's
-    X'X Gram matrix, column sum, and row count with numpy BLAS and
-    emits them as ONE d*d-float row; the driver sums the per-batch
-    partials (batch-count-sized traffic, ~32 KB each at d=64) and
-    eigensolves the resulting 64 x 64 covariance — the same
-    driver-holds-the-codebook discipline as kmeans_lloyd_refine.
-    Deterministic sign: each component's largest-|loading| entry is
-    made positive.
-
-    No SQL oracle (iterative float eigensolve); pytest pins the
-    distributed moment computation and the components against a pure
-    numpy PCA of the same vectors.
-
-    100 TB shape: one scan, no shuffle at all — the reduction happens
-    in two tiers (numpy within a batch, driver across batches; at
-    extreme batch counts an intermediate groupBy tier slots in
-    unchanged).  A first implementation expanded d(d+1)/2 product
-    structs per row in Catalyst expressions; the Arrow/BLAS kernel is
-    ~8x faster at sf0.1 and is the shape a real job would ship."""
+def pca_gram_reduced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lazy executor-side-reduced Gram partials for
+    :func:`embedding_pca_power`: one Arrow-batched ``mapInPandas``
+    pass emits a (n, d, colsum, gram) partial per batch, then an
+    ``applyInPandas`` tier keyed on ``spark_partition_id() %
+    PCA_REDUCE_FANIN`` folds those down to at most
+    ``PCA_REDUCE_FANIN`` rows ON THE EXECUTORS.  Exposed separately
+    so the plan-quality suite can assert the reduction tier sits
+    between the scan kernel and the driver collect."""
     import numpy as np
     import pandas as pd
 
@@ -547,9 +532,72 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "gram": [(x.T @ x).ravel().tobytes()],
             })
 
-    partials = e.mapInPandas(
-        gram_partials, "n long, d int, colsum binary, gram binary"
-    ).collect()  # bounded: one row per non-empty Arrow batch
+    partial_schema = "n long, d int, colsum binary, gram binary"
+
+    def sum_partials(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        # One group's per-batch partials -> one row.  Mixed d is a
+        # data error; detect it executor-side so it can't silently
+        # mis-shape the frombuffer below.
+        d0 = int(pdf["d"].iloc[0])
+        if (pdf["d"] != d0).any():
+            raise ValueError("mixed embedding dimensionality")
+        colsum = np.zeros(d0, dtype=np.float64)
+        gram = np.zeros(d0 * d0, dtype=np.float64)
+        for b in pdf["colsum"]:
+            colsum += np.frombuffer(b, dtype=np.float64)
+        for b in pdf["gram"]:
+            gram += np.frombuffer(b, dtype=np.float64)
+        return pd.DataFrame({
+            "n": [int(pdf["n"].sum())],
+            "d": [d0],
+            "colsum": [colsum.tobytes()],
+            "gram": [gram.tobytes()],
+        })
+
+    return (
+        e.mapInPandas(gram_partials, partial_schema)
+        .withColumn("tag", F.spark_partition_id() % PCA_REDUCE_FANIN)
+        .groupBy("tag")
+        .applyInPandas(
+            lambda pdf: sum_partials(pdf.drop(columns=["tag"])),
+            partial_schema,
+        )
+    )
+
+
+@register("embedding_pca_power")  # rows-only: float eigensolve
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading principal components of the embedding matrix — the
+    whitening/decorrelation step before quantization or outlier
+    screening (and the classic "remove the dominant direction"
+    embedding post-process).  The corpus-sized work is ONE
+    Arrow-batched pass: each mapInPandas task computes its batch's
+    X'X Gram matrix, column sum, and row count with numpy BLAS and
+    emits them as ONE d*d-float row; the driver sums the per-batch
+    partials (batch-count-sized traffic, ~32 KB each at d=64) and
+    eigensolves the resulting 64 x 64 covariance — the same
+    driver-holds-the-codebook discipline as kmeans_lloyd_refine.
+    Deterministic sign: each component's largest-|loading| entry is
+    made positive.
+
+    No SQL oracle (iterative float eigensolve); pytest pins the
+    distributed moment computation and the components against a pure
+    numpy PCA of the same vectors.
+
+    100 TB shape: one scan, then a THREE-tier reduction that is all
+    code: numpy within an Arrow batch, an executor-side
+    ``applyInPandas`` partial-sum keyed on ``spark_partition_id() %
+    PCA_REDUCE_FANIN`` that folds the per-batch Gram rows down to at
+    most ``PCA_REDUCE_FANIN`` rows, and only THOSE reach the driver —
+    at 40 M Arrow batches the driver still ingests ~32 KB x fan-in,
+    not terabytes.  A first implementation expanded d(d+1)/2 product
+    structs per row in Catalyst expressions; the Arrow/BLAS kernel is
+    ~8x faster at sf0.1 and is the shape a real job would ship."""
+    import numpy as np
+
+    # Executor-side reduction tier (see pca_gram_reduced): the driver
+    # collects at most PCA_REDUCE_FANIN pre-summed Gram rows.
+    partials = pca_gram_reduced(spark, sf_dir).collect()
 
     schema = ("component int, dim int, mean double, loading double, "
               "eigenvalue double")

@@ -746,6 +746,26 @@ def test_dashboard_widget_takes_ordered(spark):
     assert "Exchange rangepartitioning" not in plan
 
 
+def test_embedding_pca_reduction_tier_is_executor_side(spark):
+    """The Gram-partial reduction must happen ON THE EXECUTORS before
+    the driver collect: a FlatMapGroupsInPandas (the applyInPandas
+    partial-sum keyed on spark_partition_id() % fan-in) must sit
+    ABOVE the MapInPandas scan kernel, separated by the tag
+    hash-exchange — so the driver only ever ingests <= fan-in rows,
+    not one row per Arrow batch."""
+    from mediawiki_to_notion_spark.operators.data_prep import (
+        pca_gram_reduced,
+    )
+
+    plan = pca_gram_reduced(spark, SF)._jdf.queryExecution() \
+        .executedPlan().toString()
+    i_reduce = plan.find("FlatMapGroupsInPandas")
+    i_scan = plan.find("MapInPandas")
+    assert i_reduce != -1 and i_scan != -1
+    assert i_reduce < i_scan  # reduce tier sits above the scan kernel
+    assert "Exchange hashpartitioning(tag" in plan
+
+
 def test_embedding_pca_matches_numpy(spark):
     """The distributed Gram/mean computation must reproduce a pure
     numpy PCA of the same vectors: same eigenvalues, |cosine| ~ 1
