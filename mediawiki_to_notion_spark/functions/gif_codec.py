@@ -234,6 +234,8 @@ def decode_gif(data: bytes) -> tuple[int, int, np.ndarray]:
             label = data[pos + 1]
             pos += 2
             if label == 0xF9 and pos < len(data) and data[pos] == 4:
+                if pos + 5 > len(data):
+                    raise GIFError("truncated extension")
                 gce_flags = data[pos + 1]
                 if gce_flags & 0x01:
                     transparent = data[pos + 4]

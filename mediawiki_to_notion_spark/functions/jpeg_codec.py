@@ -13,14 +13,17 @@ codes, always legal, always < 16 bits) and written to DHT — a JPEG
 file carries its own code tables, so nothing depends on the spec's
 example tables and any conforming decoder can read the output.
 
-Decoder: any baseline-sequential JPEG — arbitrary DQT/DHT tables
-(i.e. real-web files with the Annex K tables or optimized ones),
-component sampling factors 1-2 in each axis (4:4:4 / 4:2:2 / 4:2:0,
-chroma upsampled by replication), restart intervals, 1- or
-3-component scans.  Progressive (SOF2), arithmetic coding, 12-bit and
-hierarchical processes raise ``UnsupportedJPEGError`` by name — the
-honest boundary (reference parity: process-mw-dump.py:147-177 treats
-embedded media as opaque; here JPEG decode becomes real).
+Decoder: any baseline-sequential OR progressive (SOF2) JPEG —
+arbitrary DQT/DHT tables (i.e. real-web files with the Annex K tables
+or optimized ones), component sampling factors 1-2 in each axis
+(4:4:4 / 4:2:2 / 4:2:0, chroma upsampled by replication), restart
+intervals, multi-scan baseline files (one scan per component), and
+the full progressive scan grammar: spectral selection, successive
+approximation (DC and AC first/refine passes), EOB runs.  Arithmetic
+coding, 12-bit, lossless and hierarchical processes raise
+``UnsupportedJPEGError`` by name — the honest boundary (reference
+parity: process-mw-dump.py:147-177 treats embedded media as opaque;
+here JPEG decode becomes real).
 
 JPEG is lossy: round-trips are verified within a quantization-error
 tolerance, plus bit-exact determinism of the encoder itself.
@@ -346,15 +349,12 @@ def _box_downsample(plane: np.ndarray) -> np.ndarray:
                          plane.shape[1] // 2, 2).mean(axis=(1, 3))
 
 
-def encode_jpeg(pixels: np.ndarray, quality: int = 85,
-                subsample: str = "444",
-                restart_interval: int = 0) -> bytes:
-    """Encode (H, W) grayscale or (H, W, 3) RGB uint8 → baseline
-    sequential JPEG.  ``subsample``: '444' (one block per component
-    per MCU) or '420' (2x2 luma sampling, box-mean chroma — the
-    dominant web layout).  ``restart_interval`` > 0 emits DRI + RSTn
-    markers every that many MCUs.  Deterministic: same inputs →
-    identical bytes."""
+def _prepare_components(pixels: np.ndarray, quality: int,
+                        subsample: str):
+    """Shared encoder front half: color transform, optional chroma
+    downsample, quantization — returns the per-component zigzagged
+    block grids (padded to the MCU grid) plus the frame geometry the
+    sequential and progressive back halves both need."""
     a = np.asarray(pixels)
     if a.dtype != np.uint8:
         raise ValueError(f"pixels must be uint8, got {a.dtype}")
@@ -396,6 +396,41 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 85,
             plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
         zz = _quantize_component(plane, qtabs[comp_q[ci]])
         grids.append(zz.reshape(tgt_h // 8, tgt_w // 8, 64))
+    return (grids, qtabs, comp_q, samp, h, w,
+            hmax, vmax, mcux, mcuy)
+
+
+def _headers(h, w, n_comp, qtabs, comp_q, samp, sof_marker):
+    """SOI + DQT + SOFn byte prefix shared by both encoders."""
+    out = bytearray(b"\xff\xd8")  # SOI
+    for tid, q in enumerate(qtabs):
+        zz_q = q.reshape(64)[_ZIGZAG].astype(np.uint8)
+        out += _seg(0xFFDB, bytes([tid]) + zz_q.tobytes())
+    sof = struct.pack(">BHHB", 8, h, w, n_comp)
+    for ci in range(n_comp):
+        ch, cv = samp[ci]
+        sof += bytes([ci + 1, ch << 4 | cv, comp_q[ci]])
+    out += _seg(sof_marker, sof)
+    return out
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+
+def encode_jpeg(pixels: np.ndarray, quality: int = 85,
+                subsample: str = "444",
+                restart_interval: int = 0) -> bytes:
+    """Encode (H, W) grayscale or (H, W, 3) RGB uint8 → baseline
+    sequential JPEG.  ``subsample``: '444' (one block per component
+    per MCU) or '420' (2x2 luma sampling, box-mean chroma — the
+    dominant web layout).  ``restart_interval`` > 0 emits DRI + RSTn
+    markers every that many MCUs.  Deterministic: same inputs →
+    identical bytes."""
+    (grids, qtabs, comp_q, samp, h, w,
+     hmax, vmax, mcux, mcuy) = _prepare_components(
+        pixels, quality, subsample)
+    n_comp = len(grids)
 
     def mcu_blocks():
         """Yield (comp_index, zigzag_block) in MCU interleave order,
@@ -460,31 +495,20 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 85,
     bw_.flush()
     ecs += bw_.out
 
-    def seg(marker: int, payload: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(payload) + 2) + payload
-
-    out = bytearray(b"\xff\xd8")  # SOI
-    for tid, q in enumerate(qtabs):
-        zz_q = q.reshape(64)[_ZIGZAG].astype(np.uint8)
-        out += seg(0xFFDB, bytes([tid]) + zz_q.tobytes())
-    sof = struct.pack(">BHHB", 8, h, w, n_comp)
-    for ci in range(n_comp):
-        ch, cv = samp[ci]
-        sof += bytes([ci + 1, ch << 4 | cv, comp_q[ci]])
-    out += seg(0xFFC0, sof)
+    out = _headers(h, w, n_comp, qtabs, comp_q, samp, 0xFFC0)
     for cls in range(n_cls):
         for tclass, (bits, vals) in ((0, dc_tables[cls]),
                                      (1, ac_tables[cls])):
-            out += seg(0xFFC4, bytes([tclass << 4 | cls])
-                       + bytes(bits) + bytes(vals))
+            out += _seg(0xFFC4, bytes([tclass << 4 | cls])
+                        + bytes(bits) + bytes(vals))
     if restart_interval:
-        out += seg(0xFFDD, struct.pack(">H", restart_interval))
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
     sos = bytes([n_comp])
     for ci in range(n_comp):
         cls = comp_q[ci]
         sos += bytes([ci + 1, cls << 4 | cls])
     sos += bytes([0, 63, 0])
-    out += seg(0xFFDA, sos)
+    out += _seg(0xFFDA, sos)
     out += ecs
     out += b"\xff\xd9"  # EOI
     return bytes(out)
@@ -495,9 +519,17 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 85,
 
 
 def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
-    """Decode baseline-sequential JPEG bytes → (width, height, uint8
-    array): (H, W) for 1-component scans, (H, W, 3) RGB for
-    3-component YCbCr."""
+    """Decode baseline-sequential OR progressive (SOF2) JPEG bytes →
+    (width, height, uint8 array): (H, W) for 1-component frames,
+    (H, W, 3) RGB for 3-component YCbCr frames.
+
+    All scans accumulate into per-component natural-order coefficient
+    arrays sized on the FRAME MCU grid (frame-level Hmax/Vmax per
+    T.81 A.1.1), so legal multi-scan baseline files (one scan per
+    component) and every progressive scan script (spectral selection
+    + successive approximation, DC and AC first/refine passes,
+    EOB runs, restarts) reconstruct correctly; the IDCT runs once at
+    EOI over the accumulated coefficients."""
     if data[:2] != b"\xff\xd8":
         raise JPEGError("not a JPEG: missing SOI")
     pos = 2
@@ -505,7 +537,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
     huff: dict[tuple[int, int], _HuffDecoder] = {}
     restart_interval = 0
     frame = None
-    out_planes = None
+    coefs: dict[int, np.ndarray] = {}
+    scanned: set[int] = set()
     while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise JPEGError(f"expected marker at offset {pos}")
@@ -558,13 +591,17 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
                 p += 17 + n
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
-        elif marker == 0xC0 or marker == 0xC1:  # baseline / ext. seq.
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext.seq / prog
             prec = body[0]
             if prec != 8:
                 raise UnsupportedJPEGError(f"{prec}-bit precision")
             fh, fw, nc = struct.unpack(">HHB", body[1:6])
             if fh * fw > MAX_PIXELS:
                 raise JPEGError(f"image too large ({fw}x{fh})")
+            if nc not in (1, 3):
+                raise UnsupportedJPEGError(
+                    f"{nc}-component frame (grayscale/YCbCr only)"
+                )
             comps = []
             for ci in range(nc):
                 cid, samp, qid = body[6 + ci * 3:9 + ci * 3]
@@ -573,16 +610,36 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
             if any(not 1 <= c["h"] <= 2 or not 1 <= c["v"] <= 2
                    for c in comps):
                 raise UnsupportedJPEGError("sampling factor > 2")
-            frame = {"h": fh, "w": fw, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            if len({c["id"] for c in comps}) != nc:
+                raise JPEGError("duplicate component id")
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = (fw + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (fh + 8 * vmax - 1) // (8 * vmax)
+            frame = {"h": fh, "w": fw, "comps": comps,
+                     "hmax": hmax, "vmax": vmax,
+                     "mcux": mcux, "mcuy": mcuy,
+                     "progressive": marker == 0xC2}
+            # natural-order coefficients on the frame MCU grid; every
+            # scan (interleaved or not) lands inside this padding
+            coefs = {
+                c["id"]: np.zeros(
+                    (mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32
+                )
+                for c in comps
+            }
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise UnsupportedJPEGError(
-                f"SOF{marker - 0xC0} process (baseline sequential only)"
+                f"SOF{marker - 0xC0} process "
+                f"(baseline sequential / progressive only)"
             )
         elif marker == 0xDA:  # SOS — entropy-coded data follows
             if frame is None:
                 raise JPEGError("SOS before SOF")
             ns = body[0]
+            if len(body) < 1 + 2 * ns + 3:
+                raise JPEGError("truncated SOS header")
             scan = []
             for si in range(ns):
                 cid, tabs = body[1 + si * 2], body[2 + si * 2]
@@ -592,92 +649,424 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
                     raise JPEGError(f"scan references unknown component "
                                     f"{cid}")
                 scan.append((comp, tabs >> 4, tabs & 0xF))
-            out_planes, pos = _decode_scan(
-                data, pos + 2 + length, frame, scan, qtabs, huff,
-                restart_interval,
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0xF
+            if frame["progressive"]:
+                if se > 63 or ss > se or (ss == 0) != (se == 0):
+                    raise JPEGError(f"bad spectral selection {ss}..{se}")
+                if ss > 0 and ns != 1:
+                    raise JPEGError("interleaved progressive AC scan")
+                if ah and ah != al + 1:
+                    raise JPEGError("bad successive approximation")
+            elif (ss, se, ah, al) != (0, 63, 0, 0):
+                raise JPEGError("non-full-band scan in sequential frame")
+            for comp, _, _ in scan:
+                scanned.add(comp["id"])
+            pos = _decode_scan(
+                data, pos + 2 + length, frame, scan, huff,
+                restart_interval, coefs, ss, se, ah, al,
             )
             continue
         # APPn / COM / anything else: skipped
         pos += 2 + length
-    if frame is None or out_planes is None:
+    if frame is None or not scanned:
         raise JPEGError("missing SOF/SOS")
+    if scanned != {c["id"] for c in frame["comps"]}:
+        raise JPEGError("component never scanned")
+    planes = _reconstruct(frame, coefs, qtabs)
     h, w = frame["h"], frame["w"]
-    if len(out_planes) == 1:
-        return w, h, out_planes[0][:h, :w]
-    ycc = np.stack([p[:h, :w] for p in out_planes], axis=-1)
+    if len(planes) == 1:
+        return w, h, planes[0][:h, :w]
+    ycc = np.stack([p[:h, :w] for p in planes], axis=-1)
     return w, h, _ycbcr_to_rgb(ycc)
 
 
-def _decode_scan(data, pos, frame, scan, qtabs, huff, restart_interval):
-    """Decode one interleaved baseline scan; returns (planes, new_pos)
-    with each plane upsampled to frame resolution (8-multiple padded).
-    """
-    hmax = max(c["h"] for c, _, _ in scan)
-    vmax = max(c["v"] for c, _, _ in scan)
+def _expect_restart(br: _BitReader, data: bytes) -> None:
+    br.align_to_marker()
+    if not (br.pos + 2 <= len(data) and data[br.pos] == 0xFF
+            and 0xD0 <= data[br.pos + 1] <= 0xD7):
+        raise JPEGError("expected restart marker")
+    br.pos += 2
+
+
+def _decode_scan(data, pos, frame, scan, huff, restart_interval,
+                 coefs, ss, se, ah, al):
+    """Entropy-decode ONE scan into the per-component coefficient
+    arrays; returns the byte offset just past the scan's data.
+
+    Covers all four progressive scan kinds (DC/AC x first/refine,
+    T.81 G.1.2 incl. EOB runs) plus full-band sequential scans as the
+    ss=0,se=63,ah=al=0 case.  Geometry: interleaved scans walk the
+    frame MCU grid; single-component scans walk the component's OWN
+    block grid ceil(ceil(dim * samp / max_samp) / 8) — the
+    non-interleaved rule of T.81 A.2.2."""
     w, h = frame["w"], frame["h"]
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    # per-component padded plane at its own sampling resolution
-    planes = [
-        np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]), dtype=np.float64)
-        for c, _, _ in scan
-    ]
+    hmax, vmax = frame["hmax"], frame["vmax"]
+    mcux, mcuy = frame["mcux"], frame["mcuy"]
+    interleaved = len(scan) > 1
+    if interleaved:
+        n_units = mcux * mcuy
+        bw = bh = 0
+    else:
+        c0 = scan[0][0]
+        bw = (-(-(w * c0["h"]) // hmax) + 7) // 8
+        bh = (-(-(h * c0["v"]) // vmax) + 7) // 8
+        n_units = bw * bh
     for c, dct, act in scan:
-        if c["q"] not in qtabs:
-            raise JPEGError(f"missing quant table {c['q']}")
-        if (0, dct) not in huff or (1, act) not in huff:
+        if ss == 0 and ah == 0 and (0, dct) not in huff:
+            raise JPEGError("missing Huffman table for scan")
+        if se > 0 and (1, act) not in huff:
             raise JPEGError("missing Huffman table for scan")
     br = _BitReader(data, pos)
-    preds = [0] * len(scan)
-    n_mcu = mcux * mcuy
-    for m in range(n_mcu):
-        if restart_interval and m and m % restart_interval == 0:
-            br.align_to_marker()
-            if not (br.pos + 2 <= len(data) and data[br.pos] == 0xFF
-                    and 0xD0 <= data[br.pos + 1] <= 0xD7):
-                raise JPEGError("expected restart marker")
-            br.pos += 2
-            preds = [0] * len(scan)
-        my, mx = divmod(m, mcux)
-        for si, (c, dct, act) in enumerate(scan):
-            dc_dec, ac_dec = huff[(0, dct)], huff[(1, act)]
-            q = qtabs[c["q"]]
-            for by in range(c["v"]):
-                for bx in range(c["h"]):
-                    zz = np.zeros(64, dtype=np.int64)
-                    s = dc_dec.decode(br)
-                    if s > 11:
-                        raise JPEGError(f"bad DC size {s}")
-                    preds[si] += _extend(br.receive(s), s)
-                    zz[0] = preds[si]
-                    k = 1
-                    while k < 64:
-                        rs = ac_dec.decode(br)
-                        r, s = rs >> 4, rs & 0xF
-                        if s == 0:
-                            if r == 15:
-                                k += 16  # ZRL
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise JPEGError("AC run past block end")
-                        zz[k] = _extend(br.receive(s), s)
-                        k += 1
-                    coef = np.zeros(64, dtype=np.float64)
-                    coef[_ZIGZAG] = zz * q.reshape(64)[_ZIGZAG]
-                    block = _idct(coef.reshape(8, 8)) + 128.0
-                    y0 = (my * c["v"] + by) * 8
-                    x0 = (mx * c["h"] + bx) * 8
-                    planes[si][y0:y0 + 8, x0:x0 + 8] = block
-    # past the last MCU: skip pad bits; caller resumes at the next marker
+    preds = {c["id"]: 0 for c, _, _ in scan}
+    state = {"eobrun": 0}
+    for u in range(n_units):
+        if restart_interval and u and u % restart_interval == 0:
+            _expect_restart(br, data)
+            preds = {c["id"]: 0 for c, _, _ in scan}
+            state["eobrun"] = 0
+        if interleaved:
+            my, mx = divmod(u, mcux)
+            for c, dct, act in scan:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        blk = coefs[c["id"]][my * c["v"] + by,
+                                             mx * c["h"] + bx]
+                        _decode_block(br, blk, huff, dct, act, preds,
+                                      c["id"], ss, se, ah, al, state)
+        else:
+            c, dct, act = scan[0]
+            byy, bxx = divmod(u, bw)
+            _decode_block(br, coefs[c["id"]][byy, bxx], huff, dct, act,
+                          preds, c["id"], ss, se, ah, al, state)
+    # past the last unit: skip pad bits; caller resumes at next marker
     br.align_to_marker()
-    new_pos = br.pos
-    # upsample each component to full (padded) frame resolution
-    out = []
-    for (c, _, _), plane in zip(scan, planes):
-        ry, rx = vmax // c["v"], hmax // c["h"]
+    return br.pos
+
+
+def _decode_block(br, blk, huff, dct, act, preds, cid, ss, se, ah, al,
+                  state):
+    """Decode one 8x8 block's contribution from the current scan into
+    ``blk`` (natural-order int32)."""
+    if ah == 0:
+        _decode_block_first(br, blk, huff, dct, act, preds, cid,
+                            ss, se, al, state)
+    elif ss == 0:
+        # DC successive-approximation refinement: one raw bit
+        if br.read_bit():
+            blk[0] |= 1 << al
+    else:
+        _decode_block_ac_refine(br, blk, huff[(1, act)], ss, se, al,
+                                state)
+
+
+def _decode_block_first(br, blk, huff, dct, act, preds, cid, ss, se, al,
+                        state):
+    """First (non-refinement) pass: differential DC and/or RLE AC,
+    shifted left by the successive-approximation bit position."""
+    if ss == 0:
+        s = huff[(0, dct)].decode(br)
+        if s > 11:
+            raise JPEGError(f"bad DC size {s}")
+        preds[cid] += _extend(br.receive(s), s)
+        blk[0] = preds[cid] << al
+    if se == 0:
+        return
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    ac_dec = huff[(1, act)]
+    k = max(ss, 1)
+    while k <= se:
+        rs = ac_dec.decode(br)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:
+                k += 16  # ZRL
+                continue
+            # EOBn: 2^r - 1 MORE all-done blocks after this one
+            state["eobrun"] = (1 << r) - 1
+            if r:
+                state["eobrun"] += br.receive(r)
+            break
+        k += r
+        if k > se:
+            raise JPEGError("AC run past block end")
+        blk[_ZIGZAG[k]] = _extend(br.receive(s), s) << al
+        k += 1
+
+
+def _decode_block_ac_refine(br, blk, ac_dec, ss, se, al, state):
+    """AC successive-approximation refinement (T.81 G.1.2.3 /
+    libjpeg's decode_mcu_AC_refine structure): newly-nonzero
+    coefficients arrive as ±1<<al; every already-nonzero coefficient
+    crossed on the way absorbs a correction bit."""
+    p1 = 1 << al
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = ac_dec.decode(br)
+            r, s = rs >> 4, rs & 0xF
+            sval = 0
+            if s:
+                if s != 1:
+                    raise JPEGError("bad AC refinement size")
+                sval = p1 if br.read_bit() else -p1
+            elif r != 15:
+                state["eobrun"] = 1 << r
+                if r:
+                    state["eobrun"] += br.receive(r)
+                break
+            while k <= se:
+                z = _ZIGZAG[k]
+                if blk[z] != 0:
+                    if br.read_bit() and (blk[z] & p1) == 0:
+                        blk[z] += p1 if blk[z] >= 0 else -p1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if sval and k <= se:
+                blk[_ZIGZAG[k]] = sval
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= se:
+            z = _ZIGZAG[k]
+            if blk[z] != 0:
+                if br.read_bit() and (blk[z] & p1) == 0:
+                    blk[z] += p1 if blk[z] >= 0 else -p1
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _reconstruct(frame, coefs, qtabs):
+    """Dequantize + batched IDCT each component's accumulated
+    coefficients, then upsample to full (padded) frame resolution by
+    replication."""
+    planes = []
+    for c in frame["comps"]:
+        if c["q"] not in qtabs:
+            raise JPEGError(f"missing quant table {c['q']}")
+        q = qtabs[c["q"]].astype(np.float64)
+        arr = coefs[c["id"]]
+        nby, nbx = arr.shape[:2]
+        co = arr.reshape(nby, nbx, 8, 8).astype(np.float64) * q
+        blocks = _idct(co) + 128.0
+        plane = blocks.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        ry, rx = frame["vmax"] // c["v"], frame["hmax"] // c["h"]
         if ry > 1 or rx > 1:
             plane = plane.repeat(ry, axis=0).repeat(rx, axis=1)
-        out.append(np.clip(np.round(plane), 0, 255).astype(np.uint8))
-    return out, new_pos
+        planes.append(np.clip(np.round(plane), 0, 255).astype(np.uint8))
+    return planes
+
+
+# ---------------------------------------------------------------------------
+# progressive encoder (T.81 G.1.2 — spectral selection + successive
+# approximation).  Primary use: generating real progressive streams so
+# the decoder's scan-accumulation paths are testable end to end; the
+# token stream per scan is materialized first (symbol pass) so each
+# scan can carry its own fixed-length canonical DHT, matching the
+# per-image-table discipline of the sequential encoder.
+
+
+def _flush_eobrun_toks(toks, run_state):
+    """Emit the pending EOBn symbol (+ extension bits + any buffered
+    correction bits) into the token list."""
+    n = run_state["eobrun"]
+    if n:
+        r = n.bit_length() - 1
+        toks.append(("sym", r << 4))
+        if r:
+            toks.append(("bits", n - (1 << r), r))
+        for b in run_state["be_bits"]:
+            toks.append(("bits", b, 1))
+        run_state["eobrun"] = 0
+        run_state["be_bits"] = []
+
+
+def _toks_ac_first(blocks, ss, se, al):
+    """AC first-pass tokens for one non-interleaved scan: RLE with
+    point transform |v| >> al and cross-block EOB runs."""
+    toks: list = []
+    rs = {"eobrun": 0, "be_bits": []}
+    for zz in blocks:
+        band = [int(v) for v in zz[ss:se + 1]]
+        vals = [(v >> al) if v >= 0 else -((-v) >> al) for v in band]
+        nz = [i for i, v in enumerate(vals) if v]
+        if not nz:
+            rs["eobrun"] += 1
+            if rs["eobrun"] == 0x7FFF:
+                _flush_eobrun_toks(toks, rs)
+            continue
+        _flush_eobrun_toks(toks, rs)
+        run = 0
+        for i in range(nz[-1] + 1):
+            v = vals[i]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                toks.append(("sym", 0xF0))  # ZRL
+                run -= 16
+            s = _category(v)
+            toks.append(("sym", (run << 4) | s))
+            toks.append(("bits", _amplitude(v, s), s))
+            run = 0
+        if nz[-1] < se - ss:
+            rs["eobrun"] = 1
+    _flush_eobrun_toks(toks, rs)
+    return toks
+
+
+def _toks_ac_refine(blocks, ss, se, al):
+    """AC refinement tokens (libjpeg encode_mcu_AC_refine structure):
+    correction bits for already-nonzero coefficients buffer behind the
+    next symbol; blocks with no newly-significant coefficient fold
+    into a cross-block EOB run carrying their buffered bits."""
+    toks: list = []
+    rs = {"eobrun": 0, "be_bits": []}
+    for zz in blocks:
+        band = [int(v) for v in zz[ss:se + 1]]
+        temp = [abs(v) >> al for v in band]
+        eob_pos = max((i for i, t in enumerate(temp) if t == 1),
+                      default=-1)
+        r = 0
+        br_bits: list = []
+        for i, t in enumerate(temp):
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and i <= eob_pos:
+                _flush_eobrun_toks(toks, rs)
+                toks.append(("sym", 0xF0))  # ZRL
+                r -= 16
+                for b in br_bits:
+                    toks.append(("bits", b, 1))
+                br_bits = []
+            if t > 1:
+                br_bits.append(t & 1)  # correction bit
+                continue
+            # newly-significant coefficient (magnitude exactly 1)
+            _flush_eobrun_toks(toks, rs)
+            toks.append(("sym", (r << 4) | 1))
+            toks.append(("bits", 1 if band[i] > 0 else 0, 1))
+            for b in br_bits:
+                toks.append(("bits", b, 1))
+            br_bits = []
+            r = 0
+        if r > 0 or br_bits:
+            rs["eobrun"] += 1
+            rs["be_bits"].extend(br_bits)
+            if rs["eobrun"] == 0x7FFF:
+                _flush_eobrun_toks(toks, rs)
+    _flush_eobrun_toks(toks, rs)
+    return toks
+
+
+def _toks_to_bytes(toks) -> tuple[bytes, bytes | None]:
+    """Token list → (entropy bytes, DHT payload or None).  Builds a
+    fixed-length canonical table over the scan's own symbol set."""
+    syms = {t[1] for t in toks if t[0] == "sym"}
+    dht = None
+    codes = {}
+    if syms:
+        bits, vals = _fixed_length_table(syms)
+        codes = _canonical_codes(bits, vals)
+        dht = bytes(bits) + bytes(vals)
+    bw = _BitWriter()
+    for t in toks:
+        if t[0] == "sym":
+            bw.write(*codes[t[1]])
+        else:
+            bw.write(t[1], t[2])
+    bw.flush()
+    return bytes(bw.out), dht
+
+
+def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 85,
+                            subsample: str = "444") -> bytes:
+    """Encode uint8 pixels → progressive (SOF2) JPEG with the
+    classic libjpeg-style scan script: interleaved DC first pass at
+    Al=1, per-component AC first passes in two spectral bands
+    (1-5, 6-63) at Al=1, then DC and AC refinement passes down to
+    Al=0 — so a conforming decoder reconstructs EXACTLY the same
+    quantized coefficients as :func:`encode_jpeg` of the same inputs.
+    Deterministic: same inputs → identical bytes."""
+    (grids, qtabs, comp_q, samp, h, w,
+     hmax, vmax, mcux, mcuy) = _prepare_components(
+        pixels, quality, subsample)
+    n_comp = len(grids)
+
+    def comp_blocks(ci):
+        """Raster block order over component ci's OWN grid (the
+        non-interleaved geometry of T.81 A.2.2)."""
+        ch, cv = samp[ci]
+        bw_ = (-(-(w * ch) // hmax) + 7) // 8
+        bh_ = (-(-(h * cv) // vmax) + 7) // 8
+        for byy in range(bh_):
+            for bxx in range(bw_):
+                yield grids[ci][byy, bxx]
+
+    def dc_toks(al, refine):
+        toks: list = []
+        preds = [0] * n_comp
+        if n_comp == 1:
+            order = ((0, blk) for blk in comp_blocks(0))
+        else:
+            def order_gen():
+                for m in range(mcux * mcuy):
+                    my, mx = divmod(m, mcux)
+                    for ci in range(n_comp):
+                        ch, cv = samp[ci]
+                        for by in range(cv):
+                            for bx in range(ch):
+                                yield ci, grids[ci][my * cv + by,
+                                                    mx * ch + bx]
+            order = order_gen()
+        for ci, zz in order:
+            dc = int(zz[0]) >> al  # arithmetic shift (T.81 G.1.2.1)
+            if refine:
+                toks.append(("bits", dc & 1, 1))
+                continue
+            diff = dc - preds[ci]
+            preds[ci] = dc
+            s = _category(diff)
+            toks.append(("sym", s))
+            if s:
+                toks.append(("bits", _amplitude(diff, s), s))
+        return toks
+
+    def sos(comps, tids, ss, se, ah, al):
+        p = bytes([len(comps)])
+        for ci, tid in zip(comps, tids):
+            p += bytes([ci + 1, tid])
+        return p + bytes([ss, se, ah << 4 | al])
+
+    out = _headers(h, w, n_comp, qtabs, comp_q, samp, 0xFFC2)
+    scans = [("dc", list(range(n_comp)), 0, 0, 0, 1)]
+    for lo, hi in ((1, 5), (6, 63)):
+        for ci in range(n_comp):
+            scans.append(("ac", [ci], lo, hi, 0, 1))
+    scans.append(("dc", list(range(n_comp)), 0, 0, 1, 0))
+    for lo, hi in ((1, 5), (6, 63)):
+        for ci in range(n_comp):
+            scans.append(("ac", [ci], lo, hi, 1, 0))
+    for kind, comps, ss, se, ah, al in scans:
+        if kind == "dc":
+            toks = dc_toks(al, refine=ah > 0)
+            tclass = 0
+        else:
+            toks = _toks_ac_first(comp_blocks(comps[0]), ss, se, al) \
+                if ah == 0 else \
+                _toks_ac_refine(comp_blocks(comps[0]), ss, se, al)
+            tclass = 1
+        ecs, dht = _toks_to_bytes(toks)
+        if dht is not None:
+            out += _seg(0xFFC4, bytes([tclass << 4]) + dht)
+        # every scan uses table id 0 of its class (re-emitted per scan)
+        out += _seg(0xFFDA, sos(comps, [0x00] * len(comps),
+                                ss, se, ah, al))
+        out += ecs
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

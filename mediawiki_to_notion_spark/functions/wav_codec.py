@@ -129,6 +129,8 @@ def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
     if fmt is None or raw is None:
         raise WAVError("missing fmt or data chunk")
     tag, channels, sample_rate, _byte_rate, _block_align, depth = fmt
+    if channels <= 0:
+        raise WAVError(f"bad channel count {channels}")
     if tag == 0xFFFE:
         tag = _resolve_extensible(fmt_body, fmt_len)
     if tag == 1:

@@ -6,13 +6,13 @@ a typed metadata struct — the reference's embedded-file model
 
 The decode / feature-extract stage is a `mapInPandas` pipeline whose
 Spark-side plumbing (schema, Arrow batching, partitioning) is real and
-tested.  Codec status (r4): **PNG (complete baseline), baseline JPEG,
-GIF, BMP, WAV, and AIFF decode are REAL** — pure stdlib+numpy codecs
+tested.  Codec status (r5): **PNG (complete baseline), JPEG (baseline
+sequential + progressive), GIF, BMP, WAV, and AIFF decode are REAL** — pure stdlib+numpy codecs
 under ``functions.*_codec``, exercised end-to-end through the actual
 mapInPandas kernels in ``tests/test_multimodal_codecs.py`` and
 value-checked at the driver gate by ``multimodal_codec_roundtrip``
 (the oracle predicts decoded dimensions from doc_id arithmetic).
-Formats needing full media stacks (progressive JPEG, WebP, MP3,
+Formats needing full media stacks (WebP, MP3,
 H.264) remain behind an import-try on PIL/libvips with a clear
 ``NotImplementedError``; the earlier registered oracle queries keep
 the deterministic md5 stand-in so their cross-engine value checks
@@ -67,14 +67,15 @@ def _media_frame(d: DataFrame) -> DataFrame:
 
 
 def decode_image(content: bytes) -> tuple[int, int]:
-    """REAL image decode: PNG, baseline JPEG, GIF, and BMP via the
-    pure-stdlib codecs (functions.png_codec — zlib inflate + scanline
-    unfiltering; functions.jpeg_codec — Huffman + IDCT;
-    functions.gif_codec — LZW; functions.bmp_codec — DIB), any other
-    format via PIL when present.  Raises NotImplementedError naming
-    the format when neither path applies (WebP / progressive JPEG
-    without PIL) — the pipeline's quarantine layer routes those
-    rows."""
+    """REAL image decode: PNG, JPEG (baseline sequential AND
+    progressive), GIF, and BMP via the pure-stdlib codecs
+    (functions.png_codec — zlib inflate + scanline unfiltering;
+    functions.jpeg_codec — Huffman + IDCT + progressive scan
+    accumulation; functions.gif_codec — LZW; functions.bmp_codec —
+    DIB), any other format via PIL when present.  Raises
+    NotImplementedError naming the format when neither path applies
+    (WebP without PIL) — the pipeline's quarantine layer routes
+    those rows."""
     from mediawiki_to_notion_spark.functions.png_codec import (
         _SIGNATURE,
         decode_png,
@@ -104,7 +105,7 @@ def decode_image(content: bytes) -> tuple[int, int]:
         with Image.open(io.BytesIO(content)) as im:
             return im.size
     raise NotImplementedError(
-        f"no decoder for magic {content[:4]!r} (PNG, baseline JPEG, GIF, "
+        f"no decoder for magic {content[:4]!r} (PNG, JPEG, GIF, "
         "and BMP are built in; other formats need PIL/pyvips)"
     )
 

@@ -4,9 +4,10 @@ Spark pipeline.
 These close the r2 'real image/audio codecs absent' gap: complete
 baseline PNG (r4: every color type/depth/interlace), the real-world
 WAV surface (r4: PCM 8-32 incl. 24-bit, IEEE float, extensible), and
-baseline-sequential JPEG (r4: Huffman + IDCT, 4:4:4/4:2:0, restart
-markers).  Only genuinely out-of-scope processes (progressive JPEG,
-MP3, H.264) remain behind import-tries / named rejections.
+JPEG (r4: baseline Huffman + IDCT, 4:4:4/4:2:0, restart markers;
+r5: progressive SOF2 scan accumulation + multi-scan baseline).  Only
+genuinely out-of-scope processes (WebP, MP3, H.264) remain behind
+import-tries / named rejections.
 """
 
 from __future__ import annotations
@@ -617,10 +618,15 @@ def test_jpeg_rejects_malformed_and_unsupported():
         decode_jpeg(b"\x89PNG" + good)
     with pytest.raises(JPEGError, match="truncated"):
         decode_jpeg(good[:len(good) // 2])
-    # flip SOF0 → SOF2 (progressive): named rejection.  The SOF0 marker
+    # flip SOF0 → SOF3 (lossless): named rejection.  The SOF0 marker
     # is the first \xff\xc0 in the stream.
     i = good.index(b"\xff\xc0")
-    with pytest.raises(UnsupportedJPEGError, match="SOF2"):
+    with pytest.raises(UnsupportedJPEGError, match="SOF3"):
+        decode_jpeg(good[:i + 1] + b"\xc3" + good[i + 2:])
+    # flip SOF0 → SOF2 (progressive): now SUPPORTED — but a full-band
+    # 0..63 scan is illegal in a progressive frame, so the mismatch is
+    # detected as malformed rather than decoded as garbage.
+    with pytest.raises(JPEGError, match="spectral selection"):
         decode_jpeg(good[:i + 1] + b"\xc2" + good[i + 2:])
     # 12-bit precision: named rejection
     with pytest.raises(UnsupportedJPEGError, match="12-bit"):
@@ -893,3 +899,267 @@ def test_decoders_refuse_decompression_bombs():
     _s.pack_into("<HH", ggood, 6, 65535, 65535)
     with pytest.raises(GIFError, match="too large"):
         decode_gif(bytes(ggood))
+
+
+# ---------------------------------------------------------------------------
+# progressive JPEG (r5): the decoder accumulates coefficients across
+# scans, so a progressive stream of the same quantized coefficients
+# must decode bit-identically to the baseline stream.
+
+
+@pytest.mark.parametrize("shape,subsample", [
+    ((16, 16), "444"),        # grayscale, exact blocks
+    ((33, 22, 3), "444"),     # RGB, ragged dims
+    ((40, 27, 3), "420"),     # subsampled, ragged dims
+    ((8, 8), "444"),          # single block
+])
+def test_jpeg_progressive_decodes_identical_to_baseline(shape, subsample):
+    import numpy as np
+
+    from mediawiki_to_notion_spark.functions.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    for q in (30, 85):
+        wb, hb, base = decode_jpeg(encode_jpeg(img, quality=q,
+                                               subsample=subsample))
+        wp, hp, prog = decode_jpeg(
+            encode_jpeg_progressive(img, quality=q, subsample=subsample))
+        assert (wb, hb) == (wp, hp) == (shape[1], shape[0])
+        assert np.array_equal(base, prog)
+
+
+def test_jpeg_progressive_eob_runs_cross_blocks():
+    """A smooth low-quality image drives long cross-block EOB runs in
+    both the AC-first and AC-refinement scans — the G.1.2 paths a
+    per-block-EOB-only fixture would never reach."""
+    import numpy as np
+
+    from mediawiki_to_notion_spark.functions.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    img = _smooth(64, 96, seed=5)
+    data = encode_jpeg_progressive(img, quality=20)
+    _, _, prog = decode_jpeg(data)
+    _, _, base = decode_jpeg(encode_jpeg(img, quality=20))
+    assert np.array_equal(base, prog)
+
+
+def test_jpeg_multiscan_baseline_per_component():
+    """The ADVICE r4 case: a LEGAL baseline JPEG whose three
+    components arrive in three separate single-component sequential
+    scans must decode identically to the interleaved single-scan file
+    (per-component planes accumulate; non-interleaved scan geometry
+    uses the component's own block grid)."""
+    import struct as _s
+
+    import numpy as np
+
+    from mediawiki_to_notion_spark.functions import jpeg_codec as J
+
+    img = _smooth(37, 29, seed=9)
+    rgb = np.stack([img, img[::-1], np.roll(img, 5, axis=1)], axis=-1)
+    for subsample in ("444", "420"):
+        (grids, qtabs, comp_q, samp, h, w,
+         hmax, vmax, mcux, mcuy) = J._prepare_components(
+            rgb, 70, subsample)
+        out = J._headers(h, w, 3, qtabs, comp_q, samp, 0xFFC0)
+        for ci in range(3):
+            ch, cv = samp[ci]
+            bw_ = (-(-(w * ch) // hmax) + 7) // 8
+            bh_ = (-(-(h * cv) // vmax) + 7) // 8
+            toks = []
+            pred = 0
+            for byy in range(bh_):
+                for bxx in range(bw_):
+                    zz = grids[ci][byy, bxx]
+                    dc = int(zz[0])
+                    diff = dc - pred
+                    pred = dc
+                    dsize = J._category(diff)
+                    toks.append(("sym_dc", dsize))
+                    if dsize:
+                        toks.append(("bits", J._amplitude(diff, dsize),
+                                     dsize))
+                    _, acs, _ = J._block_symbols(zz, dc)
+                    for sym, size, amp in acs:
+                        toks.append(("sym_ac", sym))
+                        if size:
+                            toks.append(("bits", amp, size))
+            dc_syms = {t[1] for t in toks if t[0] == "sym_dc"}
+            ac_syms = {t[1] for t in toks if t[0] == "sym_ac"}
+            dc_t = J._fixed_length_table(dc_syms)
+            ac_t = J._fixed_length_table(ac_syms)
+            dc_codes = J._canonical_codes(*dc_t)
+            ac_codes = J._canonical_codes(*ac_t)
+            out += J._seg(0xFFC4, bytes([0x00]) + bytes(dc_t[0])
+                          + bytes(dc_t[1]))
+            out += J._seg(0xFFC4, bytes([0x10]) + bytes(ac_t[0])
+                          + bytes(ac_t[1]))
+            bw2 = J._BitWriter()
+            for t in toks:
+                if t[0] == "sym_dc":
+                    bw2.write(*dc_codes[t[1]])
+                elif t[0] == "sym_ac":
+                    bw2.write(*ac_codes[t[1]])
+                else:
+                    bw2.write(t[1], t[2])
+            bw2.flush()
+            out += J._seg(0xFFDA, bytes([1, ci + 1, 0x00, 0, 63, 0]))
+            out += bytes(bw2.out)
+        out += b"\xff\xd9"
+        _, _, multi = J.decode_jpeg(bytes(out))
+        _, _, single = J.decode_jpeg(
+            J.encode_jpeg(rgb, quality=70, subsample=subsample))
+        assert np.array_equal(multi, single), subsample
+
+
+def test_jpeg_progressive_truncation_never_hangs():
+    from mediawiki_to_notion_spark.functions.jpeg_codec import (
+        JPEGError,
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    good = encode_jpeg_progressive(_smooth(24, 24, seed=2), quality=40)
+    for cut in (len(good) // 4, len(good) // 2, 3 * len(good) // 4,
+                len(good) - 3):
+        with pytest.raises(JPEGError):
+            decode_jpeg(good[:cut])
+
+
+def test_wav_zero_channels_is_waverror():
+    """ADVICE r4: channels=0 in fmt must raise WAVError, not
+    ZeroDivisionError."""
+    import struct as _s
+
+    from mediawiki_to_notion_spark.functions.wav_codec import (
+        WAVError,
+        decode_wav,
+        encode_wav,
+    )
+    import numpy as np
+
+    good = bytearray(encode_wav(
+        np.zeros(16, dtype=np.int16), sample_rate=8000))
+    i = bytes(good).index(b"fmt ")
+    # fmt body starts at i+8: tag(2) channels(2) ...
+    good[i + 10:i + 12] = _s.pack("<H", 0)
+    with pytest.raises(WAVError, match="channel"):
+        decode_wav(bytes(good))
+
+
+def test_gif_truncated_gce_is_giferror():
+    """ADVICE r4: a graphic-control extension cut off after its size
+    byte must raise GIFError, not IndexError."""
+    from mediawiki_to_notion_spark.functions.gif_codec import (
+        GIFError,
+        decode_gif,
+        encode_gif,
+    )
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 4, size=(8, 8), dtype=np.uint8)
+    pal = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]],
+                   dtype=np.uint8)
+    good = encode_gif(img, pal, transparent=1)
+    i = good.index(b"\x21\xf9")
+    with pytest.raises(GIFError, match="truncated"):
+        decode_gif(good[:i + 3])  # 0x21 0xF9 0x04, then nothing
+
+
+# ---------------------------------------------------------------------------
+# r5 adversarial stream fuzzing: arbitrary truncation and byte
+# corruption of real JPEG (sequential + progressive) and GIF streams
+# must either decode (benign flips in entropy data are legal) or raise
+# the codec's typed error — never IndexError/ZeroDivisionError/
+# struct.error, never hang, never overallocate (the MAX_PIXELS caps
+# fire before any allocation scales with attacker bytes).
+
+try:
+    from hypothesis import given as _fgiven, settings as _fsettings
+    from hypothesis import strategies as _fst
+
+    _FUZZ_JPEG = [
+        __import__(
+            "mediawiki_to_notion_spark.functions.jpeg_codec",
+            fromlist=["encode_jpeg"],
+        ).encode_jpeg(_smooth(16, 16, seed=1), quality=50),
+        __import__(
+            "mediawiki_to_notion_spark.functions.jpeg_codec",
+            fromlist=["encode_jpeg_progressive"],
+        ).encode_jpeg_progressive(_smooth(16, 16, seed=1), quality=50),
+    ]
+
+    @_fsettings(max_examples=120, deadline=None)
+    @_fgiven(
+        which=_fst.integers(0, 1),
+        mode=_fst.sampled_from(["truncate", "flip", "marker"]),
+        pos=_fst.integers(2, 10_000),
+        val=_fst.integers(0, 255),
+    )
+    def test_jpeg_stream_fuzz_typed_errors_only(which, mode, pos, val):
+        from mediawiki_to_notion_spark.functions.jpeg_codec import (
+            JPEGError,
+            decode_jpeg,
+        )
+
+        good = _FUZZ_JPEG[which]
+        pos %= len(good)
+        if mode == "truncate":
+            data = good[:pos]
+        elif mode == "flip":
+            data = good[:pos] + bytes([good[pos] ^ (val or 1)]) \
+                + good[pos + 1:]
+        else:  # inject a marker byte mid-stream
+            data = good[:pos] + bytes([0xFF, val]) + good[pos:]
+        try:
+            decode_jpeg(data)
+        except JPEGError:
+            pass  # typed (includes UnsupportedJPEGError)
+
+    _FUZZ_GIF = None
+
+    @_fsettings(max_examples=80, deadline=None)
+    @_fgiven(
+        mode=_fst.sampled_from(["truncate", "flip"]),
+        pos=_fst.integers(0, 10_000),
+        val=_fst.integers(1, 255),
+    )
+    def test_gif_stream_fuzz_typed_errors_only(mode, pos, val):
+        import numpy as np
+
+        from mediawiki_to_notion_spark.functions.gif_codec import (
+            GIFError,
+            decode_gif,
+            encode_gif,
+        )
+
+        global _FUZZ_GIF
+        if _FUZZ_GIF is None:
+            rng = np.random.default_rng(5)
+            _FUZZ_GIF = encode_gif(
+                rng.integers(0, 8, size=(16, 16), dtype=np.uint8),
+                rng.integers(0, 256, size=(8, 3), dtype=np.uint8),
+            )
+        good = _FUZZ_GIF
+        pos %= len(good)
+        if mode == "truncate":
+            data = good[:pos]
+        else:
+            data = good[:pos] + bytes([good[pos] ^ val]) + good[pos + 1:]
+        try:
+            decode_gif(data)
+        except GIFError:
+            pass
+
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
