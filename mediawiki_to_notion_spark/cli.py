@@ -191,11 +191,12 @@ def cmd_crawl(args: argparse.Namespace) -> int:
     """WARC crawl → quality-filtered, exact-deduped training shards —
     the pretraining-corpus workflow as one command, composed from the
     registered pieces (read_warc split scan, documents bridge, C4-style
-    funnel, first-occurrence dedup, content-addressed shard layout).
+    funnel + Gopher quality rules, first-occurrence dedup,
+    content-addressed shard layout).
     Prints the funnel report (per-gate drop counts) and the shard
     manifest; full drop detail persists under <outdir>/_warnings/."""
     from mediawiki_to_notion_spark.operators.corpus_quality import (
-        apply_funnel,
+        apply_crawl_funnel,
     )
     from mediawiki_to_notion_spark.operators.physical import (
         write_training_shards,
@@ -208,7 +209,7 @@ def cmd_crawl(args: argparse.Namespace) -> int:
 
     spark = get_spark("crawl")
     docs = warc_to_documents(read_warc(spark, args.warc))
-    funneled = apply_funnel(
+    funneled = apply_crawl_funnel(
         docs.select("doc_id", "lang", "text", "n_chars")
     ).localCheckpoint()  # funnel report + keep-join share one pass
     for r in (

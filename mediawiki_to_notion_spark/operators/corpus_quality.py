@@ -72,11 +72,14 @@ def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_funnel(load_table(spark, "documents", sf_dir))
 
 
-def apply_funnel(d: DataFrame) -> DataFrame:
+def apply_funnel(d: DataFrame, with_text: bool = False) -> DataFrame:
     """The funnel core over any (doc_id, lang, text, n_chars) frame —
     batch table or readStream: every gate is a stateless narrow
     expression, so the SAME code is the streaming ingest filter (tested
-    on a stream in test_metrics_and_watermark.py)."""
+    on a stream in test_metrics_and_watermark.py).  ``with_text=True``
+    passes the text column through so further gate batteries (the
+    Gopher rules in ``apply_crawl_funnel``) can chain in the same
+    narrow pass."""
     toks = F.split(F.col("text"), " ")
     sized = d.select(
         "doc_id", "lang", "text", "n_chars",
@@ -97,8 +100,11 @@ def apply_funnel(d: DataFrame) -> DataFrame:
         .when(F.col("distinct_ratio") < MIN_DISTINCT_RATIO, "low_diversity")
         .otherwise(F.lit(None).cast("string"))
     )
+    cols = ["doc_id", "lang", "n_tokens", "n_chars", "distinct_ratio"]
+    if with_text:
+        cols.append("text")
     return sized.select(
-        "doc_id", "lang", "n_tokens", "n_chars", "distinct_ratio",
+        *cols,
         first_fail.alias("drop_reason"),
         first_fail.isNull().alias("keep"),
     )
@@ -566,12 +572,13 @@ def text_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_gopher_rules(load_table(spark, "documents", sf_dir))
 
 
-def apply_gopher_rules(d: DataFrame) -> DataFrame:
+def apply_gopher_rules(d: DataFrame, passthrough: bool = False) -> DataFrame:
     """The Gopher rule core over any (doc_id, text) frame — batch table
     or readStream: all features are stateless narrow expressions, so
     the SAME code gates a streaming ingest (stream-vs-batch parity
     pinned in test_metrics_and_watermark.py), exactly like
-    ``apply_funnel``."""
+    ``apply_funnel``.  ``passthrough=True`` keeps every input column
+    (for composition into the crawl funnel)."""
     toks = F.split(F.col("text"), " ")
     n_words = F.size(toks)
     mean_wl = F.round(
@@ -593,8 +600,9 @@ def apply_gopher_rules(d: DataFrame) -> DataFrame:
     n_sw = F.size(F.array_distinct(
         F.filter(toks, lambda w: F.array_contains(sw, F.lower(w)))
     ))
+    base = d.columns if passthrough else ["doc_id"]
     feats = d.select(
-        "doc_id",
+        *base,
         n_words.alias("n_words"),
         mean_wl.alias("mean_word_len"),
         symbol_ratio.alias("symbol_ratio"),
@@ -616,6 +624,36 @@ def apply_gopher_rules(d: DataFrame) -> DataFrame:
         f_alpha.alias("fail_alpha_ratio"),
         f_sw.alias("fail_stopwords"),
         (~(f_wc | f_mwl | f_sym | f_alpha | f_sw)).alias("keep"),
+    )
+
+
+def apply_crawl_funnel(d: DataFrame) -> DataFrame:
+    """The FULL crawl quality battery: C4 funnel gates then the five
+    Gopher rules, composed in ONE narrow zero-shuffle pass with
+    first-failing-gate drop attribution (C4 gates keep their fixed
+    order and precedence; the Gopher rules follow in the paper's
+    table order).  This is what `cli crawl` runs, so a corpus job
+    gets the r4 quality battery without writing code."""
+    c4 = (
+        apply_funnel(d, with_text=True)
+        .withColumnRenamed("drop_reason", "c4_reason")
+        .withColumnRenamed("keep", "c4_keep")
+    )
+    g = apply_gopher_rules(c4, passthrough=True)
+    first_fail = F.coalesce(
+        F.col("c4_reason"),
+        F.when(F.col("fail_word_count"), "gopher_word_count")
+        .when(F.col("fail_mean_word_len"), "gopher_mean_word_len")
+        .when(F.col("fail_symbol_ratio"), "gopher_symbol_ratio")
+        .when(F.col("fail_alpha_ratio"), "gopher_alpha_ratio")
+        .when(F.col("fail_stopwords"), "gopher_stopwords"),
+    )
+    return g.select(
+        "doc_id", "lang", "n_tokens", "n_chars", "distinct_ratio",
+        "n_words", "mean_word_len", "symbol_ratio", "alpha_word_ratio",
+        "n_stopwords",
+        first_fail.alias("drop_reason"),
+        first_fail.isNull().alias("keep"),
     )
 
 

@@ -59,11 +59,31 @@ def test_cli_crawl_to_shards(spark, tmp_path, capsys):
     shard-partitioned parquet + drop side-output on disk."""
     from mediawiki_to_notion_spark.sources.warc import encode_warc_record_gz
 
+    # kept pages must now clear the Gopher battery too: >= 50 words,
+    # mean word length 3-10, >= 2 distinct stop words, >= 80% alphabetic
+    # words, low symbol ratio — while staying under the C4 500-char cap
     prose = ("the quick river is of a bright valley and "
-             + " ".join(f"word{i}" for i in range(20)))
+             + " ".join(f"wrd{i % 9}x{i}" for i in range(48)))
+    bodies = {k: f"{prose} page{k}" for k in range(5)}
+    bodies[5] = "the the the " * 20            # C4 low_diversity
+    # one page per Gopher rule (each passes every C4 gate first):
+    stop = "the be to of and that have with a"
+    bodies[6] = f"{stop} " + " ".join(           # < 50 words
+        f"alpha{i} beta{i}" for i in range(8))
+    import itertools as _it
+    two = [a + b for a, b in _it.product("abcdefgh", repeat=2)][:60]
+    bodies[7] = f"{stop} " + " ".join(two)          # mean word len < 3
+    bodies[8] = (f"{stop} " + " ".join(             # '#' symbol ratio
+        f"tok{i}##" for i in range(20)) + " "
+        + " ".join(f"plain{i}" for i in range(28)))
+    bodies[9] = (f"{stop} " + " ".join(             # numeric words
+        "12345" for _ in range(20)) + " "
+        + " ".join(f"word{i}" for i in range(28)))
+    # ONE distinct stop word ("the", repeated for lang-ID anchoring) —
+    # below the 2-distinct Gopher minimum but still detectably English
+    bodies[10] = "the " * 5 + " ".join(f"token{i}" for i in range(50))
     raw = b""
-    for k in range(6):
-        body = "the the the " * 20 if k == 5 else f"{prose} page{k}"
+    for k, body in sorted(bodies.items()):
         raw += encode_warc_record_gz(
             {"WARC-Type": "response", "WARC-Record-ID": f"<urn:cli:{k}>",
              "WARC-Target-URI": f"https://example.org/p/{k}",
@@ -81,6 +101,11 @@ def test_cli_crawl_to_shards(spark, tmp_path, capsys):
     assert "kept" in out and "wrote 5 documents" in out
     # the boilerplate page is attributed to its failing gate
     assert "low_diversity" in out or "too_long" in out
+    # each Gopher rule attributes its own page in the funnel report
+    for gate in ("gopher_word_count", "gopher_mean_word_len",
+                 "gopher_symbol_ratio", "gopher_alpha_ratio",
+                 "gopher_stopwords"):
+        assert f"{gate:18s} 1" in out, (gate, out)
     # shard layout on disk, readable with pruning
     import glob as _glob
 
@@ -91,4 +116,4 @@ def test_cli_crawl_to_shards(spark, tmp_path, capsys):
     dropped = spark.read.parquet(
         os.path.join(str(outdir), "_warnings", "crawl_dropped")
     )
-    assert dropped.count() == 1
+    assert dropped.count() == 6
