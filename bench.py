@@ -82,8 +82,16 @@ HEADLINE = [
     "embedding_pca_power",
     "text_char_entropy",
     "text_readability_flesch",
+    # r5 additions
+    "bpe_train_merges",
+    "quality_classifier_score",
+    "dedup_substring_spans_exact",
+    "hll_distinct_within_band",
+    "bpe_tokenize_fertility",
+    "dedup_substring_cut",
 ]
 N_R3_SET = 53  # the first 53 entries are the r2/r3 headline set
+N_R4_SET = 61  # ... the first 61 are the r4 headline set
 
 
 def main() -> None:
@@ -137,17 +145,24 @@ def main() -> None:
     # the full (growing) total
     r1_set = set(HEADLINE[:31])
     r3_set = set(HEADLINE[:N_R3_SET])
+    r4_set = set(HEADLINE[:N_R4_SET])
+
+    def _subtotal(t, names):
+        return round(sum(v for k, v in t.items() if k in names), 3)
     detail = {
         "metric": "headline_query_wall_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "n_queries": len(timings),
-        "value_r1_subset": round(
-            sum(v for k, v in timings.items() if k in r1_set), 3
-        ),
-        "value_r3_subset": round(
-            sum(v for k, v in timings.items() if k in r3_set), 3
-        ),
+        "value_r1_subset": _subtotal(timings, r1_set),
+        "value_r3_subset": _subtotal(timings, r3_set),
+        "value_r4_subset": _subtotal(timings, r4_set),
+        # min-of-n subtotals: r4 proved median-of-5 drifts ~11% under
+        # driver-host load while min-of-5 reproduced r3 exactly —
+        # cross-round comparisons should quote these (VERDICT r4 #5)
+        "value_r1_subset_min": _subtotal(timings_min, r1_set),
+        "value_r3_subset_min": _subtotal(timings_min, r3_set),
+        "value_r4_subset_min": _subtotal(timings_min, r4_set),
         "value_min_total": round(sum(timings_min.values()), 3),
         "queries": timings,
         "queries_min": timings_min,
@@ -164,9 +179,11 @@ def main() -> None:
         # that used the same scheme (r1/r2: warmup + best-of-2 best;
         # r3+: warmup + median of n_runs, min reported alongside)
         "methodology": f"sf0.001 warmup, median of {n_runs} timed runs "
-                       "(min in queries_min), noop sink; value_r1_subset "
-                       "= median total over the r1 31-query set, "
-                       "value_r3_subset = over the r2/r3 53-query set",
+                       "(min in queries_min), noop sink; value_rN_subset "
+                       "= median total over that round's fixed query set "
+                       "(r1=31, r3=53, r4=61 queries), value_rN_subset_min "
+                       "= min-of-n total over the same set (the "
+                       "load-robust cross-round currency)",
     }
     # Emission contract (VERDICT r3 item 4: BENCH_r03 parsed:null — the
     # single fat JSON line outgrew the driver's tail-capture window):
@@ -183,6 +200,10 @@ def main() -> None:
         "n_queries": detail["n_queries"],
         "value_r1_subset": detail["value_r1_subset"],
         "value_r3_subset": detail["value_r3_subset"],
+        "value_r4_subset": detail["value_r4_subset"],
+        "value_r1_subset_min": detail["value_r1_subset_min"],
+        "value_r3_subset_min": detail["value_r3_subset_min"],
+        "value_r4_subset_min": detail["value_r4_subset_min"],
         "value_min_total": detail["value_min_total"],
         "sf": sf,
         "machine_md5": _md5_str(json.dumps(detail["machine"], sort_keys=True)),

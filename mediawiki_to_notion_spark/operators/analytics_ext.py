@@ -1654,3 +1654,54 @@ def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", "dist2",
         (F.col("dist2") > F.col("p99")).alias("is_outlier"),
     )
+
+
+HLL_BAND = 0.02  # certified max relative error for lgK=14 at this scale
+
+
+@register(
+    "hll_distinct_within_band",
+    oracle="""
+    WITH ev AS (
+      SELECT date_trunc('hour', ts) AS h0, user_id FROM events
+    ),
+    bounds AS (SELECT max(h0) AS mx FROM ev),
+    contrib AS (
+      SELECT g.e AS window_end_hour, user_id
+      FROM ev, bounds,
+           LATERAL (SELECT unnest(generate_series(
+             ev.h0, ev.h0 + INTERVAL 23 HOUR, INTERVAL 1 HOUR)) AS e) g
+      WHERE g.e <= bounds.mx
+    )
+    SELECT window_end_hour,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_exact,
+           TRUE AS within_band
+    FROM contrib GROUP BY window_end_hour
+    """,
+)
+def hll_distinct_within_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-CHECKABLE certificate for the HLL sliding-distinct path
+    (VERDICT r4 item 7 — the codec-roundtrip trick applied to
+    sketches): joins ``sliding_distinct_users_hll``'s estimates to the
+    exact twin and emits, per window, the exact count (oracle-
+    predictable) plus ``within_band`` = |est/exact - 1| <= HLL_BAND
+    (0.02).  The oracle asserts TRUE for every window, so a hash-green
+    driver row certifies the DataSketches HLL pipeline END TO END
+    (sketch build, 24-pane union, estimate) — not just its row count.
+
+    This is a CERTIFICATION query: it deliberately runs the exact
+    fan-out twin alongside the sketch path to compare them; the
+    production swap-in at 100 TB is ``sliding_distinct_users_hll``
+    alone."""
+    est = sliding_distinct_users_hll(spark, sf_dir)
+    exact = sliding_distinct_users(spark, sf_dir)
+    return exact.join(est, "window_end_hour").select(
+        "window_end_hour",
+        F.col("n_distinct_users").alias("n_distinct_exact"),
+        (
+            F.abs(
+                F.col("n_distinct_users_approx")
+                / F.col("n_distinct_users") - 1
+            ) <= HLL_BAND
+        ).alias("within_band"),
+    )

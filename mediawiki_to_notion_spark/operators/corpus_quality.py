@@ -798,3 +798,95 @@ def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.crossJoin(F.broadcast(th)).select(
         "doc_id", "score_micro", bucket.alias("bucket")
     )
+
+
+QC_BUCKETS = 4096          # feature-hash buckets (fastText-style)
+QC_WEIGHT_MULT = 2654435761  # Knuth multiplicative constant (public)
+
+
+@register(
+    "quality_classifier_score",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    big AS (
+      SELECT doc_id, t[u.i] || '|' || t[u.i + 1] AS bg
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) u
+    ),
+    hashed AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(bg), 1, 15))::BIGINT % {QC_BUCKETS}
+               AS bucket
+      FROM big
+    ),
+    weights AS (
+      SELECT range AS bucket,
+             (range * {QC_WEIGHT_MULT}) % 2001 - 1000 AS w_micro
+      FROM range({QC_BUCKETS})
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(w_micro) AS BIGINT) AS sum_micro,
+           round(CAST(sum(w_micro) AS BIGINT)::DOUBLE
+                 / (count(*) * 1000), 6) AS score,
+           CAST(sum(w_micro) AS BIGINT) >= 0 AS keep
+    FROM hashed JOIN weights USING (bucket)
+    GROUP BY doc_id
+    """,
+)
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed-bigram linear quality classifier (the
+    FineWeb-Edu / CCNet model-based-filter shape): adjacent token
+    bigrams feature-hash into {QC_BUCKETS} buckets, a linear weight
+    per bucket (here a deterministic public multiplicative-hash
+    weight table standing in for trained parameters — the PLUMBING is
+    the operator; swapping in real weights is a table swap), and the
+    document scores the mean bucket weight; keep = non-negative score.
+
+    Weights are exact integer micro-units so the mean is ONE division
+    of exact integers — the cross-engine float-parity recipe.
+
+    100 TB shape: one narrow pass explodes bigrams beside the scan,
+    the {QC_BUCKETS}-row weight table broadcast-joins onto the hashed
+    stream (never a shuffle of the corpus against the model), and the
+    per-doc aggregation is a single map-side-combinable groupBy.
+    Documents with fewer than two tokens score no row (no features),
+    identically in both engines."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.select("doc_id", F.split("text", " ").alias("t")) \
+        .filter(F.size("t") >= 2)
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.concat(
+                    F.element_at("t", i), F.lit("|"),
+                    F.element_at("t", i + 1),
+                ),
+            )
+        ).alias("bg"),
+    )
+    hashed = bigrams.select(
+        "doc_id",
+        (F.conv(F.substring(F.md5("bg"), 1, 15), 16, 10).cast("long")
+         % QC_BUCKETS).alias("bucket"),
+    )
+    weights = spark.range(QC_BUCKETS).select(
+        F.col("id").alias("bucket"),
+        (F.col("id") * QC_WEIGHT_MULT % 2001 - 1000).alias("w_micro"),
+    )
+    return (
+        hashed.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("w_micro").alias("sum_micro"),
+            F.round(
+                F.sum("w_micro").cast("double")
+                / (F.count(F.lit(1)) * 1000), 6,
+            ).alias("score"),
+            (F.sum("w_micro") >= 0).alias("keep"),
+        )
+    )

@@ -376,3 +376,226 @@ def dedup_normalized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") > 1)
         .select("keeper_doc", "n_docs", (F.col("n_docs") - 1).alias("n_removed"))
     )
+
+
+@register(
+    "dedup_substring_spans_exact",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t
+      FROM documents WHERE len(string_split(text, ' ')) >= {SPAN_W}
+    ), win AS (
+      SELECT doc_id, u.i AS p,
+             {H.token_hash60_sql(f"array_to_string(t[u.i+1 : u.i+{SPAN_W}], ' ')")} AS h
+      FROM toks, LATERAL (SELECT unnest(range(0, len(t) - {SPAN_W} + 1)) AS i) u
+    ), dup AS (
+      SELECT h FROM win GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ), dw AS (
+      SELECT w.doc_id, w.p FROM win w JOIN dup USING (h)
+    ), flagged AS (
+      SELECT doc_id, p,
+             CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+                       <= {SPAN_W} THEN 0 ELSE 1 END AS new_span
+      FROM dw
+    ), islands AS (
+      SELECT doc_id, p,
+             SUM(new_span) OVER (
+               PARTITION BY doc_id ORDER BY p
+               ROWS UNBOUNDED PRECEDING) AS span_id
+      FROM flagged
+    )
+    SELECT doc_id, CAST(span_id AS INT) AS span_id,
+           CAST(min(p) AS BIGINT) AS start_tok,
+           CAST(max(p) + {SPAN_W} - 1 AS BIGINT) AS end_tok,
+           CAST(max(p) - min(p) + {SPAN_W} AS BIGINT) AS span_len,
+           CAST(count(*) AS BIGINT) AS n_windows
+    FROM islands GROUP BY doc_id, span_id
+    """,
+)
+def dedup_substring_spans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal EXACT duplicated-substring spans (Lee et al. 2021 §4's
+    deliverable, one step past ``dedup_duplicate_ngram_spans``'s
+    coverage ratios): overlapping-or-adjacent duplicated {SPAN_W}-token
+    windows chain into maximal spans via the classic gaps-and-islands
+    lag/cumsum, yielding exact span extents (start/end token, length)
+    per document — the spans an exact-substring dedup pass would cut.
+    Still no suffix array: window hashing bounds the resolution to
+    {SPAN_W}-token granularity, but extents of merged chains are exact.
+
+    Scale shape: identical to the ngram-spans query up through the
+    duplicated-window join (8-byte hash keys, partial-agg dup set);
+    the ONLY window function runs over the duplicated windows — a
+    small fraction of the corpus — partitioned by doc_id, never over
+    the full window stream."""
+    from mediawiki_to_notion_spark.plans.pipeline import ensure_parallelism
+    from pyspark.sql import Window as W
+
+    d = ensure_parallelism(load_table(spark, "documents", sf_dir))
+    toks = d.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= SPAN_W
+    )
+    win = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - SPAN_W),
+                lambda i: H.token_hash60(
+                    F.concat_ws(" ", F.slice("t", i + 1, SPAN_W))
+                ),
+            )
+        ).alias("p", "h"),
+    )
+    dup = (
+        win.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    dw = win.join(dup, "h").select("doc_id", "p")
+    byp = W.partitionBy("doc_id").orderBy("p")
+    flagged = dw.select(
+        "doc_id", "p",
+        F.when(
+            F.col("p") - F.lag("p").over(byp) <= SPAN_W, F.lit(0)
+        ).otherwise(F.lit(1)).alias("new_span"),
+    )
+    islands = flagged.select(
+        "doc_id", "p",
+        F.sum("new_span").over(
+            byp.rowsBetween(W.unboundedPreceding, 0)
+        ).alias("span_id"),
+    )
+    return islands.groupBy("doc_id", F.col("span_id").cast("int").alias("span_id")).agg(
+        F.min("p").alias("start_tok"),
+        (F.max("p") + SPAN_W - 1).alias("end_tok"),
+        (F.max("p") - F.min("p") + SPAN_W).alias("span_len"),
+        F.count(F.lit(1)).alias("n_windows"),
+    )
+
+
+@register(
+    "dedup_substring_cut",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t
+      FROM documents WHERE len(string_split(text, ' ')) >= {SPAN_W}
+    ), win AS (
+      SELECT doc_id, u.i AS p,
+             {H.token_hash60_sql(f"array_to_string(t[u.i+1 : u.i+{SPAN_W}], ' ')")} AS h
+      FROM toks, LATERAL (SELECT unnest(range(0, len(t) - {SPAN_W} + 1)) AS i) u
+    ), dup AS (
+      SELECT h FROM win GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ), firsts AS (
+      -- survivor copy: the globally FIRST occurrence of each
+      -- duplicated window (doc_id, then position) is NOT cut
+      SELECT h, min(doc_id * 1000000 + p) AS first_pos
+      FROM win JOIN dup USING (h) GROUP BY h
+    ), cut_wins AS (
+      SELECT w.doc_id, w.p
+      FROM win w JOIN firsts f USING (h)
+      WHERE w.doc_id * 1000000 + w.p != f.first_pos
+    ), cut_toks AS (
+      SELECT DISTINCT doc_id, u.tok_i
+      FROM cut_wins, LATERAL (
+        SELECT unnest(range(p, p + {SPAN_W})) AS tok_i) u
+    ), stream AS (
+      SELECT t.doc_id, len(t.t) AS n_tokens, u.i AS tok_i,
+             t.t[u.i + 1] AS tok
+      FROM toks t, LATERAL (SELECT unnest(range(0, len(t.t))) AS i) u
+    ), rebuilt AS (
+      SELECT s.doc_id, s.n_tokens,
+             count(c.tok_i) AS n_cut_tokens,
+             coalesce(string_agg(
+               CASE WHEN c.tok_i IS NULL THEN s.tok END, ' '
+               ORDER BY s.tok_i), '') AS clean_text
+      FROM stream s
+      LEFT JOIN cut_toks c ON c.doc_id = s.doc_id AND c.tok_i = s.tok_i
+      GROUP BY s.doc_id, s.n_tokens
+    )
+    SELECT doc_id, n_tokens,
+           CAST(n_cut_tokens AS BIGINT) AS n_cut_tokens,
+           CAST(n_tokens - n_cut_tokens AS BIGINT) AS n_kept_tokens,
+           clean_text
+    FROM rebuilt
+    """,
+)
+def dedup_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup END TO END (the actual Lee et al. 2021
+    rewrite, one step past span REPORTING): every duplicated
+    {SPAN_W}-token window is cut from every document EXCEPT the
+    globally first occurrence (doc_id-then-position order — the same
+    survivor rule as dedup_paragraph_chunks), and each document is
+    rebuilt from its surviving tokens.
+
+    Scale shape: the duplicated-window set and survivor choice are
+    hash-keyed partial aggregates (8-byte keys); the cut-token set
+    re-expands only duplicated windows; the rebuild is ONE per-doc
+    aggregate over the token stream with an anti-membership check —
+    never a window over the corpus, nothing quadratic."""
+    from mediawiki_to_notion_spark.plans.pipeline import ensure_parallelism
+
+    POS_BASE = 1_000_000
+    d = ensure_parallelism(load_table(spark, "documents", sf_dir))
+    toks = d.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= SPAN_W
+    )
+    win = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - SPAN_W),
+                lambda i: H.token_hash60(
+                    F.concat_ws(" ", F.slice("t", i + 1, SPAN_W))
+                ),
+            )
+        ).alias("p", "h"),
+    )
+    dup = (
+        win.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    dwin = win.join(dup, "h")
+    firsts = dwin.groupBy("h").agg(
+        F.min(F.col("doc_id") * POS_BASE + F.col("p")).alias("first_pos")
+    )
+    cut_wins = dwin.join(firsts, "h").filter(
+        F.col("doc_id") * POS_BASE + F.col("p") != F.col("first_pos")
+    )
+    cut_toks = cut_wins.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("p"), F.col("p") + SPAN_W - 1)
+        ).alias("tok_i"),
+    ).distinct()
+    stream = toks.select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        F.posexplode("t").alias("tok_i", "tok"),
+    )
+    joined = stream.join(
+        cut_toks.withColumn("cut", F.lit(True)), ["doc_id", "tok_i"], "left"
+    )
+    return joined.groupBy("doc_id", "n_tokens").agg(
+        F.count(F.when(F.col("cut"), 1)).alias("n_cut_tokens"),
+        (F.col("n_tokens").cast("long")
+         - F.count(F.when(F.col("cut"), 1))).alias("n_kept_tokens"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("cut").isNull(),
+                            F.struct(
+                                F.col("tok_i").alias("tok_i"),
+                                F.col("tok").alias("tok"),
+                            ),
+                        )
+                    )
+                ),
+                lambda s: s["tok"],
+            ),
+        ).alias("clean_text"),
+    )

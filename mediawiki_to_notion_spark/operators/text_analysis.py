@@ -1037,3 +1037,191 @@ def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.lit(84.6) * (F.col("n_syllables").cast("double") / F.col("n_words"))
     )
     return feats.select("*", F.round(score, 6).alias("flesch_score"))
+
+
+BPE_TRAIN_ROUNDS = 8
+
+
+def _bpe_train_oracle(rounds: int = BPE_TRAIN_ROUNDS,
+                      final: str = "merges") -> str:
+    """Unrolled per-round DuckDB twin of the Sennrich training loop.
+    Words are carried as '<'-delimited symbol strings ('<h><e><y>');
+    the merge step is a plain string replace, whose left-to-right
+    non-overlapping scan matches the Spark fold's greedy semantics.
+    The documents corpus is pure [A-Za-z0-9 ] (asserted in the test
+    suite), so the delimiters can never collide with symbol text.
+    ``final='merges'`` selects the rule table; ``final='fertility'``
+    applies the final vocabulary back to the corpus and selects
+    per-document BPE token counts."""
+    ctes = ["""w0 AS (
+      SELECT word,
+             '<' || array_to_string(regexp_extract_all(word, '.'), '><')
+             || '>' AS s,
+             count(*) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE word != '' GROUP BY word
+    )"""]
+    selects = []
+    for k in range(1, rounds + 1):
+        ctes.append(f"""l{k} AS (
+      SELECT string_split(substr(s, 2, len(s) - 2), '><') AS l, freq
+      FROM w{k - 1}
+    ),
+    m{k} AS (
+      SELECT l[u.i] AS a, l[u.i + 1] AS b,
+             CAST(sum(freq) AS BIGINT) AS n_occurrences
+      FROM l{k}, LATERAL (SELECT unnest(range(1, len(l))) AS i) u
+      GROUP BY a, b
+      ORDER BY n_occurrences DESC, a ASC, b ASC LIMIT 1
+    ),
+    w{k} AS (
+      SELECT word,
+             replace(s, '<' || m.a || '><' || m.b || '>',
+                     '<' || m.a || m.b || '>') AS s, freq
+      FROM w{k - 1}, m{k} m
+    )""")
+        selects.append(
+            f"SELECT {k} AS round, a, b, n_occurrences FROM m{k}"
+        )
+    if final == "fertility":
+        return ("WITH " + ",\n    ".join(ctes) + f""",
+    vocab AS (
+      SELECT word,
+             len(string_split(substr(s, 2, len(s) - 2), '><')) AS n_sym
+      FROM w{rounds}
+    ),
+    dw AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens,
+           round(CAST(sum(n_sym) AS BIGINT)::DOUBLE / count(*), 6)
+             AS fertility
+    FROM dw JOIN vocab USING (word)
+    GROUP BY doc_id""")
+    return ("WITH " + ",\n    ".join(ctes) + "\n    "
+            + "\n    UNION ALL ".join(selects) + "\n    ORDER BY round")
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """Run the Sennrich merge loop; returns (merge_rules, vocab) where
+    merge_rules is [(round, a, b, count)] and vocab is the final
+    (word, l, freq) frame with each word rewritten into its
+    post-merge symbol sequence.  Shared by ``bpe_train_merges`` (rule
+    table) and ``bpe_tokenize_fertility`` (apply/encode side)."""
+    d = load_table(spark, "documents", sf_dir)
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    cur = words.select("word", F.split("word", "").alias("l"), "freq") \
+        .localCheckpoint()
+    merges: list[tuple[int, str, str, int]] = []
+    for rnd in range(1, BPE_TRAIN_ROUNDS + 1):
+        pairs = (
+            cur.filter(F.size("l") >= 2)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("l") - 1),
+                        lambda i: F.struct(
+                            F.element_at("l", i).alias("a"),
+                            F.element_at("l", i + 1).alias("b"),
+                        ),
+                    )
+                ).alias("p"),
+                "freq",
+            )
+        )
+        top = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()  # bounded: ONE row per round
+        )
+        if not top:
+            break
+        a, b, n = top[0].a, top[0].b, int(top[0].n)
+        merges.append((rnd, a, b, n))
+        merged = a + b
+        cur = cur.select(
+            "word",
+            F.aggregate(
+                "l",
+                F.array().cast("array<string>"),
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, F.lit(-1)) == F.lit(a))
+                    & (x == F.lit(b)),
+                    F.concat(
+                        F.slice(acc, F.lit(1), F.size(acc) - 1),
+                        F.array(F.lit(merged)),
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            ).alias("l"),
+            "freq",
+        ).localCheckpoint()
+    return merges, cur
+
+
+@register("bpe_train_merges", oracle=_bpe_train_oracle())
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING (Sennrich et al. 2016): iterate
+    {BPE_TRAIN_ROUNDS} merge rounds — count adjacent symbol pairs over
+    the word-frequency table, adopt the most frequent pair (ties:
+    lexicographic) as the next merge rule, rewrite the vocabulary, and
+    repeat with the merged vocab as loop state.  Output is the ordered
+    merge-rule table (round, a, b, count) — the artifact a tokenizer
+    ships.
+
+    100 TB shape: the corpus collapses to the word-frequency table
+    FIRST (one groupBy; vocabulary-, not corpus-, sized), the loop
+    state is that same table rewritten in place (localCheckpoint per
+    round, the kmeans/CC discipline), each round's shuffle is one
+    vocabulary-sized pair groupBy, and the driver sees exactly ONE row
+    per round (the argmax).  The merge rewrite is a JVM-side
+    ``aggregate`` fold — greedy left-to-right non-overlapping, the
+    reference algorithm's semantics — so no Python touches the data.
+    """
+    merges, _vocab = _bpe_train(spark, sf_dir)
+    return spark.createDataFrame(
+        merges, "round int, a string, b string, n_occurrences long"
+    ).orderBy("round")
+
+
+@register("bpe_tokenize_fertility", oracle=_bpe_train_oracle(final="fertility"))
+def bpe_tokenize_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENCODE side of the trained tokenizer: apply the
+    {BPE_TRAIN_ROUNDS} learned merges back to the corpus and report
+    per-document BPE token counts and fertility (BPE tokens per
+    whitespace word) — the compression/efficiency eval every tokenizer
+    train ends with (cf. tokenizer_vocab_coverage for the OOV view).
+
+    100 TB shape: encoding is a vocabulary-sized problem — the merges
+    rewrite the distinct-word table (already materialized by the
+    trainer), and the corpus pass is ONE word-keyed equi-join of the
+    exploded token stream against that (word → symbol count) dim
+    followed by a map-side-combinable per-doc sum.  No per-document
+    re-derivation of the merge chain."""
+    _merges, vocab = _bpe_train(spark, sf_dir)
+    wl = vocab.select("word", F.size("l").alias("n_sym"))
+    d = load_table(spark, "documents", sf_dir)
+    words = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        words.join(wl, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sym").alias("n_bpe_tokens"),
+            F.round(
+                F.sum("n_sym").cast("double") / F.count(F.lit(1)), 6
+            ).alias("fertility"),
+        )
+    )
