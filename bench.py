@@ -89,6 +89,7 @@ HEADLINE = [
     "hll_distinct_within_band",
     "bpe_tokenize_fertility",
     "dedup_substring_cut",
+    "multimodal_audio_peak_bin",
 ]
 N_R3_SET = 53  # the first 53 entries are the r2/r3 headline set
 N_R4_SET = 61  # ... the first 61 are the r4 headline set

@@ -853,7 +853,15 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc aggregation is a single map-side-combinable groupBy.
     Documents with fewer than two tokens score no row (no features),
     identically in both engines."""
-    d = load_table(spark, "documents", sf_dir)
+    return apply_quality_classifier(
+        spark, load_table(spark, "documents", sf_dir))
+
+
+def apply_quality_classifier(spark: SparkSession, d: DataFrame) -> DataFrame:
+    """The classifier core over any (doc_id, text) frame — batch table
+    or readStream (stream-static broadcast join + keyed aggregation;
+    stream-vs-batch parity pinned in test_metrics_and_watermark.py,
+    the apply_funnel/apply_gopher_rules discipline)."""
     toks = d.select("doc_id", F.split("text", " ").alias("t")) \
         .filter(F.size("t") >= 2)
     bigrams = toks.select(

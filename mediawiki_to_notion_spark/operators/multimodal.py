@@ -589,8 +589,9 @@ def multimodal_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_codec_roundtrip",
     oracle="""
     SELECT doc_id,
-           CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
-                           WHEN 2 THEN 'gif' ELSE 'bmp' END AS fmt,
+           CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                           WHEN 2 THEN 'gif' WHEN 3 THEN 'bmp'
+                           ELSE 'jpeg_prog' END AS fmt,
            CAST(16 + doc_id % 32 AS INT) AS width,
            CAST(16 + doc_id % 24 AS INT) AS height,
            TRUE AS dims_match
@@ -601,8 +602,9 @@ def multimodal_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Value-checked proof of the REAL media codecs at the driver
     gate: every document synthesizes a deterministic image whose
     dimensions derive from doc_id (w = 16 + id % 32, h = 16 + id % 24),
-    encodes it with the r4 pure-Python codec chosen by doc_id % 4
-    (PNG / baseline JPEG / GIF / BMP), then decodes the produced BYTES
+    encodes it with the pure-Python codec chosen by doc_id % 5
+    (PNG / baseline JPEG / GIF / BMP / r5 progressive JPEG via the
+    G.1.2 scan-script encoder), then decodes the produced BYTES
     through ``decode_image`` — the same dispatcher the feature-extract
     pipeline uses.  The SQL oracle predicts the decoded dimensions
     from doc_id arithmetic alone, so a hash match certifies the whole
@@ -616,17 +618,20 @@ def multimodal_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         from mediawiki_to_notion_spark.functions.bmp_codec import encode_bmp
         from mediawiki_to_notion_spark.functions.gif_codec import encode_gif
-        from mediawiki_to_notion_spark.functions.jpeg_codec import encode_jpeg
+        from mediawiki_to_notion_spark.functions.jpeg_codec import (
+            encode_jpeg,
+            encode_jpeg_progressive,
+        )
         from mediawiki_to_notion_spark.functions.png_codec import encode_png
 
-        fmts = ("png", "jpeg", "gif", "bmp")
+        fmts = ("png", "jpeg", "gif", "bmp", "jpeg_prog")
         gray_pal = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
         for pdf in batches:
             rows = []
             for doc_id in pdf["doc_id"]:
                 did = int(doc_id)
                 w, h = 16 + did % 32, 16 + did % 24
-                fmt = fmts[did % 4]
+                fmt = fmts[did % 5]
                 grad = ((np.add.outer(np.arange(h) * 3, np.arange(w) * 7)
                          + did) % 256).astype(np.uint8)
                 if fmt == "png":
@@ -639,8 +644,13 @@ def multimodal_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 elif fmt == "gif":
                     blob = encode_gif(grad, gray_pal,
                                       interlace=bool(did % 2))
-                else:
+                elif fmt == "bmp":
                     blob = encode_bmp(np.stack([grad] * 3, axis=-1))
+                else:  # jpeg_prog: the r5 progressive scan script
+                    blob = encode_jpeg_progressive(
+                        np.stack([grad] * 3, axis=-1), quality=80,
+                        subsample="420" if did % 2 else "444",
+                    )
                 dw, dh = decode_image(blob)
                 rows.append((did, fmt, dw, dh, (dw, dh) == (w, h)))
             yield pd.DataFrame(
@@ -652,4 +662,72 @@ def multimodal_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(
         roundtrip,
         "doc_id long, fmt string, width int, height int, dims_match boolean",
+    )
+
+
+FFT_N = 256          # samples per analysis window
+FFT_RATE = 8000      # Hz
+FFT_MAX_BIN = 100    # peak bins cycle 1..FFT_MAX_BIN
+
+
+@register(
+    "multimodal_audio_peak_bin",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(1 + doc_id % {FFT_MAX_BIN} AS INT) AS peak_bin,
+           CAST(((1 + doc_id % {FFT_MAX_BIN}) * {FFT_RATE}
+                  + {FFT_N} // 2) // {FFT_N} AS INT) AS peak_hz,
+           TRUE AS bin_match
+    FROM documents
+    """,
+)
+def multimodal_audio_peak_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-checked certificate for the AUDIO path (the codec-
+    roundtrip trick on WAV + spectral features): every document
+    synthesizes a pure {FFT_N}-sample sine at exactly bin
+    k = 1 + doc_id % {FFT_MAX_BIN} of a {FFT_N}-point rfft at
+    {FFT_RATE} Hz, encodes it through the real WAV codec (16-bit PCM),
+    decodes it back through ``decode_audio``'s wav path, and reports
+    the argmax spectral bin.  The SQL oracle predicts the peak bin
+    from doc_id arithmetic alone, so a hash-green driver row certifies
+    encode → RIFF container → decode → windowed FFT feature
+    extraction end to end — the spectral-feature pipeline (VAD,
+    language/music ID front ends) a multimodal corpus runs.
+
+    100 TB shape: one narrow Arrow-batched mapInPandas pass, zero
+    shuffles; per-row work is one tiny numpy rfft."""
+
+    def peak(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from mediawiki_to_notion_spark.functions.wav_codec import (
+            decode_wav,
+            encode_wav,
+        )
+
+        t = np.arange(FFT_N) / FFT_RATE
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                k = 1 + did % FFT_MAX_BIN
+                f = k * FFT_RATE / FFT_N  # exactly bin k: no leakage
+                sig = np.round(
+                    20000 * np.sin(2 * np.pi * f * t)
+                ).astype(np.int16)
+                blob = encode_wav(sig, sample_rate=FFT_RATE)
+                _rate, _ch, samples = decode_wav(blob)
+                spec = np.abs(np.fft.rfft(
+                    samples[:FFT_N, 0].astype(np.float64)))
+                got = int(np.argmax(spec))
+                hz = (k * FFT_RATE + FFT_N // 2) // FFT_N
+                rows.append((did, got, hz, got == k))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "peak_bin", "peak_hz", "bin_match"],
+            )
+
+    d = load_table(spark, "documents", sf_dir).select("doc_id")
+    return d.mapInPandas(
+        peak, "doc_id long, peak_bin int, peak_hz int, bin_match boolean"
     )

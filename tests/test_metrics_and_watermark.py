@@ -383,3 +383,39 @@ def test_streaming_gopher_rules_match_batch(spark, tmp_path):
     assert set(got) == set(want) and len(got) == 200
     for k in want:
         assert got[k] == want[k], k
+
+
+def test_streaming_quality_classifier_matches_batch(spark, tmp_path):
+    """The r5 hashed-bigram classifier is a stream-static broadcast
+    join + keyed aggregation, so the SAME apply_quality_classifier
+    core must produce identical rows on a readStream (complete mode —
+    the per-doc aggregate) as on the batch table."""
+    from mediawiki_to_notion_spark.operators.corpus_quality import (
+        apply_quality_classifier,
+    )
+
+    src = tmp_path / "qc_src"
+    docs = load_table(spark, "documents", SF).limit(150) \
+        .select("doc_id", "text")
+    docs.coalesce(1).write.mode("overwrite").parquet(str(src))
+
+    stream = apply_quality_classifier(
+        spark,
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(str(src)),
+    )
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory").queryName("qc_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_qc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id: r for r in spark.sql("select * from qc_stream").collect()}
+    want = {r.doc_id: r
+            for r in apply_quality_classifier(spark, docs).collect()}
+    assert set(got) == set(want) and len(got) > 0
+    for k in want:
+        assert got[k] == want[k], k
