@@ -90,6 +90,9 @@ HEADLINE = [
     "bpe_tokenize_fertility",
     "dedup_substring_cut",
     "multimodal_audio_peak_bin",
+    "events_conversion_funnel",
+    "events_markov_transitions",
+    "retention_cohort_matrix",
 ]
 N_R3_SET = 53  # the first 53 entries are the r2/r3 headline set
 N_R4_SET = 61  # ... the first 61 are the r4 headline set

@@ -197,6 +197,7 @@ def cmd_crawl(args: argparse.Namespace) -> int:
     manifest; full drop detail persists under <outdir>/_warnings/."""
     from mediawiki_to_notion_spark.operators.corpus_quality import (
         apply_crawl_funnel,
+        apply_quality_classifier,
     )
     from mediawiki_to_notion_spark.operators.physical import (
         write_training_shards,
@@ -225,6 +226,24 @@ def cmd_crawl(args: argparse.Namespace) -> int:
     )
     kept = funneled.filter("keep").select("doc_id")
     clean = docs.join(kept, "doc_id", "left_semi")
+    if args.min_quality_score is not None:
+        # optional model-based second stage (the FineWeb-Edu pattern):
+        # the hashed-bigram classifier scores only the HARD-FILTER
+        # SURVIVORS, and the cut is reported like any other gate
+        scored = apply_quality_classifier(spark, clean)
+        passing = scored.filter(
+            F.col("score") >= args.min_quality_score
+        ).select("doc_id")
+        n_before = clean.count()
+        clean = clean.join(passing, "doc_id", "left_semi")
+        n_after = clean.count()  # bounded: two scalars for the report
+        print(f"{'classifier_below':18s} {n_before - n_after}")
+        _report_side_output(
+            scored.filter(F.col("score") < args.min_quality_score)
+            .select("doc_id", "score"),
+            args.outdir, "crawl_classifier_dropped",
+            lambda w: f"\tDROPPED doc {w.doc_id}: score {w.score}",
+        )
     # group on the md5 of the normalized text, not the text itself: the
     # shuffle key stays 32 bytes instead of the whole payload (the same
     # fixed-width-fingerprint rule the registered dedup operators
@@ -286,6 +305,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="WARC file, dir, or glob (.warc / .warc.gz)")
     c.add_argument("--outdir", required=True)
     c.add_argument("--max-records-per-file", type=int, default=None)
+    c.add_argument("--min-quality-score", type=float, default=None,
+                   help="optional model-filter stage: drop funnel "
+                        "survivors whose hashed-bigram classifier "
+                        "score is below this threshold")
     c.set_defaults(fn=cmd_crawl)
 
     args = p.parse_args(argv)

@@ -1705,3 +1705,175 @@ def hll_distinct_within_band(spark: SparkSession, sf_dir: str) -> DataFrame:
             ) <= HLL_BAND
         ).alias("within_band"),
     )
+
+
+FUNNEL_STAGES = ("view", "click", "purchase")  # ordered conversion path
+
+
+@register(
+    "events_conversion_funnel",
+    oracle="""
+    WITH t1 AS (
+      SELECT user_id, min(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), t2 AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), t3 AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.t
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ), stages AS (
+      SELECT 1 AS stage, 'view' AS event_type,
+             (SELECT count(*) FROM t1) AS n_users
+      UNION ALL SELECT 2, 'click', (SELECT count(*) FROM t2)
+      UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM t3)
+    )
+    SELECT stage, event_type, CAST(n_users AS BIGINT) AS n_users,
+           round(n_users::DOUBLE / nullif(lag(n_users) OVER
+             (ORDER BY stage), 0), 6) AS conversion_from_prev
+    FROM stages
+    """,
+)
+def events_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED conversion funnel (the product-analytics staple the
+    dashboard widgets summarize): a user reaches stage k only via a
+    strictly later event than their stage-(k-1) entry — first view,
+    then the first click AFTER that view, then the first purchase
+    AFTER that click.  Output: per-stage reached-user counts and
+    stage-over-stage conversion.
+
+    100 TB shape: each stage is one user-keyed partial-agg groupBy
+    followed by a user-keyed equi-join against the (strictly
+    shrinking) previous stage — never a per-user event-sequence sort;
+    AQE reuses the user hash partitioning across the chain.  The
+    3-row stage summary is the only thing beyond the joins."""
+    e = load_table(spark, "events", sf_dir)
+    t1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+    )
+    counts = [df.count() for df in (t1, t2, t3)]  # bounded: 3 scalars
+    rows = []
+    prev = None
+    for stage, (name, n) in enumerate(zip(FUNNEL_STAGES, counts), 1):
+        conv = round(n / prev, 6) if prev else None
+        rows.append((stage, name, n, conv))
+        prev = n
+    return spark.createDataFrame(
+        rows,
+        "stage int, event_type string, n_users long, "
+        "conversion_from_prev double",
+    )
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      FROM events
+    ), trans AS (
+      SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    )
+    SELECT cur, nxt, n,
+           round(n::DOUBLE / CAST(sum(n) OVER (PARTITION BY cur)
+                                  AS BIGINT), 6) AS p
+    FROM trans
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current) — the navigation-model /
+    anomalous-flow screen (a row whose mass shifts toward 'error' is
+    the incident signal).  Ordering ties on identical timestamps break
+    by event_id so both engines see the same sequence.
+
+    100 TB shape: ONE window (lead) partitioned by user_id — the
+    per-user sequence is the natural partition and is small; the
+    transition matrix is then a |types|² aggregate, and the row
+    normalization windows over that TINY matrix, not the events."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, "events", sf_dir)
+    seq = e.select(
+        "user_id",
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(
+            W.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("nxt"),
+    )
+    trans = (
+        seq.filter(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return trans.select(
+        "cur", "nxt", "n",
+        F.round(
+            F.col("n").cast("double")
+            / F.sum("n").over(W.partitionBy("cur")), 6
+        ).alias("p"),
+    )
+
+
+@register(
+    "retention_cohort_matrix",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT e.user_id, f.cohort_week,
+             CAST((epoch_ms(date_trunc('week', e.ts))
+                   - epoch_ms(f.cohort_week))
+                  // (7 * 86400000) AS INT) AS weeks_since
+      FROM events e JOIN first_seen f USING (user_id)
+    )
+    SELECT epoch_ms(cohort_week) AS cohort_week_ms, weeks_since,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_active_users
+    FROM activity GROUP BY cohort_week, weeks_since
+    """,
+)
+def retention_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohort matrix (THE growth-analytics table):
+    users grouped by first-activity week, counted distinct in each
+    subsequent week-offset.  Week arithmetic is exact epoch-millis
+    integer division so both engines bucket identically.
+
+    100 TB shape: first-seen is one user-keyed partial-agg groupBy;
+    the join back is on the same key (partitioning reuse); the final
+    distinct-count aggregates to a cohort×offset matrix that is
+    calendar-sized, not event-sized."""
+    e = load_table(spark, "events", sf_dir)
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = e.join(first_seen, "user_id").select(
+        "user_id",
+        "cohort_week",
+        F.floor(
+            (F.unix_millis(F.date_trunc("week", F.col("ts")))
+             - F.unix_millis(F.col("cohort_week")))
+            / (7 * 86400000)
+        ).cast("int").alias("weeks_since"),
+    )
+    return activity.groupBy(
+        F.unix_millis("cohort_week").alias("cohort_week_ms"), "weeks_since"
+    ).agg(F.count_distinct("user_id").alias("n_active_users"))

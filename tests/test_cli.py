@@ -117,3 +117,54 @@ def test_cli_crawl_to_shards(spark, tmp_path, capsys):
         os.path.join(str(outdir), "_warnings", "crawl_dropped")
     )
     assert dropped.count() == 6
+
+
+def test_cli_crawl_min_quality_score(spark, tmp_path, capsys):
+    """The optional --min-quality-score stage: funnel survivors are
+    scored by the hashed-bigram classifier and sub-threshold docs drop,
+    reported as their own gate + side output."""
+    from mediawiki_to_notion_spark.operators.corpus_quality import (
+        apply_quality_classifier,
+    )
+    from mediawiki_to_notion_spark.sources.warc import (
+        encode_warc_record_gz,
+        read_warc,
+        warc_to_documents,
+    )
+
+    prose = ("the quick river is of a bright valley and "
+             + " ".join(f"wrd{i % 9}x{i}" for i in range(48)))
+    raw = b""
+    for k in range(5):
+        raw += encode_warc_record_gz(
+            {"WARC-Type": "response", "WARC-Record-ID": f"<urn:qs:{k}>",
+             "WARC-Target-URI": f"https://example.org/q/{k}",
+             "Content-Type": "application/http; msgtype=response"},
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
+            + f"{prose} page{k}".encode(),
+        )
+    warc = tmp_path / "qs.warc.gz"
+    warc.write_bytes(raw)
+    outdir = tmp_path / "corpus_qs"
+
+    # every page passes the hard funnel; choose the 3rd-highest score
+    # as the cut so exactly the docs strictly below it drop
+    docs = warc_to_documents(read_warc(spark, str(warc)))
+    scores = sorted(
+        r.score for r in apply_quality_classifier(spark, docs).collect()
+    )
+    assert len(scores) == 5 and len(set(scores)) == 5  # distinct
+    thr = scores[2]
+    n_drop = sum(1 for v in scores if v < thr)
+    assert n_drop == 2
+
+    assert cli.main(["crawl", "--warc", str(warc),
+                     "--outdir", str(outdir),
+                     "--min-quality-score", str(thr)]) == 0
+    out = capsys.readouterr().out
+    assert f"classifier_below   {n_drop}" in out
+    assert "wrote 3 documents" in out
+    dropped = spark.read.parquet(
+        os.path.join(str(outdir), "_warnings", "crawl_classifier_dropped")
+    )
+    assert dropped.count() == n_drop
