@@ -93,6 +93,9 @@ HEADLINE = [
     "events_conversion_funnel",
     "events_markov_transitions",
     "retention_cohort_matrix",
+    "fim_transform",
+    "ngram_lm_kneser_ney",
+    "mixture_anneal_schedule",
 ]
 N_R3_SET = 53  # the first 53 entries are the r2/r3 headline set
 N_R4_SET = 61  # ... the first 61 are the r4 headline set

@@ -898,3 +898,139 @@ def apply_quality_classifier(spark: SparkSession, d: DataFrame) -> DataFrame:
             (F.sum("w_micro") >= 0).alias("keep"),
         )
     )
+
+
+ANNEAL_BOOST = 3  # phase-3 upweight factor for above-average sources
+
+
+@register(
+    "mixture_anneal_schedule",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+    ), big AS (
+      SELECT source, t[u.i] || '|' || t[u.i + 1] AS bg
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) u
+    ), hashed AS (
+      SELECT source,
+             ('0x' || substr(md5(bg), 1, 15))::BIGINT % {QC_BUCKETS}
+               AS bucket
+      FROM big
+    ), weights AS (
+      SELECT range AS bucket,
+             (range * {QC_WEIGHT_MULT}) % 2001 - 1000 AS w_micro
+      FROM range({QC_BUCKETS})
+    ), per_source AS (
+      SELECT h.source,
+             CAST(sum(w_micro) AS BIGINT) AS sum_micro,
+             CAST(count(*) AS BIGINT) AS n_feats
+      FROM hashed h JOIN weights USING (bucket) GROUP BY h.source
+    ), tok_counts AS (
+      SELECT source,
+             CAST(sum(len(t)) AS BIGINT) AS n_tokens
+      FROM toks GROUP BY source
+    ), gtot AS (
+      SELECT CAST(sum(sum_micro) AS BIGINT) AS g_micro,
+             CAST(sum(n_feats) AS BIGINT) AS g_feats
+      FROM per_source
+    ), rated AS (
+      SELECT s.source, t.n_tokens, s.sum_micro, s.n_feats,
+             -- exact cross-multiplied comparison: source mean vs
+             -- corpus mean, no float division
+             (s.sum_micro * g.g_feats >= g.g_micro * s.n_feats)
+               AS above_avg
+      FROM per_source s JOIN tok_counts t USING (source), gtot g
+    ), phased AS (
+      SELECT source, n_tokens, above_avg, ph.phase,
+             n_tokens * CASE WHEN ph.phase = 3 AND above_avg
+                             THEN {ANNEAL_BOOST} ELSE 1 END AS w
+      FROM rated, (SELECT unnest([1, 2, 3]) AS phase) ph
+    )
+    SELECT source, phase, n_tokens, above_avg,
+           CAST(w AS BIGINT) AS weight,
+           round(100.0 * w / CAST(sum(w) OVER (PARTITION BY phase)
+                                  AS BIGINT), 6) AS weight_pct
+    FROM phased
+    """,
+)
+def mixture_anneal_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annealed data-mixture schedule (the Llama-3 / MiniCPM two-stage
+    recipe): phases 1-2 sample sources proportional to token count;
+    the final anneal phase upweights ABOVE-AVERAGE-quality sources by
+    {ANNEAL_BOOST}x, with quality = the hashed-bigram classifier's
+    per-source mean micro score.  The above-average test is an exact
+    cross-multiplied integer comparison (sum_micro * g_feats >=
+    g_micro * n_feats) — no float threshold to disagree on.
+
+    100 TB shape: per-source classifier sums and token counts are two
+    map-side-combinable groupBys to source cardinality; everything
+    after (global mean, phase fan-out, normalization) is arithmetic
+    over the source-count-sized table."""
+    toks = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "source", F.split("text", " ").alias("t")
+    )
+    bigrams = toks.filter(F.size("t") >= 2).select(
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.concat(
+                    F.element_at("t", i), F.lit("|"),
+                    F.element_at("t", i + 1),
+                ),
+            )
+        ).alias("bg"),
+    )
+    hashed = bigrams.select(
+        "source",
+        (F.conv(F.substring(F.md5("bg"), 1, 15), 16, 10).cast("long")
+         % QC_BUCKETS).alias("bucket"),
+    )
+    weights = spark.range(QC_BUCKETS).select(
+        F.col("id").alias("bucket"),
+        (F.col("id") * QC_WEIGHT_MULT % 2001 - 1000).alias("w_micro"),
+    )
+    per_source = (
+        hashed.join(F.broadcast(weights), "bucket")
+        .groupBy("source")
+        .agg(
+            F.sum("w_micro").alias("sum_micro"),
+            F.count(F.lit(1)).alias("n_feats"),
+        )
+    )
+    tok_counts = toks.groupBy("source").agg(
+        F.sum(F.size("t")).alias("n_tokens")
+    )
+    glob = per_source.agg(
+        F.sum("sum_micro").alias("g_micro"),
+        F.sum("n_feats").alias("g_feats"),
+    )
+    rated = (
+        per_source.join(tok_counts, "source")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "source", "n_tokens",
+            (F.col("sum_micro") * F.col("g_feats")
+             >= F.col("g_micro") * F.col("n_feats")).alias("above_avg"),
+        )
+    )
+    phases = spark.range(1, 4).select(F.col("id").cast("int").alias("phase"))
+    phased = rated.crossJoin(F.broadcast(phases)).select(
+        "source", "phase", "n_tokens", "above_avg",
+        (
+            F.col("n_tokens")
+            * F.when(
+                (F.col("phase") == 3) & F.col("above_avg"),
+                F.lit(ANNEAL_BOOST),
+            ).otherwise(F.lit(1))
+        ).alias("weight"),
+    )
+    from pyspark.sql import Window as W
+
+    return phased.select(
+        "source", "phase", "n_tokens", "above_avg", "weight",
+        F.round(
+            F.lit(100.0) * F.col("weight")
+            / F.sum("weight").over(W.partitionBy("phase")), 6
+        ).alias("weight_pct"),
+    )

@@ -1225,3 +1225,95 @@ def bpe_tokenize_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fertility"),
         )
     )
+
+
+KN_DISCOUNT = 0.75   # the standard absolute-discount value
+KN_TOP_K = 200       # report the K most probable bigrams
+
+
+@register(
+    "ngram_lm_kneser_ney",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), big AS (
+      SELECT t[u.i] AS v, t[u.i + 1] AS w
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) u
+    ), c_vw AS (
+      SELECT v, w, CAST(count(*) AS BIGINT) AS c FROM big GROUP BY v, w
+    ), c_v AS (
+      SELECT v, CAST(sum(c) AS BIGINT) AS cv,
+             CAST(count(*) AS BIGINT) AS n1v  -- distinct continuations
+      FROM c_vw GROUP BY v
+    ), p_cont AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS npw  -- distinct predecessors
+      FROM c_vw GROUP BY w
+    ), nb AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_bigram_types FROM c_vw
+    )
+    SELECT v, w, c AS c_vw, cv AS c_v,
+           round(
+             greatest(c - {KN_DISCOUNT}, 0) / cv
+             + {KN_DISCOUNT} * n1v / cv * (npw::DOUBLE / n_bigram_types),
+             6
+           ) AS p_kn
+    FROM c_vw JOIN c_v USING (v) JOIN p_cont USING (w), nb
+    ORDER BY p_kn DESC, v ASC, w ASC LIMIT {KN_TOP_K}
+    """,
+)
+def ngram_lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram language model (Kneser & Ney
+    1995; Chen & Goodman 1999's standard formulation) — the count-based
+    LM behind CCNet-style perplexity filtering when no neural LM is in
+    the loop: absolute discount {KN_DISCOUNT} with the lower-order
+    CONTINUATION distribution (distinct-predecessor counts, the
+    signature KN ingredient).  Reports the top-{KN_TOP_K} bigrams by
+    smoothed probability.
+
+    Cross-engine parity: every input is an exact integer count and the
+    float expression tree is written with IDENTICAL operation order in
+    both engines (the Flesch-score recipe), rounded once at the end.
+
+    100 TB shape: the corpus collapses to the bigram-type table first
+    (one groupBy; vocabulary², not corpus, cardinality); the v- and
+    w-marginals aggregate FROM the type table; the single global
+    scalar (bigram type count) is a broadcast 1-row join; top-k plans
+    as TakeOrdered."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.select(F.split("text", " ").alias("t")) \
+        .filter(F.size("t") >= 2)
+    big = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    F.element_at("t", i).alias("v"),
+                    F.element_at("t", i + 1).alias("w"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.v", "p.w")
+    c_vw = big.groupBy("v", "w").agg(F.count(F.lit(1)).alias("c"))
+    c_v = c_vw.groupBy("v").agg(
+        F.sum("c").alias("cv"), F.count(F.lit(1)).alias("n1v")
+    )
+    p_cont = c_vw.groupBy("w").agg(F.count(F.lit(1)).alias("npw"))
+    nb = c_vw.agg(F.count(F.lit(1)).alias("n_bigram_types"))
+    p_kn = F.round(
+        F.greatest(F.col("c") - KN_DISCOUNT, F.lit(0.0)) / F.col("cv")
+        + F.lit(KN_DISCOUNT) * F.col("n1v") / F.col("cv")
+        * (F.col("npw").cast("double") / F.col("n_bigram_types")),
+        6,
+    )
+    return (
+        c_vw.join(c_v, "v").join(p_cont, "w")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "v", "w",
+            F.col("c").alias("c_vw"),
+            F.col("cv").alias("c_v"),
+            p_kn.alias("p_kn"),
+        )
+        .orderBy(F.desc("p_kn"), F.asc("v"), F.asc("w"))
+        .limit(KN_TOP_K)
+    )

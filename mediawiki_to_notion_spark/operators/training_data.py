@@ -662,3 +662,76 @@ def span_corruption_t5(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("targets"),
     )
+
+
+FIM_MIN_TOKENS = 8  # docs shorter than this stay PSM-untransformed
+
+
+@register(
+    "fim_transform",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), cut AS (
+      SELECT doc_id, t, len(t) AS n,
+             1 + doc_id % (len(t) - 2) AS a
+      FROM toks WHERE len(t) >= {FIM_MIN_TOKENS}
+    ), cut2 AS (
+      SELECT doc_id, t, n, a,
+             a + 1 + (doc_id * 7) % (n - a - 1) AS b
+      FROM cut
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           CAST(a AS BIGINT) AS prefix_len,
+           CAST(b - a AS BIGINT) AS middle_len,
+           '<PRE> ' || array_to_string(t[1:a], ' ')
+             || ' <SUF> ' || array_to_string(t[b+1:n], ' ')
+             || ' <MID> ' || array_to_string(t[a+1:b], ' ') AS fim_text
+    FROM cut2
+    """,
+)
+def fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle preprocessing (Bavarian et al. 2022 — the
+    standard code/infilling-model training transform): each document
+    splits at two deterministic doc_id-derived cut points into
+    (prefix, middle, suffix) and re-serializes in PSM order with
+    sentinel tokens, so the model learns to generate the middle given
+    both sides.  Cut points are exact integer arithmetic (a = 1 +
+    id % (n-2); b = a + 1 + 7·id % (n-a-1)), identical in both
+    engines; documents under {FIM_MIN_TOKENS} tokens pass through
+    untransformed (no row here — the pipeline unions them unchanged).
+
+    100 TB shape: one narrow codegen pass — array slices and concats
+    beside the scan, zero shuffles, zero Python."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.select("doc_id", F.split("text", " ").alias("t")) \
+        .filter(F.size("t") >= FIM_MIN_TOKENS)
+    n = F.size("t")
+    cut = toks.select(
+        "doc_id", "t", n.alias("n"),
+        (F.lit(1) + F.col("doc_id") % (n - 2)).cast("int").alias("a"),
+    )
+    cut2 = cut.select(
+        "doc_id", "t", "n", "a",
+        (F.col("a") + 1
+         + (F.col("doc_id") * 7) % (F.col("n") - F.col("a") - 1))
+        .cast("int").alias("b"),
+    )
+    return cut2.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.col("a").cast("long").alias("prefix_len"),
+        (F.col("b") - F.col("a")).cast("long").alias("middle_len"),
+        F.concat(
+            F.lit("<PRE> "),
+            F.concat_ws(" ", F.slice("t", 1, F.col("a"))),
+            F.lit(" <SUF> "),
+            F.concat_ws(
+                " ", F.slice("t", F.col("b") + 1, F.col("n") - F.col("b"))
+            ),
+            F.lit(" <MID> "),
+            F.concat_ws(
+                " ", F.slice("t", F.col("a") + 1, F.col("b") - F.col("a"))
+            ),
+        ).alias("fim_text"),
+    )
