@@ -885,12 +885,17 @@ def _flush_eobrun_toks(toks, run_state):
         run_state["be_bits"] = []
 
 
-def _toks_ac_first(blocks, ss, se, al):
+def _toks_ac_first(blocks, ss, se, al, restart_interval=0):
     """AC first-pass tokens for one non-interleaved scan: RLE with
-    point transform |v| >> al and cross-block EOB runs."""
+    point transform |v| >> al and cross-block EOB runs.  A restart
+    interval injects ('rst',) markers every that many blocks (flushing
+    any pending EOB run first — runs may not cross restarts)."""
     toks: list = []
     rs = {"eobrun": 0, "be_bits": []}
-    for zz in blocks:
+    for u, zz in enumerate(blocks):
+        if restart_interval and u and u % restart_interval == 0:
+            _flush_eobrun_toks(toks, rs)
+            toks.append(("rst",))
         band = [int(v) for v in zz[ss:se + 1]]
         vals = [(v >> al) if v >= 0 else -((-v) >> al) for v in band]
         nz = [i for i, v in enumerate(vals) if v]
@@ -919,14 +924,17 @@ def _toks_ac_first(blocks, ss, se, al):
     return toks
 
 
-def _toks_ac_refine(blocks, ss, se, al):
+def _toks_ac_refine(blocks, ss, se, al, restart_interval=0):
     """AC refinement tokens (libjpeg encode_mcu_AC_refine structure):
     correction bits for already-nonzero coefficients buffer behind the
     next symbol; blocks with no newly-significant coefficient fold
     into a cross-block EOB run carrying their buffered bits."""
     toks: list = []
     rs = {"eobrun": 0, "be_bits": []}
-    for zz in blocks:
+    for u, zz in enumerate(blocks):
+        if restart_interval and u and u % restart_interval == 0:
+            _flush_eobrun_toks(toks, rs)
+            toks.append(("rst",))
         band = [int(v) for v in zz[ss:se + 1]]
         temp = [abs(v) >> al for v in band]
         eob_pos = max((i for i, t in enumerate(temp) if t == 1),
@@ -974,24 +982,36 @@ def _toks_to_bytes(toks) -> tuple[bytes, bytes | None]:
         bits, vals = _fixed_length_table(syms)
         codes = _canonical_codes(bits, vals)
         dht = bytes(bits) + bytes(vals)
+    out = bytearray()
     bw = _BitWriter()
+    rst = 0
     for t in toks:
-        if t[0] == "sym":
+        if t[0] == "rst":
+            bw.flush()
+            out += bw.out
+            out += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+            bw = _BitWriter()
+        elif t[0] == "sym":
             bw.write(*codes[t[1]])
         else:
             bw.write(t[1], t[2])
     bw.flush()
-    return bytes(bw.out), dht
+    out += bw.out
+    return bytes(out), dht
 
 
 def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 85,
-                            subsample: str = "444") -> bytes:
+                            subsample: str = "444",
+                            restart_interval: int = 0) -> bytes:
     """Encode uint8 pixels → progressive (SOF2) JPEG with the
     classic libjpeg-style scan script: interleaved DC first pass at
     Al=1, per-component AC first passes in two spectral bands
     (1-5, 6-63) at Al=1, then DC and AC refinement passes down to
     Al=0 — so a conforming decoder reconstructs EXACTLY the same
     quantized coefficients as :func:`encode_jpeg` of the same inputs.
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
+    MCUs/blocks in every scan (predictors and EOB runs reset at each).
     Deterministic: same inputs → identical bytes."""
     (grids, qtabs, comp_q, samp, h, w,
      hmax, vmax, mcux, mcuy) = _prepare_components(
@@ -1008,33 +1028,42 @@ def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 85,
             for bxx in range(bw_):
                 yield grids[ci][byy, bxx]
 
+    def dc_units():
+        """Restart units for the DC scan: one MCU (interleaved) or one
+        block (single-component frame), each a list of (ci, block)."""
+        if n_comp == 1:
+            for blk in comp_blocks(0):
+                yield [(0, blk)]
+            return
+        for m in range(mcux * mcuy):
+            my, mx = divmod(m, mcux)
+            unit = []
+            for ci in range(n_comp):
+                ch, cv = samp[ci]
+                for by in range(cv):
+                    for bx in range(ch):
+                        unit.append((ci, grids[ci][my * cv + by,
+                                                   mx * ch + bx]))
+            yield unit
+
     def dc_toks(al, refine):
         toks: list = []
         preds = [0] * n_comp
-        if n_comp == 1:
-            order = ((0, blk) for blk in comp_blocks(0))
-        else:
-            def order_gen():
-                for m in range(mcux * mcuy):
-                    my, mx = divmod(m, mcux)
-                    for ci in range(n_comp):
-                        ch, cv = samp[ci]
-                        for by in range(cv):
-                            for bx in range(ch):
-                                yield ci, grids[ci][my * cv + by,
-                                                    mx * ch + bx]
-            order = order_gen()
-        for ci, zz in order:
-            dc = int(zz[0]) >> al  # arithmetic shift (T.81 G.1.2.1)
-            if refine:
-                toks.append(("bits", dc & 1, 1))
-                continue
-            diff = dc - preds[ci]
-            preds[ci] = dc
-            s = _category(diff)
-            toks.append(("sym", s))
-            if s:
-                toks.append(("bits", _amplitude(diff, s), s))
+        for u, unit in enumerate(dc_units()):
+            if restart_interval and u and u % restart_interval == 0:
+                toks.append(("rst",))
+                preds = [0] * n_comp
+            for ci, zz in unit:
+                dc = int(zz[0]) >> al  # arithmetic shift (T.81 G.1.2.1)
+                if refine:
+                    toks.append(("bits", dc & 1, 1))
+                    continue
+                diff = dc - preds[ci]
+                preds[ci] = dc
+                s = _category(diff)
+                toks.append(("sym", s))
+                if s:
+                    toks.append(("bits", _amplitude(diff, s), s))
         return toks
 
     def sos(comps, tids, ss, se, ah, al):
@@ -1044,6 +1073,8 @@ def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 85,
         return p + bytes([ss, se, ah << 4 | al])
 
     out = _headers(h, w, n_comp, qtabs, comp_q, samp, 0xFFC2)
+    if restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
     scans = [("dc", list(range(n_comp)), 0, 0, 0, 1)]
     for lo, hi in ((1, 5), (6, 63)):
         for ci in range(n_comp):
@@ -1057,9 +1088,11 @@ def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 85,
             toks = dc_toks(al, refine=ah > 0)
             tclass = 0
         else:
-            toks = _toks_ac_first(comp_blocks(comps[0]), ss, se, al) \
+            toks = _toks_ac_first(comp_blocks(comps[0]), ss, se, al,
+                                  restart_interval) \
                 if ah == 0 else \
-                _toks_ac_refine(comp_blocks(comps[0]), ss, se, al)
+                _toks_ac_refine(comp_blocks(comps[0]), ss, se, al,
+                                restart_interval)
             tclass = 1
         ecs, dht = _toks_to_bytes(toks)
         if dht is not None:

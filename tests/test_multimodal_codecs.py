@@ -1163,3 +1163,30 @@ try:
 
 except ImportError:  # pragma: no cover - hypothesis is baked in
     pass
+
+
+@pytest.mark.parametrize("shape,subsample,ri", [
+    ((33, 22, 3), "444", 2),
+    ((40, 27, 3), "420", 3),
+    ((24, 24), "444", 1),
+])
+def test_jpeg_progressive_restart_markers(shape, subsample, ri):
+    """Progressive scans with DRI/RSTn: predictors and EOB runs reset
+    at every restart in EVERY scan kind (DC first/refine, AC
+    first/refine), and the result still decodes bit-identically to
+    the baseline stream of the same coefficients."""
+    import numpy as np
+
+    from mediawiki_to_notion_spark.functions.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    _, _, base = decode_jpeg(encode_jpeg(img, quality=55,
+                                         subsample=subsample))
+    _, _, prog = decode_jpeg(encode_jpeg_progressive(
+        img, quality=55, subsample=subsample, restart_interval=ri))
+    assert np.array_equal(base, prog)
