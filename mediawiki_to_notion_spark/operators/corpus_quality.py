@@ -1034,3 +1034,185 @@ def mixture_anneal_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("weight").over(W.partitionBy("phase")), 6
         ).alias("weight_pct"),
     )
+
+
+# Gopher repetition thresholds (Rae et al. 2021, table A1): max char
+# fraction in the top n-gram / in duplicated n-grams
+GOPHER_TOP_NGRAM_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_NGRAM_MAX = {5: 0.15, 8: 0.12, 10: 0.10}
+
+
+def _rep_oracle() -> str:
+    cols = []
+    g_defs = []
+    c_defs = []
+    for n in (2, 3, 4, 5, 8, 10):
+        g_defs.append(
+            f"CASE WHEN len(t) >= {n} THEN list_transform("
+            f"range(1, len(t) - {n} + 2), "
+            f"i -> array_to_string(t[i:i+{n}-1], ' ')) "
+            f"ELSE [] END AS g{n}"
+        )
+        c_defs.append(
+            f"list_transform(g{n}, x -> len(list_filter(g{n}, "
+            f"y -> y = x))) AS c{n}"
+        )
+    for n, thr in GOPHER_TOP_NGRAM_MAX.items():
+        cols.append(f"""
+           CASE WHEN len(g{n}) = 0 THEN 0.0 ELSE round(
+             CAST(list_aggregate(c{n}, 'max')
+                  * (len(list_aggregate(list_transform(list_filter(
+                        list_zip(g{n}, c{n}),
+                        z -> z[2] = list_aggregate(c{n}, 'max')),
+                      z -> z[1]), 'max')) - {n - 1}) AS BIGINT)::DOUBLE
+             / nonspace, 6) END AS top{n}_frac""")
+    for n, thr in GOPHER_DUP_NGRAM_MAX.items():
+        cols.append(f"""
+           CASE WHEN len(g{n}) = 0 THEN 0.0 ELSE round(
+             CAST(coalesce(list_aggregate(list_transform(
+               list_distinct(flatten(list_transform(
+                 list_filter(range(1, len(g{n}) + 1),
+                             i -> c{n}[i] >= 2),
+                 i -> range(i, i + {n})))),
+               i -> len(t[i])), 'sum'), 0) AS BIGINT)::DOUBLE
+             / nonspace, 6) END AS dup{n}_frac""")
+    keep = " AND ".join(
+        [f"top{n}_frac <= {t}" for n, t in GOPHER_TOP_NGRAM_MAX.items()]
+        + [f"dup{n}_frac <= {t}" for n, t in GOPHER_DUP_NGRAM_MAX.items()]
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS t,
+             len(replace(text, ' ', '')) AS nonspace
+      FROM documents
+    ), g AS (
+      SELECT doc_id, t, nonspace, {', '.join(g_defs)} FROM base
+    ), c AS (
+      SELECT *, {', '.join(c_defs)} FROM g
+    ), feats AS (
+      SELECT doc_id, CAST(nonspace AS BIGINT) AS n_chars, {','.join(cols)}
+      FROM c
+    )
+    SELECT *, {keep} AS keep FROM feats
+    """
+
+
+@register("text_gopher_repetition_rules", oracle=_rep_oracle())
+def text_gopher_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher REPETITION battery (Rae et al. 2021, table A1 —
+    the half of the ruleset ``text_gopher_quality_rules`` does not
+    cover): per document, the character fraction in the single most
+    frequent {2,3,4}-gram and the character fraction COVERED by any
+    duplicated {5,8,10}-gram (coverage counts each token once, the
+    DataTrove/Dolma overlap-aware reading), with the paper's
+    thresholds folded into a combined ``keep``.
+
+    Tie-break for the top n-gram: lexicographically greatest among the
+    max-count grams — pinned identically in both engines.
+
+    100 TB shape: per-document gram counting is a HASH AGGREGATION —
+    one explode + groupBy keyed (doc_id, n, gram) (well-distributed,
+    map-side combinable), never the O(m²) per-row filter-count a pure
+    higher-order-function formulation needs (benchmarked 20x slower at
+    sf0.1); duplicate-coverage re-expands only duplicated grams; the
+    final per-doc pivot is conditional aggregation over at most 6 rows
+    per document."""
+    d = load_table(spark, "documents", sf_dir)
+    base = d.select(
+        "doc_id",
+        F.expr("filter(split(text, ' '), x -> x != '')").alias("t"),
+        F.expr("length(replace(text, ' ', ''))").alias("nonspace"),
+    )  # re-derived per consumer: three parquet scans of two narrow
+    # columns beat materializing every token array through a checkpoint
+    ns = sorted(set(GOPHER_TOP_NGRAM_MAX) | set(GOPHER_DUP_NGRAM_MAX))
+    wn = base.select(
+        "doc_id", "t",
+        F.explode(F.array(*[F.lit(n) for n in ns])).alias("n"),
+    ).filter(F.size("t") >= F.col("n"))
+    grams = wn.select(
+        "doc_id", "n",
+        F.posexplode(
+            F.expr("transform(sequence(1, size(t) - n + 1), "
+                   "i -> array_join(slice(t, i, n), ' '))")
+        ).alias("pos0", "gram"),
+    ).select(
+        "doc_id", "n", (F.col("pos0") + 1).alias("pos"), "gram"
+    )
+    counts = grams.groupBy("doc_id", "n", "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    # top n-gram: max count, tie -> lexicographically greatest gram
+    cmax = counts.groupBy("doc_id", "n").agg(F.max("c").alias("cmax"))
+    top = (
+        counts.join(cmax, ["doc_id", "n"])
+        .filter(F.col("c") == F.col("cmax"))
+        .groupBy("doc_id", "n", "cmax")
+        .agg(F.max("gram").alias("top_gram"))
+        .select(
+            "doc_id", "n",
+            (F.col("cmax")
+             * (F.length("top_gram") - (F.col("n") - 1))).alias("top_chars"),
+        )
+    )
+    # duplicated-gram coverage: distinct covered token positions
+    dup = counts.filter(F.col("c") >= 2).select("doc_id", "n", "gram")
+    cov = (
+        grams.join(dup, ["doc_id", "n", "gram"])
+        .select(
+            "doc_id", "n",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.col("n") - 1)
+            ).alias("tp"),
+        )
+        .distinct()
+    )
+    tok_len = base.select(
+        "doc_id", F.posexplode("t").alias("tp0", "tok")
+    ).select(
+        "doc_id", (F.col("tp0") + 1).alias("tp"), F.length("tok").alias("tl")
+    )
+    covchars = cov.join(tok_len, ["doc_id", "tp"]).groupBy(
+        "doc_id", "n"
+    ).agg(F.sum("tl").alias("cov_chars"))
+    # pivot the (doc, n) stats to one row per doc with 0.0 defaults
+    stats = top.join(covchars, ["doc_id", "n"], "full").groupBy(
+        "doc_id"
+    ).agg(*(
+        [F.max(F.when(F.col("n") == n, F.col("top_chars")))
+         .alias(f"topc{n}") for n in GOPHER_TOP_NGRAM_MAX]
+        + [F.max(F.when(F.col("n") == n, F.col("cov_chars")))
+           .alias(f"covc{n}") for n in GOPHER_DUP_NGRAM_MAX]
+    ))
+    out = base.select("doc_id", "nonspace").join(stats, "doc_id", "left")
+    cols = [F.col("doc_id"), F.col("nonspace").cast("long").alias("n_chars")]
+    for n in GOPHER_TOP_NGRAM_MAX:
+        cols.append(
+            F.when(
+                F.col(f"topc{n}").isNull(), F.lit(0.0)
+            ).otherwise(
+                F.round(
+                    F.col(f"topc{n}").cast("double") / F.col("nonspace"), 6
+                )
+            ).alias(f"top{n}_frac")
+        )
+    for n in GOPHER_DUP_NGRAM_MAX:
+        # a doc with grams but no duplicates still reports 0.0 (the
+        # full-join row exists via top_chars when n in both sets, or
+        # not at all when size(t) < n — both coalesce to 0.0)
+        cols.append(
+            F.coalesce(
+                F.round(
+                    F.col(f"covc{n}").cast("double") / F.col("nonspace"), 6
+                ),
+                F.lit(0.0),
+            ).alias(f"dup{n}_frac")
+        )
+    feats = out.select(*cols)
+    keep = None
+    for n, t in GOPHER_TOP_NGRAM_MAX.items():
+        cond = F.col(f"top{n}_frac") <= t
+        keep = cond if keep is None else keep & cond
+    for n, t in GOPHER_DUP_NGRAM_MAX.items():
+        keep = keep & (F.col(f"dup{n}_frac") <= t)
+    return feats.select("*", keep.alias("keep"))
