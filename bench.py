@@ -97,6 +97,10 @@ HEADLINE = [
     "ngram_lm_kneser_ney",
     "mixture_anneal_schedule",
     "text_gopher_repetition_rules",
+    "cms_heavy_hitters",
+    "approx_percentile_within_band",
+    "bloom_filter_prune_certificate",
+    "weighted_sample_systematic",
 ]
 N_R3_SET = 53  # the first 53 entries are the r2/r3 headline set
 N_R4_SET = 61  # ... the first 61 are the r4 headline set

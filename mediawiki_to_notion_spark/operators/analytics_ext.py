@@ -1877,3 +1877,380 @@ def retention_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy(
         F.unix_millis("cohort_week").alias("cohort_week_ms"), "weeks_since"
     ).agg(F.count_distinct("user_id").alias("n_active_users"))
+
+
+CMS_DEPTH = 4     # independent hash rows
+CMS_WIDTH = 256   # buckets per row
+CMS_PROBE_K = 20  # probe the exact top-K words (+ deterministic ties)
+
+
+@register(
+    "cms_heavy_hitters",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ), wc AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS exact_n
+      FROM words WHERE word != '' GROUP BY word
+    ), cells AS (
+      SELECT d.depth,
+             ('0x' || substr(md5(d.depth::VARCHAR || ':' || word), 1, 15))
+               ::BIGINT % {CMS_WIDTH} AS bucket,
+             CAST(sum(exact_n) AS BIGINT) AS cell
+      FROM wc, (SELECT unnest(range({CMS_DEPTH})) AS depth) d
+      GROUP BY d.depth, bucket
+    ), probes AS (
+      SELECT word, exact_n FROM wc
+      ORDER BY exact_n DESC, word ASC LIMIT {CMS_PROBE_K}
+    )
+    SELECT p.word, p.exact_n,
+           CAST(min(c.cell) AS BIGINT) AS cms_estimate,
+           min(c.cell) >= p.exact_n AS lower_bounded,
+           CAST(min(c.cell) - p.exact_n AS BIGINT) AS overcount
+    FROM probes p, (SELECT unnest(range({CMS_DEPTH})) AS depth) d
+    JOIN cells c
+      ON c.depth = d.depth
+     AND c.bucket = ('0x' || substr(md5(d.depth::VARCHAR || ':' || p.word),
+                                    1, 15))::BIGINT % {CMS_WIDTH}
+    GROUP BY p.word, p.exact_n
+    """,
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch built RELATIONALLY (Cormode & Muthukrishnan
+    2005) and probed for the exact top-{CMS_PROBE_K} words: counts
+    fold into a {CMS_DEPTH}x{CMS_WIDTH} cell grid via {CMS_DEPTH}
+    salted md5 hashes, a point query is min over the item's
+    {CMS_DEPTH} cells, and the output certifies the sketch's HARD
+    one-sided guarantee (estimate >= exact, always) plus the actual
+    overcount per probe.  Both engines build bit-identical sketches
+    (same salted hash), so the driver hash-checks the whole
+    build→probe path exactly — the codec-roundtrip discipline applied
+    to a third sketch family (after HLL and the FFT certificate).
+
+    100 TB shape: the sketch build is ONE map-side-combinable groupBy
+    to {CMS_DEPTH}x{CMS_WIDTH} cells regardless of corpus size (the
+    entire point of CMS); the vocabulary collapses first so the
+    {CMS_DEPTH}-way fan-out runs over distinct words; the probe joins
+    the CELL GRID (a broadcast-sized table) to the top-K probe set."""
+    d = load_table(spark, "documents", sf_dir)
+    wc = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .localCheckpoint()  # shared by cells + probes
+    )
+    depths = spark.range(CMS_DEPTH).select(F.col("id").alias("depth"))
+
+    def bucket(depth_col, word_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(depth_col.cast("string"), F.lit(":"),
+                                   word_col)), 1, 15
+                ), 16, 10,
+            ).cast("long") % CMS_WIDTH
+        )
+
+    cells = (
+        wc.crossJoin(F.broadcast(depths))
+        .groupBy("depth", bucket(F.col("depth"), F.col("word"))
+                 .alias("bucket"))
+        .agg(F.sum("exact_n").alias("cell"))
+    )
+    probes = wc.orderBy(F.desc("exact_n"), F.asc("word")) \
+        .limit(CMS_PROBE_K)
+    # join on (depth, bucket): recompute the probe word's bucket
+    probed = (
+        probes.crossJoin(F.broadcast(depths))
+        .withColumn("bucket", bucket(F.col("depth"), F.col("word")))
+        .join(F.broadcast(cells), ["depth", "bucket"])
+    )
+    return probed.groupBy("word", "exact_n").agg(
+        F.min("cell").alias("cms_estimate"),
+        (F.min("cell") >= F.col("exact_n")).alias("lower_bounded"),
+        (F.min("cell") - F.col("exact_n")).alias("overcount"),
+    )
+
+
+PCTL_ACCURACY = 100          # percentile_approx: rank error <= n/100
+PCTL_QS = (0.5, 0.9, 0.99)
+
+
+@register(
+    "approx_percentile_within_band",
+    oracle=f"""
+    WITH n_t AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE value IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(q * 100 AS INT) AS q_pct, n,
+           TRUE AS within_band
+    FROM n_t, (SELECT unnest([{', '.join(str(q) for q in PCTL_QS)}]) AS q)
+    """,
+)
+def approx_percentile_within_band(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Rank-error certificate for Spark's ``percentile_approx``
+    (Greenwald-Khanna): for each event type and q in {PCTL_QS}, the
+    approximate quantile's EXACT rank must land within the algorithm's
+    guaranteed band q*n ± n/{PCTL_ACCURACY} (±1 for boundary
+    rounding).  The approximate VALUE itself is merge-order-dependent
+    and never emitted — only the band verdict, which the guarantee
+    makes TRUE under any partitioning (so this query also passes the
+    registry's parallelism-invariance sweep by construction).
+
+    100 TB shape: the sketch aggregation is the scalable path
+    (mergeable summaries, map-side combine); the certificate's exact
+    rank probe is one conditional count per (type, q) against the
+    type's rows — the audit you run at small scale and on samples, not
+    a production dependency."""
+    e = load_table(spark, "events", sf_dir).select(
+        "event_type", "value"
+    ).filter(F.col("value").isNotNull())
+    approx = e.groupBy("event_type").agg(
+        F.percentile_approx(
+            "value", F.array(*[F.lit(q) for q in PCTL_QS]),
+            F.lit(PCTL_ACCURACY),
+        ).alias("avals"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    per_q = approx.select(
+        "event_type", "n",
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.lit(q) for q in PCTL_QS]).alias("q"),
+                F.col("avals").alias("av"),
+            )
+        ).alias("z"),
+    ).select(
+        "event_type", "n",
+        F.col("z.q").alias("q"), F.col("z.av").alias("av"),
+    )
+    # null-safe join: a NULL event_type is a legal group in the
+    # oracle's plain GROUP BY, so the rank probe must not drop it
+    ranked = (
+        e.withColumnRenamed("event_type", "et")
+        .join(per_q, F.col("et").eqNullSafe(F.col("event_type")))
+        .groupBy("event_type", "n", "q", "av")
+        .agg(F.count(F.when(F.col("value") <= F.col("av"), 1))
+             .alias("rank_le"))
+    )
+    eps = 1.0 / PCTL_ACCURACY
+    lo = F.floor((F.col("q") - eps) * F.col("n")) - 1
+    hi = F.ceil((F.col("q") + eps) * F.col("n")) + 1
+    return ranked.select(
+        "event_type",
+        (F.col("q") * 100).cast("int").alias("q_pct"),
+        "n",
+        ((F.col("rank_le") >= lo) & (F.col("rank_le") <= hi))
+        .alias("within_band"),
+    )
+
+
+BLOOM_BITS = 8192   # filter width m
+BLOOM_K = 3         # hash functions
+BLOOM_MEMBER_MOD = 10  # docs with doc_id % 10 == 0 form the indexed set
+
+
+@register(
+    "bloom_filter_prune_certificate",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ), member_words AS (
+      SELECT DISTINCT word FROM toks
+      WHERE doc_id % {BLOOM_MEMBER_MOD} = 0 AND word <> ''
+    ), all_words AS (
+      SELECT DISTINCT word FROM toks WHERE word <> ''
+    ), js AS (SELECT unnest(range({BLOOM_K})) AS j),
+    bits AS (
+      SELECT DISTINCT ('0x' || substr(md5(j::VARCHAR || ':' || word), 1, 15))
+               ::BIGINT % {BLOOM_BITS} AS bit
+      FROM member_words, js
+    ), probe_bits AS (
+      SELECT a.word,
+             ('0x' || substr(md5(j.j::VARCHAR || ':' || a.word), 1, 15))
+               ::BIGINT % {BLOOM_BITS} AS bit
+      FROM all_words a CROSS JOIN js j
+    ), hits AS (
+      SELECT p.word, count(b.bit) AS nhit
+      FROM probe_bits p LEFT JOIN bits b USING (bit)
+      GROUP BY p.word
+    )
+    SELECT CAST((SELECT count(*) FROM member_words) AS BIGINT) AS n_members,
+           CAST((SELECT count(*) FROM bits) AS BIGINT) AS bits_set,
+           CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(count(*) FILTER (WHERE m.word IS NULL) AS BIGINT)
+             AS n_nonmembers,
+           CAST(count(*) FILTER (WHERE m.word IS NOT NULL
+                                 AND nhit < {BLOOM_K}) AS BIGINT)
+             AS false_negatives,
+           CAST(count(*) FILTER (WHERE m.word IS NULL
+                                 AND nhit = {BLOOM_K}) AS BIGINT)
+             AS false_positives,
+           CAST(count(*) FILTER (WHERE m.word IS NULL
+                                 AND nhit = {BLOOM_K}) * 1000000
+                // GREATEST(count(*) FILTER (WHERE m.word IS NULL), 1)
+                AS BIGINT) AS fpr_ppm
+    FROM hits h LEFT JOIN member_words m USING (word)
+    """,
+)
+def bloom_filter_prune_certificate(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Bloom-filter pre-join pruning, certified (Bloom 1970 — the
+    decontamination / runtime-row-filter shape): an "eval suite"
+    vocabulary (words of every {BLOOM_MEMBER_MOD}th document) is
+    indexed into an m={BLOOM_BITS}, k={BLOOM_K} filter built
+    RELATIONALLY (the set-bit table, salted-md5 positions); every
+    corpus word then probes it.  Both engines build bit-identical
+    filters, so the driver hash-checks the HARD guarantee — zero
+    false negatives, always — plus the measured false-positive rate
+    (exact integer ppm), i.e. exactly what a 100 TB decontamination
+    pass needs to know before trusting the filter to prune its
+    expensive exact join.
+
+    100 TB shape: the filter is <= m rows regardless of corpus size
+    and BROADCASTS to every probe task (the point of Bloom pruning);
+    the build is one distinct + a {BLOOM_K}-way fan-out over the
+    MEMBER vocabulary only; the probe side stays a vocabulary-sized
+    hash aggregation, never a corpus-sized join."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    member_words = (
+        toks.filter(F.col("doc_id") % BLOOM_MEMBER_MOD == 0)
+        .select("word").distinct().localCheckpoint()
+    )
+    all_words = toks.select("word").distinct()
+    js = spark.range(BLOOM_K).select(F.col("id").alias("j"))
+
+    def bit(j_col, word_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(j_col.cast("string"), F.lit(":"),
+                                   word_col)), 1, 15
+                ), 16, 10,
+            ).cast("long") % BLOOM_BITS
+        )
+
+    bits = (
+        member_words.crossJoin(F.broadcast(js))
+        .select(bit(F.col("j"), F.col("word")).alias("bit"))
+        .distinct()
+        .withColumn("present", F.lit(1))
+    )
+    hits = (
+        all_words.crossJoin(F.broadcast(js))
+        .withColumn("bit", bit(F.col("j"), F.col("word")))
+        .join(F.broadcast(bits), "bit", "left")
+        .groupBy("word")
+        .agg(F.count("present").alias("nhit"))
+    )
+    truth = hits.join(
+        member_words.withColumn("is_m", F.lit(1)), "word", "left"
+    )
+    member_count = member_words.agg(
+        F.count(F.lit(1)).alias("n_members"))
+    bits_count = bits.agg(F.count(F.lit(1)).alias("bits_set"))
+    agg = truth.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.count(F.when(F.col("is_m").isNull(), 1)).alias("n_nonmembers"),
+        F.count(F.when(F.col("is_m").isNotNull()
+                       & (F.col("nhit") < BLOOM_K), 1))
+        .alias("false_negatives"),
+        F.count(F.when(F.col("is_m").isNull()
+                       & (F.col("nhit") == BLOOM_K), 1))
+        .alias("false_positives"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(member_count))
+        .crossJoin(F.broadcast(bits_count))
+        .select(
+            "n_members", "bits_set", "n_probes", "n_nonmembers",
+            "false_negatives", "false_positives",
+            F.expr(
+                "CAST(false_positives * 1000000"
+                " div GREATEST(n_nonmembers, 1) AS BIGINT)"
+            ).alias("fpr_ppm"),
+        )
+    )
+
+
+PPS_K = 100               # exact sample size (sum of copies)
+N_PPS_PARTITIONS = 32     # range partitions for the two-pass prefix sum
+
+
+@register(
+    "weighted_sample_systematic",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, GREATEST(n_chars, 1) AS w FROM documents
+    ), tot AS (
+      SELECT CAST(sum(w) AS BIGINT) AS wt FROM sized
+    ), cum AS (
+      SELECT doc_id, w,
+             sum(w) OVER (ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS hi
+      FROM sized
+    )
+    SELECT doc_id, CAST(w AS BIGINT) AS weight,
+           CAST((hi * {PPS_K}) // wt
+                - ((hi - w) * {PPS_K}) // wt AS BIGINT) AS n_copies
+    FROM cum, tot
+    WHERE (hi * {PPS_K}) // wt - ((hi - w) * {PPS_K}) // wt >= 1
+    """,
+)
+def weighted_sample_systematic(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Exactly-K systematic PPS sampling (probability proportional to
+    size) — the deterministic mixture-construction primitive: lay
+    every document's weight (n_chars) end to end on [0, W), drop
+    {PPS_K} equally-spaced pins, and a document is drawn once per pin
+    inside its interval (sum of copies == {PPS_K} EXACTLY, large docs
+    can be drawn multiple times — the epochs-per-source semantics of
+    mixture training).  All selection arithmetic is exact integer
+    (hi*K div W), so both engines pick the identical sample — no
+    float threshold, no RNG.
+
+    100 TB shape: the corpus-wide running position comes from the
+    two-pass prefix sum (range partitions -> per-partition window ->
+    {N_PPS_PARTITIONS} broadcast offsets), never a single-task global
+    window; the global weight total is one scalar broadcast."""
+    d = load_table(spark, "documents", sf_dir)
+    sized = d.select(
+        "doc_id",
+        F.greatest(F.col("n_chars"), F.lit(1)).cast("long").alias("w"),
+    )
+    ranged = (
+        sized.repartitionByRange(N_PPS_PARTITIONS, "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    w_local = (
+        W.partitionBy("pid").orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local_cum = ranged.withColumn("local_hi", F.sum("w").over(w_local))
+    totals = ranged.groupBy("pid").agg(F.sum("w").alias("t"))
+    offsets = totals.select(
+        "pid",
+        (F.sum("t").over(W.orderBy("pid")) - F.col("t")).alias("offset"),
+    )
+    wt = sized.agg(F.sum("w").alias("wt"))
+    cum = (
+        local_cum.join(F.broadcast(offsets), "pid")
+        .withColumn("hi", F.col("offset") + F.col("local_hi"))
+        .crossJoin(F.broadcast(wt))
+    )
+    copies = cum.select(
+        "doc_id",
+        F.col("w").alias("weight"),
+        F.expr(f"CAST((hi * {PPS_K}) div wt"
+               f" - ((hi - w) * {PPS_K}) div wt AS BIGINT)")
+        .alias("n_copies"),
+    )
+    return copies.filter(F.col("n_copies") >= 1)
