@@ -131,3 +131,78 @@ def test_page_fragment_ranges_partition_exactly(texts, cut_seed, n_ranges):
     for lo, hi in zip(bounds, bounds[1:]):
         pieces.extend(iter_page_fragments(io.BytesIO(data), lo, hi))
     assert sorted(pieces) == sorted(whole)
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition kernel: the row-local Arrow kernel's per-doc integer
+# numerators, pinned against a naive from-the-definition reference
+# (Rae et al. 2021 table A1 semantics) on adversarial token streams.
+
+rep_tokens = st.lists(
+    st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",),
+                               blacklist_characters=" \r"),
+        min_size=1, max_size=4,
+    ),
+    max_size=30,
+)
+
+
+def _naive_rep_features(text):
+    """O(m^2) direct reading of the definitions: for each n, the top
+    n-gram is the max-count gram (ties -> lexicographically greatest
+    joined string) and contributes count * its-char-length; duplicated
+    coverage sums the lengths of every token position inside ANY gram
+    occurring >= 2 times."""
+    toks = [w for w in text.split(" ") if w]
+    m = len(toks)
+    feats = {"nonspace": len(text.replace(" ", ""))}
+    for n in (2, 3, 4):
+        if m < n:
+            feats[f"topc{n}"] = None
+            continue
+        grams = [" ".join(toks[i:i + n]) for i in range(m - n + 1)]
+        counted = [(grams.count(g), g) for g in grams]
+        cmax = max(c for c, _ in counted)
+        best = max(g for c, g in counted if c == cmax)
+        feats[f"topc{n}"] = cmax * (len(best) - (n - 1))
+    for n in (5, 8, 10):
+        if m < n:
+            feats[f"covc{n}"] = None
+            continue
+        grams = [" ".join(toks[i:i + n]) for i in range(m - n + 1)]
+        covered = set()
+        for i, g in enumerate(grams):
+            if grams.count(g) >= 2:
+                covered.update(range(i, i + n))
+        feats[f"covc{n}"] = sum(len(toks[i]) for i in covered)
+    return feats
+
+
+@settings(max_examples=300, deadline=None)
+@given(rep_tokens, st.booleans())
+def test_repetition_kernel_matches_naive_reference(tokens, double):
+    from mediawiki_to_notion_spark.operators.corpus_quality import (
+        _REP_OUT_COLS,
+        _rep_features_row,
+    )
+
+    # doubling the stream manufactures guaranteed duplicated n-grams
+    text = " ".join(tokens + tokens if double else tokens)
+    row = dict(zip(_REP_OUT_COLS, _rep_features_row(7, text)))
+    naive = _naive_rep_features(text)
+    assert row["doc_id"] == 7
+    for k, v in naive.items():
+        assert row[k] == v, (k, v, row[k], text)
+
+
+def test_repetition_kernel_null_and_empty_text():
+    from mediawiki_to_notion_spark.operators.corpus_quality import (
+        _REP_OUT_COLS,
+        _rep_features_row,
+    )
+
+    assert _rep_features_row(1, None) == (1,) + (None,) * (len(_REP_OUT_COLS) - 1)
+    empty = dict(zip(_REP_OUT_COLS, _rep_features_row(2, "   ")))
+    assert empty["nonspace"] == 0
+    assert all(empty[c] is None for c in _REP_OUT_COLS[2:])
