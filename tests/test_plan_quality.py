@@ -801,3 +801,34 @@ def test_embedding_pca_matches_numpy(spark):
     mu_got = np.array([r.mean for r in sorted(
         (r for r in rows if r.component == 0), key=lambda r: r.dim)])
     np.testing.assert_allclose(mu_got, vecs.mean(axis=0), atol=1e-9)
+
+
+def test_repetition_rules_is_shuffle_free_arrow_kernel(spark):
+    """Per-document repetition statistics never shuffle: the whole
+    battery is one row-local Arrow kernel over the (doc_id, text) scan
+    (the r5 rewrite's defining property — 6.5x over the keyed
+    aggregation)."""
+    plan = plan_of(spark, "text_gopher_repetition_rules")
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_repetition_kernel_arrow_batch_size_invariance(spark):
+    """The kernel's output must not depend on Arrow batch boundaries:
+    force pathologically small batches and require identical rows."""
+    from mediawiki_to_notion_spark.operators import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    fn = QUERIES["text_gopher_repetition_rules"]
+    baseline = sorted(map(tuple, fn(spark, sf).collect()))
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "7")
+        tiny = sorted(map(tuple, fn(spark, sf).collect()))
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    assert tiny == baseline
