@@ -101,6 +101,8 @@ HEADLINE = [
     "approx_percentile_within_band",
     "bloom_filter_prune_certificate",
     "weighted_sample_systematic",
+    "multimodal_video_roundtrip",
+    "multimodal_audio_g711_roundtrip",
 ]
 N_R3_SET = 53  # the first 53 entries are the r2/r3 headline set
 N_R4_SET = 61  # ... the first 61 are the r4 headline set

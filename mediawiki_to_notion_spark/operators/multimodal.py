@@ -7,16 +7,20 @@ a typed metadata struct — the reference's embedded-file model
 The decode / feature-extract stage is a `mapInPandas` pipeline whose
 Spark-side plumbing (schema, Arrow batching, partitioning) is real and
 tested.  Codec status (r5): **PNG (complete baseline), JPEG (baseline
-sequential + progressive), GIF, BMP, WAV, and AIFF decode are REAL** — pure stdlib+numpy codecs
+sequential + progressive), GIF, BMP, WAV, AIFF, Sun AU with G.711
+μ-law/A-law companded audio, and MJPEG-AVI video decode are REAL** —
+pure stdlib+numpy codecs
 under ``functions.*_codec``, exercised end-to-end through the actual
 mapInPandas kernels in ``tests/test_multimodal_codecs.py`` and
-value-checked at the driver gate by ``multimodal_codec_roundtrip``
-(the oracle predicts decoded dimensions from doc_id arithmetic).
-Formats needing full media stacks (WebP, MP3,
-H.264) remain behind an import-try on PIL/libvips with a clear
-``NotImplementedError``; the earlier registered oracle queries keep
-the deterministic md5 stand-in so their cross-engine value checks
-stay engine-computable.
+value-checked at the driver gate by ``multimodal_codec_roundtrip`` /
+``multimodal_video_roundtrip`` / ``multimodal_audio_g711_roundtrip``
+(the oracles predict decoded dimensions, frame counts, fps, and
+spectral peak bins from doc_id arithmetic).
+Formats needing full media stacks (WebP, perceptual audio — MP3/AAC/
+Opus — and inter-frame video codecs: H.26x/VP9/AV1) remain behind an
+import-try on PIL/libvips with a clear ``NotImplementedError``; the
+earlier registered oracle queries keep the deterministic md5 stand-in
+so their cross-engine value checks stay engine-computable.
 """
 
 from __future__ import annotations
@@ -111,8 +115,9 @@ def decode_image(content: bytes) -> tuple[int, int]:
 
 
 def decode_audio(content: bytes) -> tuple[int, int, int]:
-    """REAL audio decode: WAV (RIFF — integer/float PCM, extensible)
-    and AIFF/AIFC (FORM — big-endian PCM) via the pure-stdlib parsers
+    """REAL audio decode: WAV (RIFF — integer/float PCM, extensible),
+    AIFF/AIFC (FORM — big-endian PCM), and Sun AU (.snd — G.711
+    μ-law/A-law companding + linear PCM) via the pure-stdlib parsers
     → (sample_rate, channels, n_samples)."""
     from mediawiki_to_notion_spark.functions.wav_codec import decode_wav
 
@@ -124,9 +129,38 @@ def decode_audio(content: bytes) -> tuple[int, int, int]:
 
         rate, channels, samples = decode_aiff(content)
         return rate, channels, len(samples)
+    if content[:4] == b".snd":
+        from mediawiki_to_notion_spark.functions.au_codec import decode_au
+
+        rate, channels, samples = decode_au(content)
+        return rate, channels, len(samples)
     raise NotImplementedError(
-        f"no decoder for magic {content[:4]!r} (WAV and AIFF are built "
-        "in; compressed audio needs an audio library)"
+        f"no decoder for magic {content[:4]!r} (WAV, AIFF, and G.711 AU "
+        "are built in; perceptual codecs need an audio library)"
+    )
+
+
+def decode_video(content: bytes,
+                 frame_step: int = 1) -> tuple[int, int, int, int, list]:
+    """REAL video decode for intra-frame codecs: MJPEG-in-AVI via the
+    pure-stdlib RIFF walker + the JPEG codec per kept frame
+    (functions.avi_codec) → (width, height, fps, n_frames, frames).
+    ``frame_step`` samples every k-th frame WITHOUT entropy-decoding
+    the skipped ones — the property that makes frame sampling cheap.
+    Inter-frame codecs (H.26x/VP9/AV1 in MP4/MKV) raise
+    NotImplementedError by name: their reference decoders cannot be
+    reproduced from the public spec with confidence in a stdlib-only
+    sandbox, and a self-consistent-but-wrong decoder is worse than a
+    named rejection."""
+    if content[:4] == b"RIFF" and content[8:12] == b"AVI ":
+        from mediawiki_to_notion_spark.functions.avi_codec import (
+            decode_avi_mjpeg,
+        )
+
+        return decode_avi_mjpeg(content, frame_step=frame_step)
+    raise NotImplementedError(
+        f"no video decoder for magic {content[:4]!r} (MJPEG-AVI is "
+        "built in; inter-frame codecs need a media library)"
     )
 
 
@@ -730,4 +764,143 @@ def multimodal_audio_peak_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir).select("doc_id")
     return d.mapInPandas(
         peak, "doc_id long, peak_bin int, peak_hz int, bin_match boolean"
+    )
+
+
+VIDEO_FRAME_STEP = 2  # sample every 2nd frame in the certificate
+
+
+@register(
+    "multimodal_video_roundtrip",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(16 + doc_id % 32 AS INT) AS width,
+           CAST(16 + doc_id % 24 AS INT) AS height,
+           CAST(5 + doc_id % 10 AS INT) AS fps,
+           CAST(2 + doc_id % 4 AS INT) AS n_frames,
+           CAST((2 + doc_id % 4 + {VIDEO_FRAME_STEP} - 1)
+                // {VIDEO_FRAME_STEP} AS INT) AS n_sampled,
+           TRUE AS frames_ok
+    FROM documents
+    """,
+)
+def multimodal_video_roundtrip(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Value-checked certificate for the VIDEO path (the codec-
+    roundtrip discipline on the r5 MJPEG-AVI codec): every document
+    synthesizes n = 2 + doc_id % 4 deterministic frames of
+    (16 + id % 32) x (16 + id % 24), encodes them as a single-stream
+    MJPEG AVI at fps = 5 + id % 10, then decodes through
+    ``decode_video`` with frame_step={VIDEO_FRAME_STEP} — sampling
+    every other frame WITHOUT entropy-decoding the skipped ones.  The
+    SQL oracle predicts width/height/fps/frame counts from doc_id
+    arithmetic alone, so a hash-green driver row certifies
+    encode → RIFF/AVI container → header parse → per-frame JPEG
+    decode → frame sampling end to end.
+
+    100 TB shape: one narrow Arrow-batched mapInPandas pass, zero
+    shuffles; per-row work bounded by the tiny synthetic clip, and
+    real corpora run the header-only ``probe_avi`` first."""
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from mediawiki_to_notion_spark.functions.avi_codec import (
+            encode_avi_mjpeg,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                w, h = 16 + did % 32, 16 + did % 24
+                n, fps = 2 + did % 4, 5 + did % 10
+                frames = [
+                    np.stack(
+                        [((np.add.outer(np.arange(h) * 3,
+                                        np.arange(w) * 7) + did + k) % 256)
+                         .astype(np.uint8)] * 3, axis=-1,
+                    )
+                    for k in range(n)
+                ]
+                blob = encode_avi_mjpeg(frames, fps=fps, quality=90)
+                dw, dh, dfps, dn, kept = decode_video(
+                    blob, frame_step=VIDEO_FRAME_STEP)
+                ok = (all(f.shape == (h, w, 3) for f in kept)
+                      and (dw, dh, dfps, dn) == (w, h, fps, n))
+                rows.append((did, dw, dh, dfps, dn, len(kept), ok))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "fps",
+                         "n_frames", "n_sampled", "frames_ok"],
+            )
+
+    d = load_table(spark, "documents", sf_dir).select("doc_id")
+    return d.mapInPandas(
+        roundtrip,
+        "doc_id long, width int, height int, fps int, n_frames int, "
+        "n_sampled int, frames_ok boolean",
+    )
+
+
+@register(
+    "multimodal_audio_g711_roundtrip",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'mulaw' ELSE 'alaw' END AS law,
+           CAST(1 + doc_id % {FFT_MAX_BIN} AS INT) AS peak_bin,
+           TRUE AS bin_match
+    FROM documents
+    """,
+)
+def multimodal_audio_g711_roundtrip(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Value-checked certificate for the COMPRESSED-audio path (the
+    peak-bin trick through a lossy codec): every document synthesizes
+    the same oracle-predictable pure sine as
+    ``multimodal_audio_peak_bin``, companded through G.711 μ-law
+    (even doc_id) or A-law (odd) in a Sun AU container, decoded back
+    through ``decode_audio``'s AU path, and the rfft argmax must
+    still land on the predicted bin — companding noise is broadband
+    (~38 dB SQNR), so a surviving argmax certifies the quantizer,
+    container, and spectral path together.  A hash-green driver row
+    therefore certifies lossy encode → AU container → decode → FFT
+    end to end.
+
+    100 TB shape: one narrow Arrow-batched mapInPandas pass, zero
+    shuffles; per-row work is one tiny companding table application
+    plus a {FFT_N}-point rfft."""
+
+    def peak(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from mediawiki_to_notion_spark.functions.au_codec import (
+            decode_au,
+            encode_au,
+        )
+
+        t = np.arange(FFT_N) / FFT_RATE
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                k = 1 + did % FFT_MAX_BIN
+                law = "mulaw" if did % 2 == 0 else "alaw"
+                f = k * FFT_RATE / FFT_N  # exactly bin k: no leakage
+                sig = np.round(
+                    20000 * np.sin(2 * np.pi * f * t)
+                ).astype(np.int16)
+                blob = encode_au(sig, sample_rate=FFT_RATE, encoding=law)
+                _rate, _ch, samples = decode_au(blob)
+                spec = np.abs(np.fft.rfft(
+                    samples[:FFT_N, 0].astype(np.float64)))
+                got = int(np.argmax(spec))
+                rows.append((did, law, got, got == k))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "law", "peak_bin", "bin_match"],
+            )
+
+    d = load_table(spark, "documents", sf_dir).select("doc_id")
+    return d.mapInPandas(
+        peak, "doc_id long, law string, peak_bin int, bin_match boolean"
     )

@@ -1190,3 +1190,218 @@ def test_jpeg_progressive_restart_markers(shape, subsample, ri):
     _, _, prog = decode_jpeg(encode_jpeg_progressive(
         img, quality=55, subsample=subsample, restart_interval=ri))
     assert np.array_equal(base, prog)
+
+
+# ---------------------------------------------------------------------------
+# MJPEG-in-AVI video (r5): RIFF container + per-frame JPEG.
+
+def _clip(w, h, n, seed=0):
+    return [
+        np.stack(
+            [((np.add.outer(np.arange(h) * 3, np.arange(w) * 7) + seed + k)
+              % 256).astype(np.uint8)] * 3, axis=-1,
+        )
+        for k in range(n)
+    ]
+
+
+@pytest.mark.parametrize("w,h,n,fps", [(16, 16, 1, 1), (32, 24, 5, 12),
+                                       (47, 25, 7, 30)])
+def test_avi_mjpeg_roundtrip(w, h, n, fps):
+    from mediawiki_to_notion_spark.functions.avi_codec import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+        probe_avi,
+    )
+
+    blob = encode_avi_mjpeg(_clip(w, h, n), fps=fps, quality=90)
+    assert probe_avi(blob) == (w, h, fps, n)
+    dw, dh, dfps, dn, frames = decode_avi_mjpeg(blob)
+    assert (dw, dh, dfps, dn) == (w, h, fps, n)
+    assert len(frames) == n
+    assert all(f.shape == (h, w, 3) and f.dtype == np.uint8 for f in frames)
+
+
+@pytest.mark.parametrize("step,expected", [(1, 7), (2, 4), (3, 3), (7, 1),
+                                           (10, 1)])
+def test_avi_frame_sampling_counts(step, expected):
+    from mediawiki_to_notion_spark.functions.avi_codec import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+
+    blob = encode_avi_mjpeg(_clip(20, 18, 7), fps=4)
+    _w, _h, _fps, n, frames = decode_avi_mjpeg(blob, frame_step=step)
+    assert n == 7 and len(frames) == expected
+    # sampled frames are frames 0, step, 2*step, ... of the clip
+    full = decode_avi_mjpeg(blob)[4]
+    for i, f in enumerate(frames):
+        assert np.array_equal(f, full[i * step])
+
+
+def test_avi_errors_and_bomb_caps():
+    from mediawiki_to_notion_spark.functions.avi_codec import (
+        AVIError,
+        MAX_FRAMES,
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+        probe_avi,
+    )
+
+    with pytest.raises(AVIError):
+        encode_avi_mjpeg([], fps=5)
+    with pytest.raises(AVIError):
+        encode_avi_mjpeg(_clip(16, 16, 1) + _clip(18, 16, 1), fps=5)
+    with pytest.raises(AVIError):
+        encode_avi_mjpeg(_clip(16, 16, 1), fps=0)
+    blob = bytearray(encode_avi_mjpeg(_clip(16, 16, 2), fps=5))
+    with pytest.raises(AVIError):
+        decode_avi_mjpeg(bytes(blob), frame_step=0)
+    # header declaring more frames than the cap must refuse pre-decode
+    import struct as _s
+
+    pos = bytes(blob).find(b"avih") + 8
+    hostile = bytearray(blob)
+    hostile[pos + 16:pos + 20] = _s.pack("<I", MAX_FRAMES + 1)
+    with pytest.raises(AVIError):
+        probe_avi(bytes(hostile))
+    # non-MJPG vids stream is a named rejection
+    hostile = bytearray(blob)
+    p = bytes(blob).find(b"vids") + 4
+    hostile[p:p + 4] = b"H264"
+    with pytest.raises(AVIError):
+        probe_avi(bytes(hostile))
+    # frame-count mismatch between header and movi
+    hostile = bytearray(blob)
+    hostile[pos + 16:pos + 20] = _s.pack("<I", 3)
+    with pytest.raises(AVIError):
+        decode_avi_mjpeg(bytes(hostile))
+
+
+def test_avi_truncation_and_bitflips_never_hang():
+    from mediawiki_to_notion_spark.functions.avi_codec import (
+        AVIError,
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+    from mediawiki_to_notion_spark.functions.jpeg_codec import JPEGError
+
+    blob = encode_avi_mjpeg(_clip(24, 16, 3), fps=6)
+    for cut in (4, 11, 12, 40, 57, 100, len(blob) // 2, len(blob) - 3):
+        try:
+            decode_avi_mjpeg(blob[:cut])
+        except (AVIError, JPEGError):
+            pass
+    rng = np.random.default_rng(7)
+    for _ in range(50):
+        noisy = bytearray(blob)
+        for i in rng.integers(0, len(blob), size=4):
+            noisy[i] ^= int(rng.integers(1, 256))
+        try:
+            decode_avi_mjpeg(bytes(noisy))
+        except (AVIError, JPEGError, NotImplementedError):
+            pass
+
+
+def test_avi_feeds_decode_video_dispatcher():
+    from mediawiki_to_notion_spark.functions.avi_codec import encode_avi_mjpeg
+    from mediawiki_to_notion_spark.operators.multimodal import decode_video
+
+    blob = encode_avi_mjpeg(_clip(18, 14, 4), fps=9)
+    w, h, fps, n, frames = decode_video(blob, frame_step=2)
+    assert (w, h, fps, n, len(frames)) == (18, 14, 9, 4, 2)
+    with pytest.raises(NotImplementedError):
+        decode_video(b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 16)
+
+
+# ---------------------------------------------------------------------------
+# Sun AU / G.711 mu-law + A-law (r5).
+
+def test_g711_codebook_idempotence():
+    """encode(decode(b)) == b for every wire byte — the property that
+    pins both companding tables to the ITU formulas.  The single
+    mu-law exception is canonical: 0x7F (negative zero) re-encodes as
+    0xFF (positive zero)."""
+    from mediawiki_to_notion_spark.functions.au_codec import (
+        _alaw_decode,
+        _alaw_encode,
+        _mulaw_decode,
+        _mulaw_encode,
+    )
+
+    b = np.arange(256, dtype=np.uint8)
+    mu = _mulaw_encode(_mulaw_decode(b))
+    assert [(int(x), int(y)) for x, y in zip(b, mu) if x != y] \
+        == [(0x7F, 0xFF)]
+    assert np.array_equal(_alaw_encode(_alaw_decode(b)), b)
+
+
+def test_g711_quantization_error_bounds():
+    from mediawiki_to_notion_spark.functions.au_codec import (
+        _alaw_decode,
+        _alaw_encode,
+        _mulaw_decode,
+        _mulaw_encode,
+    )
+
+    x = np.arange(-32768, 32768, dtype=np.int16)
+    mu_err = np.abs(_mulaw_decode(_mulaw_encode(x)).astype(np.int32)
+                    - x.astype(np.int32))
+    al_err = np.abs(_alaw_decode(_alaw_encode(x)).astype(np.int32)
+                    - x.astype(np.int32))
+    # top-segment step is 1024 for both laws; midpoint error <= step/2
+    # plus mu-law's 132-sample clip region
+    assert mu_err.max() <= 644
+    assert al_err.max() <= 512
+
+
+@pytest.mark.parametrize("enc", ["mulaw", "alaw", "pcm16"])
+@pytest.mark.parametrize("channels", [1, 2])
+def test_au_container_roundtrip(enc, channels):
+    from mediawiki_to_notion_spark.functions.au_codec import (
+        decode_au,
+        encode_au,
+    )
+
+    sig = (np.sin(np.arange(400) / 5) * 20000).astype(np.int16)
+    data = sig if channels == 1 else np.stack([sig, -sig], axis=1)
+    blob = encode_au(data, sample_rate=8000, encoding=enc)
+    rate, ch, out = decode_au(blob)
+    assert (rate, ch) == (8000, channels)
+    assert out.shape == (400, channels)
+    tol = 0 if enc == "pcm16" else 520
+    assert np.abs(out[:, 0].astype(np.int32)
+                  - sig.astype(np.int32)).max() <= tol
+
+
+def test_au_errors_and_dispatcher():
+    from mediawiki_to_notion_spark.functions.au_codec import (
+        AUError,
+        decode_au,
+        encode_au,
+    )
+    from mediawiki_to_notion_spark.operators.multimodal import decode_audio
+
+    sig = np.zeros(16, dtype=np.int16)
+    blob = encode_au(sig, 8000, "mulaw")
+    assert decode_audio(blob) == (8000, 1, 16)
+    with pytest.raises(AUError):
+        decode_au(b"junk")
+    with pytest.raises(AUError):
+        decode_au(b".snd" + b"\x00" * 8)       # truncated header
+    with pytest.raises(AUError):
+        decode_au(b".snd" + bytes(20))          # offset 0 < 24
+    import struct as _s
+
+    hostile = bytearray(blob)
+    hostile[12:16] = _s.pack(">I", 23)          # encoding 23 = G.721
+    with pytest.raises(AUError):
+        decode_au(bytes(hostile))
+    with pytest.raises(AUError):
+        encode_au(sig.astype(np.float32), 8000, "mulaw")
+    # truncation never hangs, always typed
+    for cut in (5, 11, 23, 25, len(blob) - 1):
+        try:
+            decode_au(blob[:cut])
+        except AUError:
+            pass
