@@ -2,8 +2,10 @@
 WAV (FORM/AIFF container, COMM chunk with an 80-bit extended-float
 sample rate, SSND chunk of big-endian PCM).  Covers integer PCM at
 8/16/24/32 bits, any channel count — i.e. the uncompressed .aiff
-files Apple toolchains produce.  AIFC compressed variants raise
-``UnsupportedAIFFError`` by name."""
+files Apple toolchains produce — plus the AIFC 'sowt' byte-swap
+variant and (late-r5) AIFC G.711 'ulaw'/'alaw' companding via the
+shared ITU tables in ``functions.au_codec``.  Other AIFC compressed
+variants raise ``UnsupportedAIFFError`` by name."""
 
 from __future__ import annotations
 
@@ -113,11 +115,23 @@ def decode_aiff(data: bytes) -> tuple[int, int, np.ndarray]:
     if comm is None or raw is None:
         raise AIFFError("missing COMM or SSND chunk")
     channels, n_frames, bits, rate = comm
+    if channels <= 0:
+        raise AIFFError(f"bad channel count {channels}")
+    if comp in (b"ulaw", b"ULAW", b"alaw", b"ALAW"):
+        # AIFC G.711 companding: 8-bit codes (COMM still declares the
+        # 16-bit decoded width), decoded via the shared ITU tables
+        from mediawiki_to_notion_spark.functions.au_codec import (
+            _alaw_decode,
+            _mulaw_decode,
+        )
+
+        n = min(n_frames, len(raw) // channels)
+        codes = np.frombuffer(raw, dtype=np.uint8, count=n * channels)
+        dec = _mulaw_decode if comp in (b"ulaw", b"ULAW") else _alaw_decode
+        return rate, channels, dec(codes).reshape(n, channels)
     if comp not in (b"NONE", b"sowt"):
         raise UnsupportedAIFFError(f"AIFC compression {comp!r}")
     little = comp == b"sowt"  # AIFC's byte-swapped PCM variant
-    if channels <= 0:
-        raise AIFFError(f"bad channel count {channels}")
     if bits == 24:
         frame = channels * 3
         n = min(n_frames, len(raw) // frame)

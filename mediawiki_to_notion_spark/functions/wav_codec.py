@@ -11,9 +11,12 @@ real-world WAV surface:
 - WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE) wrapping either of the above —
   the layout writers use for >2 channels or 24-bit — resolved via the
   SubFormat GUID;
-- any channel count and sample rate.
+- any channel count and sample rate;
+- late-r5: G.711 A-law (tag 6) and μ-law (tag 7) telephony WAVs,
+  decoded through the shared ITU companding tables in
+  ``functions.au_codec``.
 
-Compressed formats (ADPCM, MP3-in-WAV, …) raise
+Remaining compressed formats (ADPCM, MP3-in-WAV, …) raise
 ``UnsupportedWAVError`` naming the tag — the honest boundary where a
 full audio library would take over."""
 
@@ -152,9 +155,22 @@ def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
         if depth not in _FLOAT_DTYPE:
             raise WAVError(f"bit depth {depth} invalid for IEEE float")
         dtype = _FLOAT_DTYPE[depth]
+    elif tag in (6, 7):  # WAVE_FORMAT_ALAW / WAVE_FORMAT_MULAW (G.711)
+        if depth not in (0, 8):
+            raise WAVError(f"bit depth {depth} invalid for G.711")
+        from mediawiki_to_notion_spark.functions.au_codec import (
+            _alaw_decode,
+            _mulaw_decode,
+        )
+
+        n = len(raw) // channels
+        codes = np.frombuffer(raw, dtype=np.uint8, count=n * channels)
+        decoded = _alaw_decode(codes) if tag == 6 else _mulaw_decode(codes)
+        return sample_rate, channels, decoded.reshape(n, channels)
     else:
         raise UnsupportedWAVError(
-            f"format tag {tag} (only 1 = integer PCM, 3 = IEEE float)"
+            f"format tag {tag} (1 = integer PCM, 3 = IEEE float, "
+            "6/7 = G.711 A-law/mu-law are built in)"
         )
     frame = channels * depth // 8
     n = len(raw) // frame

@@ -811,10 +811,12 @@ def test_aiff_24bit_extended_rate_and_errors():
     # short COMM still decodes as NONE; now fake a compressed AIFC COMM
     import struct as _s
     comm = _s.pack(">hIh", 1, 4, 16) + b"\x40\x0d" + b"\xfa\x00" + b"\x00" * 6 \
-        + b"ulaw"
+        + b"ima4"
     body = b"AIFC" + b"COMM" + _s.pack(">I", len(comm)) + comm \
         + b"SSND" + _s.pack(">I", 8) + b"\x00" * 8
-    with pytest.raises(UnsupportedAIFFError, match="ulaw"):
+    # (AIFC 'ulaw'/'alaw' DECODE as of late r5 — pinned in
+    # test_aifc_g711_compression_types; 'ima4' stays a named rejection)
+    with pytest.raises(UnsupportedAIFFError, match="ima4"):
         decode_aiff(b"FORM" + _s.pack(">I", len(body)) + body)
 
 
@@ -1405,3 +1407,79 @@ def test_au_errors_and_dispatcher():
             decode_au(blob[:cut])
         except AUError:
             pass
+
+
+def test_wav_g711_tags_decode_via_shared_tables():
+    """WAVE_FORMAT_MULAW (7) / ALAW (6) telephony WAVs decode through
+    the same ITU tables as the AU codec."""
+    import struct as _s
+
+    from mediawiki_to_notion_spark.functions.au_codec import (
+        _alaw_encode,
+        _mulaw_decode,
+        _mulaw_encode,
+    )
+    from mediawiki_to_notion_spark.functions.wav_codec import decode_wav
+
+    sig = (np.sin(np.arange(200) / 3) * 15000).astype(np.int16)
+    for tag, enc in ((7, _mulaw_encode), (6, _alaw_encode)):
+        codes = enc(sig).tobytes()
+        fmt = _s.pack("<HHIIHH", tag, 1, 8000, 8000, 1, 8)
+        body = (b"WAVE" + b"fmt " + _s.pack("<I", len(fmt)) + fmt
+                + b"data" + _s.pack("<I", len(codes)) + codes)
+        blob = b"RIFF" + _s.pack("<I", len(body)) + body
+        rate, ch, out = decode_wav(blob)
+        assert (rate, ch, out.shape) == (8000, 1, (200, 1))
+        assert out.dtype == np.int16
+        # quantization error bounded by the law's max step
+        assert np.abs(out[:, 0].astype(np.int32)
+                      - sig.astype(np.int32)).max() <= 520
+    # round-trip exactness against the AU decode path for mu-law
+    codes = _mulaw_encode(sig)
+    assert np.array_equal(
+        decode_wav(
+            b"RIFF" + _s.pack("<I", 36 + len(codes)) + b"WAVE"
+            + b"fmt " + _s.pack("<I", 16)
+            + _s.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+            + b"data" + _s.pack("<I", len(codes)) + codes.tobytes()
+        )[2][:, 0],
+        _mulaw_decode(codes),
+    )
+
+
+def test_aifc_g711_compression_types():
+    import struct as _s
+
+    from mediawiki_to_notion_spark.functions.aiff_codec import (
+        UnsupportedAIFFError,
+        decode_aiff,
+    )
+    from mediawiki_to_notion_spark.functions.au_codec import (
+        _alaw_decode,
+        _alaw_encode,
+        _mulaw_encode,
+    )
+
+    def build_aifc(comp, codes, n):
+        # 80-bit extended for 8000 Hz: value = m * 2^(e-16383-63) with
+        # the integer bit at the mantissa MSB -> e = 16395, m = 8000<<51
+        ext = _s.pack(">hQ", 16395, 8000 << 51)
+        comm = _s.pack(">hIh", 1, n, 16) + ext + comp + b"\x00\x00"
+        ssnd = _s.pack(">II", 0, 0) + codes
+        body = (b"AIFC" + b"COMM" + _s.pack(">I", len(comm)) + comm
+                + b"SSND" + _s.pack(">I", len(ssnd)) + ssnd)
+        return b"FORM" + _s.pack(">I", len(body)) + body
+
+    sig = (np.sin(np.arange(120) / 4) * 12000).astype(np.int16)
+    for comp, enc in ((b"ulaw", _mulaw_encode), (b"alaw", _alaw_encode)):
+        blob = build_aifc(comp, enc(sig).tobytes(), len(sig))
+        rate, ch, out = decode_aiff(blob)
+        assert (rate, ch, out.shape) == (8000, 1, (120, 1))
+        assert np.abs(out[:, 0].astype(np.int32)
+                      - sig.astype(np.int32)).max() <= 520
+    # A-law via the exact table
+    blob = build_aifc(b"ALAW", _alaw_encode(sig).tobytes(), len(sig))
+    assert np.array_equal(decode_aiff(blob)[2][:, 0],
+                          _alaw_decode(_alaw_encode(sig)))
+    with pytest.raises(UnsupportedAIFFError):
+        decode_aiff(build_aifc(b"ima4", b"\x00" * 120, 120))
