@@ -63,6 +63,12 @@ def encode_avi_mjpeg(frames: list[np.ndarray], fps: int = 10,
         raise AVIError("frames differ in shape")
     if fps <= 0:
         raise AVIError(f"bad fps {fps}")
+    # enforce the decode-side caps at encode time too: a valid encode
+    # must roundtrip (encode(x) the decoder refuses is a bug, not a file)
+    if len(frames) > MAX_FRAMES:
+        raise AVIError(f"{len(frames)} frames > cap {MAX_FRAMES}")
+    if len(frames) * w * h > MAX_TOTAL_PIXELS:
+        raise AVIError("pixel volume exceeds cap")
     blobs = [encode_jpeg(f, quality=quality) for f in frames]
 
     def chunk(fourcc: bytes, payload: bytes) -> bytes:
@@ -106,16 +112,19 @@ def encode_avi_mjpeg(frames: list[np.ndarray], fps: int = 10,
     strl = list_chunk(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
     hdrl = list_chunk(b"hdrl", chunk(b"avih", avih) + strl)
 
-    movi_payload = b""
-    index = b""
+    movi_parts: list[bytes] = []
+    index_parts: list[bytes] = []
+    movi_len = 0
     for b in blobs:
         # offset within the movi LIST data, counted from the list type
         # fourcc (the convention players expect)
-        index += b"00dc" + _u32(0x10) + _u32(4 + len(movi_payload)) \
-            + _u32(len(b))
-        movi_payload += chunk(b"00dc", b)
-    movi = list_chunk(b"movi", movi_payload)
-    idx1 = chunk(b"idx1", index)
+        index_parts.append(b"00dc" + _u32(0x10) + _u32(4 + movi_len)
+                           + _u32(len(b)))
+        c = chunk(b"00dc", b)
+        movi_parts.append(c)
+        movi_len += len(c)
+    movi = list_chunk(b"movi", b"".join(movi_parts))
+    idx1 = chunk(b"idx1", b"".join(index_parts))
 
     body = b"AVI " + hdrl + movi + idx1
     return b"RIFF" + _u32(len(body)) + body
@@ -151,7 +160,7 @@ def probe_avi(data: bytes) -> tuple[int, int, int, int]:
                 avih = struct.unpack_from("<10I", data, s2)
             elif fc2 == b"LIST" and data[s2:s2 + 4] == b"strl":
                 for fc3, s3, z3 in _iter_chunks(data, s2 + 4, s2 + z2):
-                    if (fc3 == b"strh" and z3 >= 32
+                    if (fc3 == b"strh" and z3 >= 36
                             and data[s3:s3 + 4] == b"vids"):
                         if data[s3 + 4:s3 + 8] != b"MJPG":
                             raise AVIError(
@@ -189,23 +198,33 @@ def decode_avi_mjpeg(
     end = min(8 + riff_size, len(data))
     frames: list[np.ndarray] = []
     n_seen = 0
+
+    def eat_frame(s2: int, z2: int) -> None:
+        nonlocal n_seen
+        if n_seen >= MAX_FRAMES:
+            raise AVIError("more frame chunks than the cap allows")
+        if n_seen % frame_step == 0:
+            w, h, pix = decode_jpeg(data[s2:s2 + z2])
+            if (w, h) != (width, height):
+                raise AVIError(
+                    f"frame {n_seen} is {w}x{h}, header says "
+                    f"{width}x{height}"
+                )
+            frames.append(pix)
+        n_seen += 1
+
     for fourcc, start, size in _iter_chunks(data, 12, end):
         if fourcc != b"LIST" or data[start:start + 4] != b"movi":
             continue
         for fc2, s2, z2 in _iter_chunks(data, start + 4, start + size):
-            if fc2 not in (b"00dc", b"00db"):
-                continue
-            if n_seen >= MAX_FRAMES:
-                raise AVIError("more frame chunks than the cap allows")
-            if n_seen % frame_step == 0:
-                w, h, pix = decode_jpeg(data[s2:s2 + z2])
-                if (w, h) != (width, height):
-                    raise AVIError(
-                        f"frame {n_seen} is {w}x{h}, header says "
-                        f"{width}x{height}"
-                    )
-                frames.append(pix)
-            n_seen += 1
+            if fc2 in (b"00dc", b"00db"):
+                eat_frame(s2, z2)
+            elif fc2 == b"LIST" and data[s2:s2 + 4] == b"rec ":
+                # VFW interleaved layout groups frame chunks inside
+                # 'rec ' sub-lists of movi (one level deep per spec)
+                for fc3, s3, z3 in _iter_chunks(data, s2 + 4, s2 + z2):
+                    if fc3 in (b"00dc", b"00db"):
+                        eat_frame(s3, z3)
         break
     if n_seen != n_declared:
         raise AVIError(

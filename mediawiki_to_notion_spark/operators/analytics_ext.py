@@ -1884,6 +1884,22 @@ CMS_WIDTH = 256   # buckets per row
 CMS_PROBE_K = 20  # probe the exact top-K words (+ deterministic ties)
 
 
+def _salted_bucket(salt_col, word_col, mod: int):
+    """The engine-parity-critical salted hash shared by the CMS and
+    Bloom sketches: 60-bit md5 prefix of 'salt:word', mod ``mod`` —
+    the SQL twin ('0x'||substr(md5(...),1,15))::BIGINT % mod lives in
+    both oracles.  One definition so the two sketch families can never
+    silently diverge."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(salt_col.cast("string"), F.lit(":"),
+                               word_col)), 1, 15
+            ), 16, 10,
+        ).cast("long") % mod
+    )
+
+
 @register(
     "cms_heavy_hitters",
     oracle=f"""
@@ -1943,14 +1959,7 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     depths = spark.range(CMS_DEPTH).select(F.col("id").alias("depth"))
 
     def bucket(depth_col, word_col):
-        return (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(depth_col.cast("string"), F.lit(":"),
-                                   word_col)), 1, 15
-                ), 16, 10,
-            ).cast("long") % CMS_WIDTH
-        )
+        return _salted_bucket(depth_col, word_col, CMS_WIDTH)
 
     cells = (
         wc.crossJoin(F.broadcast(depths))
@@ -1994,11 +2003,15 @@ def approx_percentile_within_band(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
     """Rank-error certificate for Spark's ``percentile_approx``
     (Greenwald-Khanna): for each event type and q in {PCTL_QS}, the
-    approximate quantile's EXACT rank must land within the algorithm's
-    guaranteed band q*n ± n/{PCTL_ACCURACY} (±1 for boundary
-    rounding).  The approximate VALUE itself is merge-order-dependent
-    and never emitted — only the band verdict, which the guarantee
-    makes TRUE under any partitioning (so this query also passes the
+    approximate quantile's EXACT rank interval — ties make a value
+    occupy [count(< v) + 1, count(<= v)], not a single rank — must
+    OVERLAP the algorithm's guaranteed band q*n ± n/{PCTL_ACCURACY}
+    (±1 for boundary rounding); probing only the max rank reports
+    out-of-band on tied/discrete columns (a constant column has
+    count(<= v) = n for every q).  The approximate VALUE itself is
+    merge-order-dependent and never emitted — only the band verdict,
+    which the guarantee makes TRUE under any partitioning AND any tie
+    structure (so this query also passes the
     registry's parallelism-invariance sweep by construction).
 
     100 TB shape: the sketch aggregation is the scalable path
@@ -2034,17 +2047,25 @@ def approx_percentile_within_band(spark: SparkSession,
         e.withColumnRenamed("event_type", "et")
         .join(per_q, F.col("et").eqNullSafe(F.col("event_type")))
         .groupBy("event_type", "n", "q", "av")
-        .agg(F.count(F.when(F.col("value") <= F.col("av"), 1))
-             .alias("rank_le"))
+        .agg(
+            F.count(F.when(F.col("value") <= F.col("av"), 1))
+            .alias("rank_le"),
+            F.count(F.when(F.col("value") < F.col("av"), 1))
+            .alias("rank_lt"),
+        )
     )
     eps = 1.0 / PCTL_ACCURACY
     lo = F.floor((F.col("q") - eps) * F.col("n")) - 1
     hi = F.ceil((F.col("q") + eps) * F.col("n")) + 1
+    # the returned value OCCUPIES the whole rank interval
+    # [rank_lt + 1, rank_le] (ties share ranks); the guarantee holds if
+    # that interval OVERLAPS the band — testing only rank_le breaks on
+    # tied distributions (a constant column has rank_le = n for every q)
     return ranked.select(
         "event_type",
         (F.col("q") * 100).cast("int").alias("q_pct"),
         "n",
-        ((F.col("rank_le") >= lo) & (F.col("rank_le") <= hi))
+        ((F.col("rank_lt") + 1 <= hi) & (F.col("rank_le") >= lo))
         .alias("within_band"),
     )
 
@@ -2128,14 +2149,7 @@ def bloom_filter_prune_certificate(spark: SparkSession,
     js = spark.range(BLOOM_K).select(F.col("id").alias("j"))
 
     def bit(j_col, word_col):
-        return (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(j_col.cast("string"), F.lit(":"),
-                                   word_col)), 1, 15
-                ), 16, 10,
-            ).cast("long") % BLOOM_BITS
-        )
+        return _salted_bucket(j_col, word_col, BLOOM_BITS)
 
     bits = (
         member_words.crossJoin(F.broadcast(js))

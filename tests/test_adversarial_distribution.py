@@ -126,3 +126,30 @@ def test_all_oracles_match_on_hot_key_skew(spark, skewed_sf_dir):
         except Exception as e:  # noqa: BLE001 — collecting a report
             failures.append(f"{name}: {type(e).__name__}: {e}")
     assert not failures, "\n".join(failures)
+
+
+def test_percentile_band_on_fully_tied_values(spark, tmp_path):
+    """A constant value column is the worst case for the GK rank-band
+    certificate: every value shares the rank interval [1, n], so a
+    max-rank-only probe reports out-of-band for every q (the r5 review
+    catch).  The interval-overlap probe must certify TRUE — matching
+    the oracle's hard-coded guarantee — on ties too."""
+    import duckdb
+
+    d = str(tmp_path / "tied_sf")
+    os.makedirs(d, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"""
+    COPY (SELECT user_id, ts, event_type, CAST(1.0 AS DOUBLE) AS value
+          FROM '{SRC}/events.parquet' ORDER BY ts)
+    TO '{d}/events.parquet' (FORMAT PARQUET)
+    """)
+    con.close()
+    import shutil as _sh
+
+    for name in ("region", "nation", "customer", "supplier", "part",
+                 "orders", "lineitem", "documents", "embeddings"):
+        _sh.copy(f"{SRC}/{name}.parquet", f"{d}/{name}.parquet")
+    r = compare(spark, QUERIES["approx_percentile_within_band"],
+                ORACLES["approx_percentile_within_band"], d)
+    assert r["match"], r

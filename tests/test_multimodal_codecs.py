@@ -1483,3 +1483,75 @@ def test_aifc_g711_compression_types():
                           _alaw_decode(_alaw_encode(sig)))
     with pytest.raises(UnsupportedAIFFError):
         decode_aiff(build_aifc(b"ima4", b"\x00" * 120, 120))
+
+
+def test_avi_short_strh_is_typed_error():
+    """A vids strh chunk declaring size 32 (too short for the 36 bytes
+    the header parse needs) must raise AVIError, never a raw
+    struct.error (r5 review catch)."""
+    import struct as _s
+
+    from mediawiki_to_notion_spark.functions.avi_codec import (
+        AVIError,
+        encode_avi_mjpeg,
+        probe_avi,
+    )
+
+    blob = bytearray(encode_avi_mjpeg(_clip(16, 16, 1), fps=3))
+    p = bytes(blob).find(b"strh")
+    blob[p + 4:p + 8] = _s.pack("<I", 32)  # lie: strh payload is 56
+    try:
+        probe_avi(bytes(blob))
+    except AVIError:
+        pass  # typed rejection is the contract; garbage parse is not
+
+
+def test_avi_rec_list_interleaved_layout_decodes():
+    """Frames grouped inside 'LIST rec ' sub-lists of movi (the VFW
+    interleaved layout) must decode identically to the flat layout."""
+    import struct as _s
+
+    from mediawiki_to_notion_spark.functions.avi_codec import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+
+    flat = encode_avi_mjpeg(_clip(20, 16, 3), fps=6)
+    # rebuild: wrap each 00dc chunk of movi in its own 'rec ' LIST
+    i = flat.find(b"LIST", flat.find(b"movi") - 8)
+    (movi_size,) = _s.unpack_from("<I", flat, i + 4)
+    movi_data = flat[i + 12:i + 8 + movi_size]  # after 'movi' fourcc
+    pos, recs = 0, []
+    while pos + 8 <= len(movi_data):
+        (sz,) = _s.unpack_from("<I", movi_data, pos + 4)
+        c = movi_data[pos:pos + 8 + sz + (sz % 2)]
+        recs.append(b"LIST" + _s.pack("<I", 4 + len(c)) + b"rec " + c
+                    + (b"\x00" if len(c) % 2 else b""))
+        pos += 8 + sz + (sz % 2)
+    new_movi_payload = b"movi" + b"".join(recs)
+    new_movi = b"LIST" + _s.pack("<I", len(new_movi_payload)) \
+        + new_movi_payload
+    rebuilt = flat[:i] + new_movi + flat[i + 8 + movi_size + (movi_size % 2):]
+    rebuilt = b"RIFF" + _s.pack("<I", len(rebuilt) - 8) + rebuilt[8:]
+    w, h, fps, n, frames = decode_avi_mjpeg(rebuilt)
+    assert (w, h, fps, n, len(frames)) == (20, 16, 6, 3, 3)
+    ref = decode_avi_mjpeg(flat)[4]
+    for a, b in zip(frames, ref):
+        assert np.array_equal(a, b)
+
+
+def test_avi_encoder_enforces_decode_caps():
+    """encode must refuse what decode would refuse: valid encoder input
+    always roundtrips (r5 review catch)."""
+    from mediawiki_to_notion_spark.functions.avi_codec import (
+        AVIError,
+        MAX_FRAMES,
+        encode_avi_mjpeg,
+    )
+
+    one = _clip(16, 16, 1)
+    with pytest.raises(AVIError, match="cap"):
+        encode_avi_mjpeg(one * (MAX_FRAMES + 1), fps=5)
+    big = _clip(1024, 1024, 1) * 300  # 300 * 2^20 px > 2^28
+    with pytest.raises(AVIError, match="cap"):
+        encode_avi_mjpeg(big, fps=5)
