@@ -106,6 +106,7 @@ HEADLINE = [
     # (~26k tiny frame encodes at sf0.1), not engine performance —
     # the same reason multimodal_codec_roundtrip isn't here.
     "multimodal_audio_g711_roundtrip",
+    "events_decayed_heavy_hitters",
 ]
 N_R3_SET = 53  # the first 53 entries are the r2/r3 headline set
 N_R4_SET = 61  # ... the first 61 are the r4 headline set

@@ -287,16 +287,25 @@ def decode_gif(data: bytes) -> tuple[int, int, np.ndarray]:
         else:
             frame = samples.reshape(ih, iw)
         rgb = lct[frame]
-        # place the frame on the logical screen (usually identical)
+        # place the frame on the logical screen (usually identical);
+        # clip to the visible region — a corrupt descriptor may place
+        # the frame partly or wholly off-screen (vis_* <= 0), which
+        # must not escape as a numpy broadcast ValueError
         if (left, top, iw, ih) != (0, 0, sw, sh):
+            vis_h = min(ih, sh - top)
+            vis_w = min(iw, sw - left)
             canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
-            canvas[top:top + ih, left:left + iw] = \
-                rgb[:sh - top, :sw - left]
+            if vis_h > 0 and vis_w > 0:
+                canvas[top:top + vis_h, left:left + vis_w] = \
+                    rgb[:vis_h, :vis_w]
             rgb = canvas
             if transparent is not None:
                 a = np.zeros((sh, sw), dtype=np.uint8)
-                af = np.where(frame == transparent, 0, 255).astype(np.uint8)
-                a[top:top + ih, left:left + iw] = af[:sh - top, :sw - left]
+                if vis_h > 0 and vis_w > 0:
+                    af = np.where(frame == transparent, 0, 255) \
+                        .astype(np.uint8)
+                    a[top:top + vis_h, left:left + vis_w] = \
+                        af[:vis_h, :vis_w]
                 return sw, sh, np.dstack([rgb, a])
             return sw, sh, rgb
         if transparent is not None:

@@ -2268,3 +2268,63 @@ def weighted_sample_systematic(spark: SparkSession,
         .alias("n_copies"),
     )
     return copies.filter(F.col("n_copies") >= 1)
+
+
+DECAY_SHIFT = 40   # weights are 2^(SHIFT - age_days): exact BIGINTs
+DECAY_TOP_K = 10
+
+
+@register(
+    "events_decayed_heavy_hitters",
+    oracle=f"""
+    WITH mx AS (SELECT max(ts) AS m FROM events),
+    w AS (
+      SELECT event_type,
+             (epoch_ms(m) - epoch_ms(ts)) // 86400000 AS age_d
+      FROM events, mx
+    ), s AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CASE WHEN age_d <= {DECAY_SHIFT}
+                           THEN 1::BIGINT << ({DECAY_SHIFT} - age_d)
+                           ELSE 0 END) AS BIGINT) AS decayed_scaled
+      FROM w GROUP BY event_type
+    )
+    SELECT * FROM s
+    ORDER BY decayed_scaled DESC, event_type ASC LIMIT {DECAY_TOP_K}
+    """,
+)
+def events_decayed_heavy_hitters(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed heavy hitters (the "trending now"
+    ranking): each event contributes 2^(-age_days) with a one-day
+    half-life, so yesterday's burst outranks last week's flood.  The
+    decay weights are EXACT integers — 2^({DECAY_SHIFT} - age_days)
+    scaled by 2^{DECAY_SHIFT} — so both engines sum bit-identical
+    BIGINTs; no float pow, no accumulation-order sensitivity.
+
+    100 TB shape: the reference time is ONE broadcast scalar
+    (max(ts)); the decayed sum is a single map-side-combinable groupBy
+    to event-type cardinality; ranking is a TakeOrdered over that tiny
+    aggregate.  Ages beyond {DECAY_SHIFT} half-lives contribute
+    exactly 0 (true exponential decay's floor at integer scale)."""
+    e = load_table(spark, "events", sf_dir).select("event_type", "ts")
+    mx = e.agg(F.max("ts").alias("m"))
+    aged = e.crossJoin(F.broadcast(mx)).select(
+        "event_type",
+        ((F.unix_millis("m") - F.unix_millis("ts"))
+         / F.lit(86400000)).cast("long").alias("age_d"),
+    )
+    scored = aged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.expr(
+                f"CASE WHEN age_d <= {DECAY_SHIFT} THEN "
+                f"shiftleft(CAST(1 AS BIGINT), "
+                f"CAST({DECAY_SHIFT} - age_d AS INT)) "
+                "ELSE CAST(0 AS BIGINT) END"
+            )
+        ).cast("long").alias("decayed_scaled"),
+    )
+    return scored.orderBy(
+        F.desc("decayed_scaled"), F.asc("event_type")
+    ).limit(DECAY_TOP_K)

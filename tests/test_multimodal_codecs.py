@@ -1163,6 +1163,76 @@ try:
         except GIFError:
             pass
 
+    _FUZZ_AVI = None
+
+    @_fsettings(max_examples=80, deadline=None)
+    @_fgiven(
+        mode=_fst.sampled_from(["truncate", "flip"]),
+        pos=_fst.integers(0, 10_000),
+        val=_fst.integers(1, 255),
+    )
+    def test_avi_stream_fuzz_typed_errors_only(mode, pos, val):
+        import numpy as np
+
+        from mediawiki_to_notion_spark.functions.avi_codec import (
+            AVIError,
+            decode_avi_mjpeg,
+            encode_avi_mjpeg,
+        )
+        from mediawiki_to_notion_spark.functions.jpeg_codec import JPEGError
+
+        global _FUZZ_AVI
+        if _FUZZ_AVI is None:
+            rng = np.random.default_rng(6)
+            frames = [
+                np.stack([rng.integers(0, 256, size=(16, 16),
+                                       dtype=np.uint8)] * 3, axis=-1)
+                for _ in range(3)
+            ]
+            _FUZZ_AVI = encode_avi_mjpeg(frames, fps=5, quality=60)
+        good = _FUZZ_AVI
+        pos %= len(good)
+        if mode == "truncate":
+            data = good[:pos]
+        else:
+            data = good[:pos] + bytes([good[pos] ^ val]) + good[pos + 1:]
+        try:
+            decode_avi_mjpeg(data)
+        except (AVIError, JPEGError):
+            pass  # typed (flipping a frame's bytes is a JPEG error)
+
+    _FUZZ_AU = None
+
+    @_fsettings(max_examples=80, deadline=None)
+    @_fgiven(
+        mode=_fst.sampled_from(["truncate", "flip"]),
+        pos=_fst.integers(0, 2_000),
+        val=_fst.integers(1, 255),
+    )
+    def test_au_stream_fuzz_typed_errors_only(mode, pos, val):
+        import numpy as np
+
+        from mediawiki_to_notion_spark.functions.au_codec import (
+            AUError,
+            decode_au,
+            encode_au,
+        )
+
+        global _FUZZ_AU
+        if _FUZZ_AU is None:
+            sig = (np.sin(np.arange(300) / 4) * 15000).astype(np.int16)
+            _FUZZ_AU = encode_au(sig, 8000, "mulaw")
+        good = _FUZZ_AU
+        pos %= len(good)
+        if mode == "truncate":
+            data = good[:pos]
+        else:
+            data = good[:pos] + bytes([good[pos] ^ val]) + good[pos + 1:]
+        try:
+            decode_au(data)
+        except AUError:
+            pass  # flips inside companded data legally decode
+
 except ImportError:  # pragma: no cover - hypothesis is baked in
     pass
 
@@ -1555,3 +1625,30 @@ def test_avi_encoder_enforces_decode_caps():
     big = _clip(1024, 1024, 1) * 300  # 300 * 2^20 px > 2^28
     with pytest.raises(AVIError, match="cap"):
         encode_avi_mjpeg(big, fps=5)
+
+
+def test_gif_offscreen_frame_descriptor_is_clipped():
+    """A corrupt image descriptor placing the frame partly or wholly
+    off the logical screen must decode (clipped) or raise GIFError —
+    never a raw numpy broadcast ValueError (hypothesis catch, pinned
+    explicitly: flip of the descriptor's left-position byte)."""
+    from mediawiki_to_notion_spark.functions.gif_codec import (
+        GIFError,
+        decode_gif,
+        encode_gif,
+    )
+
+    pal = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+    img = (np.add.outer(np.arange(16), np.arange(16)) % 256) \
+        .astype(np.uint8)
+    blob = bytearray(encode_gif(img, pal))
+    # image descriptor: 0x2C, left u16, top u16, w u16, h u16, flags
+    p = bytes(blob).index(b"\x2c")
+    for left in (16, 17, 1000):  # at/HERE/far beyond the 16-px screen
+        bad = bytearray(blob)
+        bad[p + 1:p + 3] = int(left).to_bytes(2, "little")
+        try:
+            w, h, _px = decode_gif(bytes(bad))
+            assert (w, h) == (16, 16)  # logical screen wins
+        except GIFError:
+            pass  # typed rejection also acceptable
