@@ -487,13 +487,17 @@ def dedup_substring_spans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT h FROM win GROUP BY h HAVING count(DISTINCT doc_id) >= 2
     ), firsts AS (
       -- survivor copy: the globally FIRST occurrence of each
-      -- duplicated window (doc_id, then position) is NOT cut
-      SELECT h, min(doc_id * 1000000 + p) AS first_pos
+      -- duplicated window (doc_id, then position) is NOT cut.
+      -- Lexicographic struct min, NOT a composite integer key: a
+      -- doc_id*BASE+p encoding aliases across documents once any
+      -- document has >= BASE token windows (VERDICT r5 "What's
+      -- wrong" #1).
+      SELECT h, min({{'doc_id': doc_id, 'p': p}}) AS first_pos
       FROM win JOIN dup USING (h) GROUP BY h
     ), cut_wins AS (
       SELECT w.doc_id, w.p
       FROM win w JOIN firsts f USING (h)
-      WHERE w.doc_id * 1000000 + w.p != f.first_pos
+      WHERE {{'doc_id': w.doc_id, 'p': w.p}} != f.first_pos
     ), cut_toks AS (
       SELECT DISTINCT doc_id, u.tok_i
       FROM cut_wins, LATERAL (
@@ -534,7 +538,6 @@ def dedup_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a window over the corpus, nothing quadratic."""
     from mediawiki_to_notion_spark.plans.pipeline import ensure_parallelism
 
-    POS_BASE = 1_000_000
     d = ensure_parallelism(load_table(spark, "documents", sf_dir))
     toks = d.select("doc_id", F.split("text", " ").alias("t")).filter(
         F.size("t") >= SPAN_W
@@ -557,11 +560,15 @@ def dedup_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("h")
     )
     dwin = win.join(dup, "h")
+    # Survivor = lexicographic (doc_id, p) min.  Struct min, never a
+    # doc_id*BASE+p composite integer: that encoding aliases across
+    # documents once a document has >= BASE token windows (a 1M-token
+    # doc is plausible in a web corpus), silently moving the survivor.
     firsts = dwin.groupBy("h").agg(
-        F.min(F.col("doc_id") * POS_BASE + F.col("p")).alias("first_pos")
+        F.min(F.struct("doc_id", "p")).alias("first_pos")
     )
     cut_wins = dwin.join(firsts, "h").filter(
-        F.col("doc_id") * POS_BASE + F.col("p") != F.col("first_pos")
+        F.struct("doc_id", "p") != F.col("first_pos")
     )
     cut_toks = cut_wins.select(
         "doc_id",
