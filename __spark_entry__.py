@@ -80,7 +80,10 @@ def _confirmed() -> tuple[set[str], dict[str, int]]:
 _RECHECK = {"pack_sequences_greedy": 3, "markdown_blocks_golden": 4,
             # r6: survivor key rewritten from doc_id*1M+p composite to a
             # struct min in BOTH engines (VERDICT r5 "What's wrong" #1)
-            "dedup_substring_cut": 6, "dedup_paragraph_chunks": 6}
+            "dedup_substring_cut": 6, "dedup_paragraph_chunks": 6,
+            # r6: mu-law encode aligned bit-exactly with the canonical
+            # g711.c/audioop tables (VERDICT r5 "What's wrong" #2)
+            "multimodal_audio_g711_roundtrip": 6}
 
 # SOFT rechecks: confirmed queries EDITED since their green row where
 # the edit is a verified semantic no-op on the driver's data (the r3
