@@ -107,6 +107,12 @@ _RECHECK_SOFT = {n: 3 for n in (
 # verified no-op on the synth-markdown input (no pipe lines reach it;
 # oracle.compare green at sf0.01) but semantics-adjacent, so re-gate.
 _RECHECK_SOFT["markdown_block_explode"] = 4
+# r6 ADVICE edits, verified bit-identical via oracle.compare at
+# sf0.001+sf0.01: funnel conversion now rounds half-away (matching
+# DuckDB; a no-op on the driver's ratios), video roundtrip now passes
+# strict_frame_count=True (our own encoder always agrees).
+_RECHECK_SOFT["events_conversion_funnel"] = 6
+_RECHECK_SOFT["multimodal_video_roundtrip"] = 6
 # Added after the current round's ~50-query window filled; placed right
 # behind the fresh backlog (locally oracle-checked already).  All
 # round-2 additions queue here so the r1-era never-driver-checked

@@ -184,13 +184,20 @@ def probe_avi(data: bytes) -> tuple[int, int, int, int]:
 
 
 def decode_avi_mjpeg(
-    data: bytes, frame_step: int = 1,
+    data: bytes, frame_step: int = 1, strict_frame_count: bool = False,
 ) -> tuple[int, int, int, int, list[np.ndarray]]:
     """Decode an MJPEG AVI → (width, height, fps, n_frames, frames),
     keeping every ``frame_step``-th frame (frames 0, step, 2*step, …).
     Skipped frames are never entropy-decoded — intra-frame coding
     makes sampling O(kept frames), the property the frame-sample
-    pipeline relies on."""
+    pipeline relies on.
+
+    Real-world MJPEG AVIs (stream-copied / appended files) frequently
+    carry a stale ``avih`` dwTotalFrames, so a header/movi disagreement
+    is tolerated by default — the returned n_frames is the number of
+    frame chunks actually seen.  ``strict_frame_count=True`` restores
+    the hard check for the roundtrip-certificate path, where our own
+    encoder guarantees agreement (ADVICE r5)."""
     if frame_step < 1:
         raise AVIError(f"bad frame_step {frame_step}")
     width, height, fps, n_declared = probe_avi(data)
@@ -203,6 +210,11 @@ def decode_avi_mjpeg(
         nonlocal n_seen
         if n_seen >= MAX_FRAMES:
             raise AVIError("more frame chunks than the cap allows")
+        # probe_avi capped pixel volume against the DECLARED count;
+        # under the tolerant path the movi stream may be longer, so
+        # re-enforce the bomb cap on frames actually seen.
+        if (n_seen + 1) * width * height > MAX_TOTAL_PIXELS:
+            raise AVIError("movi pixel volume exceeds cap")
         if n_seen % frame_step == 0:
             w, h, pix = decode_jpeg(data[s2:s2 + z2])
             if (w, h) != (width, height):
@@ -226,7 +238,7 @@ def decode_avi_mjpeg(
                     if fc3 in (b"00dc", b"00db"):
                         eat_frame(s3, z3)
         break
-    if n_seen != n_declared:
+    if strict_frame_count and n_seen != n_declared:
         raise AVIError(
             f"header declares {n_declared} frames, movi has {n_seen}"
         )

@@ -1767,10 +1767,22 @@ def events_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id").agg(F.min("ts").alias("t3"))
     )
     counts = [df.count() for df in (t1, t2, t3)]  # bounded: 3 scalars
+
+    def _round_half_away(x: float, digits: int = 6) -> float:
+        # DuckDB's round(DOUBLE, n) is std::round(x*10^n)/10^n — half
+        # AWAY from zero — while Python round() is half-even; a ratio
+        # landing exactly on a half at the 6th decimal would hash-
+        # mismatch (ADVICE r5).  y <= 10^6 here so frac(y) is exact.
+        import math
+
+        y = x * 10.0**digits
+        f = math.floor(y)
+        return (f + 1 if y - f >= 0.5 else f) / 10.0**digits
+
     rows = []
     prev = None
     for stage, (name, n) in enumerate(zip(FUNNEL_STAGES, counts), 1):
-        conv = round(n / prev, 6) if prev else None
+        conv = _round_half_away(n / prev) if prev else None
         rows.append((stage, name, n, conv))
         prev = n
     return spark.createDataFrame(

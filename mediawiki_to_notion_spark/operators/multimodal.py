@@ -140,8 +140,9 @@ def decode_audio(content: bytes) -> tuple[int, int, int]:
     )
 
 
-def decode_video(content: bytes,
-                 frame_step: int = 1) -> tuple[int, int, int, int, list]:
+def decode_video(content: bytes, frame_step: int = 1,
+                 strict_frame_count: bool = False,
+                 ) -> tuple[int, int, int, int, list]:
     """REAL video decode for intra-frame codecs: MJPEG-in-AVI via the
     pure-stdlib RIFF walker + the JPEG codec per kept frame
     (functions.avi_codec) → (width, height, fps, n_frames, frames).
@@ -157,7 +158,8 @@ def decode_video(content: bytes,
             decode_avi_mjpeg,
         )
 
-        return decode_avi_mjpeg(content, frame_step=frame_step)
+        return decode_avi_mjpeg(content, frame_step=frame_step,
+                                strict_frame_count=strict_frame_count)
     raise NotImplementedError(
         f"no video decoder for magic {content[:4]!r} (MJPEG-AVI is "
         "built in; inter-frame codecs need a media library)"
@@ -824,8 +826,12 @@ def multimodal_video_roundtrip(spark: SparkSession,
                     for k in range(n)
                 ]
                 blob = encode_avi_mjpeg(frames, fps=fps, quality=90)
+                # strict: OUR encoder wrote the header, so any header/
+                # movi disagreement is a real bug, not a stream-copy
+                # artifact (the tolerant default is for wild files).
                 dw, dh, dfps, dn, kept = decode_video(
-                    blob, frame_step=VIDEO_FRAME_STEP)
+                    blob, frame_step=VIDEO_FRAME_STEP,
+                    strict_frame_count=True)
                 ok = (all(f.shape == (h, w, 3) for f in kept)
                       and (dw, dh, dfps, dn) == (w, h, fps, n))
                 rows.append((did, dw, dh, dfps, dn, len(kept), ok))

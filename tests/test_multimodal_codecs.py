@@ -1343,11 +1343,17 @@ def test_avi_errors_and_bomb_caps():
     hostile[p:p + 4] = b"H264"
     with pytest.raises(AVIError):
         probe_avi(bytes(hostile))
-    # frame-count mismatch between header and movi
+    # frame-count mismatch between header and movi: tolerated by
+    # default (stream-copied wild files carry stale dwTotalFrames —
+    # ADVICE r5), returns frames actually seen; strict mode (the
+    # roundtrip-certificate path, where OUR encoder wrote the header)
+    # still refuses.
     hostile = bytearray(blob)
     hostile[pos + 16:pos + 20] = _s.pack("<I", 3)
+    _w, _h, _fps, n_seen, frames = decode_avi_mjpeg(bytes(hostile))
+    assert n_seen == len(frames) == 2
     with pytest.raises(AVIError):
-        decode_avi_mjpeg(bytes(hostile))
+        decode_avi_mjpeg(bytes(hostile), strict_frame_count=True)
 
 
 def test_avi_truncation_and_bitflips_never_hang():
