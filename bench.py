@@ -107,9 +107,12 @@ HEADLINE = [
     # the same reason multimodal_codec_roundtrip isn't here.
     "multimodal_audio_g711_roundtrip",
     "events_decayed_heavy_hitters",
+    # r6 additions
+    "approx_distinct_within_band",
 ]
 N_R3_SET = 53  # the first 53 entries are the r2/r3 headline set
 N_R4_SET = 61  # ... the first 61 are the r4 headline set
+N_R5_SET = 81  # ... the first 81 are the r5 headline set
 
 
 def main() -> None:
@@ -168,6 +171,7 @@ def main() -> None:
     r1_set = set(HEADLINE[:31])
     r3_set = set(HEADLINE[:N_R3_SET])
     r4_set = set(HEADLINE[:N_R4_SET])
+    r5_set = set(HEADLINE[:N_R5_SET])
 
     def _subtotal(t, names):
         return round(sum(v for k, v in t.items() if k in names), 3)
@@ -191,12 +195,14 @@ def main() -> None:
         "value_r1_subset": _subtotal(timings, r1_set),
         "value_r3_subset": _subtotal(timings, r3_set),
         "value_r4_subset": _subtotal(timings, r4_set),
+        "value_r5_subset": _subtotal(timings, r5_set),
         # min-of-n subtotals: r4 proved median-of-5 drifts ~11% under
         # driver-host load while min-of-5 reproduced r3 exactly —
         # cross-round comparisons should quote these (VERDICT r4 #5)
         "value_r1_subset_min": _subtotal(timings_min, r1_set),
         "value_r3_subset_min": _subtotal(timings_min, r3_set),
         "value_r4_subset_min": _subtotal(timings_min, r4_set),
+        "value_r5_subset_min": _subtotal(timings_min, r5_set),
         "value_min_total": round(sum(timings_min.values()), 3),
         "queries": timings,
         "queries_min": timings_min,
@@ -223,7 +229,7 @@ def main() -> None:
         "methodology": f"sf0.001 warmup, median of {n_runs} timed runs "
                        "(min in queries_min), noop sink; value_rN_subset "
                        "= median total over that round's fixed query set "
-                       "(r1=31, r3=53, r4=61 queries), value_rN_subset_min "
+                       "(r1=31, r3=53, r4=61, r5=81 queries), value_rN_subset_min "
                        "= min-of-n total over the same set (the "
                        "load-robust cross-round currency)",
     }
@@ -263,6 +269,7 @@ def main() -> None:
     detail["value_r1_subset_best"] = _subtotal(best, r1_set)
     detail["value_r3_subset_best"] = _subtotal(best, r3_set)
     detail["value_r4_subset_best"] = _subtotal(best, r4_set)
+    detail["value_r5_subset_best"] = _subtotal(best, r5_set)
 
     # Emission contract (VERDICT r3 item 4: BENCH_r03 parsed:null — the
     # single fat JSON line outgrew the driver's tail-capture window):
@@ -280,12 +287,15 @@ def main() -> None:
         "value_r1_subset": detail["value_r1_subset"],
         "value_r3_subset": detail["value_r3_subset"],
         "value_r4_subset": detail["value_r4_subset"],
+        "value_r5_subset": detail["value_r5_subset"],
         "value_r1_subset_min": detail["value_r1_subset_min"],
         "value_r3_subset_min": detail["value_r3_subset_min"],
         "value_r4_subset_min": detail["value_r4_subset_min"],
+        "value_r5_subset_min": detail["value_r5_subset_min"],
         "value_min_total": detail["value_min_total"],
         "value_best_total": detail["value_best_total"],
         "value_r4_subset_best": detail["value_r4_subset_best"],
+        "value_r5_subset_best": detail["value_r5_subset_best"],
         "n_same_code_captures": detail["n_same_code_captures"],
         "loadavg_start_1m": detail["loadavg_start"][0],
         "loadavg_warn": loadavg_warn,

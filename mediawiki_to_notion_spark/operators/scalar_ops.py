@@ -387,8 +387,56 @@ def uuid_batch_mint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct per supplier — sketches are not
     comparable across engines, so the driver checks rows-only; the exact
-    twin (`count_distinct_exact`) is the oracle-checked counterpart."""
+    twin (`count_distinct_exact`) is the oracle-checked counterpart, and
+    ``approx_distinct_within_band`` value-certifies THIS estimator."""
     l = load_table(spark, "lineitem", sf_dir)
     return l.groupBy("l_suppkey").agg(
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts")
+    )
+
+
+# Certified max relative error of approx_count_distinct(rsd=0.02) per
+# supplier: measured 1.1% / 3.1% / 3.4% at sf0.001/0.01/0.1 (a 100x
+# span); 0.05 = 2.5 sigma of the requested rsd.  The estimator is
+# deterministic (fixed hash, no RNG), so the pinned band is a stable
+# certificate, not a flaky statistical test.
+APPROX_DISTINCT_BAND = 0.05
+
+
+@register(
+    "approx_distinct_within_band",
+    oracle="""
+    SELECT CAST(l_suppkey AS BIGINT) AS l_suppkey,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts_exact,
+           TRUE AS within_band
+    FROM lineitem GROUP BY l_suppkey
+    """,
+)
+def approx_distinct_within_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-CHECKABLE certificate for ``approx_distinct_sketch`` — the
+    last rows-only sketch family without a band certificate (VERDICT r5
+    item 8; the HLL sliding path has ``hll_distinct_within_band``, the
+    GK percentiles ``approx_percentile_within_band``).  Joins the
+    HLL++ per-supplier estimates to the exact twin and emits the exact
+    count (oracle-predictable) plus ``within_band`` =
+    |approx/exact - 1| <= APPROX_DISTINCT_BAND (0.05); the oracle
+    asserts TRUE everywhere, so a hash-green driver row certifies the
+    estimator's VALUES, not just its row count.
+
+    CERTIFICATION query: deliberately runs the exact twin alongside the
+    sketch; the production swap-in at 100 TB is the sketch alone (one
+    map-side-combining partial agg, no count-distinct expansion)."""
+    l = load_table(spark, "lineitem", sf_dir)
+    both = l.groupBy("l_suppkey").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.count_distinct("l_partkey").alias("n_parts_exact"),
+    )
+    return both.select(
+        F.col("l_suppkey").cast("long").alias("l_suppkey"),
+        "n_parts_exact",
+        (
+            F.abs(
+                F.col("approx_parts") / F.col("n_parts_exact") - 1
+            ) <= APPROX_DISTINCT_BAND
+        ).alias("within_band"),
     )
