@@ -113,6 +113,9 @@ _RECHECK_SOFT["markdown_block_explode"] = 4
 # strict_frame_count=True (our own encoder always agrees).
 _RECHECK_SOFT["events_conversion_funnel"] = 6
 _RECHECK_SOFT["multimodal_video_roundtrip"] = 6
+# r6: repetition battery extracted into apply_repetition_rules for
+# stream parity — pure refactor, compare re-verified green at sf0.01
+_RECHECK_SOFT["text_gopher_repetition_rules"] = 6
 # Added after the current round's ~50-query window filled; placed right
 # behind the fresh backlog (locally oracle-checked already).  All
 # round-2 additions queue here so the r1-era never-driver-checked

@@ -1172,7 +1172,16 @@ def text_gopher_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicated-coverage chars, nonspace chars); every division and
     rounding stays JVM-side so cross-engine float/rounding parity is
     untouched."""
-    d = load_table(spark, "documents", sf_dir)
+    return apply_repetition_rules(load_table(spark, "documents", sf_dir))
+
+
+def apply_repetition_rules(d: DataFrame) -> DataFrame:
+    """The repetition battery as a reusable core over any (doc_id,
+    text) frame — batch OR readStream: the kernel is a stateless
+    row-local ``mapInPandas`` plus narrow projections, so it is
+    streaming-capable unchanged (parity pinned in
+    test_metrics_and_watermark.py, the apply_gopher_rules /
+    apply_quality_classifier discipline)."""
     out_cols = _REP_OUT_COLS
     schema = ", ".join(f"{c} long" for c in out_cols)
 

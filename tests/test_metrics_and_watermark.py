@@ -385,6 +385,40 @@ def test_streaming_gopher_rules_match_batch(spark, tmp_path):
         assert got[k] == want[k], k
 
 
+def test_streaming_repetition_kernel_matches_batch(spark, tmp_path):
+    """The r5 Gopher repetition battery is a stateless row-local
+    mapInPandas kernel plus narrow projections, so the SAME
+    apply_repetition_rules core must produce identical rows on a
+    readStream as on the batch table — registering the zero-shuffle
+    kernel as safe for the streaming ingest path (VERDICT r5 item 6)."""
+    from mediawiki_to_notion_spark.operators.corpus_quality import (
+        apply_repetition_rules,
+    )
+
+    src = tmp_path / "rep_src"
+    docs = load_table(spark, "documents", SF).limit(200) \
+        .select("doc_id", "text")
+    docs.coalesce(1).write.mode("overwrite").parquet(str(src))
+
+    stream = apply_repetition_rules(
+        spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    )
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory").queryName("rep_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_rep"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id: r for r in spark.sql("select * from rep_stream").collect()}
+    want = {r.doc_id: r for r in apply_repetition_rules(docs).collect()}
+    assert set(got) == set(want) and len(got) == 200
+    for k in want:
+        assert got[k] == want[k], k
+
+
 def test_streaming_quality_classifier_matches_batch(spark, tmp_path):
     """The r5 hashed-bigram classifier is a stream-static broadcast
     join + keyed aggregation, so the SAME apply_quality_classifier
