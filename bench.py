@@ -109,6 +109,7 @@ HEADLINE = [
     "events_decayed_heavy_hitters",
     # r6 additions
     "approx_distinct_within_band",
+    "dedup_substring_spans_token_exact",
 ]
 N_R3_SET = 53  # the first 53 entries are the r2/r3 headline set
 N_R4_SET = 61  # ... the first 61 are the r4 headline set

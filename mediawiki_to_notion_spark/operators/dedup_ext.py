@@ -419,8 +419,11 @@ def dedup_substring_spans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows chain into maximal spans via the classic gaps-and-islands
     lag/cumsum, yielding exact span extents (start/end token, length)
     per document — the spans an exact-substring dedup pass would cut.
-    Still no suffix array: window hashing bounds the resolution to
-    {SPAN_W}-token granularity, but extents of merged chains are exact.
+    Extents are exact for the duplicated-TOKEN-SET semantics (a token
+    is covered iff it sits in some duplicated window, exactly Lee et
+    al.'s cut criterion); distinct runs that abut or overlap by chance
+    merge into one reported span — the per-RUN variant that splits
+    those is ``dedup_substring_spans_token_exact``.
 
     Scale shape: identical to the ngram-spans query up through the
     duplicated-window join (8-byte hash keys, partial-agg dup set);
@@ -466,6 +469,142 @@ def dedup_substring_spans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("span_id"),
     )
     return islands.groupBy("doc_id", F.col("span_id").cast("int").alias("span_id")).agg(
+        F.min("p").alias("start_tok"),
+        (F.max("p") + SPAN_W - 1).alias("end_tok"),
+        (F.max("p") - F.min("p") + SPAN_W).alias("span_len"),
+        F.count(F.lit(1)).alias("n_windows"),
+    )
+
+
+@register(
+    "dedup_substring_spans_token_exact",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t
+      FROM documents WHERE len(string_split(text, ' ')) >= {{SPAN_W}}
+    ), win AS (
+      SELECT doc_id, u.i AS p,
+             {{HASH}} AS h
+      FROM toks, LATERAL (SELECT unnest(range(0, len(t) - {{SPAN_W}} + 1)) AS i) u
+    ), dup AS (
+      SELECT h FROM win GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ), seq AS (
+      SELECT w.doc_id, w.p, w.h,
+             lag(w.p) OVER (PARTITION BY w.doc_id ORDER BY w.p) AS pp,
+             lag(w.h) OVER (PARTITION BY w.doc_id ORDER BY w.p) AS ph
+      FROM win w JOIN dup USING (h)
+    ), dup_edges AS (
+      -- an adjacent window PAIR is itself duplicated iff the same
+      -- (hash, next-hash) edge occurs in >= 2 documents: the chain
+      -- only continues where some partner document continues too
+      SELECT ph AS ha, h AS hb FROM seq WHERE pp = p - 1
+      GROUP BY ph, h HAVING count(DISTINCT doc_id) >= 2
+    ), flagged AS (
+      SELECT s.doc_id, s.p,
+             CASE WHEN s.pp = s.p - 1 AND d.ha IS NOT NULL
+                  THEN 0 ELSE 1 END AS new_span
+      FROM seq s LEFT JOIN dup_edges d ON d.ha = s.ph AND d.hb = s.h
+    ), islands AS (
+      SELECT doc_id, p,
+             SUM(new_span) OVER (
+               PARTITION BY doc_id ORDER BY p
+               ROWS UNBOUNDED PRECEDING) AS span_id
+      FROM flagged
+    )
+    SELECT doc_id, CAST(span_id AS INT) AS span_id,
+           CAST(min(p) AS BIGINT) AS start_tok,
+           CAST(max(p) + {{SPAN_W}} - 1 AS BIGINT) AS end_tok,
+           CAST(max(p) - min(p) + {{SPAN_W}} AS BIGINT) AS span_len,
+           CAST(count(*) AS BIGINT) AS n_windows
+    FROM islands GROUP BY doc_id, span_id
+    """.format(
+        SPAN_W=SPAN_W,
+        HASH=H.token_hash60_sql(
+            f"array_to_string(t[u.i+1 : u.i+{SPAN_W}], ' ')"
+        ),
+    ),
+)
+def dedup_substring_spans_token_exact(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """TOKEN-EXACT duplicated-substring spans (VERDICT r5 item 4 — the
+    Lee et al. 2021 per-run deliverable).  Key fact: inside a single
+    shared run of length L >= {SPAN_W}, EVERY window position is
+    duplicated, so the run's windows are position-consecutive (δ=1).
+    ``dedup_substring_spans_exact`` chains any windows within SPAN_W
+    of each other, which (a) bridges runs separated by a small gap and
+    (b) splices distinct adjacent runs that merely abut by chance.
+    Here a chain only continues when the adjacent window PAIR
+    (hash@p, hash@p+1) itself occurs in >= 2 documents — i.e. some
+    partner document continues the run through the same junction — so
+    every reported span is a maximal co-moving window chain: a genuine
+    single duplicated substring with token-exact start/end, not a
+    window-granular union.  (Two runs overlapping by >= SPAN_W+1
+    tokens inside one doc still chain — the standard pairwise-overlap
+    guarantee every windowed method shares.)
+
+    Scale shape: identical to the spans query up through the dup-set
+    join; the pair check is ONE more hash aggregation keyed on the
+    8-byte hash pair of adjacent duplicated windows plus a broadcast-
+    able equi-join back — no new corpus-sized shuffle, and the lag/
+    cumsum windows still run only over duplicated windows partitioned
+    by doc_id."""
+    from mediawiki_to_notion_spark.plans.pipeline import ensure_parallelism
+    from pyspark.sql import Window as W
+
+    d = ensure_parallelism(load_table(spark, "documents", sf_dir))
+    toks = d.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= SPAN_W
+    )
+    win = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - SPAN_W),
+                lambda i: H.token_hash60(
+                    F.concat_ws(" ", F.slice("t", i + 1, SPAN_W))
+                ),
+            )
+        ).alias("p", "h"),
+    )
+    dup = (
+        win.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    byp = W.partitionBy("doc_id").orderBy("p")
+    seq = win.join(dup, "h").select(
+        "doc_id", "p", "h",
+        F.lag("p").over(byp).alias("pp"),
+        F.lag("h").over(byp).alias("ph"),
+    )
+    dup_edges = (
+        seq.filter(F.col("pp") == F.col("p") - 1)
+        .groupBy(F.col("ph").alias("ha"), F.col("h").alias("hb"))
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("ha", "hb")
+    )
+    flagged = seq.join(
+        dup_edges,
+        (F.col("ph") == F.col("ha")) & (F.col("h") == F.col("hb")),
+        "left",
+    ).select(
+        "doc_id", "p",
+        F.when(
+            (F.col("pp") == F.col("p") - 1) & F.col("ha").isNotNull(),
+            F.lit(0),
+        ).otherwise(F.lit(1)).alias("new_span"),
+    )
+    islands = flagged.select(
+        "doc_id", "p",
+        F.sum("new_span").over(
+            byp.rowsBetween(W.unboundedPreceding, 0)
+        ).alias("span_id"),
+    )
+    return islands.groupBy(
+        "doc_id", F.col("span_id").cast("int").alias("span_id")
+    ).agg(
         F.min("p").alias("start_tok"),
         (F.max("p") + SPAN_W - 1).alias("end_tok"),
         (F.max("p") - F.min("p") + SPAN_W).alias("span_len"),

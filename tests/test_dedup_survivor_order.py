@@ -54,6 +54,57 @@ def test_substring_cut_survivor_is_lexicographic_min(spark, million_token_docs):
     assert rows[2]["clean_text"] == " ".join(f"b{i}" for i in range(SPAN_W))
 
 
+@pytest.fixture(scope="module")
+def abutting_runs_docs(spark, tmp_path_factory):
+    """Doc 1 contains two DISTINCT shared runs X (shared with doc 2)
+    and Y (shared with doc 3) that abut by chance, plus one longer run
+    Z (shared with doc 2) elsewhere."""
+    root = tmp_path_factory.mktemp("token_exact_spans")
+    X = [f"x{i}" for i in range(SPAN_W)]
+    Y = [f"y{i}" for i in range(SPAN_W)]
+    Z = [f"z{i}" for i in range(SPAN_W + 4)]
+    f1 = [f"f{i}" for i in range(10)]
+    f2 = [f"g{i}" for i in range(10)]
+    doc1 = f1 + X + Y + f2 + Z
+    doc2 = [f"h{i}" for i in range(9)] + X + [f"i{i}" for i in range(9)] + Z
+    doc3 = [f"j{i}" for i in range(9)] + Y + [f"k{i}" for i in range(9)]
+    df = spark.createDataFrame(
+        [(1, " ".join(doc1)), (2, " ".join(doc2)), (3, " ".join(doc3))],
+        "doc_id int, text string",
+    )
+    df.coalesce(1).write.parquet(os.path.join(str(root), "documents.parquet"))
+    return str(root)
+
+
+def test_token_exact_spans_split_abutting_runs(spark, abutting_runs_docs):
+    """The window-granular query merges X+Y (windows within SPAN_W
+    chain) into one 16-token span; the token-exact query splits them
+    because no partner document continues through the X->Y junction."""
+    exact = {
+        (r["doc_id"], r["start_tok"], r["end_tok"], r["span_len"])
+        for r in QUERIES["dedup_substring_spans_token_exact"](
+            spark, abutting_runs_docs
+        ).collect()
+    }
+    # doc 1: X at tokens 10..17, Y at 18..25 — reported separately
+    assert (1, 10, 17, SPAN_W) in exact
+    assert (1, 18, 25, SPAN_W) in exact
+    assert not any(
+        d == 1 and s == 10 and e == 25 for d, s, e, _ in exact
+    )
+    # the longer run Z: token-exact extents on both sides
+    assert (1, 36, 36 + SPAN_W + 3, SPAN_W + 4) in exact
+    assert (2, 26, 26 + SPAN_W + 3, SPAN_W + 4) in exact
+    # the window-granular variant merges X+Y into one span
+    granular = {
+        (r["doc_id"], r["start_tok"], r["end_tok"])
+        for r in QUERIES["dedup_substring_spans_exact"](
+            spark, abutting_runs_docs
+        ).collect()
+    }
+    assert (1, 10, 25) in granular
+
+
 def test_substring_spans_extents_unaffected(spark, million_token_docs):
     spans = {
         (r["doc_id"], r["start_tok"], r["end_tok"])
