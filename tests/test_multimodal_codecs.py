@@ -1691,3 +1691,218 @@ def test_gif_offscreen_frame_descriptor_is_clipped():
             assert (w, h) == (16, 16)  # logical screen wins
         except GIFError:
             pass  # typed rejection also acceptable
+
+
+# ---------------------------------------------------------------------------
+# FLAC (r6): Rice-coded fixed/LPC predictors, CRC framing.  No external
+# FLAC reference exists in the sandbox, so the decoder-only paths (LPC,
+# stereo decorrelation, Rice2, partitions, wasted bits) are pinned with
+# hand-built bit streams whose expected samples the TESTS compute
+# independently with numpy predictor math.
+
+def _flac_mod():
+    from mediawiki_to_notion_spark.functions import flac_codec
+    return flac_codec
+
+
+@pytest.mark.parametrize("channels,block", [(1, 256), (2, 256), (3, 1024)])
+def test_flac_roundtrip_lossless(channels, block):
+    fc = _flac_mod()
+    rng = np.random.default_rng(11 + channels)
+    t = np.arange(4000)
+    base = 5000 * np.sin(2 * np.pi * t / 37) + rng.normal(0, 300, 4000)
+    x = np.stack(
+        [(base / (c + 1)).astype(np.int16) for c in range(channels)], axis=1
+    )
+    blob = fc.encode_flac(x, 16000, block_size=block)
+    rate, ch, bps, y = fc.decode_flac(blob)
+    assert (rate, ch, bps) == (16000, channels, 16)
+    assert np.array_equal(y, x)
+    assert fc.probe_flac(blob) == (16000, channels, 16, 4000)
+
+
+def test_flac_compresses_predictable_signals():
+    fc = _flac_mod()
+    ramp = np.arange(-4000, 4000, dtype=np.int16)
+    blob = fc.encode_flac(ramp, 8000)
+    assert len(blob) < ramp.nbytes // 4
+    assert np.array_equal(fc.decode_flac(blob)[3][:, 0], ramp)
+
+
+def _flac_frame(fc, subframe_writers, blocksize, channels_code,
+                rate=8000, bps_code=4):
+    """Build one hand-rolled FLAC frame (fixed blocking, frame 0)."""
+    bw = fc._BitWriter()
+    bw.write(0b11111111111110, 14)
+    bw.write(0, 2)
+    bw.write(7, 4)              # 16-bit block size at end
+    bw.write(13, 4)             # 16-bit sample rate at end
+    bw.write(channels_code, 4)
+    bw.write(bps_code, 3)
+    bw.write(0, 1)
+    bw.write(0, 8)              # frame number 0
+    bw.write(blocksize - 1, 16)
+    bw.write(rate, 16)
+    hdr = bytes(bw.out)
+    bw.write(fc._crc8(hdr), 8)
+    for w in subframe_writers:
+        w(bw)
+    bw.align()
+    body = bw.getvalue()
+    return body + fc._crc16(body).to_bytes(2, "big")
+
+
+def _flac_stream(fc, frame, n_samples, channels, rate=8000, bps=16):
+    import struct as _s
+
+    si = _s.pack(">HH", 4096, 4096) + b"\x00" * 6
+    packed = (rate << 44) | ((channels - 1) << 41) | ((bps - 1) << 36) \
+        | n_samples
+    si += packed.to_bytes(8, "big") + b"\x00" * 16
+    return b"fLaC" + _s.pack(">I", (1 << 31) | 34) + si + frame
+
+
+def _write_verbatim(bw, samples, bps=16):
+    bw.write(0, 1)
+    bw.write(1, 6)
+    bw.write(0, 1)
+    for v in samples:
+        bw.write(int(v), bps)
+
+
+def test_flac_lpc_subframe_decodes():
+    """LPC order 2, coefs [3, -1], shift 1: s[i] = r[i] +
+    ((3*s[i-1] - s[i-2]) >> 1) — expected values computed here."""
+    fc = _flac_mod()
+    warm = [100, 110]
+    res = [5, -3, 7, 0, -2, 1]
+    n = len(warm) + len(res)
+
+    def lpc(bw):
+        bw.write(0, 1)
+        bw.write(32 + 1, 6)        # LPC, order 2
+        bw.write(0, 1)
+        for w in warm:
+            bw.write(w, 16)
+        bw.write(14, 4)            # precision 15
+        bw.write(1, 5)             # shift 1
+        bw.write(3, 15)
+        bw.write(-1, 15)
+        bw.write(0, 2)             # Rice, 4-bit
+        bw.write(0, 4)             # partition order 0
+        bw.write(0xF, 4)           # escape partition
+        bw.write(8, 5)             # raw 8-bit residuals
+        for r in res:
+            bw.write(r, 8)
+
+    frame = _flac_frame(fc, [lpc], n, channels_code=0)
+    _, _, _, y = fc.decode_flac(_flac_stream(fc, frame, n, 1))
+    exp = list(warm)
+    for r in res:
+        exp.append(r + ((3 * exp[-1] - exp[-2]) >> 1))
+    assert y[:, 0].tolist() == exp
+
+
+@pytest.mark.parametrize("mode_code", [8, 9, 10])
+def test_flac_stereo_decorrelation_modes(mode_code):
+    """left/side, right/side, mid/side hand-built frames must rebuild
+    the same (left, right) the test derives independently."""
+    fc = _flac_mod()
+    left = np.array([100, -50, 3000, 0, -32768, 32767, 7, -1],
+                    dtype=np.int64)
+    right = np.array([90, -60, 2990, 5, -32768, 32760, -7, 1],
+                     dtype=np.int64)
+    side = left - right
+    if mode_code == 8:
+        ch0, b0, ch1, b1 = left, 16, side, 17
+    elif mode_code == 9:
+        ch0, b0, ch1, b1 = side, 17, right, 16
+    else:
+        mid = (left + right) >> 1
+        ch0, b0, ch1, b1 = mid, 16, side, 17
+    frame = _flac_frame(
+        fc,
+        [lambda bw: _write_verbatim(bw, ch0, b0),
+         lambda bw: _write_verbatim(bw, ch1, b1)],
+        len(left), channels_code=mode_code,
+    )
+    _, _, _, y = fc.decode_flac(_flac_stream(fc, frame, len(left), 2))
+    assert y[:, 0].tolist() == left.tolist()
+    assert y[:, 1].tolist() == right.tolist()
+
+
+def test_flac_rice2_partitions_and_wasted_bits():
+    """5-bit Rice2 method, partition order 1, plus 2 wasted bits on a
+    fixed-order-1 subframe."""
+    fc = _flac_mod()
+    n = 8
+    # samples all multiples of 4 -> 2 wasted bits; fixed order 1
+    samples = [4, 8, 20, 16, 4, 0, -8, -4]
+    shifted = [s >> 2 for s in samples]
+    res = [shifted[0]] + [shifted[i] - shifted[i - 1] for i in range(1, n)]
+
+    def sub(bw):
+        bw.write(0, 1)
+        bw.write(9, 6)             # FIXED order 1
+        bw.write(1, 1)             # wasted-bits flag
+        bw.write(1, 2)             # unary 01 -> wasted = 2
+        bw.write(shifted[0], 14)   # warmup at bps - wasted
+        bw.write(1, 2)             # residual method: Rice2
+        bw.write(1, 4)             # partition order 1 -> 2 partitions
+        for part, lo, hi in ((0, 1, 4), (1, 4, 8)):
+            bw.write(2, 5)         # rice2 param k=2
+            for r in res[lo:hi]:
+                u = r * 2 if r >= 0 else -r * 2 - 1
+                bw.write_unary(u >> 2)
+                bw.write(u, 2)
+
+    frame = _flac_frame(fc, [sub], n, channels_code=0)
+    _, _, _, y = fc.decode_flac(_flac_stream(fc, frame, n, 1))
+    assert y[:, 0].tolist() == samples
+
+
+def test_flac_errors_and_bomb_caps():
+    fc = _flac_mod()
+    x = np.arange(100, dtype=np.int16)
+    blob = bytearray(fc.encode_flac(x, 8000))
+    with pytest.raises(fc.FLACError):
+        fc.decode_flac(b"NOPE" + bytes(blob[4:]))
+    # declared sample volume above cap must refuse pre-decode
+    big = bytearray(blob)
+    packed = int.from_bytes(big[18:26], "big")
+    packed = (packed & ~((1 << 36) - 1)) | (fc.MAX_SAMPLES + 1)
+    big[18:26] = packed.to_bytes(8, "big")
+    with pytest.raises(fc.FLACError):
+        fc.probe_flac(bytes(big))
+    # corrupt frame CRC-16 -> typed error
+    bad = bytearray(blob)
+    bad[-1] ^= 0xFF
+    with pytest.raises(fc.FLACError):
+        fc.decode_flac(bytes(bad))
+    # encoder input validation
+    with pytest.raises(fc.FLACError):
+        fc.encode_flac(x.astype(np.int32), 8000)
+    with pytest.raises(fc.FLACError):
+        fc.encode_flac(x, 0)
+    with pytest.raises(fc.FLACError):
+        fc.encode_flac(np.zeros((0,), dtype=np.int16), 8000)
+
+
+def test_flac_truncation_and_bitflips_never_hang():
+    fc = _flac_mod()
+    rng = np.random.default_rng(5)
+    x = (rng.normal(0, 2000, 3000)).astype(np.int16)
+    blob = fc.encode_flac(x, 8000, block_size=256)
+    for cut in (3, 4, 7, 8, 41, 42, 80, len(blob) // 2, len(blob) - 2):
+        try:
+            fc.decode_flac(blob[:cut])
+        except fc.FLACError:
+            pass
+    for _ in range(60):
+        noisy = bytearray(blob)
+        for i in rng.integers(0, len(blob), size=4):
+            noisy[i] ^= int(rng.integers(1, 256))
+        try:
+            fc.decode_flac(bytes(noisy))
+        except fc.FLACError:
+            pass

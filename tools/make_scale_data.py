@@ -1,0 +1,127 @@
+"""Synthesize a 10x scale-up of /root/testdata/sf0.1 for the scaling
+soak (VERDICT r5 item 1): converts the engine's "scales ~linearly"
+claim from plan-gated to observed.
+
+Construction (deterministic, one Spark job, raw reads so the physical
+schema — events.ts as INT64 nanos, NTZ micro timestamps — is preserved
+byte-compatible with what load_table expects):
+
+- region/nation: fixed dimensions at every TPC-H scale factor — copied
+  once, NOT multiplied.
+- fact/dim tables: 10 copies unioned, every key column offset by
+  k * (max_key + 1) so referential joins stay consistent per copy and
+  key cardinality scales 10x.  Non-key attributes (prices, dates,
+  segments, event ts) are left unchanged: like real TPC-H scaling, the
+  time range and group-label domains stay fixed and per-group density
+  grows — exactly the regime a 100 TB corpus presents.
+- documents: copy k > 0 suffixes every token with "~k", which keeps
+  each copy's INTERNAL duplicate/ngram structure identical while
+  making copies mutually non-duplicative — duplicate RATE is
+  preserved (the dedup queries' selectivity is unchanged) and
+  duplicate VOLUME scales linearly.  Naive identical copies would
+  flip every document to a 10x exact duplicate and measure a
+  different workload.
+- embeddings: copy k rotates the 64-dim vector by k positions —
+  norms and coordinate distributions preserved, cross-copy cosine
+  decorrelated, so ANN/semantic-dedup selectivity stays realistic.
+
+Output: /root/repo/.scale/sf1/*.parquet (gitignored scratch; the
+read-only /root/testdata is never touched).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+SRC = "/root/testdata/sf0.1"
+DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   ".scale", "sf1")
+N_COPIES = 10
+
+KEY_COLS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+# offsets must be consistent across tables sharing a key domain
+KEY_DOMAIN = {
+    "c_custkey": "custkey", "o_custkey": "custkey",
+    "s_suppkey": "suppkey", "l_suppkey": "suppkey",
+    "p_partkey": "partkey", "l_partkey": "partkey",
+    "o_orderkey": "orderkey", "l_orderkey": "orderkey",
+    "event_id": "event_id", "user_id": "user_id",
+    "doc_id": "doc_id", "vec_id": "vec_id",
+}
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from mediawiki_to_notion_spark.session import get_spark
+
+    spark = get_spark("make_scale_data")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    os.makedirs(DST, exist_ok=True)
+
+    for t in ("region", "nation"):
+        spark.read.parquet(f"{SRC}/{t}.parquet").write.mode(
+            "overwrite").parquet(f"{DST}/{t}.parquet")
+        print(f"{t}: copied (fixed dim)")
+
+    # one base per key DOMAIN: max over every column mapped to it
+    bases: dict[str, int] = {}
+    raw = {t: spark.read.parquet(f"{SRC}/{t}.parquet") for t in KEY_COLS}
+    for t, cols in KEY_COLS.items():
+        for c in cols:
+            mx = raw[t].agg(F.max(c)).collect()[0][0]
+            dom = KEY_DOMAIN[c]
+            bases[dom] = max(bases.get(dom, 0), int(mx) + 1)
+
+    for t, cols in KEY_COLS.items():
+        df = raw[t]
+        copies = []
+        for k in range(N_COPIES):
+            c = df
+            for col in cols:
+                c = c.withColumn(
+                    col, F.col(col) + F.lit(k * bases[KEY_DOMAIN[col]]))
+            if t == "documents" and k > 0:
+                # suffix every (non-empty) token; recompute n_chars
+                c = c.withColumn(
+                    "text",
+                    F.concat_ws(
+                        " ",
+                        F.transform(
+                            F.split("text", " "),
+                            lambda w: F.when(w == "", w).otherwise(
+                                F.concat(w, F.lit(f"~{k}"))),
+                        ),
+                    ),
+                ).withColumn("n_chars", F.length("text"))
+            if t == "embeddings" and k > 0:
+                d = 64
+                c = c.withColumn(
+                    "embedding",
+                    F.concat(
+                        F.slice("embedding", k + 1, d - k),
+                        F.slice("embedding", 1, k),
+                    ),
+                )
+            copies.append(c)
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        out.write.mode("overwrite").parquet(f"{DST}/{t}.parquet")
+        n = spark.read.parquet(f"{DST}/{t}.parquet").count()
+        print(f"{t}: {n} rows")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

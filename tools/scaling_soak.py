@@ -1,0 +1,103 @@
+"""Scaling soak (VERDICT r5 item 1): measure per-query scaling
+exponents over a real 10x data scale-up instead of asserting
+linearity from plan shapes.
+
+Runs the most expensive headline queries at sf0.1 (/root/testdata)
+and at the synthesized sf1 (tools/make_scale_data.py, 10x rows with
+preserved selectivity), N runs each with a noop sink, and reports
+
+    exponent = log(t_sf1 / t_sf0.1) / log(10)
+
+per query on the min-of-N times.  1.0 = perfectly linear; < 1 means
+fixed per-query overhead still dominates; > ~1.1 flags a super-linear
+plan that needs a fix or a written explanation.
+
+Output: one JSON line to stdout + SCALING_SOAK.json next to the repo
+root (the SCALING.md table is maintained by hand from it).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF01 = "/root/testdata/sf0.1"
+SF1 = os.path.join(ROOT, ".scale", "sf1")
+
+# the 22 most expensive r5 headline queries (BENCH_DETAIL r5 medians)
+# + the r6 additions, so every heavy plan family is covered
+SOAK = [
+    "corpus_prepare_pipeline", "bpe_train_merges",
+    "dedup_connected_components", "dedup_survivorship",
+    "bpe_tokenize_fertility", "stats_moments_lineitem",
+    "dedup_substring_cut", "kmeans_lloyd_refine",
+    "market_basket_part_pairs", "sliding_distinct_users",
+    "hll_distinct_within_band", "dedup_embedding_cosine_lsh",
+    "dedup_duplicate_ngram_spans", "mixture_anneal_schedule",
+    "dedup_fuzzy_levenshtein", "text_gopher_repetition_rules",
+    "dedup_substring_spans_exact", "dedup_minhash_lsh",
+    "dedup_minhash_incremental", "pagerank_word_graph",
+    "similarity_ivf_probe", "dedup_simhash",
+    "dedup_substring_spans_token_exact", "approx_distinct_within_band",
+]
+
+
+def main() -> None:
+    sys.path.insert(0, ROOT)
+    from mediawiki_to_notion_spark.operators import QUERIES, load_all
+    from mediawiki_to_notion_spark.session import get_spark
+
+    load_all()
+    n_runs = int(os.environ.get("SOAK_RUNS", "3"))
+    loadavg = list(os.getloadavg())
+    spark = get_spark("scaling_soak")
+
+    def timed(name: str, sf_dir: str) -> float:
+        fn = QUERIES[name]
+        best = math.inf
+        for _ in range(n_runs):
+            t0 = time.time()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            best = min(best, time.time() - t0)
+            spark.catalog.clearCache()
+            import gc
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+        return best
+
+    # warmup both datasets once (footers, codegen, Arrow workers)
+    for name in SOAK:
+        QUERIES[name](spark, "/root/testdata/sf0.01") \
+            .write.mode("overwrite").format("noop").save()
+    spark.catalog.clearCache()
+
+    rows = {}
+    for name in SOAK:
+        t01 = timed(name, SF01)
+        t1 = timed(name, SF1)
+        exp = math.log(t1 / t01) / math.log(10.0)
+        rows[name] = {"t_sf0.1": round(t01, 3), "t_sf1": round(t1, 3),
+                      "exponent": round(exp, 3)}
+        print(f"{name:40s} {t01:7.2f}s  {t1:8.2f}s  exp {exp:5.2f}",
+              file=sys.stderr, flush=True)
+
+    out = {
+        "metric": "scaling_exponents_sf0.1_to_sf1",
+        "n_runs_min_of": n_runs,
+        "loadavg_start": [round(x, 2) for x in loadavg],
+        "queries": rows,
+        "max_exponent": max(r["exponent"] for r in rows.values()),
+        "median_exponent": sorted(
+            r["exponent"] for r in rows.values())[len(rows) // 2],
+    }
+    with open(os.path.join(ROOT, "SCALING_SOAK.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    sys.exit(main())
