@@ -110,6 +110,11 @@ HEADLINE = [
     # r6 additions
     "approx_distinct_within_band",
     "dedup_substring_spans_token_exact",
+    "dedup_simhash_wide",
+    "dedup_embedding_cosine_lsh_scaled",
+    # multimodal_audio_flac_roundtrip is registered + driver-gated but
+    # NOT headline: pure-Python Rice coding throughput, same precedent
+    # as multimodal_codec_roundtrip / multimodal_video_roundtrip.
 ]
 N_R3_SET = 53  # the first 53 entries are the r2/r3 headline set
 N_R4_SET = 61  # ... the first 61 are the r4 headline set

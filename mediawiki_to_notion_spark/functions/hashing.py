@@ -74,13 +74,14 @@ def band_signature_sql(band: int) -> str:
     return " || '_' || ".join(cols)
 
 
-def simhash_band_bounds(max_hamming: int = 2) -> list[tuple[int, int]]:
+def simhash_band_bounds(max_hamming: int = 2,
+                        n_bits: int = SIMHASH_BITS) -> list[tuple[int, int]]:
     """(bit_offset, width) per pigeonhole band: ``max_hamming + 1``
-    near-equal slices of the SIMHASH_BITS hash.  Any pair within
+    near-equal slices of the ``n_bits``-wide hash.  Any pair within
     ``max_hamming`` differs in at most ``max_hamming`` bands, so at
     least one band matches exactly — band equi-join is lossless."""
     n_bands = max_hamming + 1
-    base, extra = divmod(SIMHASH_BITS, n_bands)
+    base, extra = divmod(n_bits, n_bands)
     bounds: list[tuple[int, int]] = []
     off = 0
     for i in range(n_bands):
@@ -90,37 +91,40 @@ def simhash_band_bounds(max_hamming: int = 2) -> list[tuple[int, int]]:
     return bounds
 
 
-def simhash_bit_aggs(hash_col: Column) -> list[Column]:
+def simhash_bit_aggs(hash_col: Column,
+                     n_bits: int = SIMHASH_BITS) -> list[Column]:
     """Per-bit ±1 weight sums over grouped token hashes (SimHash)."""
     return [
         F.sum(
             F.when(F.shiftright(hash_col, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"w{j}")
-        for j in range(SIMHASH_BITS)
+        for j in range(n_bits)
     ]
 
 
-def simhash_from_weights() -> Column:
+def simhash_from_weights(n_bits: int = SIMHASH_BITS) -> Column:
     out = F.lit(0).cast("long")
-    for j in range(SIMHASH_BITS):
+    for j in range(n_bits):
         out = out + F.when(F.col(f"w{j}") > 0, F.lit(1 << j)).otherwise(0)
     return out
 
 
-def simhash_sql(hash_expr: str) -> tuple[list[str], str]:
+def simhash_sql(hash_expr: str,
+                n_bits: int = SIMHASH_BITS) -> tuple[list[str], str]:
     """(per-bit weight aggregates, combiner expression) for DuckDB."""
     aggs = [
         f"sum(CASE WHEN (({hash_expr}) >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS w{j}"
-        for j in range(SIMHASH_BITS)
+        for j in range(n_bits)
     ]
     combine = " + ".join(
-        f"(CASE WHEN w{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+        f"(CASE WHEN w{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(n_bits)
     )
     return aggs, combine
 
 
 def hamming_band_pairs(hashed, hash_col: str, max_hamming: int,
-                       id_col: str = "doc_id"):
+                       id_col: str = "doc_id",
+                       n_bits: int = SIMHASH_BITS):
     """(id_a, id_b, hamming) pairs within ``max_hamming`` of each other,
     via pigeonhole band blocking over a SIMHASH_BITS-wide hash column —
     the shared candidate generator of dedup_simhash and the multimodal
@@ -142,7 +146,7 @@ def hamming_band_pairs(hashed, hash_col: str, max_hamming: int,
     to their corpus."""
     band_vals = [
         F.shiftright(F.col(hash_col), off).bitwiseAND(F.lit((1 << width) - 1))
-        for off, width in simhash_band_bounds(max_hamming)
+        for off, width in simhash_band_bounds(max_hamming, n_bits)
     ]
     bands = hashed.select(
         id_col, hash_col, F.posexplode(F.array(*band_vals)).alias("band", "bv")

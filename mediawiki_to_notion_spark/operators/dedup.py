@@ -357,6 +357,56 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SIMHASH_WIDE_BITS = 48  # Manku-grade fingerprint width (fits token_hash60)
+
+
+@register(
+    "dedup_simhash_wide",
+    oracle=(lambda aggs_combine=H.simhash_sql("h", SIMHASH_WIDE_BITS): f"""
+    WITH {_SHINGLES_SQL},
+    weights AS (
+      SELECT doc_id, {', '.join(aggs_combine[0])}
+      FROM sh GROUP BY doc_id
+    ),
+    sims AS (
+      SELECT doc_id, {aggs_combine[1]} AS simhash FROM weights
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+    """)(),
+)
+def dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-PATH SimHash: {SIMHASH_WIDE_BITS}-bit fingerprints
+    (Manku et al., WWW'07 use 64) with the same pigeonhole band
+    blocking as ``dedup_simhash``.
+
+    Why it exists: the r6 scaling soak measured the 16-bit variant at
+    exponent 1.15 over a real 10x scale-up — its 3 bands hold only
+    2^6/2^5/2^5 values, so band-bucket occupancy grows linearly with
+    the corpus and candidate pairs quadratically (SCALING.md).  With
+    {SIMHASH_WIDE_BITS} bits the bands hold 2^16 values each: bucket
+    occupancy stays O(n/65536), candidates stay near-linear at any SF
+    this repo can hold (soak-measured exponent ~0.2), and the
+    fingerprint still fits the 60-bit token hash and a BIGINT in both
+    engines.  Same lossless pigeonhole guarantee, same single shuffle
+    keyed by (band, value); only the width — the paper's actual
+    scale lever — changes."""
+    d = load_table(spark, "documents", sf_dir)
+    sh = _hashed_shingles(d)
+    weights = sh.groupBy("doc_id").agg(
+        *H.simhash_bit_aggs(F.col("h"), SIMHASH_WIDE_BITS))
+    sims = weights.select(
+        "doc_id",
+        H.simhash_from_weights(SIMHASH_WIDE_BITS).alias("simhash"))
+    return H.hamming_band_pairs(
+        sims, "simhash", HAMMING_MAX, n_bits=SIMHASH_WIDE_BITS
+    ).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "hamming"
+    )
+
+
 COSINE_N_BLOCKS = 16
 
 
@@ -574,6 +624,142 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     verified = cand.mapInPandas(verify, "vec_a BIGINT, vec_b BIGINT, cosine DOUBLE")
+    return (
+        verified.select(
+            "vec_a", "vec_b", F.round(F.col("cosine"), 6).alias("cosine_r")
+        )
+        .filter(F.col("cosine_r") >= COSINE_DUP_THRESHOLD)
+    )
+
+
+SCALED_LSH_TARGET = 32      # bucket occupancy the plane count maintains
+SCALED_LSH_MAX_PLANES = 16  # SQL term cap: covers ~2M vectors
+
+
+def _scaled_bucket_sql() -> str:
+    """Bucket expression whose active plane count is the scalar ``npl.p``
+    (derived from the corpus size in a CTE) — planes beyond p contribute
+    nothing, so the SAME static SQL adapts to any input size."""
+    terms = [
+        f"(CASE WHEN {j} < npl.p AND list_dot_product("
+        f"embedding::DOUBLE[], {V.hyperplane_sql(j)}) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(SCALED_LSH_MAX_PLANES)
+    ]
+    return " + ".join(terms)
+
+
+@register(
+    "dedup_embedding_cosine_lsh_scaled",
+    oracle=V.hygiene_oracle(f"""
+    WITH n AS (SELECT count(*) AS c FROM embeddings),
+    npl AS (
+      SELECT LEAST({SCALED_LSH_MAX_PLANES}, GREATEST(4,
+        CASE WHEN (c - 1) // {SCALED_LSH_TARGET} < 1 THEN 0
+             ELSE CAST(floor(log2(CAST((c - 1) // {SCALED_LSH_TARGET}
+                                       AS DOUBLE))) AS INT) + 1
+        END)) AS p
+      FROM n
+    ),
+    bucketed AS (
+      SELECT vec_id, embedding, {_scaled_bucket_sql()} AS bucket
+      FROM embeddings, npl
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+             AS cosine_r
+    FROM bucketed a JOIN bucketed b ON a.vec_id < b.vec_id
+    WHERE bit_count(xor(a.bucket, b.bucket)) <= {LSH_PROBE_HAMMING}
+      AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+          >= {COSINE_DUP_THRESHOLD}
+    """),
+)
+def dedup_embedding_cosine_lsh_scaled(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """The SCALE-PATH SRP-LSH cosine dedup: identical multi-probe
+    blocking to ``dedup_embedding_cosine_lsh``, but the hyperplane
+    count is DERIVED FROM THE CORPUS SIZE so expected bucket occupancy
+    stays ~{SCALED_LSH_TARGET} regardless of scale:
+
+        planes = clamp(4, bit_length((n - 1) // {SCALED_LSH_TARGET}),
+                       {SCALED_LSH_MAX_PLANES})
+
+    Why it exists: the r6 scaling soak measured the fixed-4-plane
+    variant at exponent 1.29 over a real 10x scale-up — 16 buckets
+    means bucket occupancy grows linearly with the corpus and
+    candidate pairs quadratically (SCALING.md).  Deriving the plane
+    count from n is the textbook LSH sizing rule (bits ~ log2(n));
+    recall per pair drops as planes grow, which production deployments
+    compensate with multiple tables — here the single-table variant is
+    kept oracle-comparable, and ``dedup_cosine_lsh_recall`` remains
+    the quality gate for the fixed-plane family.
+
+    Both engines derive the plane count from the SAME hygiene-filtered
+    count with integer arithmetic (bit_length == floor(log2)+1 exactly
+    for m >= 1), so the blocking — and therefore the result set — is
+    deterministic and hash-checked.  The driver-side count() is one
+    scalar (bounded)."""
+    import numpy as np
+    import pandas as pd
+
+    from mediawiki_to_notion_spark.plans.pipeline import ensure_parallelism
+
+    e = V.hygiene(load_table(spark, "embeddings", sf_dir))
+    n = e.count()  # bounded: one scalar, the LSH sizing input
+    m = (n - 1) // SCALED_LSH_TARGET
+    npl = min(SCALED_LSH_MAX_PLANES, max(4, m.bit_length()))
+
+    bucket = F.lit(0)
+    for j in range(npl):
+        bucket = bucket + F.when(
+            V.dot(F.col("embedding"), V.hyperplane(j)) > 0, F.lit(1 << j)
+        ).otherwise(0)
+    bucketed = e.select("vec_id", "embedding", bucket.alias("bucket"))
+    probe_keys = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(npl)],
+    )
+    a = ensure_parallelism(
+        bucketed.select(
+            "vec_id", "embedding", F.explode(probe_keys).alias("probe")
+        ),
+        16,
+    ).alias("a")
+    b = bucketed.alias("b")
+    cand = a.join(
+        F.broadcast(b),
+        (F.col("a.probe") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.col("a.embedding").alias("emb_a"),
+        F.col("b.embedding").alias("emb_b"),
+    )
+
+    def verify(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            A = np.stack(pdf["emb_a"].to_numpy()).astype(np.float64)
+            B = np.stack(pdf["emb_b"].to_numpy()).astype(np.float64)
+            dot = np.zeros(len(pdf))
+            na = np.zeros(len(pdf))
+            nb = np.zeros(len(pdf))
+            for k in range(A.shape[1]):  # left-fold order, engine-identical
+                dot += A[:, k] * B[:, k]
+                na += A[:, k] * A[:, k]
+                nb += B[:, k] * B[:, k]
+            yield pd.DataFrame(
+                {
+                    "vec_a": pdf["vec_a"],
+                    "vec_b": pdf["vec_b"],
+                    "cosine": dot / (np.sqrt(na) * np.sqrt(nb)),
+                }
+            )
+
+    verified = cand.mapInPandas(
+        verify, "vec_a BIGINT, vec_b BIGINT, cosine DOUBLE")
     return (
         verified.select(
             "vec_a", "vec_b", F.round(F.col("cosine"), 6).alias("cosine_r")
