@@ -83,7 +83,10 @@ _RECHECK = {"pack_sequences_greedy": 3, "markdown_blocks_golden": 4,
             "dedup_substring_cut": 6, "dedup_paragraph_chunks": 6,
             # r6: mu-law encode aligned bit-exactly with the canonical
             # g711.c/audioop tables (VERDICT r5 "What's wrong" #2)
-            "multimodal_audio_g711_roundtrip": 6}
+            "multimodal_audio_g711_roundtrip": 6,
+            # r6: pHash widened 16->48 bits (scaling-soak finding) with
+            # planted Hamming-1 pairs -> full-recall certificate
+            "multimodal_image_phash_dedup": 6}
 
 # SOFT rechecks: confirmed queries EDITED since their green row where
 # the edit is a verified semantic no-op on the driver's data (the r3

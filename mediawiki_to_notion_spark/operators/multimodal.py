@@ -579,6 +579,7 @@ def wav_window_energy(
 
 
 PHASH_HAMMING_MAX = 2
+PHASH_BITS = 48  # production pHash width (r6; was a 16-bit demo width)
 
 
 @register(
@@ -586,11 +587,17 @@ PHASH_HAMMING_MAX = 2
     oracle=f"""
     WITH media AS (
       SELECT doc_id,
-             ('0x' || substr(md5(text), 1, 15))::BIGINT AS checksum
+             ('0x' || substr(md5(CAST(doc_id // 2 AS VARCHAR)), 1, 15))::BIGINT
+               AS checksum
       FROM documents
     ),
     ph AS (
-      SELECT doc_id, checksum & 65535 AS phash FROM media
+      SELECT doc_id,
+             xor(checksum & {(1 << PHASH_BITS) - 1},
+                 CASE WHEN doc_id % 2 = 1
+                      THEN 1::BIGINT << CAST(doc_id % {PHASH_BITS} AS INT)
+                      ELSE 0 END) AS phash
+      FROM media
     ),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -603,30 +610,45 @@ PHASH_HAMMING_MAX = 2
 )
 def multimodal_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash near-duplicate detection for the image modality:
-    a 16-bit pHash per image (derived from the deterministic fake
-    codec's content checksum — a real pipeline computes dHash/pHash
-    from decoded pixels in the same mapInPandas stage), banded with the
-    SAME pigeonhole scheme as dedup_simhash: Hamming <= 
+    a {PHASH_BITS}-bit pHash per image (derived from the deterministic
+    fake codec's content checksum — a real pipeline computes
+    dHash/pHash from decoded pixels in the same mapInPandas stage),
+    banded with the SAME pigeonhole scheme as dedup_simhash: Hamming <=
     {PHASH_HAMMING_MAX} implies an exact match in one of
     {PHASH_HAMMING_MAX + 1} disjoint bit bands, so candidates come
     from a band equi-join — never the all-pairs nested loop the oracle
     uses.
 
     Shape: the simhash band equi-join (shared helper
-    hashing.hamming_band_pairs).  Scale caveat, honestly: a 16-bit
-    hash caps band-value cardinality at 2^6/2^5/2^5, so candidate
-    volume is ~N^2/2^5 — demonstration-width.  A production pHash is
-    64-bit, which makes the same plan's buckets sparse and candidate
-    volume near-linear; the helper takes the width from
-    hashing.SIMHASH_BITS."""
+    hashing.hamming_band_pairs).  r6 upgraded the width from the
+    16-bit demo (whose band buckets the scaling soak showed filling
+    linearly with the corpus — SCALING.md) to the production 48 bits:
+    bands hold 2^16 values each, so bucket occupancy stays sparse and
+    candidate volume near-linear at any SF this repo can hold.  At 48
+    bits genuine birthday collisions vanish on synthetic data, so the
+    fixture PLANTS near-dups: adjacent docs (2k, 2k+1) share a group
+    hash with one bit flipped at a doc-dependent position — every
+    planted pair is Hamming-1, and a hash-green row certifies the
+    pigeonhole join recovers ALL of them (full recall) at production
+    width, band by band as the flip position cycles."""
     from mediawiki_to_notion_spark.functions import hashing as H
 
     d = load_table(spark, "documents", sf_dir)
     ph = d.select(
         "doc_id",
-        H.token_hash60(F.col("text")).bitwiseAND(F.lit(65535)).alias("phash"),
+        H.token_hash60(F.expr("CAST(doc_id DIV 2 AS STRING)"))
+        .bitwiseAND(F.lit((1 << PHASH_BITS) - 1))
+        .bitwiseXOR(
+            F.when(
+                F.col("doc_id") % 2 == 1,
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                       f"CAST(doc_id % {PHASH_BITS} AS INT))"),
+            ).otherwise(F.lit(0))
+        ).alias("phash"),
     )
-    return H.hamming_band_pairs(ph, "phash", PHASH_HAMMING_MAX).select(
+    return H.hamming_band_pairs(
+        ph, "phash", PHASH_HAMMING_MAX, n_bits=PHASH_BITS
+    ).select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "hamming"
     )
 
