@@ -425,11 +425,20 @@ def approx_distinct_within_band(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     CERTIFICATION query: deliberately runs the exact twin alongside the
     sketch; the production swap-in at 100 TB is the sketch alone (one
-    map-side-combining partial agg, no count-distinct expansion)."""
+    map-side-combining partial agg, no count-distinct expansion).
+
+    Plan note: the distinct and sketch aggregates must NOT share one
+    groupBy — mixing a distinct with a non-distinct aggregate forces
+    Catalyst's Expand path and cost 4.7x here (measured 2.9 s vs
+    0.6 s at sf0.1).  HLL sketches are duplicate-insensitive, so both
+    run over the deduplicated (suppkey, partkey) pairs: one distinct
+    shuffle, then a plain map-side-combinable agg where the exact
+    count is a count(*) and the estimate is unchanged."""
     l = load_table(spark, "lineitem", sf_dir)
-    both = l.groupBy("l_suppkey").agg(
+    pairs = l.select("l_suppkey", "l_partkey").distinct()
+    both = pairs.groupBy("l_suppkey").agg(
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-        F.count_distinct("l_partkey").alias("n_parts_exact"),
+        F.count(F.lit(1)).alias("n_parts_exact"),
     )
     return both.select(
         F.col("l_suppkey").cast("long").alias("l_suppkey"),
