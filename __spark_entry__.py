@@ -119,6 +119,10 @@ _RECHECK_SOFT["multimodal_video_roundtrip"] = 6
 # r6: repetition battery extracted into apply_repetition_rules for
 # stream parity — pure refactor, compare re-verified green at sf0.01
 _RECHECK_SOFT["text_gopher_repetition_rules"] = 6
+# r6: Expand-path removal (two-level agg instead of count+count_distinct
+# in one groupBy) — values identical, compare green at sf0.001+0.01
+_RECHECK_SOFT["text_repetition_ratio"] = 6
+_RECHECK_SOFT["approx_distinct_within_band"] = 6
 # Added after the current round's ~50-query window filled; placed right
 # behind the fresh backlog (locally oracle-checked already).  All
 # round-2 additions queue here so the r1-era never-driver-checked

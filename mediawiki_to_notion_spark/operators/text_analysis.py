@@ -286,9 +286,16 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("shingle"),
     )
-    agg = tri.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_trigrams"),
-        F.count_distinct("shingle").alias("n_distinct"),
+    # two-level aggregation, NOT count(*) + count_distinct in one agg:
+    # mixing distinct and plain aggregates forces Catalyst's Expand
+    # path (row stream doubled before the partial agg) — measured 2.1x
+    # slower at sf0.1.  The (doc_id, shingle) partial agg combines
+    # map-side, so the trigram stream collapses before the shuffle.
+    lvl1 = tri.groupBy("doc_id", "shingle").agg(
+        F.count(F.lit(1)).alias("c"))
+    agg = lvl1.groupBy("doc_id").agg(
+        F.sum("c").alias("n_trigrams"),
+        F.count(F.lit(1)).alias("n_distinct"),
     )
     ratio = F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_trigrams")
     return agg.select(
