@@ -1324,3 +1324,104 @@ def ngram_lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("p_kn"), F.asc("v"), F.asc("w"))
         .limit(KN_TOP_K)
     )
+
+
+@register(
+    "ngram_lm_doc_perplexity",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ), big AS (
+      SELECT doc_id, t[u.i] AS v, t[u.i + 1] AS w
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) u
+    ), c_vw AS (
+      SELECT v, w, CAST(count(*) AS BIGINT) AS c FROM big GROUP BY v, w
+    ), c_v AS (
+      SELECT v, CAST(sum(c) AS BIGINT) AS cv,
+             CAST(count(*) AS BIGINT) AS n1v
+      FROM c_vw GROUP BY v
+    ), p_cont AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS npw FROM c_vw GROUP BY w
+    ), nb AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_bigram_types FROM c_vw
+    ), model AS (
+      SELECT v, w,
+             round(ln(round(
+               greatest(c - {{D}}, 0) / cv
+               + {{D}} * n1v / cv * (npw::DOUBLE / n_bigram_types),
+               6)), 6) AS lp
+      FROM c_vw JOIN c_v USING (v) JOIN p_cont USING (w), nb
+    )
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(round(
+             (sum(CAST(m.lp AS DECIMAL(18,6)))::DOUBLE / count(*)) * 1e6
+           ) AS BIGINT) AS kn_logprob_micro
+    FROM big b JOIN model m ON b.v = m.v AND b.w = m.w
+    GROUP BY b.doc_id
+    """.format(D=KN_DISCOUNT),
+)
+def ngram_lm_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY side of the Kneser-Ney bigram LM (train→apply
+    symmetry, like bpe_train_merges → bpe_tokenize_fertility): every
+    document scored by its mean KN log-probability — the CCNet-style
+    perplexity signal a quality-filtering pass ranks on — in integer
+    micro-nats.
+
+    Cross-engine float parity (the corpus_perplexity_buckets recipe):
+    the smoothed probability is rounded to 6 dp FIRST (proven
+    identical cross-engine by ``ngram_lm_kneser_ney``'s hash-green
+    row), its log is rounded to 6 dp, and the per-doc sum runs over
+    DECIMAL(18,6) — exact and order-independent — so no multi-term
+    float reduction ever depends on accumulation order.
+
+    100 TB shape: the model is the bigram-TYPE table (vocabulary²
+    ceiling, not corpus); scoring is one (v, w) equi-join of the
+    bigram stream against it plus one map-side-combinable per-doc
+    aggregate.  Every bigram is in-model by construction (trained on
+    the same corpus), so the join is total — a held-out scorer would
+    left-join and backstop with the continuation distribution."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.select("doc_id", F.split("text", " ").alias("t")) \
+        .filter(F.size("t") >= 2)
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    F.element_at("t", i).alias("v"),
+                    F.element_at("t", i + 1).alias("w"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.v", "p.w")
+    c_vw = big.groupBy("v", "w").agg(F.count(F.lit(1)).alias("c"))
+    c_v = c_vw.groupBy("v").agg(
+        F.sum("c").alias("cv"), F.count(F.lit(1)).alias("n1v")
+    )
+    p_cont = c_vw.groupBy("w").agg(F.count(F.lit(1)).alias("npw"))
+    nb = c_vw.agg(F.count(F.lit(1)).alias("n_bigram_types"))
+    p_kn = F.round(
+        F.greatest(F.col("c") - KN_DISCOUNT, F.lit(0.0)) / F.col("cv")
+        + F.lit(KN_DISCOUNT) * F.col("n1v") / F.col("cv")
+        * (F.col("npw").cast("double") / F.col("n_bigram_types")),
+        6,
+    )
+    model = (
+        c_vw.join(c_v, "v").join(p_cont, "w")
+        .crossJoin(F.broadcast(nb))
+        .select("v", "w", F.round(F.log(p_kn), 6).alias("lp"))
+    )
+    return (
+        big.join(model, ["v", "w"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                (F.sum(F.col("lp").cast("decimal(18,6)")).cast("double")
+                 / F.count(F.lit(1))) * 1e6
+            ).cast("long").alias("kn_logprob_micro"),
+        )
+    )
