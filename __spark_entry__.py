@@ -123,6 +123,9 @@ _RECHECK_SOFT["text_gopher_repetition_rules"] = 6
 # in one groupBy) — values identical, compare green at sf0.001+0.01
 _RECHECK_SOFT["text_repetition_ratio"] = 6
 _RECHECK_SOFT["approx_distinct_within_band"] = 6
+# r6: rank machinery extracted into _dense_ranks (shared with
+# training_epoch_shuffle) — pure refactor, compare green at 2 SFs
+_RECHECK_SOFT["dense_global_ids"] = 6
 # Added after the current round's ~50-query window filled; placed right
 # behind the fresh backlog (locally oracle-checked already).  All
 # round-2 additions queue here so the r1-era never-driver-checked

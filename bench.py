@@ -113,6 +113,7 @@ HEADLINE = [
     "dedup_simhash_wide",
     "dedup_embedding_cosine_lsh_scaled",
     "ngram_lm_doc_perplexity",
+    "training_epoch_shuffle",
     # multimodal_audio_flac_roundtrip is registered + driver-gated but
     # NOT headline: pure-Python Rice coding throughput, same precedent
     # as multimodal_codec_roundtrip / multimodal_video_roundtrip.

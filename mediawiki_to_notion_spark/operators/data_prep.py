@@ -455,14 +455,34 @@ def dense_global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation — would funnel the corpus through ONE task at 100 TB;
     this plan's only wide ops are the range partitioning and a
     broadcast of {N_ID_PARTITIONS} offset rows."""
+    return _dense_ranks(
+        load_table(spark, "documents", sf_dir).select("doc_id"),
+        ["doc_id"],
+    ).select("doc_id", F.col("rank").alias("dense_id"))
+
+
+def _dense_ranks(df: DataFrame, order_cols: list[str]) -> DataFrame:
+    """Contiguous 0..N-1 ranks of ``df`` in ``order_cols`` order WITHOUT
+    a global sort (the zipWithIndex pattern, shared by
+    ``dense_global_ids`` and ``training_epoch_shuffle``):
+
+    1. repartitionByRange(order_cols): ordered ranges;
+    2. per-partition local ranks via one Arrow mapInPandas pass;
+    3. per-partition counts (one row per partition) become cumulative
+       offsets via a window over {N_ID_PARTITIONS} rows, broadcast
+       back; rank = offset + local_rank.
+
+    Emits ``df``'s columns plus ``rank``."""
     from pyspark.sql import Window as W
 
+    cols = df.columns
     d = (
-        load_table(spark, "documents", sf_dir)
-        .select("doc_id")
-        .repartitionByRange(N_ID_PARTITIONS, "doc_id")
-        .sortWithinPartitions("doc_id")
+        df.repartitionByRange(N_ID_PARTITIONS, *order_cols)
+        .sortWithinPartitions(*order_cols)
     )
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", pid int, local_rank long"
 
     def local_ranks(batches):
         import pandas as pd
@@ -471,13 +491,9 @@ def dense_global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         pid = TaskContext.get().partitionId()
         seen = 0
         for pdf in batches:
-            out = pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "pid": pid,
-                    "local_rank": range(seen, seen + len(pdf)),
-                }
-            )
+            out = pdf.copy()
+            out["pid"] = pid
+            out["local_rank"] = range(seen, seen + len(pdf))
             seen += len(pdf)
             yield out
 
@@ -487,16 +503,14 @@ def dense_global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     # silently depend on Spark reusing the range exchange between the
     # two executions (RangePartitioner re-samples boundaries per run,
     # so divergent partitionings would skip/duplicate ids).
-    ranked = d.mapInPandas(
-        local_ranks, "doc_id long, pid int, local_rank long"
-    ).localCheckpoint()
+    ranked = d.mapInPandas(local_ranks, schema).localCheckpoint()
     sizes = ranked.groupBy("pid").agg(F.count(F.lit(1)).alias("n"))
     offsets = sizes.select(
         "pid",
         (F.sum("n").over(W.orderBy("pid")) - F.col("n")).alias("offset"),
     )
     return ranked.join(F.broadcast(offsets), "pid").select(
-        "doc_id", (F.col("offset") + F.col("local_rank")).alias("dense_id")
+        *cols, (F.col("offset") + F.col("local_rank")).alias("rank")
     )
 
 
@@ -625,3 +639,64 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         for dim in range(d_dim):
             out_rows.append((k, dim, float(mu[dim]), float(v[dim]), lam))
     return spark.createDataFrame(out_rows, schema)
+
+
+EPOCH_SEEDS = (7, 13)  # two epochs: proves a seed change reorders
+
+
+@register(
+    "training_epoch_shuffle",
+    oracle=f"""
+    WITH epochs AS (
+      SELECT unnest([{', '.join(str(s) for s in EPOCH_SEEDS)}]) AS seed
+    ),
+    keyed AS (
+      SELECT seed, doc_id,
+             ('0x' || substr(md5(seed::VARCHAR || ':' || doc_id::VARCHAR),
+                             1, 15))::BIGINT AS skey
+      FROM documents, epochs
+    )
+    SELECT CAST(seed AS INT) AS seed, doc_id,
+           CAST(row_number() OVER (
+                  PARTITION BY seed ORDER BY skey, doc_id) - 1
+                AS BIGINT) AS shuffle_rank
+    FROM keyed
+    """,
+)
+def training_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded, REPRODUCIBLE global training order, one permutation per
+    epoch — the shuffle a dataloader needs to be restartable: the order
+    must be a pure function of (seed, doc_id), never of partitioning,
+    timing, or ``rand()``.  Each document's sort key is the 60-bit md5
+    of ``"<seed>:<doc_id>"`` (ties broken by doc_id), so any two runs —
+    and any two ENGINES — produce the identical permutation, and a new
+    seed is a new epoch order.
+
+    100 TB shape: the oracle's ``row_number() OVER (ORDER BY skey)``
+    would funnel the corpus through one task; here each epoch's ranks
+    come from the shared ``_dense_ranks`` two-pass prefix sum (range
+    partition on the hash key → per-partition Arrow ranks → broadcast
+    offsets).  Epochs are independent passes over the (tiny) doc-id
+    projection, unioned."""
+    from mediawiki_to_notion_spark.functions import hashing as H
+
+    d = load_table(spark, "documents", sf_dir).select("doc_id")
+    outs = []
+    for seed in EPOCH_SEEDS:
+        skey = H.token_hash60(
+            F.concat(F.lit(f"{seed}:"), F.col("doc_id").cast("string"))
+        )
+        ranked = _dense_ranks(
+            d.select("doc_id", skey.alias("skey")), ["skey", "doc_id"]
+        )
+        outs.append(
+            ranked.select(
+                F.lit(seed).cast("int").alias("seed"),
+                "doc_id",
+                F.col("rank").alias("shuffle_rank"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
