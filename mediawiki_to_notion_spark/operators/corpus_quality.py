@@ -1226,3 +1226,122 @@ def apply_repetition_rules(d: DataFrame) -> DataFrame:
     for n, t in GOPHER_DUP_NGRAM_MAX.items():
         keep = keep & (F.col(f"dup{n}_frac") <= t)
     return feats.select("*", keep.alias("keep"))
+
+
+DSIR_BUCKETS = 4096        # hashed n-gram feature buckets (paper uses 1e4)
+DSIR_TARGET_SOURCE = "src1"  # stands in for the curated target domain
+DSIR_TOP_K = 100
+
+
+@register(
+    "dsir_importance_select",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ), big AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5(t[u.i] || '|' || t[u.i + 1]), 1, 15))::BIGINT
+               % {DSIR_BUCKETS} AS bucket
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) u
+    ), tgt AS (
+      SELECT bucket, count(*) AS ct FROM big
+      WHERE source = '{DSIR_TARGET_SOURCE}' GROUP BY bucket
+    ), raw AS (
+      SELECT bucket, count(*) AS cr FROM big
+      WHERE source != '{DSIR_TARGET_SOURCE}' GROUP BY bucket
+    ), tot AS (
+      SELECT (SELECT coalesce(sum(ct), 0) FROM tgt) AS ct_tot,
+             (SELECT coalesce(sum(cr), 0) FROM raw) AS cr_tot
+    ), ratio AS (
+      SELECT coalesce(t.bucket, r.bucket) AS bucket,
+             round(ln(
+               ((coalesce(t.ct, 0) + 1)::DOUBLE * (cr_tot + {DSIR_BUCKETS}))
+               / ((coalesce(r.cr, 0) + 1)::DOUBLE * (ct_tot + {DSIR_BUCKETS}))
+             ), 6) AS lr
+      FROM tgt t FULL OUTER JOIN raw r ON t.bucket = r.bucket, tot
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+           round(sum(CAST(lr AS DECIMAL(18,6)))::DOUBLE, 6) AS log_ratio
+    FROM big JOIN ratio USING (bucket)
+    WHERE source != '{DSIR_TARGET_SOURCE}'
+    GROUP BY doc_id
+    ORDER BY log_ratio DESC, doc_id
+    LIMIT {DSIR_TOP_K}
+    """,
+)
+def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023,
+    public): pick the raw-pool documents whose hashed-bigram feature
+    distribution looks most like a curated target domain.  Both the
+    target sample (source = '{DSIR_TARGET_SOURCE}') and the raw pool
+    (every other source) are summarized as Laplace-smoothed bag-of-
+    hashed-ngrams multinomials over {DSIR_BUCKETS} buckets; each pool
+    document scores the sum over its bigram OCCURRENCES of
+    ln(p_target(bucket) / p_raw(bucket)), i.e. the multinomial
+    log-likelihood ratio; the top {DSIR_TOP_K} by that importance
+    weight are selected (the deterministic top-k variant of the
+    paper's Gumbel resample — for the stochastic version compose with
+    weighted_sample_systematic).
+
+    100 TB shape: ONE bigram explode beside the scan feeds both count
+    aggregations and the scoring join; the log-ratio table is at most
+    {DSIR_BUCKETS} rows and broadcast-joins onto the hashed stream, so
+    the corpus is never shuffled against the model; per-doc scoring is
+    a map-side-combinable groupBy and the final selection a
+    TakeOrdered.  Parity: per-bucket log-ratios round to 6 dp with an
+    identically-associated ln() argument in both engines, then sum as
+    DECIMAL(18,6); totals and smoothing are exact integers."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.select("doc_id", "source", F.split("text", " ").alias("t")) \
+        .filter(F.size("t") >= 2)
+    big = toks.select(
+        "doc_id", "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.concat(
+                    F.element_at("t", i), F.lit("|"),
+                    F.element_at("t", i + 1),
+                ),
+            )
+        ).alias("bg"),
+    ).select(
+        "doc_id", "source",
+        (F.conv(F.substring(F.md5("bg"), 1, 15), 16, 10).cast("long")
+         % DSIR_BUCKETS).alias("bucket"),
+    )
+    tgt = big.filter(F.col("source") == DSIR_TARGET_SOURCE) \
+        .groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
+    raw = big.filter(F.col("source") != DSIR_TARGET_SOURCE) \
+        .groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    tot = tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("ct_tot")) \
+        .crossJoin(raw.agg(F.coalesce(F.sum("cr"), F.lit(0)).alias("cr_tot")))
+    ratio = (
+        tgt.join(raw, "bucket", "full_outer")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    ((F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                     * (F.col("cr_tot") + DSIR_BUCKETS))
+                    / ((F.coalesce(F.col("cr"), F.lit(0)) + 1).cast("double")
+                       * (F.col("ct_tot") + DSIR_BUCKETS))
+                ), 6,
+            ).alias("lr"),
+        )
+    )
+    return (
+        big.filter(F.col("source") != DSIR_TARGET_SOURCE)
+        .join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.round(
+                F.sum(F.col("lr").cast("decimal(18,6)")).cast("double"), 6,
+            ).alias("log_ratio"),
+        )
+        .orderBy(F.desc("log_ratio"), F.asc("doc_id"))
+        .limit(DSIR_TOP_K)
+    )
