@@ -51,6 +51,7 @@ def load_all() -> None:
         similarity,
         text_analysis,
         training_data,
+        unigram_lm,
         wikitext_queries,
     )
 
