@@ -52,6 +52,7 @@ def load_all() -> None:
         text_analysis,
         training_data,
         unigram_lm,
+        wordpiece,
         wikitext_queries,
     )
 
