@@ -15,12 +15,15 @@ under ``functions.*_codec``, exercised end-to-end through the actual
 mapInPandas kernels in ``tests/test_multimodal_codecs.py`` and
 value-checked at the driver gate by ``multimodal_codec_roundtrip`` /
 ``multimodal_video_roundtrip`` / ``multimodal_audio_g711_roundtrip`` /
-``multimodal_audio_flac_roundtrip``
+``multimodal_audio_flac_roundtrip`` / ``multimodal_image_webp_roundtrip``
 (the oracles predict decoded dimensions, frame counts, fps, bit-exact
 lossless equality, and spectral peak bins from doc_id arithmetic).
-Formats needing full media stacks (WebP, perceptual audio — MP3/AAC/
-Opus — and inter-frame video codecs: H.26x/VP9/AV1) remain behind an
-import-try on PIL/libvips with a clear ``NotImplementedError``; the
+With lossless WebP (VP8L) real as of r6, the remaining rejections are
+purely perceptual/inter-frame — MP3/AAC/Opus audio and H.26x/VP9/AV1
+video (plus lossy VP8 WebP) — formats whose reference decoders cannot
+be reproduced from public spec text alone in a stdlib-only sandbox;
+they remain behind an import-try on PIL/libvips with a clear
+``NotImplementedError``; the
 earlier registered oracle queries keep the deterministic md5 stand-in
 so their cross-engine value checks stay engine-computable.
 """
@@ -74,14 +77,15 @@ def _media_frame(d: DataFrame) -> DataFrame:
 
 def decode_image(content: bytes) -> tuple[int, int]:
     """REAL image decode: PNG, JPEG (baseline sequential AND
-    progressive), GIF, and BMP via the pure-stdlib codecs
-    (functions.png_codec — zlib inflate + scanline unfiltering;
-    functions.jpeg_codec — Huffman + IDCT + progressive scan
-    accumulation; functions.gif_codec — LZW; functions.bmp_codec —
-    DIB), any other format via PIL when present.  Raises
-    NotImplementedError naming the format when neither path applies
-    (WebP without PIL) — the pipeline's quarantine layer routes
-    those rows."""
+    progressive), GIF, BMP, and lossless WebP (r6 VP8L — prefix
+    codes + LZ77 + color cache + the four spatial transforms) via the
+    pure-stdlib codecs (functions.png_codec — zlib inflate + scanline
+    unfiltering; functions.jpeg_codec — Huffman + IDCT + progressive
+    scan accumulation; functions.gif_codec — LZW; functions.bmp_codec
+    — DIB; functions.webp_codec), any other format via PIL when
+    present.  Raises NotImplementedError naming the format when
+    neither path applies (lossy VP8 WebP without PIL) — the
+    pipeline's quarantine layer routes those rows."""
     from mediawiki_to_notion_spark.functions.png_codec import (
         _SIGNATURE,
         decode_png,
@@ -105,14 +109,19 @@ def decode_image(content: bytes) -> tuple[int, int]:
 
         w, h, _pixels = decode_bmp(content)
         return w, h
+    if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
+        from mediawiki_to_notion_spark.functions.webp_codec import decode_webp
+
+        w, h, _pixels = decode_webp(content)
+        return w, h
     if HAVE_PIL:  # pragma: no cover - PIL absent in this container
         import io
 
         with Image.open(io.BytesIO(content)) as im:
             return im.size
     raise NotImplementedError(
-        f"no decoder for magic {content[:4]!r} (PNG, JPEG, GIF, "
-        "and BMP are built in; other formats need PIL/pyvips)"
+        f"no decoder for magic {content[:4]!r} (PNG, JPEG, GIF, BMP, "
+        "and VP8L WebP are built in; other formats need PIL/pyvips)"
     )
 
 
@@ -1011,4 +1020,90 @@ def multimodal_audio_flac_roundtrip(spark: SparkSession,
         roundtrip,
         "doc_id long, block_size int, peak_bin int, n_samples int, "
         "bit_exact boolean",
+    )
+
+
+@register(
+    "multimodal_image_webp_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'plain'
+                           WHEN 1 THEN 'subtract_green'
+                           ELSE 'palette' END AS variant,
+           CAST(8 + doc_id % 24 AS INT) AS width,
+           CAST(8 + doc_id % 16 AS INT) AS height,
+           TRUE AS pixels_exact
+    FROM documents
+    """,
+)
+def multimodal_image_webp_roundtrip(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Value-checked certificate for the r6 lossless-WebP (VP8L)
+    codec: every document synthesizes a deterministic image of
+    (8 + id % 24) x (8 + id % 16) — a gradient with constant-color
+    run bands so the dist=1 LZ77 layer actually fires — encodes it
+    with the variant chosen by doc_id % 3 (plain / SUBTRACT_GREEN /
+    COLOR_INDEXING with 4-bit packed indices), decodes through the
+    same ``decode_image`` dispatcher the feature-extract pipeline
+    uses, and asserts BIT-EXACT pixel equality (the lossless
+    guarantee).  The SQL oracle predicts variant and dimensions from
+    doc_id arithmetic alone, so a hash-green driver row certifies
+    prefix coding, the LZ77 run layer, both transforms, and the
+    RIFF container end to end.  (Decoder-only paths — predictor /
+    color transforms, color cache, mapped short distances, meta
+    groups — are pinned by hand-built streams in
+    tests/test_webp_codec.py.)
+
+    100 TB shape: one narrow Arrow-batched mapInPandas pass, zero
+    shuffles; real corpora run the header-only ``probe_webp`` first
+    and quarantine per row."""
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from mediawiki_to_notion_spark.functions.webp_codec import (
+            decode_webp,
+            encode_webp,
+            probe_webp,
+        )
+
+        variants = ("plain", "subtract_green", "palette")
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                w, h = 8 + did % 24, 8 + did % 16
+                variant = variants[did % 3]
+                if variant == "palette":
+                    # <= 13 colors -> 4-bit packed indices
+                    img = (((np.add.outer(np.arange(h), np.arange(w) // 3)
+                             + did) % 13) * 19).astype(np.uint8)
+                    img = np.stack([img] * 3, axis=-1)
+                    blob = encode_webp(img, palette=True)
+                else:
+                    grad = ((np.add.outer(np.arange(h) * 5,
+                                          np.arange(w) // 4 * 11)
+                             + did) % 256).astype(np.uint8)
+                    img = np.stack([grad, grad[::-1, :], grad[:, ::-1]],
+                                   axis=-1)
+                    blob = encode_webp(
+                        img, subtract_green=(variant == "subtract_green"))
+                dw, dh = decode_image(blob)
+                _, _, px = decode_webp(blob)
+                ok = ((dw, dh) == (w, h)
+                      and probe_webp(blob) == (w, h)
+                      and bool((px[..., :3] == img).all())
+                      and bool((px[..., 3] == 255).all()))
+                rows.append((did, variant, dw, dh, ok))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "variant", "width", "height",
+                         "pixels_exact"],
+            )
+
+    d = load_table(spark, "documents", sf_dir).select("doc_id")
+    return d.mapInPandas(
+        roundtrip,
+        "doc_id long, variant string, width int, height int, "
+        "pixels_exact boolean",
     )

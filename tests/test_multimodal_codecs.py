@@ -645,8 +645,14 @@ def test_jpeg_feeds_decode_image_dispatcher():
 
     w, h = decode_image(encode_jpeg(_smooth(24, 31)))
     assert (w, h) == (31, 24)
-    with pytest.raises(NotImplementedError, match="magic"):
+    # WEBP containers route to the r6 VP8L codec (typed error on a
+    # garbage chunk), truly unknown magics still reject by name
+    from mediawiki_to_notion_spark.functions.webp_codec import WebPError
+
+    with pytest.raises(WebPError):
         decode_image(b"RIFFxxxxWEBP" + b"\x00" * 20)
+    with pytest.raises(NotImplementedError, match="magic"):
+        decode_image(b"FORMxxxxNOPE" + b"\x00" * 20)
 
 
 try:
