@@ -114,9 +114,15 @@ HEADLINE = [
     "dedup_embedding_cosine_lsh_scaled",
     "ngram_lm_doc_perplexity",
     "training_epoch_shuffle",
-    # multimodal_audio_flac_roundtrip is registered + driver-gated but
-    # NOT headline: pure-Python Rice coding throughput, same precedent
-    # as multimodal_codec_roundtrip / multimodal_video_roundtrip.
+    "dsir_importance_select",
+    "unigram_lm_train",
+    "unigram_lm_fertility",
+    "wordpiece_train_merges",
+    "wordpiece_tokenize_fertility",
+    # multimodal_audio_flac_roundtrip / multimodal_image_webp_roundtrip
+    # are registered + driver-gated but NOT headline: pure-Python
+    # Rice/prefix coding throughput, same precedent as
+    # multimodal_codec_roundtrip / multimodal_video_roundtrip.
 ]
 N_R3_SET = 53  # the first 53 entries are the r2/r3 headline set
 N_R4_SET = 61  # ... the first 61 are the r4 headline set

@@ -92,6 +92,14 @@ SHOWCASE: list[tuple[str, str]] = [
      "plan stays probe-key explode → bucket equi-join "
      "(`BroadcastHashJoin`) → Arrow `MapInPandas` verification — "
      "bucket count now tracks n/32 (SCALING.md r6)."),
+    ("wordpiece_tokenize_fertility",
+     "The tokenizer-apply shape (late r6, same for unigram-LM): the "
+     "vocab arrives via `BroadcastExchange` onto the candidate-match "
+     "stream of the DISTINCT-WORD table; the greedy max-munch scan is "
+     "a JVM `aggregate` fold (no Python); the corpus pass is one "
+     "word-keyed `BroadcastHashJoin` + partial-combinable per-doc "
+     "`HashAggregate` — every stage is vocabulary-sized except the "
+     "single corpus scan."),
 ]
 
 
