@@ -2340,3 +2340,112 @@ def events_decayed_heavy_hitters(spark: SparkSession,
     return scored.orderBy(
         F.desc("decayed_scaled"), F.asc("event_type")
     ).limit(DECAY_TOP_K)
+
+
+@register(
+    "eval_pairwise_copeland",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS a_type, value AS a_val,
+             lead(event_type) OVER w AS b_type,
+             lead(value) OVER w AS b_val
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    matches AS (
+      SELECT least(a_type, b_type) AS x, greatest(a_type, b_type) AS y,
+             CASE WHEN a_val > b_val THEN a_type
+                  WHEN a_val < b_val THEN b_type
+                  ELSE least(a_type, b_type) END AS winner
+      FROM seq WHERE b_type IS NOT NULL AND b_type != a_type
+    ),
+    pairs AS (
+      SELECT x, y,
+             CAST(count(*) FILTER (winner = x) AS BIGINT) AS wins_x,
+             CAST(count(*) FILTER (winner = y) AS BIGINT) AS wins_y
+      FROM matches GROUP BY x, y
+    ),
+    sides AS (
+      SELECT x AS contender, wins_x AS w, wins_y AS l FROM pairs
+      UNION ALL
+      SELECT y AS contender, wins_y AS w, wins_x AS l FROM pairs
+    ),
+    scores AS (
+      SELECT contender,
+             CAST(sum(w + l) AS BIGINT) AS n_matches,
+             CAST(sum(w) AS BIGINT) AS n_wins,
+             CAST(sum(CASE WHEN w > l THEN 1 WHEN w < l THEN -1
+                           ELSE 0 END) AS BIGINT) AS copeland_score
+      FROM sides GROUP BY contender
+    )
+    SELECT contender, n_matches, n_wins, copeland_score,
+           CAST(row_number() OVER (
+             ORDER BY copeland_score DESC, n_wins DESC, contender ASC
+           ) AS BIGINT) AS rank
+    FROM scores
+    """,
+)
+def eval_pairwise_copeland(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise-comparison leaderboard via COPELAND scoring — the
+    tournament-ranking shape behind chatbot-arena-style model evals:
+    each consecutive same-user event pair is a "match" between two
+    contenders (event types), the higher ``value`` wins (exact double
+    comparison, no arithmetic; ties to the lexicographically smaller
+    type), and a contender's Copeland score is the number of
+    head-to-head series it wins minus those it loses.  All counting is
+    integer-exact, so rankings are deterministic cross-engine —
+    unlike Elo/Bradley-Terry fits, whose iterative float updates the
+    oracle could not hash-check (a BT fit belongs behind a band
+    certificate if ever added).
+
+    100 TB shape: the lead window partitions by user_id (one hash
+    shuffle, per-user sort — event_transition_matrix's discipline,
+    ties broken by event_id); everything downstream is |types|^2
+    rows, and the final ranking window runs over the |types|-row
+    aggregate only."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, "events", sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("a_type"),
+        F.col("value").alias("a_val"),
+        F.lead("event_type").over(w).alias("b_type"),
+        F.lead("value").over(w).alias("b_val"),
+    ).filter(
+        F.col("b_type").isNotNull() & (F.col("b_type") != F.col("a_type"))
+    )
+    matches = seq.select(
+        F.least("a_type", "b_type").alias("x"),
+        F.greatest("a_type", "b_type").alias("y"),
+        F.when(F.col("a_val") > F.col("b_val"), F.col("a_type"))
+        .when(F.col("a_val") < F.col("b_val"), F.col("b_type"))
+        .otherwise(F.least("a_type", "b_type"))
+        .alias("winner"),
+    )
+    pairs = matches.groupBy("x", "y").agg(
+        F.count(F.when(F.col("winner") == F.col("x"), 1)).alias("wins_x"),
+        F.count(F.when(F.col("winner") == F.col("y"), 1)).alias("wins_y"),
+    )
+    sides = pairs.selectExpr(
+        "x AS contender", "wins_x AS w", "wins_y AS l"
+    ).unionByName(
+        pairs.selectExpr("y AS contender", "wins_y AS w", "wins_x AS l")
+    )
+    scores = sides.groupBy("contender").agg(
+        F.sum(F.col("w") + F.col("l")).alias("n_matches"),
+        F.sum("w").alias("n_wins"),
+        F.sum(
+            F.when(F.col("w") > F.col("l"), 1)
+            .when(F.col("w") < F.col("l"), -1)
+            .otherwise(0)
+        ).alias("copeland_score"),
+    )
+    rank_w = W.orderBy(
+        F.desc("copeland_score"), F.desc("n_wins"), F.asc("contender")
+    )
+    # ranking window runs over the |types|-row aggregate only
+    return scores.select(
+        "contender", "n_matches", "n_wins", "copeland_score",
+        F.row_number().over(rank_w).cast("long").alias("rank"),
+    )

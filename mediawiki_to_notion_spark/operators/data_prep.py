@@ -700,3 +700,81 @@ def training_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# doc_id-rotated decomposed-unicode suffixes (the PII-injection
+# precedent: the synthetic corpus is pure ASCII, so the normalization
+# machinery is exercised on deterministic injected sequences).  Cases:
+# combining acute (composes to e-acute), ring/diaeresis (Angstrom),
+# multi-combining canonical reordering (s + dot-below + dot-above ->
+# U+1E69), and an already-NFC string (the no-op path).
+_NFC_SUFFIXES = (
+    " café",
+    " Ångström",
+    " ṩtudy",
+    " café",
+)
+
+
+@register(
+    "text_unicode_nfc_normalize",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || CASE doc_id % 4
+               WHEN 0 THEN ' cafe' || chr(769)
+               WHEN 1 THEN ' A' || chr(778) || 'ngstro' || chr(776) || 'm'
+               WHEN 2 THEN ' s' || chr(803) || chr(775) || 'tudy'
+               ELSE ' caf' || chr(233) END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(t) AS BIGINT) AS n_cp_before,
+           CAST(length(nfc_normalize(t)) AS BIGINT) AS n_cp_after,
+           nfc_normalize(t) != t AS changed,
+           md5(nfc_normalize(t)) AS norm_md5
+    FROM aug
+    """,
+)
+def text_unicode_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization — the canonical-composition pass every
+    multilingual corpus needs before hashing/dedup (decomposed and
+    composed renderings of the same text MUST collide: 'e'+U+0301 vs
+    U+00E9 would otherwise defeat exact dedup, n-gram overlap, and
+    tokenizer vocab lookups).  Each document is augmented with a
+    doc_id-rotated decomposed suffix (combining marks, canonical
+    reordering, and an already-composed no-op case), normalized with
+    Python's unicodedata (UCD tables), and certified by code-point
+    counts plus the md5 of the normalized text — DuckDB's
+    ``nfc_normalize`` computes the oracle side, so a hash-green row
+    pins two INDEPENDENT UCD implementations against each other.
+
+    100 TB shape: one Arrow-batched mapInPandas pass, zero shuffles;
+    NFC has no cross-row state so the kernel parallelizes trivially."""
+
+    def normalize(batches):
+        import hashlib
+        import unicodedata
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                t = text + _NFC_SUFFIXES[int(doc_id) % 4]
+                norm = unicodedata.normalize("NFC", t)
+                rows.append((
+                    int(doc_id), len(t), len(norm), norm != t,
+                    hashlib.md5(norm.encode("utf-8")).hexdigest(),
+                ))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_cp_before", "n_cp_after",
+                               "changed", "norm_md5"],
+            )
+
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return d.mapInPandas(
+        normalize,
+        "doc_id long, n_cp_before long, n_cp_after long, "
+        "changed boolean, norm_md5 string",
+    )
