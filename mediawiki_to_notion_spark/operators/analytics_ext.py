@@ -2395,8 +2395,8 @@ def eval_pairwise_copeland(spark: SparkSession, sf_dir: str) -> DataFrame:
     head-to-head series it wins minus those it loses.  All counting is
     integer-exact, so rankings are deterministic cross-engine —
     unlike Elo/Bradley-Terry fits, whose iterative float updates the
-    oracle could not hash-check (a BT fit belongs behind a band
-    certificate if ever added).
+    oracle cannot hash-check directly — see eval_bradley_terry_fit
+    below for the certified version of that fit.
 
     100 TB shape: the lead window partitions by user_id (one hash
     shuffle, per-user sort — event_transition_matrix's discipline,
@@ -2448,4 +2448,126 @@ def eval_pairwise_copeland(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scores.select(
         "contender", "n_matches", "n_wins", "copeland_score",
         F.row_number().over(rank_w).cast("long").alias("rank"),
+    )
+
+
+BT_ITERS = 200          # MM iterations (Hunter 2004); converges geometrically
+BT_BAND_PPM = 1000      # stationarity residual band: 0.1% of matches played
+
+
+@register(
+    "eval_bradley_terry_fit",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS a_type, value AS a_val,
+             lead(event_type) OVER w AS b_type,
+             lead(value) OVER w AS b_val
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    matches AS (
+      SELECT least(a_type, b_type) AS x, greatest(a_type, b_type) AS y,
+             CASE WHEN a_val > b_val THEN a_type
+                  WHEN a_val < b_val THEN b_type
+                  ELSE least(a_type, b_type) END AS winner
+      FROM seq WHERE b_type IS NOT NULL AND b_type != a_type
+    ),
+    pairs AS (
+      SELECT x, y,
+             CAST(count(*) FILTER (winner = x) AS BIGINT) AS wins_x,
+             CAST(count(*) FILTER (winner = y) AS BIGINT) AS wins_y
+      FROM matches GROUP BY x, y
+    ),
+    sides AS (
+      SELECT x AS contender, wins_x AS w, wins_y AS l FROM pairs
+      UNION ALL
+      SELECT y AS contender, wins_y AS w, wins_x AS l FROM pairs
+    )
+    SELECT contender,
+           CAST(sum(w + l) AS BIGINT) AS n_matches,
+           CAST(sum(w) AS BIGINT) AS n_wins,
+           TRUE AS stationary_within_band
+    FROM sides GROUP BY contender
+    """,
+)
+def eval_bradley_terry_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry strength fit over the pairwise-match table — the
+    arena-style MLE behind model-eval leaderboards — gated by the
+    CERTIFICATE trick (the sketch/codec discipline applied to an
+    iterative float fit): the float strengths are never emitted, only
+    exact integer win/match counts plus a verdict that the fitted
+    strengths satisfy the BT stationarity condition — at the MLE,
+    every contender's EXPECTED wins sum(n_ij * w_i / (w_i + w_j))
+    equals its ACTUAL wins — to within {BT_BAND_PPM} ppm of its
+    matches played.  {BT_ITERS} Hunter-2004 MM iterations converge
+    geometrically on any |types|-sized tournament, so the band is a
+    real check of the fit, and the oracle asserts it TRUE.
+
+    100 TB shape: match derivation and pair counting are the
+    distributed passes (identical to eval_pairwise_copeland —
+    user-keyed window, |types|^2 aggregate); the MM fit runs on the
+    collected pair matrix — bounded: |types|^2 rows, the
+    driver-sized-artifact precedent of embedding_pca_power's 64x64
+    eigensolve."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, "events", sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("a_type"),
+        F.col("value").alias("a_val"),
+        F.lead("event_type").over(w).alias("b_type"),
+        F.lead("value").over(w).alias("b_val"),
+    ).filter(
+        F.col("b_type").isNotNull() & (F.col("b_type") != F.col("a_type"))
+    )
+    matches = seq.select(
+        F.least("a_type", "b_type").alias("x"),
+        F.greatest("a_type", "b_type").alias("y"),
+        F.when(F.col("a_val") > F.col("b_val"), F.col("a_type"))
+        .when(F.col("a_val") < F.col("b_val"), F.col("b_type"))
+        .otherwise(F.least("a_type", "b_type"))
+        .alias("winner"),
+    )
+    pair_rows = (
+        matches.groupBy("x", "y")
+        .agg(
+            F.count(F.when(F.col("winner") == F.col("x"), 1)).alias("wins_x"),
+            F.count(F.when(F.col("winner") == F.col("y"), 1)).alias("wins_y"),
+        )
+        .collect()  # bounded: |event types|^2 rows (<= 25 here)
+    )
+    contenders = sorted(
+        {r.x for r in pair_rows} | {r.y for r in pair_rows}
+    )
+    idx = {c: i for i, c in enumerate(contenders)}
+    n = len(contenders)
+    import numpy as np
+
+    games = np.zeros((n, n))     # games[i][j] = matches between i and j
+    wins = np.zeros((n, n))      # wins[i][j] = i's wins over j
+    for r in pair_rows:
+        i, j = idx[r.x], idx[r.y]
+        games[i, j] = games[j, i] = r.wins_x + r.wins_y
+        wins[i, j] = r.wins_x
+        wins[j, i] = r.wins_y
+    total_wins = wins.sum(axis=1)
+    strength = np.ones(n)
+    for _ in range(BT_ITERS):    # Hunter (2004) MM update
+        denom = (games / np.add.outer(strength, strength)).sum(axis=1)
+        strength = np.where(denom > 0, total_wins / np.maximum(denom, 1e-30),
+                            strength)
+        strength /= strength.sum()
+    expected = (games * (strength[:, None]
+                         / np.add.outer(strength, strength))).sum(axis=1)
+    n_matches = games.sum(axis=1)
+    ok = np.abs(expected - total_wins) <= n_matches * BT_BAND_PPM / 1e6
+    rows = [
+        (c, int(n_matches[i]), int(total_wins[i]), bool(ok[i]))
+        for i, c in enumerate(contenders)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "contender string, n_matches long, n_wins long, "
+        "stationary_within_band boolean",
     )

@@ -43,6 +43,12 @@ SOAK = [
     "dedup_minhash_incremental", "pagerank_word_graph",
     "similarity_ivf_probe", "dedup_simhash",
     "dedup_substring_spans_token_exact", "approx_distinct_within_band",
+    # late-r6: the tokenizer triad + DSIR + Copeland — the
+    # corpus-collapse loops should show near-zero exponents (loop
+    # state is vocabulary-sized, only the initial scan scales)
+    "unigram_lm_train", "wordpiece_train_merges",
+    "dsir_importance_select",
+    "eval_pairwise_copeland", "text_unicode_nfc_normalize",
 ]
 
 
