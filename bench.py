@@ -119,6 +119,11 @@ HEADLINE = [
     "unigram_lm_fertility",
     "wordpiece_train_merges",
     "wordpiece_tokenize_fertility",
+    "eval_pairwise_copeland",
+    "text_unicode_nfc_normalize",
+    # eval_bradley_terry_fit is driver-gated but NOT headline: its
+    # distributed stages are identical to eval_pairwise_copeland's;
+    # the rest is the driver-side MM fit.
     # multimodal_audio_flac_roundtrip / multimodal_image_webp_roundtrip
     # are registered + driver-gated but NOT headline: pure-Python
     # Rice/prefix coding throughput, same precedent as
