@@ -647,3 +647,115 @@ def _register_knn_oracle() -> None:
 
 
 _register_knn_oracle()
+
+
+MRL_TIERS = (8, 16, 32)   # truncation tiers vs the full 64-dim truth
+MRL_QUERIES = 20
+MRL_K = 10
+
+
+def _mrl_scored_sql() -> str:
+    tiers = list(MRL_TIERS) + [64]
+    parts = []
+    for d in tiers:
+        sl = f"[1:{d}]" if d < 64 else ""
+        parts.append(f"""SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             {d} AS tier,
+             round(list_cosine_similarity(
+               (q.embedding{sl})::DOUBLE[], (c.embedding{sl})::DOUBLE[]
+             ), 6) AS cosine_r
+      FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+      WHERE q.vec_id < {MRL_QUERIES}""")
+    return "\n      UNION ALL ".join(parts)
+
+
+@register(
+    "embedding_matryoshka_recall",
+    oracle=V.hygiene_oracle(f"""
+    WITH scored AS (
+      {_mrl_scored_sql()}
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, tier,
+             row_number() OVER (PARTITION BY query_id, tier
+                                ORDER BY cosine_r DESC, vec_id) AS rn
+      FROM scored
+    ),
+    truth AS (
+      SELECT query_id, vec_id FROM ranked WHERE tier = 64 AND rn <= {MRL_K}
+    ),
+    approx AS (
+      SELECT query_id, vec_id, tier FROM ranked
+      WHERE tier != 64 AND rn <= {MRL_K}
+    )
+    SELECT a.query_id, a.tier AS dim_tier,
+           CAST(count(t.vec_id) AS BIGINT) AS n_overlap,
+           round(count(t.vec_id)::DOUBLE / {MRL_K}, 6) AS recall_at_k
+    FROM approx a LEFT JOIN truth t
+      ON t.query_id = a.query_id AND t.vec_id = a.vec_id
+    GROUP BY a.query_id, a.tier
+    """),
+)
+def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL) truncation eval: for each query vector, exact
+    cosine top-{MRL_K} under PREFIX dimensions {MRL_TIERS} versus the
+    full 64-dim ground truth, reported as recall@{MRL_K} per (query,
+    tier) — the measurement that decides how far stored embeddings can
+    be truncated (for cheap first-stage retrieval or index shrink)
+    before ranking quality collapses (Kusupati et al. 2022).
+
+    100 TB shape: the query side is tiny and broadcast (the
+    similarity_topk_bruteforce discipline); all four tier cosines ride
+    the SAME candidate pass (one join, slices of one array column);
+    per-tier rank is a WindowGroupLimit keyed by (query, tier); the
+    overlap join and recall aggregate touch only the
+    queries x tiers x k ranked rows."""
+    e = V.hygiene(load_table(spark, "embeddings", sf_dir))
+    q = e.filter(F.col("vec_id") < MRL_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.select("vec_id", "embedding")
+    tiers = list(MRL_TIERS) + [64]
+    tier_structs = F.array(*[
+        F.struct(
+            F.lit(d).alias("tier"),
+            F.round(
+                V.cosine(
+                    F.slice(F.col("q_emb"), 1, d),
+                    F.slice(F.col("embedding"), 1, d),
+                ),
+                6,
+            ).alias("cosine_r"),
+        )
+        for d in tiers
+    ])
+    scored = (
+        c.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", F.explode(tier_structs).alias("tc"))
+        .select("query_id", "vec_id", F.col("tc.tier").alias("tier"),
+                F.col("tc.cosine_r").alias("cosine_r"))
+    )
+    w = W.partitionBy("query_id", "tier").orderBy(
+        F.desc("cosine_r"), F.asc("vec_id")
+    )
+    ranked = scored.withColumn("rn", F.row_number().over(w)) \
+        .filter(F.col("rn") <= MRL_K)
+    truth = ranked.filter(F.col("tier") == 64).select(
+        F.col("query_id").alias("t_query"), F.col("vec_id").alias("t_vec")
+    )
+    approx = ranked.filter(F.col("tier") != 64) \
+        .select("query_id", "vec_id", "tier")
+    joined = approx.join(
+        F.broadcast(truth),
+        (F.col("query_id") == F.col("t_query"))
+        & (F.col("vec_id") == F.col("t_vec")),
+        "left",
+    ).select("query_id", "vec_id", "tier", "t_vec")
+    return (
+        joined.groupBy("query_id", F.col("tier").alias("dim_tier"))
+        .agg(
+            F.count("t_vec").alias("n_overlap"),
+            F.round(F.count("t_vec").cast("double") / MRL_K, 6)
+            .alias("recall_at_k"),
+        )
+    )
