@@ -817,14 +817,46 @@ def _emit_entropy_image(bw: _BitWriter, pixels: list, rle: bool,
             bw.write(d_extra, d_nbits)
 
 
+def _forward_predictor_residuals(argb: list, w: int, h: int,
+                                 mode: int) -> list:
+    """Forward (encode-side) predictor transform with a single tile of
+    uniform ``mode``: residual = pixel - prediction per channel mod
+    256, honoring the spec's forced edge rules ((0,0) -> ARGB black,
+    row 0 -> L, column 0 -> T)."""
+    res = []
+    for y in range(h):
+        for x in range(w):
+            pos = y * w + x
+            if x == 0 and y == 0:
+                pred = 0xFF000000
+            elif y == 0:
+                pred = argb[pos - 1]
+            elif x == 0:
+                pred = argb[pos - w]
+            else:
+                pred = _predict(mode, argb, pos, w)
+            cur = argb[pos]
+            r = 0
+            for sh in (24, 16, 8, 0):
+                r |= ((((cur >> sh) & 0xFF) - ((pred >> sh) & 0xFF))
+                      & 0xFF) << sh
+            res.append(r)
+    return res
+
+
 def encode_webp(pixels: np.ndarray, *, subtract_green: bool = False,
-                palette: bool = False, rle: bool = True) -> bytes:
+                palette: bool = False, predictor: int | None = None,
+                rle: bool = True) -> bytes:
     """Encode an (h, w), (h, w, 3) or (h, w, 4) uint8 array as a
     lossless WebP.  ``palette`` uses the COLOR_INDEXING transform
     (requires <= 256 distinct colors; packs 1/2/4-bit indices when the
-    palette is small); ``subtract_green`` applies that transform
-    (mutually exclusive with palette); ``rle`` emits dist=1 LZ77 runs
-    through direct distance codes."""
+    palette is small); ``subtract_green`` applies that transform;
+    ``predictor`` applies the PREDICTOR transform with one uniform
+    mode 0-13 (single 2^5-pixel tile grid; composable with
+    subtract_green, which the decoder inverts after the predictor per
+    the reverse-read-order rule); ``rle`` emits dist=1 LZ77 runs
+    through direct distance codes.  palette is exclusive with the
+    other transforms."""
     if pixels.ndim == 2:
         pixels = np.stack([pixels] * 3, axis=-1)
     if pixels.shape[-1] == 3:
@@ -833,8 +865,10 @@ def encode_webp(pixels: np.ndarray, *, subtract_green: bool = False,
     h, w, _ = pixels.shape
     if w > 1 << 14 or h > 1 << 14:
         raise WebPError("VP8L dimensions cap at 16384")
-    if palette and subtract_green:
-        raise WebPError("palette and subtract_green are exclusive")
+    if palette and (subtract_green or predictor is not None):
+        raise WebPError("palette excludes the other transforms")
+    if predictor is not None and not 0 <= predictor <= 13:
+        raise WebPError(f"invalid predictor mode {predictor}")
     arr = pixels.astype(np.uint32)
     argb = ((arr[..., 3] << 24) | (arr[..., 0] << 16)
             | (arr[..., 1] << 8) | arr[..., 2]).ravel().tolist()
@@ -881,17 +915,31 @@ def encode_webp(pixels: np.ndarray, *, subtract_green: bool = False,
             body = [0xFF000000 | p for p in packed]
         else:
             body = [0xFF000000 | (index[px] << 8) for px in argb]
-    elif subtract_green:
-        bw.write(1, 1)
-        bw.write(2, 2)      # SUBTRACT_GREEN
-        body = []
-        for px in argb:
-            g = (px >> 8) & 0xFF
-            r = (((px >> 16) & 0xFF) - g) & 0xFF
-            b = ((px & 0xFF) - g) & 0xFF
-            body.append((px & 0xFF00FF00) | (r << 16) | b)
     else:
         body = argb
+        if predictor is not None:
+            # first-read transform -> inverted LAST by the decoder, so
+            # the encoder applies it FIRST (coded = SG(P(original)))
+            bits = 5
+            bw.write(1, 1)
+            bw.write(0, 2)      # PREDICTOR
+            bw.write(bits - 2, 3)
+            tw = (w + (1 << bits) - 1) >> bits
+            th = (h + (1 << bits) - 1) >> bits
+            _emit_entropy_image(
+                bw, [0xFF000000 | (predictor << 8)] * (tw * th),
+                rle=False, top_level=False)
+            body = _forward_predictor_residuals(body, w, h, predictor)
+        if subtract_green:
+            bw.write(1, 1)
+            bw.write(2, 2)      # SUBTRACT_GREEN
+            sg = []
+            for px in body:
+                g = (px >> 8) & 0xFF
+                r = (((px >> 16) & 0xFF) - g) & 0xFF
+                b = ((px & 0xFF) - g) & 0xFF
+                sg.append((px & 0xFF00FF00) | (r << 16) | b)
+            body = sg
     bw.write(0, 1)  # no more transforms
 
     _emit_entropy_image(bw, body, rle=rle)

@@ -1027,9 +1027,10 @@ def multimodal_audio_flac_roundtrip(spark: SparkSession,
     "multimodal_image_webp_roundtrip",
     oracle="""
     SELECT doc_id,
-           CASE doc_id % 3 WHEN 0 THEN 'plain'
+           CASE doc_id % 4 WHEN 0 THEN 'plain'
                            WHEN 1 THEN 'subtract_green'
-                           ELSE 'palette' END AS variant,
+                           WHEN 2 THEN 'palette'
+                           ELSE 'predictor' END AS variant,
            CAST(8 + doc_id % 24 AS INT) AS width,
            CAST(8 + doc_id % 16 AS INT) AS height,
            TRUE AS pixels_exact
@@ -1042,17 +1043,19 @@ def multimodal_image_webp_roundtrip(spark: SparkSession,
     codec: every document synthesizes a deterministic image of
     (8 + id % 24) x (8 + id % 16) — a gradient with constant-color
     run bands so the dist=1 LZ77 layer actually fires — encodes it
-    with the variant chosen by doc_id % 3 (plain / SUBTRACT_GREEN /
-    COLOR_INDEXING with 4-bit packed indices), decodes through the
+    with the variant chosen by doc_id % 4 (plain / SUBTRACT_GREEN /
+    COLOR_INDEXING with 4-bit packed indices / PREDICTOR with a
+    doc_id-rotated mode 0-13), decodes through the
     same ``decode_image`` dispatcher the feature-extract pipeline
     uses, and asserts BIT-EXACT pixel equality (the lossless
     guarantee).  The SQL oracle predicts variant and dimensions from
     doc_id arithmetic alone, so a hash-green driver row certifies
-    prefix coding, the LZ77 run layer, both transforms, and the
-    RIFF container end to end.  (Decoder-only paths — predictor /
-    color transforms, color cache, mapped short distances, meta
-    groups — are pinned by hand-built streams in
-    tests/test_webp_codec.py.)
+    prefix coding, the LZ77 run layer, three of the four
+    transforms (incl. every predictor mode across any 14
+    consecutive doc_ids), and the RIFF container end to end.
+    (Decoder-only paths — the color transform, color cache, mapped
+    short distances, meta groups — are pinned by hand-built
+    streams in tests/test_webp_codec.py.)
 
     100 TB shape: one narrow Arrow-batched mapInPandas pass, zero
     shuffles; real corpora run the header-only ``probe_webp`` first
@@ -1067,13 +1070,13 @@ def multimodal_image_webp_roundtrip(spark: SparkSession,
             probe_webp,
         )
 
-        variants = ("plain", "subtract_green", "palette")
+        variants = ("plain", "subtract_green", "palette", "predictor")
         for pdf in batches:
             rows = []
             for doc_id in pdf["doc_id"]:
                 did = int(doc_id)
                 w, h = 8 + did % 24, 8 + did % 16
-                variant = variants[did % 3]
+                variant = variants[did % 4]
                 if variant == "palette":
                     # <= 13 colors -> 4-bit packed indices
                     img = (((np.add.outer(np.arange(h), np.arange(w) // 3)
@@ -1087,7 +1090,11 @@ def multimodal_image_webp_roundtrip(spark: SparkSession,
                     img = np.stack([grad, grad[::-1, :], grad[:, ::-1]],
                                    axis=-1)
                     blob = encode_webp(
-                        img, subtract_green=(variant == "subtract_green"))
+                        img,
+                        subtract_green=(variant == "subtract_green"),
+                        # doc_id-rotated predictor mode 0..13
+                        predictor=(did % 14 if variant == "predictor"
+                                   else None))
                 dw, dh = decode_image(blob)
                 _, _, px = decode_webp(blob)
                 ok = ((dw, dh) == (w, h)

@@ -380,3 +380,21 @@ def test_fuzz_truncate_and_flip():
                 decode_webp(bytes(mut))
             except WebPError:
                 pass
+
+
+@pytest.mark.parametrize("mode", range(14))
+def test_predictor_encoder_roundtrip(mode):
+    rng = np.random.default_rng(mode + 100)
+    img = rng.integers(0, 256, (40, 70, 3)).astype(np.uint8)  # multi-tile
+    for sg in (False, True):
+        blob = encode_webp(img, predictor=mode, subtract_green=sg)
+        _, _, out = decode_webp(blob)
+        assert (out[..., :3] == img).all()
+        assert (out[..., 3] == 255).all()
+
+
+def test_predictor_encoder_compresses_smooth_gradients():
+    smooth = np.stack(
+        [np.add.outer(np.arange(40), np.arange(70)).astype(np.uint8)] * 3,
+        axis=-1)
+    assert len(encode_webp(smooth, predictor=2)) < len(encode_webp(smooth)) / 10
