@@ -727,6 +727,7 @@ _NFC_SUFFIXES = (
                WHEN 2 THEN ' s' || chr(803) || chr(775) || 'tudy'
                ELSE ' caf' || chr(233) END AS t
       FROM documents
+      WHERE text IS NOT NULL
     )
     SELECT doc_id,
            CAST(length(t) AS BIGINT) AS n_cp_before,
@@ -772,7 +773,12 @@ def text_unicode_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                                "changed", "norm_md5"],
             )
 
-    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    # NULL text is the quarantine concern of ingest (the media-frame
+    # boundary rule, multimodal.py:_media_frame) — filtered before the
+    # kernel, mirrored by the oracle's WHERE
+    d = (load_table(spark, "documents", sf_dir)
+         .filter(F.col("text").isNotNull())
+         .select("doc_id", "text"))
     return d.mapInPandas(
         normalize,
         "doc_id long, n_cp_before long, n_cp_after long, "
