@@ -268,6 +268,97 @@ def cmd_crawl(args: argparse.Namespace) -> int:
     return 0
 
 
+
+
+def cmd_tokenizer_train(args: argparse.Namespace) -> int:
+    """Train a subword tokenizer on a corpus directory's
+    documents.parquet and emit the shipped artifact — merge rules
+    (BPE / WordPiece) or the scored piece vocabulary (unigram LM) —
+    plus the corpus fertility summary (subword pieces per whitespace
+    word), as JSON to --out and a human table to stdout.  All three
+    trainers are the registered, oracle-gated operators; this command
+    is just their user-facing surface."""
+    import json as _json
+
+    spark = get_spark("tokenizer-train")
+    fam = args.family
+    if fam == "bpe":
+        from mediawiki_to_notion_spark.operators.text_analysis import (
+            _bpe_train,
+        )
+
+        merges, vocab = _bpe_train(spark, args.data)
+        artifact = {
+            "family": "bpe",
+            "merges": [
+                {"round": r, "pair": [a, b], "count": n}
+                for r, a, b, n in merges
+            ],
+        }
+        fert = vocab.select(
+            F.sum(F.col("freq") * F.size("l")).alias("pieces"),
+            F.sum("freq").alias("words"),
+        ).collect()[0]  # bounded: one summary row
+        for r, a, b, n in merges:
+            print(f"round {r:2d}  {a!r} + {b!r}  (count {n})")
+    elif fam == "wordpiece":
+        from mediawiki_to_notion_spark.operators.wordpiece import (
+            _wordpiece_train,
+        )
+
+        merges, vocab = _wordpiece_train(spark, args.data)
+        artifact = {
+            "family": "wordpiece",
+            "merges": [
+                {"round": r, "pair": [a, b], "merged": m,
+                 "count": n, "score_scaled": s}
+                for r, a, b, m, n, s in merges
+            ],
+        }
+        fert = vocab.select(
+            F.sum(F.col("freq") * F.size("l")).alias("pieces"),
+            F.sum("freq").alias("words"),
+        ).collect()[0]
+        for r, a, b, m, n, s in merges:
+            print(f"round {r:2d}  {a!r} + {b!r} -> {m!r}  (count {n})")
+    else:  # unigram
+        from mediawiki_to_notion_spark.operators.unigram_lm import (
+            _final_costs,
+            _unigram_train,
+            _viterbi_segment,
+        )
+
+        vocab_counts, words = _unigram_train(spark, args.data)
+        costs = _final_costs(spark, vocab_counts)
+        artifact = {
+            "family": "unigram",
+            "pieces": [
+                {"piece": r.piece, "n_uses": int(r.n_uses),
+                 "cost_micro_nats": int(r.cost_micro_nats)}
+                for r in costs.orderBy(
+                    F.desc("n_uses"), F.asc("piece")).collect()
+            ],  # bounded: the vocab IS the artifact
+        }
+        seg = _viterbi_segment(
+            words, costs.selectExpr("piece", "cost_micro_nats AS cost"))
+        fert = seg.select(
+            F.sum(F.col("freq") * F.size("pieces")).alias("pieces"),
+            F.sum("freq").alias("words"),
+        ).collect()[0]
+        for row in artifact["pieces"][:20]:
+            print(f"{row['piece']!r:12s} uses={row['n_uses']:<8d} "
+                  f"cost={row['cost_micro_nats']}")
+    fertility = fert.pieces / fert.words if fert.words else 0.0
+    artifact["fertility"] = round(fertility, 6)
+    print(f"corpus fertility: {fertility:.4f} pieces/word "
+          f"({fert.pieces} pieces / {fert.words} words)")
+    if args.out:
+        with open(args.out, "w") as fh:
+            _json.dump(artifact, fh, indent=1)
+        print(f"wrote {args.out}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="mediawiki_to_notion_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -310,6 +401,18 @@ def main(argv: list[str] | None = None) -> int:
                         "survivors whose hashed-bigram classifier "
                         "score is below this threshold")
     c.set_defaults(fn=cmd_crawl)
+
+    t = sub.add_parser(
+        "tokenizer-train",
+        help="train a subword tokenizer (bpe | unigram | wordpiece) "
+             "on <data>/documents.parquet",
+    )
+    t.add_argument("--family", choices=("bpe", "unigram", "wordpiece"),
+                   required=True)
+    t.add_argument("--data", required=True,
+                   help="directory containing documents.parquet")
+    t.add_argument("--out", default=None, help="write the artifact JSON here")
+    t.set_defaults(fn=cmd_tokenizer_train)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from mediawiki_to_notion_spark import cli
 from tests.test_xml_pipeline import PNG_BYTES, _dump_xml
 
@@ -168,3 +170,25 @@ def test_cli_crawl_min_quality_score(spark, tmp_path, capsys):
         os.path.join(str(outdir), "_warnings", "crawl_classifier_dropped")
     )
     assert dropped.count() == n_drop
+
+
+@pytest.mark.parametrize("family", ["bpe", "unigram", "wordpiece"])
+def test_cli_tokenizer_train(spark, tmp_path, capsys, family):
+    import json
+
+    from mediawiki_to_notion_spark import cli
+
+    out = tmp_path / f"{family}.json"
+    assert cli.main([
+        "tokenizer-train", "--family", family,
+        "--data", "/root/testdata/sf0.001", "--out", str(out),
+    ]) == 0
+    text = capsys.readouterr().out
+    assert "corpus fertility:" in text
+    artifact = json.loads(out.read_text())
+    assert artifact["family"] == family
+    assert artifact["fertility"] > 1.0   # subwords per word
+    if family == "unigram":
+        assert len(artifact["pieces"]) > 10
+    else:
+        assert len(artifact["merges"]) == 8
