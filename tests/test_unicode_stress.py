@@ -63,3 +63,38 @@ def test_all_oracles_match_on_unicode_text(spark, unicode_sf_dir):
         except Exception as e:  # noqa: BLE001 — collecting a report
             failures.append(f"{name}: {type(e).__name__}: {e}")
     assert not failures, "\n".join(failures)
+
+
+def test_nfc_kernel_matches_duckdb_ucd_on_arbitrary_codepoints():
+    """Pin Python's unicodedata NFC against DuckDB's independent
+    nfc_normalize (utf8proc UCD tables) on randomized strings over the
+    full non-surrogate codepoint space — including combining-mark
+    pileups that force canonical reordering.  The two implementations
+    share no code, so agreement here certifies the normalization the
+    text_unicode_nfc_normalize kernel ships."""
+    import random
+    import unicodedata
+
+    import duckdb
+
+    rng = random.Random(0)
+    combining = [0x0301, 0x0300, 0x0308, 0x030A, 0x0323, 0x0327, 0x0307]
+    base_ranges = [(0x20, 0x7E), (0xA0, 0x2FF), (0x370, 0x3FF),
+                   (0x400, 0x4FF), (0x1E00, 0x1EFF), (0x3040, 0x30FF),
+                   (0xAC00, 0xD7A3), (0x1F300, 0x1F5FF)]
+
+    def rand_char() -> str:
+        if rng.random() < 0.35:
+            return chr(rng.choice(combining))
+        lo, hi = rng.choice(base_ranges)
+        return chr(rng.randint(lo, hi))
+
+    con = duckdb.connect()
+    mismatches = []
+    for _ in range(300):
+        s = "".join(rand_char() for _ in range(rng.randint(0, 24)))
+        want = unicodedata.normalize("NFC", s)
+        got = con.execute("SELECT nfc_normalize(?)", [s]).fetchone()[0]
+        if got != want:
+            mismatches.append((s, want, got))
+    assert not mismatches, mismatches[:3]
