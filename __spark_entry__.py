@@ -126,6 +126,10 @@ _RECHECK_SOFT["approx_distinct_within_band"] = 6
 # r6: rank machinery extracted into _dense_ranks (shared with
 # training_epoch_shuffle) — pure refactor, compare green at 2 SFs
 _RECHECK_SOFT["dense_global_ids"] = 6
+# late-r6: decode_image gained the VP8L WebP branch — additive (new
+# magic dispatch; PNG/JPEG/GIF/BMP paths untouched), compare
+# re-verified green at sf0.01
+_RECHECK_SOFT["multimodal_codec_roundtrip"] = 6
 # Added after the current round's ~50-query window filled; placed right
 # behind the fresh backlog (locally oracle-checked already).  All
 # round-2 additions queue here so the r1-era never-driver-checked
