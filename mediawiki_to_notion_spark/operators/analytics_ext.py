@@ -2571,3 +2571,76 @@ def eval_bradley_terry_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "contender string, n_matches long, n_wins long, "
         "stationary_within_band boolean",
     )
+
+
+PASS_K = 5              # pass@k
+PASS_THRESHOLD = 50.0   # a "success" is an attempt with value > this
+
+
+@register(
+    "eval_pass_at_k",
+    oracle=f"""
+    WITH att AS (
+      SELECT event_type, user_id,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) FILTER (value > {PASS_THRESHOLD}) AS BIGINT) AS c
+      FROM events GROUP BY event_type, user_id
+    ),
+    est AS (
+      SELECT event_type, user_id, n, c,
+             CASE WHEN c = 0 THEN CAST(0 AS BIGINT)
+                  WHEN n - c < {PASS_K} THEN CAST(1000000 AS BIGINT)
+                  ELSE CAST(round(1e6 * (1.0 - list_reduce(
+                    list_transform(range(0, {PASS_K}),
+                                   i -> (n - c - i)::DOUBLE / (n - i)),
+                    (a, b) -> a * b))) AS BIGINT)
+             END AS est_micro
+      FROM att
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_problems,
+           CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_any_pass,
+           round(CAST(sum(est_micro) AS BIGINT)::DOUBLE
+                 / count(*) / 1e6, 6) AS pass_at_k
+    FROM est GROUP BY event_type
+    """,
+)
+def eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbiased pass@{PASS_K} (Chen et al. 2021, Codex appendix): per
+    problem (here a (benchmark=event_type, attempt-group=user) cell
+    with n attempts, c successes = value > {PASS_THRESHOLD}), the
+    estimator 1 - C(n-c,{PASS_K})/C(n,{PASS_K}) computed as the
+    left-to-right product fold prod_i (n-c-i)/(n-i) — the SAME fold
+    order in both engines, so the doubles are bit-identical (verified)
+    — then averaged per benchmark through exact integer micro-units
+    (the embedding_label_outliers discipline: never sum raw doubles
+    whose accumulation order differs across engines).
+
+    100 TB shape: one map-side-combinable (type, user) aggregate, the
+    fold is a JVM expression over a {PASS_K}-element sequence, and the
+    benchmark rollup is |types| rows."""
+    e = load_table(spark, "events", sf_dir)
+    att = e.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("value") > PASS_THRESHOLD, 1)).alias("c"),
+    )
+    prod = F.aggregate(
+        F.sequence(F.lit(0), F.lit(PASS_K - 1)),
+        F.lit(1.0),
+        lambda acc, i: acc
+        * ((F.col("n") - F.col("c") - i).cast("double") / (F.col("n") - i)),
+    )
+    est_micro = (
+        F.when(F.col("c") == 0, F.lit(0).cast("long"))
+        .when(F.col("n") - F.col("c") < PASS_K, F.lit(1_000_000).cast("long"))
+        .otherwise(F.round(F.lit(1e6) * (F.lit(1.0) - prod)).cast("long"))
+    )
+    est = att.select("event_type", "c", est_micro.alias("est_micro"))
+    return est.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_problems"),
+        F.sum(F.when(F.col("c") > 0, 1).otherwise(0)).alias("n_any_pass"),
+        F.round(
+            F.sum("est_micro").cast("double") / F.count(F.lit(1)) / 1e6, 6
+        ).alias("pass_at_k"),
+    )
