@@ -735,3 +735,128 @@ def fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("fim_text"),
     )
+
+
+DECON_CUT_W = 3   # tokens per cut window (the eval-overlap trigram unit)
+
+
+def _decon_cut_oracle() -> str:
+    from mediawiki_to_notion_spark.functions import hashing as H
+
+    win_hash = H.token_hash60_sql(
+        f"array_to_string(t[u.i+1 : u.i+{DECON_CUT_W}], ' ')")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= {DECON_CUT_W}
+    ), win AS (
+      SELECT doc_id, u.i AS p, {win_hash} AS h
+      FROM toks,
+           LATERAL (SELECT unnest(range(0, len(t) - {DECON_CUT_W} + 1)) AS i) u
+    ), bench AS (
+      SELECT DISTINCT h FROM win WHERE doc_id < {DECON_BENCHMARK_DOCS}
+    ), hits AS (
+      SELECT w.doc_id, w.p
+      FROM win w JOIN bench USING (h)
+      WHERE w.doc_id >= {DECON_BENCHMARK_DOCS}
+    ), cut_toks AS (
+      SELECT DISTINCT doc_id, u.tok_i
+      FROM hits, LATERAL (
+        SELECT unnest(range(p, p + {DECON_CUT_W})) AS tok_i) u
+    ), stream AS (
+      SELECT t.doc_id, len(t.t) AS n_tokens, u.i AS tok_i,
+             t.t[u.i + 1] AS tok
+      FROM toks t, LATERAL (SELECT unnest(range(0, len(t.t))) AS i) u
+      WHERE t.doc_id >= {DECON_BENCHMARK_DOCS}
+    )
+    SELECT s.doc_id, s.n_tokens,
+           CAST(count(c.tok_i) AS BIGINT) AS n_cut_tokens,
+           CAST(s.n_tokens - count(c.tok_i) AS BIGINT) AS n_kept_tokens,
+           coalesce(string_agg(
+             CASE WHEN c.tok_i IS NULL THEN s.tok END, ' '
+             ORDER BY s.tok_i), '') AS clean_text
+    FROM stream s
+    LEFT JOIN cut_toks c ON c.doc_id = s.doc_id AND c.tok_i = s.tok_i
+    GROUP BY s.doc_id, s.n_tokens
+    """
+
+
+@register("decontaminate_span_cut", oracle=_decon_cut_oracle())
+def decontaminate_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-level benchmark decontamination — one step past
+    decontaminate_ngram_overlap's document FLAGGING: every corpus
+    occurrence of a {DECON_CUT_W}-token window that also appears in
+    the held-out eval suite (docs doc_id < {DECON_BENCHMARK_DOCS}) is
+    cut, and each document is rebuilt from its surviving tokens.
+    Cutting the contaminated spans instead of dropping whole documents
+    preserves the rest of an otherwise-clean page — the surgical
+    variant Lee et al. 2021 argue for, applied to eval overlap.
+
+    100 TB shape: the benchmark window-hash set is eval-suite-sized
+    and BROADCASTS; corpus windows join it on the 60-bit hash (8-byte
+    keys, no all-pairs anything); only matched windows re-expand to
+    cut-token ids; the rebuild is the dedup_substring_cut per-doc
+    aggregate (dedup_ext.py:665)."""
+    from mediawiki_to_notion_spark.functions import hashing as H
+    from mediawiki_to_notion_spark.plans.pipeline import ensure_parallelism
+
+    d = ensure_parallelism(load_table(spark, "documents", sf_dir))
+    toks = d.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= DECON_CUT_W
+    )
+    win = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - DECON_CUT_W),
+                lambda i: H.token_hash60(
+                    F.concat_ws(" ", F.slice("t", i + 1, DECON_CUT_W))
+                ),
+            )
+        ).alias("p", "h"),
+    )
+    bench = (
+        win.filter(F.col("doc_id") < DECON_BENCHMARK_DOCS)
+        .select("h").distinct()
+    )
+    hits = (
+        win.filter(F.col("doc_id") >= DECON_BENCHMARK_DOCS)
+        .join(F.broadcast(bench), "h")
+    )
+    cut_toks = hits.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("p"), F.col("p") + DECON_CUT_W - 1)
+        ).alias("tok_i"),
+    ).distinct()
+    stream = toks.filter(F.col("doc_id") >= DECON_BENCHMARK_DOCS).select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        F.posexplode("t").alias("tok_i", "tok"),
+    )
+    joined = stream.join(
+        cut_toks.withColumn("cut", F.lit(True)), ["doc_id", "tok_i"], "left"
+    )
+    return joined.groupBy("doc_id", "n_tokens").agg(
+        F.count(F.when(F.col("cut"), 1)).alias("n_cut_tokens"),
+        (F.col("n_tokens").cast("long")
+         - F.count(F.when(F.col("cut"), 1))).alias("n_kept_tokens"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("cut").isNull(),
+                            F.struct(
+                                F.col("tok_i").alias("tok_i"),
+                                F.col("tok").alias("tok"),
+                            ),
+                        )
+                    )
+                ),
+                lambda s: s["tok"],
+            ),
+        ).alias("clean_text"),
+    )
