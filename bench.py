@@ -121,6 +121,9 @@ HEADLINE = [
     "wordpiece_tokenize_fertility",
     "eval_pairwise_copeland",
     "text_unicode_nfc_normalize",
+    "eval_pass_at_k",
+    "decontaminate_span_cut",
+    "embedding_matryoshka_recall",
     # eval_bradley_terry_fit is driver-gated but NOT headline: its
     # distributed stages are identical to eval_pairwise_copeland's;
     # the rest is the driver-side MM fit.
