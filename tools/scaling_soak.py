@@ -49,6 +49,7 @@ SOAK = [
     "unigram_lm_train", "wordpiece_train_merges",
     "dsir_importance_select",
     "eval_pairwise_copeland", "text_unicode_nfc_normalize",
+    "decontaminate_span_cut",
 ]
 
 
