@@ -583,6 +583,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
             while p < len(body):
                 tclass, tid = body[p] >> 4, body[p] & 0xF
                 bits = list(body[p + 1:p + 17])
+                if len(bits) != 16:
+                    raise JPEGError("truncated DHT bits table")
                 n = sum(bits)
                 vals = list(body[p + 17:p + 17 + n])
                 if len(vals) != n:
@@ -602,6 +604,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
                 raise UnsupportedJPEGError(
                     f"{nc}-component frame (grayscale/YCbCr only)"
                 )
+            if len(body) < 6 + 3 * nc:
+                raise JPEGError("truncated SOF component list")
             comps = []
             for ci in range(nc):
                 cid, samp, qid = body[6 + ci * 3:9 + ci * 3]
