@@ -130,6 +130,18 @@ _RECHECK_SOFT["dense_global_ids"] = 6
 # magic dispatch; PNG/JPEG/GIF/BMP paths untouched), compare
 # re-verified green at sf0.01
 _RECHECK_SOFT["multimodal_codec_roundtrip"] = 6
+# r7 ADVICE fixes, each re-verified bit-identical via oracle.compare at
+# sf0.01: WordPiece score_scaled now computed in wide exact arithmetic
+# (DECIMAL(38,0) div on Spark / HUGEINT // on DuckDB — same quotient,
+# no int64 overflow headroom lie); Bradley-Terry expected-wins masks
+# zero-game/zero-strength pairs (a no-op on driver data where every
+# contender wins something); WebP encoder splits LZ77 runs at 4096
+# (sf0.01 images have no >4096 run through the encoder's op stream, so
+# bit-identical there — the 70x70 ADVICE repro is pytest-pinned).
+_RECHECK_SOFT["wordpiece_train_merges"] = 7
+_RECHECK_SOFT["wordpiece_tokenize_fertility"] = 7
+_RECHECK_SOFT["eval_bradley_terry_fit"] = 7
+_RECHECK_SOFT["multimodal_image_webp_roundtrip"] = 7
 # Added after the current round's ~50-query window filled; placed right
 # behind the fresh backlog (locally oracle-checked already).  All
 # round-2 additions queue here so the r1-era never-driver-checked

@@ -66,6 +66,9 @@ class UnsupportedWebPError(WebPError):
 MAX_PIXELS = 1 << 26          # per decoded plane, incl. sub-images
 MAX_PALETTE = 256
 NUM_LENGTH_CODES = 24
+# Largest LZ77 copy length expressible by length prefix code 23:
+# offset (2+1)<<10 + max 10 extra bits + 1 = 4096 (RFC 9649 §3.6.2.2).
+MAX_LZ77_LENGTH = 4096
 NUM_DISTANCE_CODES = 40
 CODE_LENGTH_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16,
                      6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
@@ -329,7 +332,10 @@ def _decode_image(br: _BitReader, w: int, h: int,
         hh = (h + (1 << huff_bits) - 1) >> huff_bits
         huff_image = _decode_image(br, hw, hh, False)
         num_groups = max(((p >> 8) & 0xFFFF) for p in huff_image) + 1
-    if num_groups > 1024:
+    if num_groups > 65536:
+        # The meta index is the 16-bit {red,green} pair of the huffman
+        # image pixel, so 65536 groups is the spec ceiling (RFC 9649
+        # §3.7.2); anything above that is a corrupt stream.
         raise WebPError(f"too many meta prefix groups: {num_groups}")
     groups = [_read_huff_group(br, cache_size) for _ in range(num_groups)]
 
@@ -699,6 +705,13 @@ def _write_prefix_code(bw: _BitWriter, freqs: dict,
     """Emit a prefix-code definition for ``freqs``; returns
     symbol -> (code, length) for the payload writer."""
     symbols = sorted(freqs)
+    if symbols and symbols[-1] >= alphabet_size:
+        # A symbol outside the alphabet would be silently dropped from the
+        # emitted code-length sequence while the payload still writes its
+        # bits — an undecodable stream.  Fail loudly at encode time.
+        raise WebPError(
+            f"prefix symbol {symbols[-1]} outside alphabet of "
+            f"size {alphabet_size}")
     if len(symbols) <= 2 and symbols[-1] < 256:
         bw.write(1, 1)                      # simple code
         bw.write(len(symbols) - 1, 1)
@@ -755,8 +768,14 @@ def _emit_entropy_image(bw: _BitWriter, pixels: list, rle: bool,
             run = 1
             while i + run < n and pixels[i + run] == pixels[i]:
                 run += 1
-            ops.append(("ref", run))
             i += run
+            # VP8L LZ77 lengths max out at 4096 (length prefix code 23,
+            # RFC 9649 §3.6.2.2); longer runs must be split or the green
+            # symbol would fall outside the 256+24 alphabet.
+            while run > MAX_LZ77_LENGTH:
+                ops.append(("ref", MAX_LZ77_LENGTH))
+                run -= MAX_LZ77_LENGTH
+            ops.append(("ref", run))
         else:
             ops.append(("lit", pixels[i]))
             i += 1

@@ -2452,6 +2452,39 @@ def eval_pairwise_copeland(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BT_ITERS = 200          # MM iterations (Hunter 2004); converges geometrically
+
+
+def _bt_mm_fit(games, wins):
+    """Hunter-2004 MM fit of Bradley-Terry strengths; returns
+    (expected_wins, total_wins, n_matches) per contender.
+
+    Divisions are masked to played pairs: if >=2 contenders end with
+    zero total wins their strengths collapse to 0.0 after the first MM
+    iteration and strength_i + strength_j = 0 for that pair — an
+    unmasked games/0 would poison the sums with inf/NaN even though
+    the correct contribution of a zero-strength pairing is 0 expected
+    wins (r6 ADVICE)."""
+    import numpy as np
+
+    n = games.shape[0]
+    total_wins = wins.sum(axis=1)
+    strength = np.ones(n)
+    pair_sum = np.add.outer(strength, strength)
+    mask = games > 0
+    for _ in range(BT_ITERS):    # Hunter (2004) MM update
+        np.add.outer(strength, strength, out=pair_sum)
+        ratio = np.divide(games, pair_sum, out=np.zeros_like(games),
+                          where=mask & (pair_sum > 0))
+        denom = ratio.sum(axis=1)
+        strength = np.where(denom > 0, total_wins / np.maximum(denom, 1e-30),
+                            strength)
+        strength /= strength.sum()
+    np.add.outer(strength, strength, out=pair_sum)
+    win_prob = np.divide(strength[:, None] * np.ones_like(games), pair_sum,
+                         out=np.zeros_like(games),
+                         where=mask & (pair_sum > 0))
+    expected = (games * win_prob).sum(axis=1)
+    return expected, total_wins, games.sum(axis=1)
 BT_BAND_PPM = 1000      # stationarity residual band: 0.1% of matches played
 
 
@@ -2551,16 +2584,7 @@ def eval_bradley_terry_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         games[i, j] = games[j, i] = r.wins_x + r.wins_y
         wins[i, j] = r.wins_x
         wins[j, i] = r.wins_y
-    total_wins = wins.sum(axis=1)
-    strength = np.ones(n)
-    for _ in range(BT_ITERS):    # Hunter (2004) MM update
-        denom = (games / np.add.outer(strength, strength)).sum(axis=1)
-        strength = np.where(denom > 0, total_wins / np.maximum(denom, 1e-30),
-                            strength)
-        strength /= strength.sum()
-    expected = (games * (strength[:, None]
-                         / np.add.outer(strength, strength))).sum(axis=1)
-    n_matches = games.sum(axis=1)
+    expected, total_wins, n_matches = _bt_mm_fit(games, wins)
     ok = np.abs(expected - total_wins) <= n_matches * BT_BAND_PPM / 1e6
     rows = [
         (c, int(n_matches[i]), int(total_wins[i]), bool(ok[i]))

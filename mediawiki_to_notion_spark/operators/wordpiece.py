@@ -13,8 +13,11 @@ Exact cross-engine parity strategy
 The likelihood score is a ratio of integers; comparing ratios with
 doubles invites ulp-divergence between engines, so both engines rank
 by the exact integer ``score_scaled = (n_ab * 10^12) div (n_a *
-n_b)`` (BIGINT throughout: n_ab <= corpus tokens ~ 10^7 even at
-sf0.1 so n_ab * 10^12 < 2^63; ties broken by (a, b) ascending).  The
+n_b)``.  The intermediate product n_ab * 10^12 overflows int64 once
+n_ab exceeds ~9.2e6, so the multiply runs in wide exact arithmetic —
+DECIMAL(38,0) on Spark (``div`` on decimals yields an exact BIGINT),
+HUGEINT (int128) on DuckDB — and only the <=1e12-bounded quotient is
+materialized as BIGINT.  Ties broken by (a, b) ascending; the
 truncating division is part of the operator's spec, applied
 identically on both sides.
 
@@ -113,9 +116,10 @@ def _wordpiece_train(spark: SparkSession, sf_dir: str):
                 "a",
                 "b",
                 "n_pair",
-                F.expr(f"(n_pair * {WP_SCALE}) div (n_a * n_b)").alias(
-                    "score_scaled"
-                ),
+                F.expr(
+                    f"(CAST(n_pair AS DECIMAL(38,0)) * {WP_SCALE}) div "
+                    f"(CAST(n_a AS DECIMAL(38,0)) * n_b)"
+                ).alias("score_scaled"),
             )
             .orderBy(F.desc("score_scaled"), F.asc("a"), F.asc("b"))
             .limit(1)
@@ -183,7 +187,9 @@ def _wp_train_ctes(rounds: int) -> list[str]:
       SELECT a, b,
              a || (CASE WHEN b LIKE '##%' THEN substr(b, 3) ELSE b END)
                AS merged,
-             n_pair, (n_pair * {WP_SCALE}) // (sa.n_sym * sb.n_sym)
+             n_pair,
+             CAST((CAST(n_pair AS HUGEINT) * {WP_SCALE})
+                  // (CAST(sa.n_sym AS HUGEINT) * sb.n_sym) AS BIGINT)
                AS score_scaled
       FROM (
         SELECT l[u.i] AS a, l[u.i + 1] AS b,

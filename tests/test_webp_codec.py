@@ -398,3 +398,36 @@ def test_predictor_encoder_compresses_smooth_gradients():
         [np.add.outer(np.arange(40), np.arange(70)).astype(np.uint8)] * 3,
         axis=-1)
     assert len(encode_webp(smooth, predictor=2)) < len(encode_webp(smooth)) / 10
+
+
+def test_long_run_split_at_4096():
+    """A solid run longer than VP8L's max LZ77 length (4096) must be
+    split into multiple refs; with one distinct leading pixel the
+    green alphabet is non-degenerate, so an unsplit run >4096 would
+    emit a length symbol outside the 256+24 alphabet and produce an
+    undecodable stream (r6 ADVICE repro: 70x70)."""
+    img = np.zeros((70, 70, 3), dtype=np.uint8)
+    img[0, 0] = (200, 10, 30)          # one distinct pixel
+    img[img.sum(axis=-1) == 0] = 7     # solid remainder: 4899-pixel run
+    data = encode_webp(img)
+    w, h, out = decode_webp(data)
+    assert (w, h) == (70, 70)
+    assert np.array_equal(out[..., :3], img)
+
+
+def test_long_run_split_boundary_exact():
+    """Runs of exactly 4096 and 4097 pixels after one literal."""
+    for extra in (4096, 4097):
+        flat = np.full((1, extra + 1, 3), 9, dtype=np.uint8)
+        flat[0, 0] = (1, 2, 3)
+        if extra + 1 > 1 << 14:
+            continue
+        data = encode_webp(flat)
+        _, _, out = decode_webp(data)
+        assert np.array_equal(out[..., :3], flat)
+
+
+def test_write_prefix_code_rejects_out_of_alphabet_symbol():
+    bw = _BitWriter()
+    with pytest.raises(WebPError, match="outside alphabet"):
+        _write_prefix_code(bw, {5: 3, 300: 1}, 280)
