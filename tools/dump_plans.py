@@ -82,12 +82,12 @@ SHOWCASE: list[tuple[str, str]] = [
      "partial-combinable `HashAggregate`s on 8-byte keys; the lag/"
      "cumsum `Window`s are partitioned by doc_id and run only over "
      "duplicated windows — never the full window stream."),
-    ("dedup_simhash_wide",
+    ("dedup_simhash",
      "48 per-bit weight sums collapse in ONE partial→final "
      "`HashAggregate` pass (map-side combine); candidates come from "
      "the (band, value) equi-join — no `CartesianProduct` at "
      "production fingerprint width."),
-    ("dedup_embedding_cosine_lsh_scaled",
+    ("dedup_embedding_cosine_lsh",
      "The corpus-size-derived plane count only changes literals: the "
      "plan stays probe-key explode → bucket equi-join "
      "(`BroadcastHashJoin`) → Arrow `MapInPandas` verification — "
