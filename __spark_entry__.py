@@ -122,7 +122,8 @@ _RECHECK_SOFT["markdown_block_explode"] = 4
 # sf0.001+sf0.01: funnel conversion now rounds half-away (matching
 # DuckDB; a no-op on the driver's ratios), video roundtrip now passes
 # strict_frame_count=True (our own encoder always agrees).
-_RECHECK_SOFT["events_conversion_funnel"] = 6
+_RECHECK_SOFT["events_conversion_funnel"] = 7  # r7: localCheckpoint
+# stages + single summary action (was 6: half-away rounding)
 _RECHECK_SOFT["multimodal_video_roundtrip"] = 6
 # r6: repetition battery extracted into apply_repetition_rules for
 # stream parity — pure refactor, compare re-verified green at sf0.01
@@ -150,6 +151,10 @@ _RECHECK_SOFT["wordpiece_train_merges"] = 7
 # r7: recall gate's callee renamed (fixed-plane logic unchanged,
 # compare re-verified green at sf0.01)
 _RECHECK_SOFT["dedup_cosine_lsh_recall"] = 7
+# r7 (VERDICT r6 brief #4): tier cosines now columns of one Arrow pass
+# (prefix-snapshot accumulation) + per-tier WindowGroupLimit — same
+# values (compare green at sf0.01), 3.29s -> ~1.5s at sf0.1
+_RECHECK_SOFT["embedding_matryoshka_recall"] = 7
 _RECHECK_SOFT["wordpiece_tokenize_fertility"] = 7
 _RECHECK_SOFT["eval_bradley_terry_fit"] = 7
 _RECHECK_SOFT["multimodal_image_webp_roundtrip"] = 7
