@@ -137,10 +137,16 @@ HEADLINE = [
     # are registered + driver-gated but NOT headline: pure-Python
     # Rice/prefix coding throughput, same precedent as
     # multimodal_codec_roundtrip / multimodal_video_roundtrip.
+    # r7 additions
+    "dedup_substring_cut_exact",
+    "dedup_cosine_lsh_recall_adaptive",
 ]
 N_R3_SET = 53  # the first 53 entries are the r2/r3 headline set
 N_R4_SET = 61  # ... the first 61 are the r4 headline set
 N_R5_SET = 81  # ... the first 81 are the r5 headline set
+N_R6_SET = 97  # ... the first 97 are the r6 headline set (with the r7
+# fixedwidth_demo renames occupying the retired _wide/_scaled slots;
+# cost-comparable modulo the r7 primary/demo name<->code swap)
 
 
 def main() -> None:
@@ -200,6 +206,7 @@ def main() -> None:
     r3_set = set(HEADLINE[:N_R3_SET])
     r4_set = set(HEADLINE[:N_R4_SET])
     r5_set = set(HEADLINE[:N_R5_SET])
+    r6_set = set(HEADLINE[:N_R6_SET])
 
     def _subtotal(t, names):
         return round(sum(v for k, v in t.items() if k in names), 3)
@@ -224,6 +231,7 @@ def main() -> None:
         "value_r3_subset": _subtotal(timings, r3_set),
         "value_r4_subset": _subtotal(timings, r4_set),
         "value_r5_subset": _subtotal(timings, r5_set),
+        "value_r6_subset": _subtotal(timings, r6_set),
         # min-of-n subtotals: r4 proved median-of-5 drifts ~11% under
         # driver-host load while min-of-5 reproduced r3 exactly —
         # cross-round comparisons should quote these (VERDICT r4 #5)
@@ -231,6 +239,7 @@ def main() -> None:
         "value_r3_subset_min": _subtotal(timings_min, r3_set),
         "value_r4_subset_min": _subtotal(timings_min, r4_set),
         "value_r5_subset_min": _subtotal(timings_min, r5_set),
+        "value_r6_subset_min": _subtotal(timings_min, r6_set),
         "value_min_total": round(sum(timings_min.values()), 3),
         "queries": timings,
         "queries_min": timings_min,

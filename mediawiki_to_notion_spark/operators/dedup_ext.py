@@ -745,3 +745,219 @@ def dedup_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("clean_text"),
     )
+
+
+_WIN_HASH_SQL = H.token_hash60_sql(
+    f"array_to_string(t[u.i+1 : u.i+{SPAN_W}], ' ')"
+)
+
+
+@register(
+    "dedup_substring_cut_exact",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t
+      FROM documents WHERE len(string_split(text, ' ')) >= {SPAN_W}
+    ), win AS (
+      SELECT doc_id, u.i AS p, {_WIN_HASH_SQL} AS h
+      FROM toks, LATERAL (SELECT unnest(range(0, len(t) - {SPAN_W} + 1)) AS i) u
+    ), dup AS (
+      SELECT h FROM win GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ), seq AS (
+      SELECT w.doc_id, w.p, w.h,
+             lag(w.p) OVER (PARTITION BY w.doc_id ORDER BY w.p) AS pp,
+             lag(w.h) OVER (PARTITION BY w.doc_id ORDER BY w.p) AS ph
+      FROM win w JOIN dup USING (h)
+    ), dup_edges AS (
+      SELECT ph AS ha, h AS hb FROM seq WHERE pp = p - 1
+      GROUP BY ph, h HAVING count(DISTINCT doc_id) >= 2
+    ), flagged AS (
+      SELECT s.doc_id, s.p, s.h,
+             CASE WHEN s.pp = s.p - 1 AND d.ha IS NOT NULL
+                  THEN 0 ELSE 1 END AS new_span
+      FROM seq s LEFT JOIN dup_edges d ON d.ha = s.ph AND d.hb = s.h
+    ), islands AS (
+      SELECT doc_id, p, h,
+             SUM(new_span) OVER (
+               PARTITION BY doc_id ORDER BY p
+               ROWS UNBOUNDED PRECEDING) AS span_id
+      FROM flagged
+    ), spans AS (
+      -- chain_sig identifies the span's CONTENT: the hash of its
+      -- ordered window-hash sequence (two spans share a sig iff they
+      -- are the same duplicated substring, window for window)
+      SELECT doc_id, span_id,
+             min(p) AS start_tok, max(p) + {SPAN_W} - 1 AS end_tok,
+             {H.token_hash60_sql("string_agg(h, ',' ORDER BY p)")}
+               AS chain_sig
+      FROM islands GROUP BY doc_id, span_id
+    ), keepers AS (
+      -- survivor occurrence per duplicated substring: lexicographic
+      -- (doc_id, start_tok) struct min (the dedup_substring_cut rule,
+      -- lifted from window granularity to span granularity)
+      SELECT chain_sig,
+             min({{'doc_id': doc_id, 'start_tok': start_tok}}) AS keep
+      FROM spans GROUP BY chain_sig
+    ), cut_spans AS (
+      SELECT s.doc_id, s.start_tok, s.end_tok
+      FROM spans s JOIN keepers k USING (chain_sig)
+      WHERE {{'doc_id': s.doc_id, 'start_tok': s.start_tok}} != k.keep
+    ), cut_toks AS (
+      SELECT DISTINCT doc_id, u.tok_i
+      FROM cut_spans, LATERAL (
+        SELECT unnest(range(start_tok, end_tok + 1)) AS tok_i) u
+    ), stream AS (
+      SELECT t.doc_id, len(t.t) AS n_tokens, u.i AS tok_i,
+             t.t[u.i + 1] AS tok
+      FROM toks t, LATERAL (SELECT unnest(range(0, len(t.t))) AS i) u
+    ), rebuilt AS (
+      SELECT s.doc_id, s.n_tokens,
+             count(c.tok_i) AS n_cut_tokens,
+             coalesce(string_agg(
+               CASE WHEN c.tok_i IS NULL THEN s.tok END, ' '
+               ORDER BY s.tok_i), '') AS clean_text
+      FROM stream s
+      LEFT JOIN cut_toks c ON c.doc_id = s.doc_id AND c.tok_i = s.tok_i
+      GROUP BY s.doc_id, s.n_tokens
+    )
+    SELECT doc_id, n_tokens,
+           CAST(n_cut_tokens AS BIGINT) AS n_cut_tokens,
+           CAST(n_tokens - n_cut_tokens AS BIGINT) AS n_kept_tokens,
+           clean_text
+    FROM rebuilt
+    """,
+)
+def dedup_substring_cut_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL Lee et al. 2021 pipeline as one operator (VERDICT r6
+    brief #8): token-exact span detection composed with the
+    end-to-end cut.  ``dedup_substring_cut`` decides survivorship per
+    WINDOW, so one chain's windows can split survivorship across
+    documents and the kept extent is window-granular; here the unit
+    of survivorship is the TOKEN-EXACT SPAN — the maximal co-moving
+    window chain of ``dedup_substring_spans_token_exact`` — and every
+    occurrence of a duplicated substring except the globally first
+    (lexicographic (doc_id, start_tok) struct min) is cut in full,
+    token for token.
+
+    A span's identity is its chain signature: the 60-bit hash of its
+    ordered window-hash sequence, so two spans match iff they are the
+    same substring window-for-window (superstring occurrences form
+    their own chains and survive independently — the standard
+    windowed-method granularity).
+
+    Scale shape: everything up to the islands is the token-exact span
+    query (8-byte hash partial aggs; the lag/cumsum windows run ONLY
+    over duplicated windows partitioned by doc_id); span signatures
+    and survivor choice are two more hash-keyed partial aggregates;
+    the rebuild is the dedup_substring_cut discipline — one per-doc
+    aggregate over the token stream with an anti-membership left
+    join, nothing quadratic."""
+    from mediawiki_to_notion_spark.plans.pipeline import ensure_parallelism
+    from pyspark.sql import Window as W
+
+    d = ensure_parallelism(load_table(spark, "documents", sf_dir))
+    toks = d.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= SPAN_W
+    )
+    win = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - SPAN_W),
+                lambda i: H.token_hash60(
+                    F.concat_ws(" ", F.slice("t", i + 1, SPAN_W))
+                ),
+            )
+        ).alias("p", "h"),
+    )
+    dup = (
+        win.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    byp = W.partitionBy("doc_id").orderBy("p")
+    seq = win.join(dup, "h").select(
+        "doc_id", "p", "h",
+        F.lag("p").over(byp).alias("pp"),
+        F.lag("h").over(byp).alias("ph"),
+    )
+    dup_edges = (
+        seq.filter(F.col("pp") == F.col("p") - 1)
+        .groupBy(F.col("ph").alias("ha"), F.col("h").alias("hb"))
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("ha", "hb")
+    )
+    flagged = seq.join(
+        dup_edges,
+        (F.col("ph") == F.col("ha")) & (F.col("h") == F.col("hb")),
+        "left",
+    ).select(
+        "doc_id", "p", "h",
+        F.when(
+            (F.col("pp") == F.col("p") - 1) & F.col("ha").isNotNull(),
+            F.lit(0),
+        ).otherwise(F.lit(1)).alias("new_span"),
+    )
+    islands = flagged.select(
+        "doc_id", "p", "h",
+        F.sum("new_span").over(
+            byp.rowsBetween(W.unboundedPreceding, 0)
+        ).alias("span_id"),
+    )
+    spans = islands.groupBy("doc_id", "span_id").agg(
+        F.min("p").alias("start_tok"),
+        (F.max("p") + SPAN_W - 1).alias("end_tok"),
+        H.token_hash60(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "h"))),
+                    lambda s: s["h"].cast("string"),
+                ),
+            )
+        ).alias("chain_sig"),
+    )
+    keepers = spans.groupBy("chain_sig").agg(
+        F.min(F.struct("doc_id", "start_tok")).alias("keep")
+    )
+    cut_spans = spans.join(keepers, "chain_sig").filter(
+        F.struct("doc_id", "start_tok") != F.col("keep")
+    )
+    cut_toks = cut_spans.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("start_tok"), F.col("end_tok"))
+        ).alias("tok_i"),
+    ).distinct()
+    stream = toks.select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        F.posexplode("t").alias("tok_i", "tok"),
+    )
+    joined = stream.join(
+        cut_toks.withColumn("cut", F.lit(True)), ["doc_id", "tok_i"], "left"
+    )
+    return joined.groupBy("doc_id", "n_tokens").agg(
+        F.count(F.when(F.col("cut"), 1)).alias("n_cut_tokens"),
+        (F.col("n_tokens").cast("long")
+         - F.count(F.when(F.col("cut"), 1))).alias("n_kept_tokens"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("cut").isNull(),
+                            F.struct(
+                                F.col("tok_i").alias("tok_i"),
+                                F.col("tok").alias("tok"),
+                            ),
+                        )
+                    )
+                ),
+                lambda s: s["tok"],
+            ),
+        ).alias("clean_text"),
+    )

@@ -114,3 +114,64 @@ def test_substring_spans_extents_unaffected(spark, million_token_docs):
     }
     assert (1, DUP_POS, DUP_POS + SPAN_W - 1) in spans
     assert (2, 0, SPAN_W - 1) in spans
+
+
+@pytest.fixture(scope="module")
+def chain_survivor_docs(spark, tmp_path_factory):
+    """Doc 1 = bare run X; docs 2 and 3 = 'pre' + X.  Window-granular
+    survivorship splits doc 2's occurrence (its X window loses to doc
+    1's), while the token-exact chain 'pre'+X is a DIFFERENT substring
+    whose first occurrence is doc 2 — so the span-granular cut must
+    keep doc 2 intact."""
+    root = tmp_path_factory.mktemp("chain_survivor")
+    X = [f"p{i}" for i in range(SPAN_W)]
+    df = spark.createDataFrame(
+        [(1, " ".join(X)),
+         (2, " ".join(["pre"] + X)),
+         (3, " ".join(["pre"] + X))],
+        "doc_id int, text string",
+    )
+    df.coalesce(1).write.parquet(os.path.join(str(root), "documents.parquet"))
+    return str(root)
+
+
+def test_cut_exact_survivorship_is_span_granular(spark, chain_survivor_docs):
+    exact = {
+        r["doc_id"]: r
+        for r in QUERIES["dedup_substring_cut_exact"](
+            spark, chain_survivor_docs
+        ).collect()
+    }
+    # doc 1's bare-X chain is unique as a chain -> survives whole.
+    assert exact[1]["n_cut_tokens"] == 0
+    # doc 2 is the FIRST occurrence of the 'pre'+X chain -> intact.
+    assert exact[2]["n_cut_tokens"] == 0
+    assert exact[2]["clean_text"] == " ".join(["pre"] + [f"p{i}" for i in range(SPAN_W)])
+    # doc 3's occurrence of that chain is cut in full.
+    assert exact[3]["n_cut_tokens"] == SPAN_W + 1
+    assert exact[3]["clean_text"] == ""
+    # contrast: the window-granular cut splits doc 2's occurrence
+    # (its X window loses survivorship to doc 1's copy).
+    granular = {
+        r["doc_id"]: r
+        for r in QUERIES["dedup_substring_cut"](
+            spark, chain_survivor_docs
+        ).collect()
+    }
+    assert granular[2]["n_cut_tokens"] == SPAN_W
+    assert granular[2]["clean_text"] == "pre"
+
+
+def test_cut_exact_abutting_runs(spark, abutting_runs_docs):
+    """X+Y abut in doc 1 but are distinct chains: each is judged for
+    survivorship separately, and doc 1 holds the first occurrence of
+    both (and of Z), so only docs 2 and 3 lose tokens."""
+    rows = {
+        r["doc_id"]: r
+        for r in QUERIES["dedup_substring_cut_exact"](
+            spark, abutting_runs_docs
+        ).collect()
+    }
+    assert rows[1]["n_cut_tokens"] == 0
+    assert rows[2]["n_cut_tokens"] == SPAN_W + (SPAN_W + 4)  # X + Z
+    assert rows[3]["n_cut_tokens"] == SPAN_W                 # Y
