@@ -94,7 +94,11 @@ _RECHECK = {"pack_sequences_greedy": 3, "markdown_blocks_golden": 4,
             # under the retired _wide/_scaled names, but the PRIMARY
             # names need fresh hash-green rows)
             "dedup_simhash": 7,
-            "dedup_embedding_cosine_lsh": 7}
+            "dedup_embedding_cosine_lsh": 7,
+            # r7 (VERDICT r6 brief #6): rows-only -> hash-gated digest
+            # (doc_id, md5(markdown), err_flag) against the
+            # sequential-reference VALUES oracle
+            "pipeline_prepare_convert": 7}
 
 # SOFT rechecks: confirmed queries EDITED since their green row where
 # the edit is a verified semantic no-op on the driver's data (the r3
