@@ -252,6 +252,14 @@ def main() -> None:
         "loadavg_end": [round(x, 2) for x in loadavg_end],
         "loadavg_warn": loadavg_warn,
         "code_md5": code_md5,
+        # end-to-end 3-stage document-pipeline throughput (VERDICT r6
+        # brief #2), measured by tools/pipeline_bench.py (process-dump
+        # docs/s, ingest blocks/s, upload-drain blocks/s over the real
+        # HTTP transport, at sf0.1 AND the synthetic 10x with per-stage
+        # exponents).  Embedded from its own JSON because the full
+        # pipeline run (XML synth + HTTP server) is a separate harness;
+        # the file carries its own loadavg record.
+        "pipeline_throughput": _load_pipeline_bench(),
         # cross-round ratios are only interpretable on the same machine:
         # r1→r2 moved 1.40x on identical queries purely from a fresh VM
         # (SKILL.md gotcha) — fingerprint the box so the judge can tell
@@ -348,6 +356,18 @@ def main() -> None:
             f"(1m load {loadavg_start[0]:.1f} on {n_cpus} cpus); "
             "timings not gradeable — rerun idle")
     print(json.dumps(compact))
+
+
+def _load_pipeline_bench() -> dict | None:
+    """PIPELINE_BENCH.json (tools/pipeline_bench.py output), or None if
+    the pipeline bench hasn't been run on this checkout."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "PIPELINE_BENCH.json")
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
 
 
 def _code_fingerprint() -> str:

@@ -173,7 +173,13 @@ def _synth_wikitext_py(doc_id: int, lang: str, text: str) -> str | None:
     )
 
 
-def _prepare_convert_oracle() -> str | None:
+PREPARE_CONVERT_SF_DIRS = (
+    "/root/testdata/sf0.001", "/root/testdata/sf0.01",
+)
+
+
+def _prepare_convert_oracle(
+        sf_dirs: tuple[str, ...] = PREPARE_CONVERT_SF_DIRS) -> str | None:
     """SEQUENTIAL-REFERENCE oracle for the Phase-1 chain (VERDICT r6
     brief #6): the fencer and fallback converter are deterministic
     Python that no SQL engine can express, so the oracle is an
@@ -193,7 +199,7 @@ def _prepare_convert_oracle() -> str | None:
     import duckdb
 
     rows: list[str] = []
-    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+    for sf in sf_dirs:
         try:
             con = duckdb.connect()
             recs = con.execute(

@@ -72,12 +72,27 @@ def adversarial_sf_dir(tmp_path_factory):
     return adv
 
 
+def _oracle_for(name: str, sf_dir: str) -> str:
+    """Registered oracle, except input-pinned sequential-reference
+    oracles (whose VALUES tables are computed from specific SF dirs)
+    are REBUILT for the swept dir — a stronger check than exempting
+    them: the sequential Python reference runs on the adversarial
+    inputs too."""
+    if name == "pipeline_prepare_convert":
+        from mediawiki_to_notion_spark.operators.pipeline_queries import (
+            _prepare_convert_oracle,
+        )
+
+        return _prepare_convert_oracle(sf_dirs=(sf_dir,))
+    return ORACLES[name]
+
+
 def test_all_oracles_match_on_adversarial_distribution(spark,
                                                        adversarial_sf_dir):
     failures = []
     for name in sorted(ORACLES):
         try:
-            r = compare(spark, QUERIES[name], ORACLES[name],
+            r = compare(spark, QUERIES[name], _oracle_for(name, adversarial_sf_dir),
                         adversarial_sf_dir)
             if not r["match"]:
                 failures.append(f"{name}: {r}")

@@ -37,9 +37,15 @@ import sys
 from pyspark.sql import functions as F
 
 SRC = "/root/testdata/sf0.1"
-DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   ".scale", "sf1")
-N_COPIES = 10
+# N_COPIES=10 -> sf1 (the r6 soak default); SCALE_N_COPIES=100 -> sf10
+# (the r7 heavy-tail decade).  DST defaults to .scale/sf{N/10}.
+N_COPIES = int(os.environ.get("SCALE_N_COPIES", "10"))
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DST = os.environ.get(
+    "SCALE_DST",
+    os.path.join(_ROOT, ".scale",
+                 f"sf{N_COPIES // 10}" if N_COPIES % 10 == 0
+                 else f"sfx{N_COPIES}"))
 
 KEY_COLS = {
     "customer": ["c_custkey"],
@@ -106,14 +112,23 @@ def main() -> None:
                     ),
                 ).withColumn("n_chars", F.length("text"))
             if t == "embeddings" and k > 0:
+                # rotate by k mod d; past a full cycle (k >= d, only at
+                # N_COPIES > 64) alternate cycles also REVERSE the
+                # vector so no two copies share a transform — both ops
+                # are norm-preserving and keep cross-copy cosines
+                # decorrelated (a repeated transform would mint exact
+                # cross-copy duplicates and shift ANN selectivity)
                 d = 64
-                c = c.withColumn(
-                    "embedding",
+                rot = k % d
+                expr = (
                     F.concat(
-                        F.slice("embedding", k + 1, d - k),
-                        F.slice("embedding", 1, k),
-                    ),
+                        F.slice("embedding", rot + 1, d - rot),
+                        F.slice("embedding", 1, rot),
+                    ) if rot else F.col("embedding")
                 )
+                if (k // d) % 2 == 1:
+                    expr = F.reverse(expr)
+                c = c.withColumn("embedding", expr)
             copies.append(c)
         out = copies[0]
         for c in copies[1:]:

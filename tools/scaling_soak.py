@@ -25,8 +25,11 @@ import sys
 import time
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-SF01 = "/root/testdata/sf0.1"
-SF1 = os.path.join(ROOT, ".scale", "sf1")
+# Defaults measure sf0.1 -> sf1; the r7 heavy-tail decade re-points the
+# pair at sf1 -> sf10 via env (SOAK_SRC/SOAK_DST/SOAK_ONLY/SOAK_OUT).
+SF01 = os.environ.get("SOAK_SRC", "/root/testdata/sf0.1")
+SF1 = os.environ.get("SOAK_DST", os.path.join(ROOT, ".scale", "sf1"))
+SOAK_OUT = os.environ.get("SOAK_OUT", "SCALING_SOAK.json")
 
 # the 22 most expensive r5 headline queries (BENCH_DETAIL r5 medians)
 # + the r6 additions, so every heavy plan family is covered
@@ -59,6 +62,10 @@ def main() -> None:
     from mediawiki_to_notion_spark.session import get_spark
 
     load_all()
+    only = os.environ.get("SOAK_ONLY")
+    soak = [n for n in SOAK if n in only.split(",")] if only else SOAK
+    extra = ([n for n in only.split(",") if n not in SOAK] if only else [])
+    soak += extra
     n_runs = int(os.environ.get("SOAK_RUNS", "3"))
     loadavg = list(os.getloadavg())
     spark = get_spark("scaling_soak")
@@ -77,13 +84,13 @@ def main() -> None:
         return best
 
     # warmup both datasets once (footers, codegen, Arrow workers)
-    for name in SOAK:
+    for name in soak:
         QUERIES[name](spark, "/root/testdata/sf0.01") \
             .write.mode("overwrite").format("noop").save()
     spark.catalog.clearCache()
 
     rows = {}
-    for name in SOAK:
+    for name in soak:
         t01 = timed(name, SF01)
         t1 = timed(name, SF1)
         exp = math.log(t1 / t01) / math.log(10.0)
@@ -93,7 +100,8 @@ def main() -> None:
               file=sys.stderr, flush=True)
 
     out = {
-        "metric": "scaling_exponents_sf0.1_to_sf1",
+        "metric": f"scaling_exponents_{os.path.basename(SF01)}_to_"
+                  f"{os.path.basename(SF1)}",
         "n_runs_min_of": n_runs,
         "loadavg_start": [round(x, 2) for x in loadavg],
         "queries": rows,
@@ -101,7 +109,7 @@ def main() -> None:
         "median_exponent": sorted(
             r["exponent"] for r in rows.values())[len(rows) // 2],
     }
-    with open(os.path.join(ROOT, "SCALING_SOAK.json"), "w") as f:
+    with open(os.path.join(ROOT, SOAK_OUT), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 
