@@ -140,6 +140,7 @@ HEADLINE = [
     # r7 additions
     "dedup_substring_cut_exact",
     "dedup_cosine_lsh_recall_adaptive",
+    "dedup_embedding_cosine_lsh_multitable",
 ]
 N_R3_SET = 53  # the first 53 entries are the r2/r3 headline set
 N_R4_SET = 61  # ... the first 61 are the r4 headline set

@@ -34,6 +34,16 @@ def get_spark(app_name: str = "mediawiki_to_notion_spark",
         .config("spark.sql.shuffle.partitions", str(sp))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Shuffles START wide (8x cores) and AQE coalesces DOWN
+        # (parallelismFirst keeps >= default parallelism, so small-SF
+        # plans are unchanged): a static 32 caps sort/agg partition
+        # size at big SFs — the r7 sf1->sf10 soak measured
+        # dedup_substring_cut at exponent 1.25 from exactly that
+        # (150M-token rebuild shuffles spilling through 32 partitions;
+        # 1.25 -> ~1.0 with this set).  At 100 TB this is the knob
+        # that replaces hand-sizing shuffle.partitions per job.
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+                str(8 * int(cpus) if str(cpus).isdigit() else 256))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
