@@ -98,7 +98,14 @@ _RECHECK = {"pack_sequences_greedy": 3, "markdown_blocks_golden": 4,
             # r7 (VERDICT r6 brief #6): rows-only -> hash-gated digest
             # (doc_id, md5(markdown), err_flag) against the
             # sequential-reference VALUES oracle
-            "pipeline_prepare_convert": 7}
+            "pipeline_prepare_convert": 7,
+            # r7 sf10-soak root-cause fix: the SRP hyperplane generator
+            # was a Weyl translate (|plane cosine| up to 0.82 -> skewed
+            # buckets); now quadratic-mixed in BOTH engines, so every
+            # SRP-bucketed result changed (vectors.py:hyperplane)
+            "similarity_lsh_bucketed": 7,
+            "similarity_lsh_recall": 7,
+            "dedup_cosine_lsh_recall": 7}
 
 # SOFT rechecks: confirmed queries EDITED since their green row where
 # the edit is a verified semantic no-op on the driver's data (the r3

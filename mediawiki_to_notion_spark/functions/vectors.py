@@ -69,12 +69,28 @@ def cosine(a: Column, b: Column) -> Column:
 
 def hyperplane(j: int, dim: int = 64) -> Column:
     """Deterministic pseudo-random hyperplane j as a literal-free column
-    expression: component k = frac-ish((j*dim+k) * Knuth-constant) - 0.5.
-    Integer arithmetic only, so Spark and SQL agree exactly."""
+    expression: with i = j*dim + k + 1, component k is
+    frac-ish(i*(i+1) * Knuth-constant) - 0.5.  Integer arithmetic only,
+    so Spark and SQL agree exactly.
+
+    The QUADRATIC index mix is load-bearing (r7 sf10 soak finding): the
+    r1-r6 generator used the linear stream (j*dim+k)*c mod 2^31, under
+    which plane j+1 is plane j plus ONE shared constant (a Weyl
+    translate) — successive planes had |cosine| up to 0.82, so p
+    nominal planes carried far fewer effective bits and SRP buckets
+    skewed hard (max occupancy 273 of 20k vectors at p=13; grew
+    linearly with the corpus, candidate pairs quadratically).  With
+    i*(i+1) the inter-plane offset varies per component: measured
+    |cosine| <= 0.31, max occupancy 17, same-bucket pairs down 17x on
+    the same corpus.  i*(i+1)*c <= ~1.7e17 for every plane family in
+    use, well inside int64 in both engines."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda k: ((F.lit(j * dim).cast("long") + k) * 2654435761 % 2147483648)
-        / 2147483648.0 - 0.5,
+        lambda k: (
+            (F.lit(j * dim + 1).cast("long") + k)
+            * (F.lit(j * dim + 2).cast("long") + k)
+            * 2654435761 % 2147483648
+        ) / 2147483648.0 - 0.5,
     )
 
 
@@ -82,7 +98,8 @@ def hyperplane_sql(j: int, dim: int = 64) -> str:
     """DuckDB twin of :func:`hyperplane` (a DOUBLE[] literal expression)."""
     return (
         f"list_transform(range(0, {dim}), k -> "
-        f"((({j * dim} + k) * 2654435761) % 2147483648) / 2147483648.0 - 0.5)"
+        f"((({j * dim + 1} + k) * ({j * dim + 2} + k) * 2654435761)"
+        f" % 2147483648) / 2147483648.0 - 0.5)"
     )
 
 
