@@ -88,10 +88,22 @@ SHOWCASE: list[tuple[str, str]] = [
      "the (band, value) equi-join — no `CartesianProduct` at "
      "production fingerprint width."),
     ("dedup_embedding_cosine_lsh",
-     "The corpus-size-derived plane count only changes literals: the "
-     "plan stays probe-key explode → bucket equi-join "
+     "The corpus-size-derived, probe-aware plane count only changes "
+     "literals: the plan stays probe-key explode → bucket equi-join "
      "(`BroadcastHashJoin`) → Arrow `MapInPandas` verification — "
-     "bucket count now tracks n/32 (SCALING.md r6)."),
+     "2^planes tracks n·(p+1)/32 (SCALING.md r7) over decorrelated "
+     "hyperplanes."),
+    ("dedup_embedding_cosine_lsh_multitable",
+     "Two id-only probe equi-joins (one per hyperplane family) union "
+     "into a distinct candidate set; embeddings rejoin once; a single "
+     "Arrow `MapInPandas` verify pass — tables multiply probe work, "
+     "never the verification."),
+    ("dedup_substring_cut_exact",
+     "Everything heavy is a hash partial-agg on 8-byte keys; the "
+     "lag/cumsum `Window`s run only over duplicated windows "
+     "partitioned by doc_id; chain signatures and span survivorship "
+     "are two more hash aggregates; the rebuild is the same one-pass "
+     "anti-membership left join as dedup_substring_cut."),
     ("wordpiece_tokenize_fertility",
      "The tokenizer-apply shape (late r6, same for unigram-LM): the "
      "vocab arrives via `BroadcastExchange` onto the candidate-match "
