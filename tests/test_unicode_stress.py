@@ -53,11 +53,25 @@ def unicode_sf_dir(tmp_path_factory):
     return d
 
 
+def _oracle_for(name: str, sf_dir: str) -> str:
+    """Input-pinned sequential-reference oracles are rebuilt for the
+    swept dir (the test_adversarial_distribution discipline): the
+    sequential Python twin runs on the unicode-mutated inputs too."""
+    if name == "pipeline_prepare_convert":
+        from mediawiki_to_notion_spark.operators.pipeline_queries import (
+            _prepare_convert_oracle,
+        )
+
+        return _prepare_convert_oracle(sf_dirs=(sf_dir,))
+    return ORACLES[name]
+
+
 def test_all_oracles_match_on_unicode_text(spark, unicode_sf_dir):
     failures = []
     for name in sorted(ORACLES):
         try:
-            r = compare(spark, QUERIES[name], ORACLES[name], unicode_sf_dir)
+            r = compare(spark, QUERIES[name], _oracle_for(name, unicode_sf_dir),
+                        unicode_sf_dir)
             if not r["match"]:
                 failures.append(f"{name}: {r}")
         except Exception as e:  # noqa: BLE001 — collecting a report
