@@ -53,6 +53,12 @@ SOAK = [
     "dsir_importance_select",
     "eval_pairwise_copeland", "text_unicode_nfc_normalize",
     "decontaminate_span_cut",
+    # r7 additions: the composed exact-substring cut, the two-table
+    # LSH, and the adaptive recall gate (its exact ground-truth side
+    # is the deliberate quadratic baseline — expect output-bound)
+    "dedup_substring_cut_exact",
+    "dedup_embedding_cosine_lsh_multitable",
+    "embedding_matryoshka_recall",
 ]
 
 
