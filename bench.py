@@ -148,6 +148,7 @@ N_R5_SET = 81  # ... the first 81 are the r5 headline set
 N_R6_SET = 97  # ... the first 97 are the r6 headline set (with the r7
 # fixedwidth_demo renames occupying the retired _wide/_scaled slots;
 # cost-comparable modulo the r7 primary/demo name<->code swap)
+N_R7_SET = 100  # ... the first 100 are the r7 headline set
 
 
 def main() -> None:
@@ -208,6 +209,7 @@ def main() -> None:
     r4_set = set(HEADLINE[:N_R4_SET])
     r5_set = set(HEADLINE[:N_R5_SET])
     r6_set = set(HEADLINE[:N_R6_SET])
+    r7_set = set(HEADLINE[:N_R7_SET])
 
     def _subtotal(t, names):
         return round(sum(v for k, v in t.items() if k in names), 3)
@@ -233,6 +235,7 @@ def main() -> None:
         "value_r4_subset": _subtotal(timings, r4_set),
         "value_r5_subset": _subtotal(timings, r5_set),
         "value_r6_subset": _subtotal(timings, r6_set),
+        "value_r7_subset": _subtotal(timings, r7_set),
         # min-of-n subtotals: r4 proved median-of-5 drifts ~11% under
         # driver-host load while min-of-5 reproduced r3 exactly —
         # cross-round comparisons should quote these (VERDICT r4 #5)
@@ -241,6 +244,7 @@ def main() -> None:
         "value_r4_subset_min": _subtotal(timings_min, r4_set),
         "value_r5_subset_min": _subtotal(timings_min, r5_set),
         "value_r6_subset_min": _subtotal(timings_min, r6_set),
+        "value_r7_subset_min": _subtotal(timings_min, r7_set),
         "value_min_total": round(sum(timings_min.values()), 3),
         "queries": timings,
         "queries_min": timings_min,
