@@ -860,3 +860,86 @@ def decontaminate_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("clean_text"),
     )
+
+
+CHUNK_W = 64       # tokens per chunk (RAG-typical window)
+CHUNK_STRIDE = 48  # tokens between chunk starts (64-48 = 16 overlap)
+
+
+@register(
+    "chunk_documents_overlap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    chunks AS (
+      SELECT doc_id, u.i AS chunk_idx,
+             u.i * {CHUNK_STRIDE} AS start_tok,
+             LEAST(u.i * {CHUNK_STRIDE} + {CHUNK_W}, len(t)) - 1 AS end_tok,
+             array_to_string(
+               t[u.i * {CHUNK_STRIDE} + 1 :
+                 u.i * {CHUNK_STRIDE} + {CHUNK_W}], ' ') AS chunk_text
+      FROM toks, LATERAL (
+        SELECT unnest(range(0,
+          GREATEST(1, CAST(ceil((len(t) - {CHUNK_W})
+                                / {CHUNK_STRIDE}.0) AS BIGINT) + 1))) AS i
+      ) u
+      WHERE u.i = 0 OR u.i * {CHUNK_STRIDE} < len(t)
+    )
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(end_tok AS BIGINT) AS end_tok,
+           CAST(end_tok - start_tok + 1 AS BIGINT) AS n_tokens,
+           chunk_text
+    FROM chunks
+    """,
+)
+def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking — the retrieval/RAG indexing
+    and long-document pre-processing primitive: each document explodes
+    into {CHUNK_W}-token chunks whose starts advance by {CHUNK_STRIDE}
+    tokens ({CHUNK_W - CHUNK_STRIDE}-token overlap so no phrase is
+    split across a hard boundary), with exact token-span coordinates
+    per chunk for provenance joins back to the source.
+
+    Chunk-count rule (both engines, exact integer arithmetic): a doc of
+    n tokens yields max(1, ceil((n - {CHUNK_W}) / {CHUNK_STRIDE}) + 1)
+    chunks — every token is covered, the last chunk may be short, and a
+    doc shorter than one window is exactly one chunk.
+
+    100 TB shape: one narrow codegen pass — split, a bounded
+    per-document sequence explode (fan-out n/{CHUNK_STRIDE}, data
+    volume ~1.33x the corpus at this W/S), slices of the SAME token
+    array; no shuffle at all, so it composes with whatever
+    partitioning the downstream (embedding, shard write) needs."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    n = F.size("t")
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((n - CHUNK_W) / float(CHUNK_STRIDE)).cast("long") + 1,
+    )
+    chunks = toks.select(
+        "doc_id",
+        n.alias("n_tok"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        F.col("t"),
+    ).filter(
+        (F.col("chunk_idx") == 0)
+        | (F.col("chunk_idx") * CHUNK_STRIDE < F.col("n_tok"))
+    )
+    start = F.col("chunk_idx").cast("long") * CHUNK_STRIDE
+    end = F.least(start + CHUNK_W, F.col("n_tok").cast("long")) - 1
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        start.alias("start_tok"),
+        end.alias("end_tok"),
+        (end - start + 1).alias("n_tokens"),
+        F.concat_ws(
+            " ", F.slice("t", (start + 1).cast("int"), CHUNK_W)
+        ).alias("chunk_text"),
+    )

@@ -206,3 +206,45 @@ def test_repetition_kernel_null_and_empty_text():
     empty = dict(zip(_REP_OUT_COLS, _rep_features_row(2, "   ")))
     assert empty["nonspace"] == 0
     assert all(empty[c] is None for c in _REP_OUT_COLS[2:])
+
+
+def test_chunk_overlap_covers_every_token_exactly(spark, tmp_path):
+    """Chunking invariants on crafted lengths around the window/stride
+    boundary (W=64, S=48): chunk count = max(1, ceil((n-W)/S)+1), spans
+    cover [0, n-1] with no gaps, overlaps are exactly W-S except at the
+    tail, and a sub-window doc is one whole chunk."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mediawiki_to_notion_spark.operators import QUERIES
+    from mediawiki_to_notion_spark.operators.training_data import (
+        CHUNK_STRIDE,
+        CHUNK_W,
+    )
+
+    lengths = [1, CHUNK_W - 1, CHUNK_W, CHUNK_W + 1,
+               CHUNK_W + CHUNK_STRIDE, 3 * CHUNK_W + 7]
+    rows = [(i, " ".join(f"t{k}" for k in range(n)))
+            for i, n in enumerate(lengths)]
+    root = tmp_path / "chunk_docs"
+    spark.createDataFrame(rows, "doc_id int, text string").coalesce(1) \
+        .write.parquet(os.path.join(str(root), "documents.parquet"))
+    out = QUERIES["chunk_documents_overlap"](spark, str(root)) \
+        .orderBy("doc_id", "chunk_idx").collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, n in enumerate(lengths):
+        chunks = by_doc[i]
+        expect = max(1, -(-(n - CHUNK_W) // CHUNK_STRIDE) + 1) if n > CHUNK_W \
+            else 1
+        assert len(chunks) == expect, (n, len(chunks), expect)
+        assert chunks[0].start_tok == 0
+        assert chunks[-1].end_tok == n - 1
+        for a, b in zip(chunks, chunks[1:]):
+            assert b.start_tok == a.start_tok + CHUNK_STRIDE
+            assert b.start_tok <= a.end_tok + 1  # no gap
+        for c in chunks:
+            assert c.n_tokens == c.end_tok - c.start_tok + 1
+            assert len(c.chunk_text.split(" ")) == c.n_tokens
