@@ -31,8 +31,8 @@ SF01 = os.environ.get("SOAK_SRC", "/root/testdata/sf0.1")
 SF1 = os.environ.get("SOAK_DST", os.path.join(ROOT, ".scale", "sf1"))
 SOAK_OUT = os.environ.get("SOAK_OUT", "SCALING_SOAK.json")
 
-# the 22 most expensive r5 headline queries (BENCH_DETAIL r5 medians)
-# + the r6 additions, so every heavy plan family is covered
+# the most expensive headline queries (BENCH_DETAIL medians), extended
+# each round so every heavy plan family is covered
 SOAK = [
     "corpus_prepare_pipeline", "bpe_train_merges",
     "dedup_connected_components", "dedup_survivorship",
