@@ -142,6 +142,7 @@ HEADLINE = [
     "dedup_cosine_lsh_recall_adaptive",
     "dedup_embedding_cosine_lsh_multitable",
     "chunk_documents_overlap",
+    "decontaminate_fuzzy_minhash",
 ]
 N_R3_SET = 53  # the first 53 entries are the r2/r3 headline set
 N_R4_SET = 61  # ... the first 61 are the r4 headline set
@@ -149,7 +150,7 @@ N_R5_SET = 81  # ... the first 81 are the r5 headline set
 N_R6_SET = 97  # ... the first 97 are the r6 headline set (with the r7
 # fixedwidth_demo renames occupying the retired _wide/_scaled slots;
 # cost-comparable modulo the r7 primary/demo name<->code swap)
-N_R7_SET = 101  # ... the first 101 are the r7 headline set
+N_R7_SET = 102  # ... the first 102 are the r7 headline set
 
 
 def main() -> None:
