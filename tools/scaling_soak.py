@@ -59,6 +59,10 @@ SOAK = [
     "dedup_substring_cut_exact",
     "dedup_embedding_cosine_lsh_multitable",
     "embedding_matryoshka_recall",
+    # late-r7: the fuzzy decontamination (eval-index vs corpus minhash)
+    # and the zero-shuffle chunker (expect ~0 exponent)
+    "decontaminate_fuzzy_minhash",
+    "chunk_documents_overlap",
 ]
 
 
