@@ -961,3 +961,152 @@ def dedup_substring_cut_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("clean_text"),
     )
+
+
+# --- Winnowing fingerprints (MOSS) -----------------------------------------
+
+WINNOW_K = 4   # tokens per k-gram
+WINNOW_W = 4   # hashes per winnowing window
+# Guarantee threshold t = K + W - 1: any shared token run of >= 7 tokens
+# is certain to share at least one selected fingerprint (Schleimer,
+# Wilkerson & Aiken, "Winnowing: Local Algorithms for Document
+# Fingerprinting", SIGMOD 2003, theorem in section 4).
+MAX_WINNOW_DF = 50       # posting-list cap, same discipline as MAX_SHINGLE_DF
+WINNOW_MIN_SHARED = 2    # single shared fingerprint = noise, not a match
+
+
+def winnow_fingerprints(d: DataFrame) -> DataFrame:
+    """(doc_id, h) — the distinct winnowing-selected fingerprint set per
+    document (min hash per {WINNOW_W}-hash window, ties rightmost).
+    Exposed for the guarantee-property fixture (test_winnowing.py)."""
+    from pyspark.sql import Window as W
+
+    toks = d.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= WINNOW_K
+    )
+    grams = toks.select(
+        "doc_id",
+        (F.size("t") - WINNOW_K + 1).alias("ng"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - WINNOW_K),
+                lambda i: H.token_hash60(
+                    F.concat_ws(" ", F.slice("t", i + 1, WINNOW_K))
+                ),
+            )
+        ).alias("p", "h"),
+    )
+    win = W.partitionBy("doc_id").orderBy("p").rowsBetween(0, WINNOW_W - 1)
+    sel = grams.withColumn(
+        "sk",
+        F.min(F.struct(F.col("h").alias("h"), (-F.col("p")).alias("np"))).over(win),
+    ).filter(F.col("p") <= F.greatest(F.col("ng") - WINNOW_W, F.lit(0)))
+    return sel.select("doc_id", F.col("sk.h").alias("h")).distinct()
+
+
+@register(
+    "dedup_winnowing_fingerprint",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t
+      FROM documents WHERE len(string_split(text, ' ')) >= {WINNOW_K}
+    ), grams AS (
+      SELECT doc_id, len(t) - {WINNOW_K} + 1 AS ng, u.i AS p,
+             {H.token_hash60_sql(f"array_to_string(t[u.i+1 : u.i+{WINNOW_K}], ' ')")} AS h
+      FROM toks, LATERAL (SELECT unnest(range(0, len(t) - {WINNOW_K} + 1)) AS i) u
+    ), sel AS (
+      SELECT doc_id, ng, p,
+             min({{'h': h, 'np': -p}}) OVER (
+               PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS sk
+      FROM grams
+    ), fp AS (
+      SELECT DISTINCT doc_id, sk['h'] AS h
+      FROM sel WHERE p <= greatest(ng - {WINNOW_W}, 0)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS nfp FROM fp GROUP BY doc_id
+    ), hot AS (
+      SELECT h FROM fp GROUP BY h HAVING count(*) > {MAX_WINNOW_DF}
+    ), cold AS (
+      SELECT * FROM fp WHERE h NOT IN (SELECT h FROM hot)
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+      FROM cold a JOIN cold b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_shared,
+           round(n_shared::DOUBLE / (sa.nfp + sb.nfp - n_shared), 6)
+             AS jaccard_fp
+    FROM pairs
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE n_shared >= {WINNOW_MIN_SHARED}
+    """,
+)
+def dedup_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS algorithm): hash every
+    {WINNOW_K}-token k-gram, slide a window of {WINNOW_W} consecutive
+    hashes, and in each window select the minimum hash (ties broken
+    toward the RIGHTMOST position, per the paper) — the selected set is
+    a position-robust sketch with a hard guarantee: any verbatim token
+    run of >= K+W-1 = {WINNOW_K + WINNOW_W - 1} tokens shared by two
+    documents shares at least one fingerprint.  Docs shorter than one
+    full window keep their global-min gram so every doc has >= 1
+    fingerprint.  Output: candidate pairs sharing >= {WINNOW_MIN_SHARED}
+    fingerprints with the Jaccard over fingerprint sets.
+
+    Complements the registry's other sketches: MinHash estimates
+    set-Jaccard, SimHash cosine-of-profile; winnowing is the only one
+    with a deterministic match-length GUARANTEE, which is why
+    plagiarism/clone detection uses it.
+
+    Scale shape: the k-gram expansion and per-window min are per-doc
+    (window function over doc-partitioned, position-ordered rows — no
+    cross-doc shuffle beyond the doc_id hash partition); selection
+    keeps ~2/(W+1) of grams, so the pairing join runs on a winnowed
+    fraction of the corpus; the posting-list cap (df > {MAX_WINNOW_DF}
+    dropped from pairing, identically in both engines) bounds hot
+    boilerplate exactly as in dedup_containment.  The tie-break is
+    min(struct(h, -p)): smallest hash, then largest position — the
+    cross-engine-proven struct-min survivor-key pattern."""
+    from mediawiki_to_notion_spark.plans.pipeline import ensure_parallelism
+
+    d = ensure_parallelism(load_table(spark, "documents", sf_dir))
+    fp = winnow_fingerprints(d)
+    sizes = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nfp"))
+    hot = (
+        fp.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > MAX_WINNOW_DF)
+        .select("h")
+    )
+    cold = fp.join(hot, "h", "left_anti")
+    a, b = cold.alias("a"), cold.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+    )
+    return (
+        pairs.join(
+            sizes.withColumnsRenamed({"doc_id": "doc_a", "nfp": "nfp_a"}), "doc_a"
+        )
+        .join(
+            sizes.withColumnsRenamed({"doc_id": "doc_b", "nfp": "nfp_b"}), "doc_b"
+        )
+        .select(
+            "doc_a", "doc_b", "n_shared",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("nfp_a") + F.col("nfp_b") - F.col("n_shared")),
+                6,
+            ).alias("jaccard_fp"),
+        )
+    )

@@ -832,3 +832,12 @@ def test_repetition_kernel_arrow_batch_size_invariance(spark):
         else:
             spark.conf.set(key, old)
     assert tiny == baseline
+
+
+def test_winnowing_pairs_are_equi_join_only(spark):
+    """Winnowing fingerprint pairing must join on the fingerprint hash
+    (equi), never all-pairs; the window min runs doc-partitioned."""
+    plan = plan_of(spark, "dedup_winnowing_fingerprint")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan  # per-doc winnowing window, not a driver loop

@@ -63,6 +63,9 @@ SOAK = [
     # and the zero-shuffle chunker (expect ~0 exponent)
     "decontaminate_fuzzy_minhash",
     "chunk_documents_overlap",
+    # late-r7 wave 2: winnowing pairs on the duplicate-preserving scale
+    # corpus (expect containment-like sub-linear; df cap bounds hot fps)
+    "dedup_winnowing_fingerprint",
 ]
 
 
