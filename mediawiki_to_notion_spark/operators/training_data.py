@@ -1057,3 +1057,87 @@ def decontaminate_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_eval_matches"),
         F.max(F.round(F.col("jac"), 6)).alias("max_jaccard_r"),
     )
+
+
+BATCH_TOKEN_BUDGET = 4096   # tokens per padded batch (budget = B x L)
+MIN_BUCKET_LEN = 16         # shortest padded length a batch is built at
+
+
+@register(
+    "training_length_bucket_batching",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+    ), b AS (
+      SELECT doc_id, n_tokens,
+             greatest({MIN_BUCKET_LEN},
+                      CAST(power(2, length(bin(greatest(n_tokens - 1, 1))))
+                           AS BIGINT)) AS bucket_len
+      FROM m
+    ), g AS (
+      SELECT bucket_len, count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+      FROM b GROUP BY bucket_len
+    ), c AS (
+      SELECT *, greatest(1, {BATCH_TOKEN_BUDGET} // bucket_len)
+                  AS batch_capacity
+      FROM g
+    )
+    SELECT bucket_len, n_docs, total_tokens, batch_capacity,
+           CAST(ceil(n_docs::DOUBLE / batch_capacity) AS BIGINT) AS n_batches,
+           round(1.0 - total_tokens::DOUBLE / (n_docs * bucket_len), 6)
+             AS pad_waste
+    FROM c
+    """,
+)
+def training_length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed dynamic batching plan — the padding-efficiency
+    step between tokenization and batch assembly: documents group into
+    power-of-two token-length buckets (floor {MIN_BUCKET_LEN}), each
+    bucket is batched at capacity floor({BATCH_TOKEN_BUDGET}/bucket_len)
+    docs so every batch pads to the BUCKET ceiling instead of the
+    corpus maximum, and the query reports per-bucket doc/token counts,
+    batch capacity/count, and the realized pad-waste ratio.
+
+    The bucket edge is exact integer arithmetic in both engines —
+    2^bitlength(n-1) via length(bin(n-1)), never log2 floats (a log2
+    double one ulp under an exact power of two would misbucket every
+    doc sitting exactly on an edge).  Oversized docs (> budget) clamp
+    to capacity 1: one doc per batch, the gradient-accumulation case.
+
+    100 TB shape: one narrow codegen pass to the bucket key, one
+    map-side-partial groupBy on a ~dozen-value key — output is bounded
+    by the number of buckets (~log2 of max doc length), so the result
+    is a broadcast-sized batching PLAN the shard writer joins back
+    against the corpus, not a data-sized intermediate."""
+    d = load_table(spark, "documents", sf_dir)
+    n = F.size(F.split("text", " "))
+    bucket = F.greatest(
+        F.lit(MIN_BUCKET_LEN),
+        F.pow(F.lit(2), F.length(F.bin(F.greatest(n - 1, F.lit(1)))))
+         .cast("long"),
+    )
+    g = (
+        d.select(n.alias("n_tokens"), bucket.alias("bucket_len"))
+        .groupBy("bucket_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )
+    cap = F.greatest(
+        F.lit(1),
+        F.floor(F.lit(BATCH_TOKEN_BUDGET) / F.col("bucket_len")).cast("long"),
+    )
+    c = g.withColumn("batch_capacity", cap)
+    return c.select(
+        "bucket_len", "n_docs", "total_tokens", "batch_capacity",
+        F.ceil(F.col("n_docs").cast("double") / F.col("batch_capacity"))
+         .cast("long").alias("n_batches"),
+        F.round(
+            F.lit(1.0)
+            - F.col("total_tokens").cast("double")
+            / (F.col("n_docs") * F.col("bucket_len")),
+            6,
+        ).alias("pad_waste"),
+    )
