@@ -1425,3 +1425,101 @@ def ngram_lm_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("kn_logprob_micro"),
         )
     )
+
+
+ZIPF_TOP_N = 256  # ranks entering the log-log least-squares fit
+
+
+@register(
+    "text_zipf_fit",
+    oracle=f"""
+    WITH tf AS (
+      SELECT u.token, count(*) AS cnt
+      FROM documents, LATERAL unnest(string_split(text, ' ')) u(token)
+      WHERE u.token != ''
+      GROUP BY u.token
+    ), ranked AS (
+      SELECT cnt,
+             row_number() OVER (ORDER BY cnt DESC, token) AS rnk
+      FROM tf
+    ), pts AS (
+      SELECT round(ln(rnk), 6)::DECIMAL(18,6) AS x,
+             round(ln(cnt), 6)::DECIMAL(18,6) AS y
+      FROM ranked WHERE rnk <= {ZIPF_TOP_N}
+    ), sums AS (
+      SELECT count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM pts
+    ), nt AS (SELECT count(*) AS n_types FROM tf)
+    SELECT n_types, n AS n_top,
+           round((n * sxy - sx * sy)::DOUBLE
+                 / (n * sxx - sx * sx)::DOUBLE, 6) AS zipf_slope,
+           round((sy::DOUBLE - ((n * sxy - sx * sy)::DOUBLE
+                                / (n * sxx - sx * sx)::DOUBLE) * sx::DOUBLE)
+                 / n, 6) AS intercept,
+           round((n * sxy - sx * sy)::DOUBLE * (n * sxy - sx * sy)::DOUBLE
+                 / ((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE),
+                 6) AS r2
+    FROM sums, nt
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus unigram distribution: least-squares
+    slope of ln(frequency) vs ln(rank) over the top {ZIPF_TOP_N} ranks
+    (natural text sits near slope -1; synthetic/templated or
+    boilerplate-flooded corpora flatten or steepen it, which makes the
+    slope a cheap corpus-health monitor next to the entropy and
+    repetition gates).  Output: one row — vocabulary size, points
+    fitted, slope, intercept, R^2.
+
+    Cross-engine float discipline (the embedding_label_outliers rule):
+    per-point logs round to 6 dp and enter DECIMAL(18,6), so every sum
+    and cross-product is EXACT and order-independent in both engines;
+    doubles reappear only in the final five scalar divisions.
+
+    100 TB shape: the frequency table is one map-side-partial groupBy;
+    the top-{ZIPF_TOP_N} cut is a TakeOrdered (distributed partial
+    top-k, never a global sort); the rank window then runs over
+    {ZIPF_TOP_N} rows — bounded, not corpus-sized — and the fit is one
+    single-row aggregate."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, "documents", sf_dir)
+    tf = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = tf.orderBy(F.col("cnt").desc(), "token").limit(ZIPF_TOP_N)
+    ranked = top.withColumn(
+        "rnk",
+        F.row_number().over(W.orderBy(F.col("cnt").desc(), "token")),
+    )
+    pts = ranked.select(
+        F.round(F.log("rnk"), 6).cast("decimal(18,6)").alias("x"),
+        F.round(F.log("cnt"), 6).cast("decimal(18,6)").alias("y"),
+    )
+    sums = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nt = tf.agg(F.count(F.lit(1)).alias("n_types"))
+    n = F.col("n")
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope = num / den
+    return sums.crossJoin(F.broadcast(nt)).select(
+        "n_types", F.col("n").alias("n_top"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / n, 6
+        ).alias("intercept"),
+        F.round(num * num / (den * deny), 6).alias("r2"),
+    )
