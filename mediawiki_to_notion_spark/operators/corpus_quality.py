@@ -1345,3 +1345,143 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("log_ratio"), F.asc("doc_id"))
         .limit(DSIR_TOP_K)
     )
+
+
+# --- Filter agreement matrix -------------------------------------------
+
+AGREE_SHORT_TOKENS = 30    # reject: fewer tokens than this
+AGREE_TTR = 0.55           # reject: type/token ratio below this
+AGREE_TOP_SHARE = 0.10     # reject: most common token above this share
+AGREE_STOP_SHARE = 0.03    # reject: stopword share below this
+AGREE_STOPWORDS = ("the", "a", "of", "and", "is")
+
+_AGREE_FILTERS = ("short", "ttr", "top", "stop")
+_AGREE_PAIRS = [
+    (a, b)
+    for i, a in enumerate(_AGREE_FILTERS)
+    for b in _AGREE_FILTERS[i + 1:]
+]
+
+
+def _agree_pair_sql(a: str, b: str) -> str:
+    return f"""
+      SELECT '{a}' AS filter_a, '{b}' AS filter_b,
+             CAST(sum((r_{a} AND r_{b})::INT) AS BIGINT) AS n_both,
+             CAST(sum((r_{a} AND NOT r_{b})::INT) AS BIGINT) AS n_only_a,
+             CAST(sum((NOT r_{a} AND r_{b})::INT) AS BIGINT) AS n_only_b,
+             CAST(sum((NOT r_{a} AND NOT r_{b})::INT) AS BIGINT) AS n_neither,
+             round((sum((r_{a} = r_{b})::INT))::DOUBLE / count(*), 6)
+               AS agree_rate,
+             round(CASE WHEN sum((r_{a} OR r_{b})::INT) = 0 THEN 0.0
+                   ELSE sum((r_{a} AND r_{b})::INT)::DOUBLE
+                        / sum((r_{a} OR r_{b})::INT) END, 6)
+               AS reject_jaccard
+      FROM sig"""
+
+
+@register(
+    "corpus_filter_agreement",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, u.token
+      FROM documents, LATERAL unnest(string_split(text, ' ')) u(token)
+      WHERE u.token != ''
+    ), tf AS (
+      SELECT doc_id, token, count(*) AS cnt FROM tok GROUP BY doc_id, token
+    ), per_doc AS (
+      SELECT doc_id,
+             CAST(sum(cnt) AS BIGINT) AS n_tokens,
+             count(*) AS n_distinct,
+             max(cnt) AS max_cnt,
+             CAST(coalesce(sum(cnt) FILTER (WHERE token IN
+               ({', '.join(f"'{w}'" for w in AGREE_STOPWORDS)})), 0)
+               AS BIGINT) AS n_stop
+      FROM tf GROUP BY doc_id
+    ), sig AS (
+      SELECT doc_id,
+             n_tokens < {AGREE_SHORT_TOKENS} AS r_short,
+             n_distinct::DOUBLE / n_tokens < {AGREE_TTR} AS r_ttr,
+             max_cnt::DOUBLE / n_tokens > {AGREE_TOP_SHARE} AS r_top,
+             n_stop::DOUBLE / n_tokens < {AGREE_STOP_SHARE} AS r_stop
+      FROM per_doc
+    )
+    {' UNION ALL '.join(_agree_pair_sql(a, b) for a, b in _AGREE_PAIRS)}
+    """,
+)
+def corpus_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise agreement matrix between four independent quality
+    filters (short-doc, type/token-ratio, top-token-share,
+    stopword-share): for every filter pair, how many documents both
+    reject, each alone rejects, neither rejects, plus agreement rate
+    and rejection-set Jaccard.  This is the filter-calibration audit a
+    corpus build runs before composing gates into a funnel — two
+    filters with Jaccard ~1 are redundant, a filter agreeing with
+    nothing is either orthogonal signal or broken.
+
+    100 TB shape: per-doc signals come from ONE (doc_id, token) partial
+    agg (same key the tf/idf family shuffles on); the pair matrix is a
+    single global aggregate computing all {len(_AGREE_PAIRS)}x4
+    counters map-side in one pass (no self-join on doc_id, no
+    per-pair re-scan), then explodes the bounded 1-row result to the
+    {len(_AGREE_PAIRS)}-row matrix driver-side-free via inline()."""
+    d = load_table(spark, "documents", sf_dir)
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    per_doc = tf.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("cnt").alias("max_cnt"),
+        F.coalesce(
+            F.sum(F.when(F.col("token").isin(*AGREE_STOPWORDS), F.col("cnt"))),
+            F.lit(0),
+        ).cast("long").alias("n_stop"),
+    )
+    sig = per_doc.select(
+        (F.col("n_tokens") < AGREE_SHORT_TOKENS).alias("r_short"),
+        (F.col("n_distinct").cast("double") / F.col("n_tokens") < AGREE_TTR)
+        .alias("r_ttr"),
+        (F.col("max_cnt").cast("double") / F.col("n_tokens") > AGREE_TOP_SHARE)
+        .alias("r_top"),
+        (F.col("n_stop").cast("double") / F.col("n_tokens") < AGREE_STOP_SHARE)
+        .alias("r_stop"),
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for a, b in _AGREE_PAIRS:
+        ra, rb = F.col(f"r_{a}"), F.col(f"r_{b}")
+        aggs += [
+            F.sum((ra & rb).cast("int")).cast("long").alias(f"both_{a}_{b}"),
+            F.sum((ra & ~rb).cast("int")).cast("long").alias(f"oa_{a}_{b}"),
+            F.sum((~ra & rb).cast("int")).cast("long").alias(f"ob_{a}_{b}"),
+            F.sum((~ra & ~rb).cast("int")).cast("long").alias(f"nn_{a}_{b}"),
+        ]
+    one = sig.agg(*aggs)
+    pair_structs = [
+        F.struct(
+            F.lit(a).alias("filter_a"), F.lit(b).alias("filter_b"),
+            F.col(f"both_{a}_{b}").alias("n_both"),
+            F.col(f"oa_{a}_{b}").alias("n_only_a"),
+            F.col(f"ob_{a}_{b}").alias("n_only_b"),
+            F.col(f"nn_{a}_{b}").alias("n_neither"),
+            F.round(
+                (F.col(f"both_{a}_{b}") + F.col(f"nn_{a}_{b}"))
+                .cast("double") / F.col("n"), 6
+            ).alias("agree_rate"),
+            F.round(
+                F.when(
+                    F.col(f"both_{a}_{b}") + F.col(f"oa_{a}_{b}")
+                    + F.col(f"ob_{a}_{b}") == 0,
+                    F.lit(0.0),
+                ).otherwise(
+                    F.col(f"both_{a}_{b}").cast("double")
+                    / (F.col(f"both_{a}_{b}") + F.col(f"oa_{a}_{b}")
+                       + F.col(f"ob_{a}_{b}"))
+                ), 6
+            ).alias("reject_jaccard"),
+        )
+        for a, b in _AGREE_PAIRS
+    ]
+    return one.select(F.inline(F.array(*pair_structs)))
