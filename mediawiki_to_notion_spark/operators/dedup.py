@@ -1400,3 +1400,122 @@ def _register_histogram_oracle() -> None:
 
 
 _register_histogram_oracle()
+
+
+# --- b-bit minwise hashing (Li & Koenig, WWW 2010) ---------------------
+
+BBIT_B = 4                       # stored bits per permutation
+BBIT_MOD = 1 << BBIT_B           # low-bit bucket count
+BBIT_C = 1.0 / BBIT_MOD          # accidental-collision rate (r->0 form)
+
+
+@register(
+    "dedup_minhash_b_bit",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    sigs AS (
+      SELECT doc_id, {', '.join(H.minhash_agg_sql('h'))}
+      FROM sh GROUP BY doc_id
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    scored AS (
+      SELECT
+        ({' + '.join(f'(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)'
+                     for i in range(H.N_MINHASH))}) / {float(H.N_MINHASH)}
+          AS est_full,
+        (({' + '.join(
+            f'(CASE WHEN sa.mh{i} % {BBIT_MOD} = sb.mh{i} % {BBIT_MOD} '
+            'THEN 1 ELSE 0 END)' for i in range(H.N_MINHASH))})
+         / {float(H.N_MINHASH)} - {BBIT_C}) / {1.0 - BBIT_C} AS est_b,
+        p.n_common::DOUBLE / (x.n + y.n - p.n_common) AS exact
+      FROM pairs p
+      JOIN sigs sa ON p.doc_a = sa.doc_id
+      JOIN sigs sb ON p.doc_b = sb.doc_id
+      JOIN sizes x ON p.doc_a = x.doc_id
+      JOIN sizes y ON p.doc_b = y.doc_id
+    )
+    SELECT count(*) AS n_pairs,
+           round(CAST(SUM(CAST(round(abs(est_full - exact), 6)
+                               AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 6) AS mean_abs_err_full,
+           round(CAST(SUM(CAST(round(abs(est_b - exact), 6)
+                               AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 6) AS mean_abs_err_bbit,
+           CAST({BBIT_B} AS BIGINT) AS b_bits,
+           CAST(31 * {H.N_MINHASH} AS BIGINT) AS sig_bits_full,
+           CAST({BBIT_B} * {H.N_MINHASH} AS BIGINT) AS sig_bits_bbit
+    FROM scored
+    """,
+)
+def dedup_minhash_b_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b-bit minwise hashing (Li & Koenig, WWW 2010): store only the
+    lowest {BBIT_B} bits of each of the {H.N_MINHASH} minhash values —
+    a {31 // BBIT_B}x signature compression — and recover Jaccard with
+    the bias-corrected estimator J = (P_b - C) / (1 - C), C = 2^-b the
+    accidental low-bit collision rate (the paper's r->0 simplification;
+    exact C depends on the set-size ratios, a documented approximation).
+    The query measures what the compression costs: mean |estimate -
+    exact Jaccard| for the full 31-bit signatures vs the {BBIT_B}-bit
+    ones over every co-shingled pair, plus the stored-bits accounting.
+
+    At 100 TB the signature table IS the working set of incremental
+    dedup (dedup_minhash_incremental keeps it resident) — shrinking it
+    {31 // BBIT_B}x changes what fits in executor memory, and this
+    calibration row is the evidence the shrink keeps the banding
+    threshold usable.
+
+    Scale shape: identical to dedup_minhash_estimate_quality — pairs
+    from the shingle equi-join (co-occurrence-bound), signatures from
+    the single groupBy(doc_id), per-pair errors 6-dp rounded then
+    DECIMAL-summed (accumulation-order exact); low-bit extraction is
+    `mh % {BBIT_MOD}` on already-computed signatures, free in both
+    engines."""
+    d = load_table(spark, "documents", sf_dir)
+    sh = _hashed_shingles(d)
+    stats = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *H.minhash_agg_columns(F.col("h")),
+    )
+    pairs = _shingle_pairs(sh)
+    sa, sb = stats.alias("sa"), stats.alias("sb")
+    match_full = sum(
+        F.when(F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}"), 1).otherwise(0)
+        for i in range(H.N_MINHASH)
+    )
+    match_b = sum(
+        F.when(
+            F.col(f"sa.mh{i}") % BBIT_MOD == F.col(f"sb.mh{i}") % BBIT_MOD, 1
+        ).otherwise(0)
+        for i in range(H.N_MINHASH)
+    )
+    est_full = match_full / float(H.N_MINHASH)
+    est_b = (match_b / float(H.N_MINHASH) - BBIT_C) / (1.0 - BBIT_C)
+    exact = F.col("n_common").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("n_common")
+    )
+    scored = (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            F.round(F.abs(est_full - exact), 6).alias("err_full"),
+            F.round(F.abs(est_b - exact), 6).alias("err_b"),
+        )
+    )
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(
+            F.sum(F.col("err_full").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)), 6,
+        ).alias("mean_abs_err_full"),
+        F.round(
+            F.sum(F.col("err_b").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)), 6,
+        ).alias("mean_abs_err_bbit"),
+        F.lit(BBIT_B).cast("long").alias("b_bits"),
+        F.lit(31 * H.N_MINHASH).cast("long").alias("sig_bits_full"),
+        F.lit(BBIT_B * H.N_MINHASH).cast("long").alias("sig_bits_bbit"),
+    )

@@ -1141,3 +1141,62 @@ def training_length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFra
             6,
         ).alias("pad_waste"),
     )
+
+
+@register(
+    "training_curriculum_interleave",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ), waved AS (
+      SELECT doc_id, source, n_tokens,
+             row_number() OVER (
+               PARTITION BY source ORDER BY n_tokens, doc_id
+             ) - 1 AS wave
+      FROM m
+    )
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(wave AS BIGINT) AS wave,
+           CAST(row_number() OVER (
+             PARTITION BY wave ORDER BY source, doc_id
+           ) - 1 AS BIGINT) AS pos_in_wave
+    FROM waved
+    """,
+)
+def training_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-curriculum ordering with source interleave: documents
+    train easy-first (shorter sequences first — the sequence-length
+    curriculum), but a naive global difficulty sort would feed long
+    runs of a single source (sources differ in length distribution —
+    source collapse within a curriculum phase).  So the order is
+    two-level: WAVE = the doc's difficulty rank within its own source,
+    POS_IN_WAVE = deterministic position among that wave's one-doc-per-
+    source members — consuming (wave, pos_in_wave) ascending yields
+    easy-first AND round-robin across sources.
+
+    100 TB shape: deliberately NO global row_number (a global sort is
+    the training_epoch_shuffle anti-pattern) — the wave rank windows
+    over source partitions, the position windows over wave partitions
+    (bounded by the source count), and shard writers consume
+    (wave, pos_in_wave) with shard-local sorts exactly like the epoch
+    shuffle consumes its md5 keys."""
+    d = load_table(spark, "documents", sf_dir)
+    m = d.select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    waved = m.withColumn(
+        "wave",
+        F.row_number().over(
+            W.partitionBy("source").orderBy("n_tokens", "doc_id")
+        ) - 1,
+    )
+    return waved.select(
+        "doc_id", "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("wave").cast("long").alias("wave"),
+        (
+            F.row_number().over(W.partitionBy("wave").orderBy("source", "doc_id"))
+            - 1
+        ).cast("long").alias("pos_in_wave"),
+    )
