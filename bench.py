@@ -143,6 +143,14 @@ HEADLINE = [
     "dedup_embedding_cosine_lsh_multitable",
     "chunk_documents_overlap",
     "decontaminate_fuzzy_minhash",
+    # late-r7 wave 2 (beyond the N_R7_SET marker: cross-round subset
+    # totals stay comparable)
+    "dedup_winnowing_fingerprint",
+    "training_length_bucket_batching",
+    "text_zipf_fit",
+    "corpus_filter_agreement",
+    "training_curriculum_interleave",
+    "dedup_minhash_b_bit",
 ]
 N_R3_SET = 53  # the first 53 entries are the r2/r3 headline set
 N_R4_SET = 61  # ... the first 61 are the r4 headline set

@@ -2682,3 +2682,160 @@ def eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("est_micro").cast("double") / F.count(F.lit(1)) / 1e6, 6
         ).alias("pass_at_k"),
     )
+
+
+# --- Bootstrap confidence intervals for arena win rates ----------------
+
+BOOT_B = 100          # bootstrap replicas
+BOOT_LO_IDX = 3       # 2.5th-percentile order statistic of B=100
+BOOT_HI_IDX = 98      # 97.5th-percentile order statistic of B=100
+
+
+@register(
+    "eval_win_rate_bootstrap",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type AS a_type, value AS a_val,
+             lead(event_type) OVER w AS b_type,
+             lead(value) OVER w AS b_val
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    matches AS (
+      SELECT least(a_type, b_type) AS x, greatest(a_type, b_type) AS y,
+             CASE WHEN a_val > b_val THEN a_type
+                  WHEN a_val < b_val THEN b_type
+                  ELSE least(a_type, b_type) END AS winner
+      FROM seq WHERE b_type IS NOT NULL AND b_type != a_type
+    ),
+    pairs AS (
+      SELECT x, y,
+             CAST(count(*) FILTER (winner = x) AS BIGINT) AS wins_x,
+             CAST(count(*) AS BIGINT) AS n
+      FROM matches GROUP BY x, y
+    ),
+    reps AS (
+      SELECT x, y, wins_x, n, t.r
+      FROM pairs, LATERAL (SELECT unnest(range(0, {BOOT_B})) AS r) t
+    ),
+    resampled AS (
+      SELECT x, y, n, r,
+             CAST(count(*) FILTER (
+               ('0x' || substr(md5(
+                  x || '|' || y || '|' || r || '|' || u.i), 1, 15))::BIGINT
+                % n < wins_x) AS BIGINT) AS wins_r
+      FROM reps, LATERAL (SELECT unnest(range(0, n)) AS i) u
+      GROUP BY x, y, n, r
+    ),
+    ranked AS (
+      SELECT x, y, n, wins_r,
+             row_number() OVER (
+               PARTITION BY x, y ORDER BY wins_r, r) AS rn
+      FROM resampled
+    ),
+    ci AS (
+      SELECT x, y, n,
+             max(CASE WHEN rn = {BOOT_LO_IDX} THEN wins_r END) AS w_lo,
+             max(CASE WHEN rn = {BOOT_HI_IDX} THEN wins_r END) AS w_hi
+      FROM ranked GROUP BY x, y, n
+    )
+    SELECT p.x, p.y, p.n AS n_matches,
+           round(p.wins_x::DOUBLE / p.n, 6) AS win_rate_x,
+           round(c.w_lo::DOUBLE / p.n, 6) AS ci_lo,
+           round(c.w_hi::DOUBLE / p.n, 6) AS ci_hi,
+           (c.w_lo::DOUBLE / p.n > 0.5 OR c.w_hi::DOUBLE / p.n < 0.5)
+             AS significant
+    FROM pairs p JOIN ci c ON p.x = c.x AND p.y = c.y
+    """,
+)
+def eval_win_rate_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap 95% confidence intervals for arena win rates — the
+    question Copeland/Bradley-Terry rankings can't answer: is A>B
+    SIGNIFICANT or a coin-flip at this sample size?  Matches are the
+    same consecutive-event pairs as eval_pairwise_copeland; for each
+    contender pair, {BOOT_B} bootstrap replicas resample its n matches
+    with replacement and the CI is the [{BOOT_LO_IDX}th, {BOOT_HI_IDX}th]
+    order statistic of the replica win rates (percentile bootstrap,
+    Efron 1979); `significant` = the CI excludes 0.5.
+
+    Determinism: matches within a pair are exchangeable Bernoulli
+    draws, so a resample only needs the SUFFICIENT STATISTIC — draw i
+    of replica r wins iff md5(pair|r|i)'s 60-bit value mod n < wins_x
+    (the portable token_hash60, bias ~n/2^60).  A linear congruential
+    draw hash is a TRAP here: stepping (K + s*i) mod n over i=0..n-1
+    is EQUIDISTRIBUTED, every replica reproduces exactly wins_x and
+    the CI collapses to a point — caught by the width test in
+    tests/test_win_rate_bootstrap.py; per-draw md5 restores true
+    resampling variance.  No RNG state, no floats until the final
+    per-pair divisions.
+
+    100 TB shape: the corpus-scale work is the same single user-window
+    pass Copeland does; the bootstrap fan-out is {BOOT_B} x n rows PER
+    CONTENDER PAIR (|types|^2-bounded, independent of corpus width) as
+    a JVM sequence-explode, aggregated map-side; the order-statistic
+    window runs over {BOOT_B} rows per pair."""
+    e = load_table(spark, "events", sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("a_type"),
+        F.col("value").alias("a_val"),
+        F.lead("event_type").over(w).alias("b_type"),
+        F.lead("value").over(w).alias("b_val"),
+    ).filter(
+        F.col("b_type").isNotNull() & (F.col("b_type") != F.col("a_type"))
+    )
+    matches = seq.select(
+        F.least("a_type", "b_type").alias("x"),
+        F.greatest("a_type", "b_type").alias("y"),
+        F.when(F.col("a_val") > F.col("b_val"), F.col("a_type"))
+        .when(F.col("a_val") < F.col("b_val"), F.col("b_type"))
+        .otherwise(F.least("a_type", "b_type"))
+        .alias("winner"),
+    )
+    from mediawiki_to_notion_spark.functions import hashing as H
+
+    pairs = matches.groupBy("x", "y").agg(
+        F.count(F.when(F.col("winner") == F.col("x"), 1))
+        .cast("long").alias("wins_x"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    reps = pairs.select(
+        "x", "y", "wins_x", "n",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("r"),
+    )
+    win = (
+        H.token_hash60(F.concat_ws("|", "x", "y", "r", "i")) % F.col("n")
+        < F.col("wins_x")
+    )
+    resampled = (
+        reps.select(
+            "x", "y", "n", "r", "wins_x",
+            F.explode(F.sequence(F.lit(0), F.col("n") - 1)).alias("i"),
+        )
+        .groupBy("x", "y", "n", "r")
+        .agg(F.count(F.when(win, 1)).cast("long").alias("wins_r"))
+    )
+    ranked = resampled.withColumn(
+        "rn",
+        F.row_number().over(W.partitionBy("x", "y").orderBy("wins_r", "r")),
+    )
+    ci = ranked.groupBy("x", "y", "n").agg(
+        F.max(F.when(F.col("rn") == BOOT_LO_IDX, F.col("wins_r"))).alias("w_lo"),
+        F.max(F.when(F.col("rn") == BOOT_HI_IDX, F.col("wins_r"))).alias("w_hi"),
+    )
+    return (
+        pairs.join(ci.withColumnsRenamed({"n": "n_ci"}), ["x", "y"])
+        .select(
+            "x", "y", F.col("n").alias("n_matches"),
+            F.round(F.col("wins_x").cast("double") / F.col("n"), 6)
+            .alias("win_rate_x"),
+            F.round(F.col("w_lo").cast("double") / F.col("n"), 6)
+            .alias("ci_lo"),
+            F.round(F.col("w_hi").cast("double") / F.col("n"), 6)
+            .alias("ci_hi"),
+            (
+                (F.col("w_lo").cast("double") / F.col("n") > 0.5)
+                | (F.col("w_hi").cast("double") / F.col("n") < 0.5)
+            ).alias("significant"),
+        )
+    )

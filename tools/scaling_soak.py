@@ -66,6 +66,12 @@ SOAK = [
     # late-r7 wave 2: winnowing pairs on the duplicate-preserving scale
     # corpus (expect containment-like sub-linear; df cap bounds hot fps)
     "dedup_winnowing_fingerprint",
+    # late-r7 wave 2 cont.: the (doc,token)-keyed agreement matrix, the
+    # co-shingled-pair b-bit calibration (estimate_quality's shape),
+    # and the TakeOrdered-bounded Zipf fit (expect ~scan-bound)
+    "corpus_filter_agreement",
+    "dedup_minhash_b_bit",
+    "text_zipf_fit",
 ]
 
 
