@@ -151,6 +151,8 @@ HEADLINE = [
     "corpus_filter_agreement",
     "training_curriculum_interleave",
     "dedup_minhash_b_bit",
+    "eval_win_rate_bootstrap",
+    "source_token_budget_allocation",
 ]
 N_R3_SET = 53  # the first 53 entries are the r2/r3 headline set
 N_R4_SET = 61  # ... the first 61 are the r4 headline set

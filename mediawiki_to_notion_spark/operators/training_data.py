@@ -1200,3 +1200,129 @@ def training_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFram
             - 1
         ).cast("long").alias("pos_in_wave"),
     )
+
+
+# Budget as a fixed 6/10 of the corpus so the query is self-contained
+# and the capped/uncapped split stays scale-free under the soak's
+# duplicate-preserving 10x (both sides of the ratio scale together).
+BUDGET_NUM, BUDGET_DEN = 6, 10
+
+
+@register(
+    "source_token_budget_allocation",
+    oracle=f"""
+    WITH per_source AS (
+      SELECT source,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+             count(*) AS s,
+             CAST(sum(n_tokens) * {BUDGET_NUM} // {BUDGET_DEN} AS BIGINT)
+               AS budget
+      FROM per_source
+    ), ranked AS (
+      SELECT source, n_tokens,
+             row_number() OVER (ORDER BY n_tokens, source) - 1 AS idx,
+             sum(n_tokens) OVER (
+               ORDER BY n_tokens, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS prefix
+      FROM per_source
+    ), feas AS (
+      SELECT r.*, t.s, t.budget,
+             (r.prefix + r.n_tokens * (t.s - r.idx - 1) <= t.budget)
+               AS feasible
+      FROM ranked r, tot t
+    ), kk AS (
+      SELECT CAST(sum(feasible::INT) AS BIGINT) AS k,
+             CAST(coalesce(max(CASE WHEN feasible THEN prefix END), 0)
+                  AS BIGINT) AS prefix_k
+      FROM feas
+    )
+    SELECT f.source, f.n_tokens,
+           CAST(CASE
+             WHEN f.feasible THEN f.n_tokens
+             ELSE (f.budget - kk.prefix_k) // (f.s - kk.k)
+                  + CASE WHEN f.idx - kk.k
+                              < (f.budget - kk.prefix_k) % (f.s - kk.k)
+                         THEN 1 ELSE 0 END
+           END AS BIGINT) AS alloc_tokens,
+           NOT f.feasible AS capped,
+           round((CASE
+             WHEN f.feasible THEN f.n_tokens
+             ELSE (f.budget - kk.prefix_k) // (f.s - kk.k)
+                  + CASE WHEN f.idx - kk.k
+                              < (f.budget - kk.prefix_k) % (f.s - kk.k)
+                         THEN 1 ELSE 0 END
+           END)::DOUBLE / f.n_tokens, 6) AS utilization
+    FROM feas f, kk
+    """,
+)
+def source_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling token-budget allocation across sources — the
+    data-constrained mixture decision (Muennighoff et al. 2023's
+    regime): given a token budget of {BUDGET_NUM}/{BUDGET_DEN} of the
+    corpus, small sources contribute everything they have and large
+    sources are capped at a common water level, so no source is
+    over-weighted just because it is big.  Exact-integer water level:
+    sources sort ascending by size; source i is FULL iff
+    prefix(i) + n_i * (S - i - 1) <= B (granting everyone >= n_i fits
+    the budget); the k full sources take n_i, the S - k capped ones
+    take c = (B - prefix(k-1)) div (S - k) with the remainder
+    distributed +1 to the first r capped sources in sort order —
+    allocations sum to EXACTLY B.  Safety of the +1: an infeasible
+    source has n_i > (B - prefix(k-1)) / (S - k) in the reals, hence
+    n_i >= c + 1 in integers, so no capped allocation exceeds its
+    source.  All arithmetic is int64 in both engines; the only double
+    is the final utilization ratio.
+
+    100 TB shape: one map-side-partial groupBy(source) collapses the
+    corpus; every window and scalar below it runs on the |sources|-row
+    table (the explicitly-bounded global window precedent of
+    text_zipf_fit), and the result is a broadcast-sized allocation
+    PLAN joined back by the sampler."""
+    d = load_table(spark, "documents", sf_dir)
+    per_source = (
+        d.select("source", F.size(F.split("text", " ")).alias("nt"))
+        .groupBy("source")
+        .agg(F.sum("nt").cast("long").alias("n_tokens"))
+    )
+    tot = per_source.agg(
+        F.sum("n_tokens").cast("long").alias("total"),
+        F.count(F.lit(1)).alias("s"),
+        F.expr(f"CAST(sum(n_tokens) * {BUDGET_NUM} div {BUDGET_DEN} AS BIGINT)")
+        .alias("budget"),
+    )
+    wsort = W.orderBy("n_tokens", "source")
+    ranked = per_source.select(
+        "source", "n_tokens",
+        (F.row_number().over(wsort) - 1).alias("idx"),
+        F.sum("n_tokens").over(
+            wsort.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ).alias("prefix"),
+    )
+    feas = ranked.crossJoin(F.broadcast(tot)).withColumn(
+        "feasible",
+        F.col("prefix") + F.col("n_tokens") * (F.col("s") - F.col("idx") - 1)
+        <= F.col("budget"),
+    )
+    kk = feas.agg(
+        F.sum(F.col("feasible").cast("int")).cast("long").alias("k"),
+        F.coalesce(
+            F.max(F.when(F.col("feasible"), F.col("prefix"))), F.lit(0)
+        ).cast("long").alias("prefix_k"),
+    )
+    j = feas.crossJoin(F.broadcast(kk))
+    c = F.expr("(budget - prefix_k) div (s - k)")
+    r = (F.col("budget") - F.col("prefix_k")) % (F.col("s") - F.col("k"))
+    alloc = F.when(F.col("feasible"), F.col("n_tokens")).otherwise(
+        c + F.when(F.col("idx") - F.col("k") < r, 1).otherwise(0)
+    ).cast("long")
+    return j.select(
+        "source", "n_tokens",
+        alloc.alias("alloc_tokens"),
+        (~F.col("feasible")).alias("capped"),
+        F.round(alloc.cast("double") / F.col("n_tokens"), 6)
+        .alias("utilization"),
+    )

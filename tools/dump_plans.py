@@ -112,6 +112,22 @@ SHOWCASE: list[tuple[str, str]] = [
      "word-keyed `BroadcastHashJoin` + partial-combinable per-doc "
      "`HashAggregate` — every stage is vocabulary-sized except the "
      "single corpus scan."),
+    ("dedup_winnowing_fingerprint",
+     "Winnowing (late r7): the per-window min(struct(h,-p)) runs in a "
+     "`Window` doc-partitioned by doc_id (no cross-doc shuffle beyond "
+     "the partition), selection shrinks the gram stream ~2/(W+1) "
+     "before the fingerprint equi-join; no BroadcastNestedLoopJoin or "
+     "CartesianProduct anywhere in the pairing."),
+    ("corpus_filter_agreement",
+     "The pair matrix (late r7) computes ALL 6x4 counters in one "
+     "global `HashAggregate` with a partial phase (no doc_id "
+     "self-join, no per-pair re-scan); upstream is the single "
+     "(doc_id, token) partial agg the tf-idf family shares."),
+    ("text_zipf_fit",
+     "The top-256 rank cut is `TakeOrderedAndProject` (distributed "
+     "partial top-k, never a global sort); the rank window and the "
+     "least-squares aggregate run over 256 rows, and the vocabulary "
+     "count joins in as a broadcast scalar."),
 ]
 
 

@@ -72,6 +72,10 @@ SOAK = [
     "corpus_filter_agreement",
     "dedup_minhash_b_bit",
     "text_zipf_fit",
+    # the |types|^2-bounded bootstrap fan-out and the |sources|-bounded
+    # water-filling plan (both expect ~scan-bound exponents)
+    "eval_win_rate_bootstrap",
+    "source_token_budget_allocation",
 ]
 
 
