@@ -2689,6 +2689,7 @@ def eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 BOOT_B = 100          # bootstrap replicas
 BOOT_LO_IDX = 3       # 2.5th-percentile order statistic of B=100
 BOOT_HI_IDX = 98      # 97.5th-percentile order statistic of B=100
+BOOT_M = 1000         # m-out-of-n resample cap (draws per replica)
 
 
 @register(
@@ -2715,36 +2716,46 @@ BOOT_HI_IDX = 98      # 97.5th-percentile order statistic of B=100
       FROM matches GROUP BY x, y
     ),
     reps AS (
-      SELECT x, y, wins_x, n, t.r
+      SELECT x, y, wins_x, n, least(n, {BOOT_M}) AS m, t.r
       FROM pairs, LATERAL (SELECT unnest(range(0, {BOOT_B})) AS r) t
     ),
     resampled AS (
-      SELECT x, y, n, r,
+      SELECT x, y, n, m, r,
              CAST(count(*) FILTER (
                ('0x' || substr(md5(
                   x || '|' || y || '|' || r || '|' || u.i), 1, 15))::BIGINT
                 % n < wins_x) AS BIGINT) AS wins_r
-      FROM reps, LATERAL (SELECT unnest(range(0, n)) AS i) u
-      GROUP BY x, y, n, r
+      FROM reps, LATERAL (SELECT unnest(range(0, m)) AS i) u
+      GROUP BY x, y, n, m, r
     ),
     ranked AS (
-      SELECT x, y, n, wins_r,
+      SELECT x, y, n, m, wins_r,
              row_number() OVER (
                PARTITION BY x, y ORDER BY wins_r, r) AS rn
       FROM resampled
     ),
     ci AS (
-      SELECT x, y, n,
+      SELECT x, y, n, m,
              max(CASE WHEN rn = {BOOT_LO_IDX} THEN wins_r END) AS w_lo,
              max(CASE WHEN rn = {BOOT_HI_IDX} THEN wins_r END) AS w_hi
-      FROM ranked GROUP BY x, y, n
+      FROM ranked GROUP BY x, y, n, m
     )
     SELECT p.x, p.y, p.n AS n_matches,
            round(p.wins_x::DOUBLE / p.n, 6) AS win_rate_x,
-           round(c.w_lo::DOUBLE / p.n, 6) AS ci_lo,
-           round(c.w_hi::DOUBLE / p.n, 6) AS ci_hi,
-           (c.w_lo::DOUBLE / p.n > 0.5 OR c.w_hi::DOUBLE / p.n < 0.5)
-             AS significant
+           round(greatest(0.0,
+             p.wins_x::DOUBLE / p.n
+             - (p.wins_x::DOUBLE / p.n - c.w_lo::DOUBLE / c.m)
+               * sqrt(c.m::DOUBLE / p.n)), 6) AS ci_lo,
+           round(least(1.0,
+             p.wins_x::DOUBLE / p.n
+             + (c.w_hi::DOUBLE / c.m - p.wins_x::DOUBLE / p.n)
+               * sqrt(c.m::DOUBLE / p.n)), 6) AS ci_hi,
+           (p.wins_x::DOUBLE / p.n
+              - (p.wins_x::DOUBLE / p.n - c.w_lo::DOUBLE / c.m)
+                * sqrt(c.m::DOUBLE / p.n) > 0.5
+            OR p.wins_x::DOUBLE / p.n
+              + (c.w_hi::DOUBLE / c.m - p.wins_x::DOUBLE / p.n)
+                * sqrt(c.m::DOUBLE / p.n) < 0.5) AS significant
     FROM pairs p JOIN ci c ON p.x = c.x AND p.y = c.y
     """,
 )
@@ -2766,14 +2777,24 @@ def eval_win_rate_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     is EQUIDISTRIBUTED, every replica reproduces exactly wins_x and
     the CI collapses to a point — caught by the width test in
     tests/test_win_rate_bootstrap.py; per-draw md5 restores true
-    resampling variance.  No RNG state, no floats until the final
-    per-pair divisions.
+    resampling variance.  No RNG state; doubles appear only in the
+    final per-pair expressions, written operand-for-operand identically
+    in both engines.
 
-    100 TB shape: the corpus-scale work is the same single user-window
-    pass Copeland does; the bootstrap fan-out is {BOOT_B} x n rows PER
+    100 TB shape — the m-out-of-n cap is load-bearing: the naive
+    resample draws B x n times per pair, which is CORPUS-LINEAR in
+    md5 calls (this op's own first soak measured exponent 0.97, 70 s
+    at sf1).  Instead each replica draws m = min(n, {BOOT_M}) samples
+    (the m-out-of-n bootstrap, Bickel/Goetze/van Zwet 1997) and the
+    percentile interval contracts around the point estimate by
+    sqrt(m/n) — the CLT rate exchange that makes the m-bootstrap
+    consistent.  Draw fan-out is then {BOOT_B} x {BOOT_M} rows PER
     CONTENDER PAIR (|types|^2-bounded, independent of corpus width) as
-    a JVM sequence-explode, aggregated map-side; the order-statistic
-    window runs over {BOOT_B} rows per pair."""
+    a JVM sequence-explode aggregated map-side; the corpus-scale work
+    is the same single user-window pass Copeland does, and the
+    order-statistic window runs over {BOOT_B} rows per pair.  At
+    n <= {BOOT_M} the factor is exactly 1 and this IS the plain
+    percentile bootstrap."""
     e = load_table(spark, "events", sf_dir)
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     seq = e.select(
@@ -2801,6 +2822,7 @@ def eval_win_rate_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     reps = pairs.select(
         "x", "y", "wins_x", "n",
+        F.least(F.col("n"), F.lit(BOOT_M)).alias("m"),
         F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("r"),
     )
     win = (
@@ -2809,33 +2831,35 @@ def eval_win_rate_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     resampled = (
         reps.select(
-            "x", "y", "n", "r", "wins_x",
-            F.explode(F.sequence(F.lit(0), F.col("n") - 1)).alias("i"),
+            "x", "y", "n", "m", "r", "wins_x",
+            F.explode(F.sequence(F.lit(0), F.col("m") - 1)).alias("i"),
         )
-        .groupBy("x", "y", "n", "r")
+        .groupBy("x", "y", "n", "m", "r")
         .agg(F.count(F.when(win, 1)).cast("long").alias("wins_r"))
     )
     ranked = resampled.withColumn(
         "rn",
         F.row_number().over(W.partitionBy("x", "y").orderBy("wins_r", "r")),
     )
-    ci = ranked.groupBy("x", "y", "n").agg(
+    ci = ranked.groupBy("x", "y", "n", "m").agg(
         F.max(F.when(F.col("rn") == BOOT_LO_IDX, F.col("wins_r"))).alias("w_lo"),
         F.max(F.when(F.col("rn") == BOOT_HI_IDX, F.col("wins_r"))).alias("w_hi"),
     )
+    p_ = F.col("wins_x").cast("double") / F.col("n")
+    lo_m = F.col("w_lo").cast("double") / F.col("m")
+    hi_m = F.col("w_hi").cast("double") / F.col("m")
+    shrink = F.sqrt(F.col("m").cast("double") / F.col("n"))
+    ci_lo_raw = p_ - (p_ - lo_m) * shrink
+    ci_hi_raw = p_ + (hi_m - p_) * shrink
     return (
-        pairs.join(ci.withColumnsRenamed({"n": "n_ci"}), ["x", "y"])
+        pairs.join(
+            ci.withColumnsRenamed({"n": "n_ci"}), ["x", "y"]
+        )
         .select(
             "x", "y", F.col("n").alias("n_matches"),
-            F.round(F.col("wins_x").cast("double") / F.col("n"), 6)
-            .alias("win_rate_x"),
-            F.round(F.col("w_lo").cast("double") / F.col("n"), 6)
-            .alias("ci_lo"),
-            F.round(F.col("w_hi").cast("double") / F.col("n"), 6)
-            .alias("ci_hi"),
-            (
-                (F.col("w_lo").cast("double") / F.col("n") > 0.5)
-                | (F.col("w_hi").cast("double") / F.col("n") < 0.5)
-            ).alias("significant"),
+            F.round(p_, 6).alias("win_rate_x"),
+            F.round(F.greatest(F.lit(0.0), ci_lo_raw), 6).alias("ci_lo"),
+            F.round(F.least(F.lit(1.0), ci_hi_raw), 6).alias("ci_hi"),
+            ((ci_lo_raw > 0.5) | (ci_hi_raw < 0.5)).alias("significant"),
         )
     )

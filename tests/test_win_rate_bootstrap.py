@@ -64,3 +64,30 @@ def test_decisive_pair_is_significant(spark, tmp_path):
     assert r["win_rate_x"] == 0.9
     assert r["significant"] is True
     assert r["ci_lo"] > 0.8
+
+
+def test_m_out_of_n_rescale_matches_theory(spark, tmp_path):
+    """With n = 3000 > BOOT_M = 1000 the replica draws are capped at m
+    and the CI shrinks by sqrt(m/n) — the rescaled width must still
+    track the full-n binomial theory, not the m-sized one (3x wider)."""
+    base = datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for u in range(3000):
+        a_val, b_val = (2.0, 1.0) if u % 5 < 3 else (1.0, 2.0)  # p = 0.6
+        rows.append((eid, base + timedelta(seconds=eid), u, "a", a_val, "{}"))
+        eid += 1
+        rows.append((eid, base + timedelta(seconds=eid), u, "b", b_val, "{}"))
+        eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.parquet(os.path.join(str(tmp_path), "events.parquet"))
+    r = QUERIES["eval_win_rate_bootstrap"](spark, str(tmp_path)).collect()[0]
+    assert r["n_matches"] == 3000
+    assert r["win_rate_x"] == 0.6
+    theory = 2 * 1.96 * math.sqrt(0.6 * 0.4 / 3000)  # ~0.035
+    width = r["ci_hi"] - r["ci_lo"]
+    assert 0.5 * theory < width < 2 * theory, (width, theory)
+    assert r["significant"] is True  # 0.6 with n=3000 is decisive
