@@ -1148,7 +1148,7 @@ def training_length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFra
     oracle="""
     WITH m AS (
       SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ), waved AS (
       SELECT doc_id, source, n_tokens,
              row_number() OVER (
@@ -1159,7 +1159,7 @@ def training_length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFra
     SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
            CAST(wave AS BIGINT) AS wave,
            CAST(row_number() OVER (
-             PARTITION BY wave ORDER BY source, doc_id
+             PARTITION BY wave ORDER BY source NULLS FIRST, doc_id
            ) - 1 AS BIGINT) AS pos_in_wave
     FROM waved
     """,
@@ -1180,9 +1180,15 @@ def training_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFram
     over source partitions, the position windows over wave partitions
     (bounded by the source count), and shard writers consume
     (wave, pos_in_wave) with shard-local sorts exactly like the epoch
-    shuffle consumes its md5 keys."""
+    shuffle consumes its md5 keys.
+
+    NULL discipline (null-injection sweep finding): NULL-text docs are
+    excluded in both engines (nothing to train on), and the pos window
+    orders source NULLS FIRST explicitly — Spark defaults ascending
+    NULLS FIRST, DuckDB NULLS LAST, the silent cross-engine divergence
+    class the sweep exists to catch."""
     d = load_table(spark, "documents", sf_dir)
-    m = d.select(
+    m = d.filter(F.col("text").isNotNull()).select(
         "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
     )
     waved = m.withColumn(
@@ -1214,7 +1220,7 @@ BUDGET_NUM, BUDGET_DEN = 6, 10
     WITH per_source AS (
       SELECT source,
              CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
-      FROM documents GROUP BY source
+      FROM documents WHERE text IS NOT NULL GROUP BY source
     ), tot AS (
       SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
              count(*) AS s,
@@ -1223,9 +1229,10 @@ BUDGET_NUM, BUDGET_DEN = 6, 10
       FROM per_source
     ), ranked AS (
       SELECT source, n_tokens,
-             row_number() OVER (ORDER BY n_tokens, source) - 1 AS idx,
+             row_number() OVER (
+               ORDER BY n_tokens, source NULLS FIRST) - 1 AS idx,
              sum(n_tokens) OVER (
-               ORDER BY n_tokens, source
+               ORDER BY n_tokens, source NULLS FIRST
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
              ) AS prefix
       FROM per_source
@@ -1281,10 +1288,14 @@ def source_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFram
     corpus; every window and scalar below it runs on the |sources|-row
     table (the explicitly-bounded global window precedent of
     text_zipf_fit), and the result is a broadcast-sized allocation
-    PLAN joined back by the sampler."""
+    PLAN joined back by the sampler.  NULL discipline: NULL-text docs
+    contribute no tokens (filtered in both engines) and the rank
+    window orders source NULLS FIRST to match Spark's ascending
+    default (null-injection sweep finding)."""
     d = load_table(spark, "documents", sf_dir)
     per_source = (
-        d.select("source", F.size(F.split("text", " ")).alias("nt"))
+        d.filter(F.col("text").isNotNull())
+        .select("source", F.size(F.split("text", " ")).alias("nt"))
         .groupBy("source")
         .agg(F.sum("nt").cast("long").alias("n_tokens"))
     )
