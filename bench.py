@@ -153,6 +153,7 @@ HEADLINE = [
     "dedup_minhash_b_bit",
     "eval_win_rate_bootstrap",
     "source_token_budget_allocation",
+    "similarity_mmr_rerank",
 ]
 N_R3_SET = 53  # the first 53 entries are the r2/r3 headline set
 N_R4_SET = 61  # ... the first 61 are the r4 headline set

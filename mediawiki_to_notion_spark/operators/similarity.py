@@ -796,3 +796,182 @@ def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall_at_k"),
         )
     )
+
+
+# --- MMR diversified re-ranking ----------------------------------------
+
+MMR_C = 16            # relevance-ranked candidate pool per query
+MMR_K = 5             # diversified results selected per query
+MMR_LAMBDA_NUM = 7    # lambda = 0.7 as the exact integer pair (7, 3)
+MMR_DIV_NUM = 3       # score_u = 7*rel_u - 3*maxsim_u (micro-units x10)
+
+
+def _mmr_oracle() -> str:
+    cands = f"""
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             CAST(round(round(list_cosine_similarity(
+               q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) * 1000000)
+               AS BIGINT) AS rel_u
+      FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ), cands AS (
+      SELECT query_id, vec_id, rel_u FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rel_u DESC, vec_id) AS rn
+        FROM scored) WHERE rn <= {MMR_C}
+    ), sims AS (
+      SELECT a.query_id, a.vec_id AS va, b.vec_id AS vb,
+             CAST(round(round(list_cosine_similarity(
+               ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) * 1000000)
+               AS BIGINT) AS sim_u
+      FROM cands a
+      JOIN cands b ON a.query_id = b.query_id AND a.vec_id != b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+    ), sel0 AS (
+      SELECT query_id, vec_id, rel_u,
+             CAST({MMR_LAMBDA_NUM} * rel_u AS BIGINT) AS score_u,
+             0 AS step
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY rel_u DESC, vec_id) AS rn
+            FROM cands) WHERE rn = 1
+    )"""
+    levels = []
+    for i in range(1, MMR_K):
+        prev = " UNION ALL ".join(f"SELECT * FROM sel{j}" for j in range(i))
+        levels.append(f"""
+    prev{i} AS ({prev}),
+    scored{i} AS (
+      SELECT c.query_id, c.vec_id, c.rel_u,
+             CAST({MMR_LAMBDA_NUM} * c.rel_u - {MMR_DIV_NUM} * max(s.sim_u)
+                  AS BIGINT) AS score_u
+      FROM cands c
+      JOIN prev{i} p ON p.query_id = c.query_id AND p.vec_id != c.vec_id
+      JOIN sims s ON s.query_id = c.query_id AND s.va = c.vec_id
+                 AND s.vb = p.vec_id
+      WHERE NOT EXISTS (SELECT 1 FROM prev{i} q
+                        WHERE q.query_id = c.query_id
+                          AND q.vec_id = c.vec_id)
+      GROUP BY c.query_id, c.vec_id, c.rel_u
+    ),
+    sel{i} AS (
+      SELECT query_id, vec_id, rel_u, score_u, {i} AS step
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY score_u DESC, vec_id) AS rn
+            FROM scored{i}) WHERE rn = 1
+    )""")
+    union = " UNION ALL ".join(f"SELECT * FROM sel{j}" for j in range(MMR_K))
+    body = f"""
+    WITH {cands},{','.join(levels)}
+    SELECT query_id, CAST(step AS BIGINT) AS step, vec_id, rel_u, score_u
+    FROM ({union})
+    """
+    return V.hygiene_oracle(body)
+
+
+@register("similarity_mmr_rerank", oracle=_mmr_oracle())
+def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998) — the diversified top-k every RAG retrieval stack runs
+    between ANN candidate generation and the context window: greedily
+    select argmax of lambda*relevance - (1-lambda)*max-similarity-to-
+    already-selected, so near-duplicate passages don't crowd out
+    coverage.  Per query: top-{MMR_C} relevance candidates, {MMR_K}
+    MMR selections at lambda 0.7.
+
+    Exact cross-engine arithmetic: cosines round to 6 dp then become
+    integer MICRO-UNITS; the MMR objective is the pure-int64
+    score_u = {MMR_LAMBDA_NUM}*rel_u - {MMR_DIV_NUM}*maxsim_u
+    (lambda x10), ties to the smaller vec_id — no float comparison
+    anywhere in the selection, so the greedy path is deterministic in
+    both engines.  The greedy recurrence is UNROLLED into {MMR_K}
+    explicit levels in both engines (the unigram-LM materialized-DP
+    discipline): each level is one anti-membership join + per-query
+    max-sim aggregate + a rank-1 window.
+
+    100 TB shape: candidate generation is the broadcast-query
+    brute-force pass (swap in the SRP/IVF path for web-scale corpora —
+    MMR only ever sees the top-{MMR_C} pool); everything after is
+    bounded by queries x {MMR_C} rows ({MMR_C}^2 pair sims per query),
+    localCheckpointed once so the {MMR_K} level plans don't re-derive
+    the corpus scan."""
+    e = V.hygiene(load_table(spark, "embeddings", sf_dir))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    rel_u = F.round(
+        F.round(V.cosine(F.col("q_emb"), F.col("embedding")), 6) * 1_000_000
+    ).cast("long")
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "embedding", rel_u.alias("rel_u"))
+    )
+    wq = W.partitionBy("query_id").orderBy(F.desc("rel_u"), F.asc("vec_id"))
+    cands = (
+        scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= MMR_C)
+        .drop("rn")
+        .localCheckpoint()  # bounded: N_QUERIES x MMR_C rows
+    )
+    a = cands.select("query_id", F.col("vec_id").alias("va"),
+                     F.col("embedding").alias("ea"))
+    b = cands.select("query_id", F.col("vec_id").alias("vb"),
+                     F.col("embedding").alias("eb"))
+    sim_u = F.round(
+        F.round(V.cosine(F.col("ea"), F.col("eb")), 6) * 1_000_000
+    ).cast("long")
+    sims = (
+        a.join(b, ["query_id"])
+        .filter(F.col("va") != F.col("vb"))
+        .select("query_id", "va", "vb", sim_u.alias("sim_u"))
+        .localCheckpoint()  # bounded: N_QUERIES x MMR_C^2 rows
+    )
+    cands_slim = cands.select("query_id", "vec_id", "rel_u")
+    sel = (
+        cands_slim.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id", "vec_id", "rel_u",
+            (F.lit(MMR_LAMBDA_NUM) * F.col("rel_u")).cast("long")
+            .alias("score_u"),
+            F.lit(0).cast("long").alias("step"),
+        )
+    )
+    out = sel
+    for i in range(1, MMR_K):
+        prev = out.select("query_id", F.col("vec_id").alias("sel_vec"))
+        remaining = cands_slim.join(
+            prev.withColumnsRenamed({"sel_vec": "vec_id"}),
+            ["query_id", "vec_id"], "left_anti",
+        )
+        level_scored = (
+            remaining
+            .join(
+                sims.withColumnsRenamed({"va": "vec_id"}),
+                ["query_id", "vec_id"],
+            )
+            .join(
+                prev.withColumnsRenamed({"sel_vec": "vb"}), ["query_id", "vb"]
+            )
+            .groupBy("query_id", "vec_id", "rel_u")
+            .agg(
+                (
+                    F.lit(MMR_LAMBDA_NUM) * F.col("rel_u")
+                    - F.lit(MMR_DIV_NUM) * F.max("sim_u")
+                ).cast("long").alias("score_u")
+            )
+        )
+        ws = W.partitionBy("query_id").orderBy(
+            F.desc("score_u"), F.asc("vec_id")
+        )
+        level_sel = (
+            level_scored.withColumn("rn", F.row_number().over(ws))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id", "vec_id", "rel_u", "score_u",
+                F.lit(i).cast("long").alias("step"),
+            )
+        )
+        out = out.unionByName(level_sel)
+    return out.select("query_id", "step", "vec_id", "rel_u", "score_u")

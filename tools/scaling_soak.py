@@ -76,6 +76,9 @@ SOAK = [
     # water-filling plan (both expect ~scan-bound exponents)
     "eval_win_rate_bootstrap",
     "source_token_budget_allocation",
+    # MMR: candidate generation is the broadcast brute-force pass, the
+    # unrolled levels are queries x 16 — expect the brute-force slope
+    "similarity_mmr_rerank",
 ]
 
 
