@@ -975,3 +975,148 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = out.unionByName(level_sel)
     return out.select("query_id", "step", "vec_id", "rel_u", "score_u")
+
+
+# --- Rocchio pseudo-relevance feedback -----------------------------------
+
+PRF_K = 8             # feedback depth (round-1 docs folded into q')
+PRF_TOP = 10          # re-ranked results returned per query
+# beta/|Dr| = 0.75/8 = 3/32: exact in binary AND in DECIMAL(7,5), so the
+# expanded query is bit-identical cross-engine (alpha = 1)
+PRF_BETA_OVER_K = "0.09375"
+
+
+def _prf_oracle() -> str:
+    body = f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ), rel AS (
+      SELECT q.query_id, c.vec_id,
+             round(list_cosine_similarity(
+               q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS rel_r
+      FROM q JOIN embeddings c ON c.vec_id != q.query_id
+    ), fb AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rel_r DESC, vec_id) AS rn
+        FROM rel) WHERE rn <= {PRF_K}
+    ), cent AS (
+      SELECT f.query_id, u.k,
+             sum(CAST(round(e.embedding[u.k + 1]::DOUBLE, 6)
+                      AS DECIMAL(18,6))) AS s
+      FROM fb f
+      JOIN embeddings e ON e.vec_id = f.vec_id,
+           LATERAL (SELECT unnest(range(0, {V.EMB_DIM})) AS k) u
+      GROUP BY f.query_id, u.k
+    ), qexp AS (
+      SELECT c.query_id,
+             list(CAST(CAST(round(q.embedding[c.k + 1]::DOUBLE, 6)
+                            AS DECIMAL(18,6))
+                       + CAST({PRF_BETA_OVER_K} AS DECIMAL(7,5)) * c.s
+                       AS DOUBLE) ORDER BY c.k) AS emb
+      FROM cent c JOIN q ON q.query_id = c.query_id
+      GROUP BY c.query_id
+    ), scored2 AS (
+      SELECT x.query_id, c.vec_id,
+             round(list_cosine_similarity(x.emb, c.embedding::DOUBLE[]), 6)
+               AS cos_exp_r
+      FROM qexp x JOIN embeddings c ON c.vec_id != x.query_id
+    )
+    SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id, cos_exp_r
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_exp_r DESC, vec_id) AS rn
+          FROM scored2)
+    WHERE rn <= {PRF_TOP}
+    """
+    return V.hygiene_oracle(body)
+
+
+@register("similarity_prf_rocchio", oracle=_prf_oracle())
+def similarity_prf_rocchio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rocchio pseudo-relevance feedback (Rocchio 1971, the classic
+    query-expansion loop every retrieval stack still runs): take the
+    round-1 top-{PRF_K} by cosine, fold their centroid into the query
+    (q' = q + 0.75 * centroid, i.e. alpha 1, beta 0.75), and re-rank
+    the corpus against q' — documents sharing structure with the
+    feedback set surface even when the ORIGINAL query missed them
+    entirely (the vocabulary/modality-mismatch case pinned in
+    tests/test_prf_rocchio.py: a doc orthogonal to q enters the
+    expanded top-{PRF_TOP}).
+
+    Cross-engine exactness of q': embedding components quantize
+    through round(x, 6) -> DECIMAL(18,6) (the proven two-step), the
+    centroid sum is a DECIMAL aggregate (order-independent), and the
+    blend multiplies by DECIMAL {PRF_BETA_OVER_K} = 3/32 exactly — so
+    both engines cast bit-identical expanded queries to double before
+    the (already-pinned) 6-dp cosine fold.  Floats never accumulate
+    in engine-dependent order.
+
+    100 TB shape: two broadcast-query corpus passes (round-1 scoring,
+    round-2 re-scoring) — the same slope as similarity_topk_bruteforce,
+    with the SRP/IVF probe as the drop-in candidate path at web scale;
+    everything between them (feedback set, centroid, q') is bounded by
+    queries x {PRF_K} x {V.EMB_DIM} rows."""
+    from decimal import Decimal
+
+    e = V.hygiene(load_table(spark, "embeddings", sf_dir))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    rel = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id", "embedding",
+            F.round(V.cosine(F.col("q_emb"), F.col("embedding")), 6)
+            .alias("rel_r"),
+        )
+    )
+    wq = W.partitionBy("query_id").orderBy(F.desc("rel_r"), F.asc("vec_id"))
+    fb = (
+        rel.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= PRF_K)
+        .select("query_id", F.posexplode("embedding").alias("k", "v"))
+    )
+    cent = fb.groupBy("query_id", "k").agg(
+        F.sum(
+            F.round(F.col("v").cast("double"), 6).cast("decimal(18,6)")
+        ).alias("s")
+    )
+    q_comp = q.select("query_id", F.posexplode("q_emb").alias("k", "qv"))
+    blended = cent.join(q_comp, ["query_id", "k"]).select(
+        "query_id", "k",
+        (
+            F.round(F.col("qv").cast("double"), 6).cast("decimal(18,6)")
+            + F.lit(Decimal(PRF_BETA_OVER_K)) * F.col("s")
+        ).cast("double").alias("xv"),
+    )
+    qexp = (
+        blended.groupBy("query_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("k"), F.col("xv")))
+                ),
+                lambda st: st["xv"],
+            ).alias("emb")
+        )
+    )
+    scored2 = (
+        e.join(F.broadcast(qexp), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id",
+            F.round(V.cosine(F.col("emb"), F.col("embedding")), 6)
+            .alias("cos_exp_r"),
+        )
+    )
+    w2 = W.partitionBy("query_id").orderBy(
+        F.desc("cos_exp_r"), F.asc("vec_id")
+    )
+    return (
+        scored2.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= PRF_TOP)
+        .select(
+            "query_id", F.col("rn").cast("long").alias("rank"),
+            "vec_id", "cos_exp_r",
+        )
+    )

@@ -79,6 +79,7 @@ SOAK = [
     # MMR: candidate generation is the broadcast brute-force pass, the
     # unrolled levels are queries x 16 — expect the brute-force slope
     "similarity_mmr_rerank",
+    "similarity_prf_rocchio",
 ]
 
 
