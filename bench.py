@@ -155,6 +155,7 @@ HEADLINE = [
     "source_token_budget_allocation",
     "similarity_mmr_rerank",
     "similarity_prf_rocchio",
+    "similarity_ivf_balance_audit",
 ]
 N_R3_SET = 53  # the first 53 entries are the r2/r3 headline set
 N_R4_SET = 61  # ... the first 61 are the r4 headline set

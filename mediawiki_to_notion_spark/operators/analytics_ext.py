@@ -2863,3 +2863,77 @@ def eval_win_rate_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((ci_lo_raw > 0.5) | (ci_hi_raw < 0.5)).alias("significant"),
         )
     )
+
+
+@register(
+    "similarity_ivf_balance_audit",
+    oracle=V.hygiene_oracle(f"""
+    WITH {_IVF_ASSIGN_SQL}
+    , assigned AS (
+      SELECT vec_id, centroid_id FROM assign_scored WHERE rn = 1
+    ), occ AS (
+      SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_vectors
+      FROM assigned GROUP BY centroid_id
+    ), tot AS (
+      SELECT CAST(sum(n_vectors) AS BIGINT) AS total FROM occ
+    )
+    SELECT o.centroid_id, o.n_vectors,
+           round(o.n_vectors::DOUBLE / t.total, 6) AS share,
+           round(o.n_vectors::DOUBLE * {N_CENTROIDS} / t.total, 6)
+             AS load_factor,
+           CAST(row_number() OVER (
+             ORDER BY o.n_vectors DESC, o.centroid_id) AS BIGINT)
+             AS hotness_rank
+    FROM occ o, tot t
+    """),
+)
+def similarity_ivf_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF inverted-list balance audit — the shard-planning number an
+    ANN index build checks before serving: per coarse-quantizer list,
+    how many vectors landed there, its corpus share, and the load
+    factor (n * K / total; 1.0 = perfectly balanced, >>1 = a hot list
+    whose probes straggle).  At 100 TB the IVF list IS the shuffle/
+    storage partition of every probe (similarity_ivf_probe shuffles by
+    centroid_id), so a skewed codebook turns into straggler tasks and
+    probe-latency variance — the embedding-space twin of
+    join_key_skew_profile, caught at INDEX BUILD time rather than
+    query time.
+
+    Scale shape: assignment is the broadcast-codebook map-side pass
+    shared with the probe; the audit itself is one map-side-partial
+    groupBy to {N_CENTROIDS} rows, a broadcast total, and a ranking
+    window over the {N_CENTROIDS}-row result."""
+    e = V.hygiene(load_table(spark, "embeddings", sf_dir))
+    cent = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    )
+    scored = e.join(F.broadcast(cent)).select(
+        "vec_id", "centroid_id",
+        F.round(V.cosine(F.col("embedding"), F.col("c_emb")), 6).alias("cos_c"),
+    )
+    w_assign = W.partitionBy("vec_id").orderBy(
+        F.desc("cos_c"), F.asc("centroid_id")
+    )
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+    )
+    occ = assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors")
+    )
+    tot = occ.agg(F.sum("n_vectors").cast("long").alias("total"))
+    return (
+        occ.crossJoin(F.broadcast(tot))
+        .select(
+            "centroid_id", "n_vectors",
+            F.round(F.col("n_vectors").cast("double") / F.col("total"), 6)
+            .alias("share"),
+            F.round(
+                F.col("n_vectors").cast("double") * N_CENTROIDS
+                / F.col("total"), 6
+            ).alias("load_factor"),
+            F.row_number().over(
+                W.orderBy(F.desc("n_vectors"), F.asc("centroid_id"))
+            ).cast("long").alias("hotness_rank"),
+        )
+    )

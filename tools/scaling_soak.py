@@ -80,6 +80,7 @@ SOAK = [
     # unrolled levels are queries x 16 — expect the brute-force slope
     "similarity_mmr_rerank",
     "similarity_prf_rocchio",
+    "similarity_ivf_balance_audit",
 ]
 
 
