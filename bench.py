@@ -156,6 +156,7 @@ HEADLINE = [
     "similarity_mmr_rerank",
     "similarity_prf_rocchio",
     "similarity_ivf_balance_audit",
+    "events_bot_regularity_screen",
 ]
 N_R3_SET = 53  # the first 53 entries are the r2/r3 headline set
 N_R4_SET = 61  # ... the first 61 are the r4 headline set

@@ -2937,3 +2937,91 @@ def similarity_ivf_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("hotness_rank"),
         )
     )
+
+
+# --- Bot / automation screen over inter-arrival regularity --------------
+
+BOT_MIN_EVENTS = 20          # below this, regularity is not evidence
+BOT_CV2_MICRO_MAX = 10_000   # cv^2 < 0.01 (cv < 0.1) in micro-units
+
+
+@register(
+    "events_bot_regularity_screen",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT user_id,
+             epoch_ms(ts) - epoch_ms(lag(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)) AS d
+      FROM events
+    ), agg AS (
+      SELECT user_id,
+             CAST(count(d) AS BIGINT) AS n_gaps,
+             CAST(sum(d) AS BIGINT) AS s1,
+             CAST(sum(CAST(d AS DECIMAL(38,0)) * CAST(d AS DECIMAL(38,0)))
+                  AS DECIMAL(38,0)) AS s2
+      FROM gaps WHERE d IS NOT NULL
+      GROUP BY user_id
+    ), wide AS (
+      SELECT user_id, n_gaps, s1, s2,
+             CAST(s1 AS DECIMAL(38,0)) * CAST(s1 AS DECIMAL(38,0)) AS s1sq
+      FROM agg
+    )
+    SELECT user_id, n_gaps,
+           s1 // n_gaps AS mean_gap_ms,
+           CASE WHEN s1 = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(round(
+                  (n_gaps * s2 - s1sq)::DOUBLE * 1000000
+                  / s1sq::DOUBLE) AS BIGINT) END AS cv2_micro,
+           (n_gaps >= {BOT_MIN_EVENTS} AND (s1 = 0 OR
+              (n_gaps * s2 - s1sq)::DOUBLE * 1000000
+              / s1sq::DOUBLE < {BOT_CV2_MICRO_MAX})) AS is_bot
+    FROM wide
+    """,
+)
+def events_bot_regularity_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/automation screen on inter-arrival REGULARITY — the
+    training-data hygiene pass that drops machine traffic before user
+    behaviour feeds analytics or models: humans arrive with bursty,
+    high-variance gaps; schedulers and scripts tick.  Per user, the
+    squared coefficient of variation of inter-arrival gaps
+    cv^2 = n*var/mean^2 = (n*S2 - S1^2)/S1^2 in micro-units; a user
+    with >= {BOT_MIN_EVENTS} gaps and cv^2 below
+    {BOT_CV2_MICRO_MAX}/1e6 (cv < 0.1) flags as a bot.
+
+    Exactness: gaps are integer epoch-millis; S1 and S2 accumulate as
+    DECIMAL(38,0) (d^2 can pass 2^63 for day-scale gaps x thousand-event
+    users), so both moment sums are exact and order-independent; the
+    single cv^2 division happens once on exact operands, cast to double
+    identically in both engines.  S1 = 0 (identical timestamps — the
+    purest tick) is cv 0 by definition, guarded against the 0/0.
+
+    100 TB shape: one user-partitioned lag window (the
+    lag_interarrival_delta pass) + one map-side-combinable
+    groupBy(user_id); output is user-cardinality, no second pass."""
+    e = load_table(spark, "events", sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        "user_id",
+        (F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w))).alias("d"),
+    ).filter(F.col("d").isNotNull())
+    dd = F.col("d").cast("decimal(38,0)")
+    agg = gaps.groupBy("user_id").agg(
+        F.count("d").cast("long").alias("n_gaps"),
+        F.sum("d").cast("long").alias("s1"),
+        F.sum(dd * dd).cast("decimal(38,0)").alias("s2"),
+    )
+    s1sq = (
+        F.col("s1").cast("decimal(38,0)") * F.col("s1").cast("decimal(38,0)")
+    )
+    num = F.col("n_gaps") * F.col("s2") - s1sq
+    cv2 = num.cast("double") * 1_000_000 / s1sq.cast("double")
+    return agg.select(
+        "user_id", "n_gaps",
+        F.expr("CAST(s1 div n_gaps AS BIGINT)").alias("mean_gap_ms"),
+        F.when(F.col("s1") == 0, F.lit(0).cast("long"))
+        .otherwise(F.round(cv2).cast("long")).alias("cv2_micro"),
+        (
+            (F.col("n_gaps") >= BOT_MIN_EVENTS)
+            & ((F.col("s1") == 0) | (cv2 < BOT_CV2_MICRO_MAX))
+        ).alias("is_bot"),
+    )

@@ -81,6 +81,7 @@ SOAK = [
     "similarity_mmr_rerank",
     "similarity_prf_rocchio",
     "similarity_ivf_balance_audit",
+    "events_bot_regularity_screen",
 ]
 
 
