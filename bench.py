@@ -157,6 +157,7 @@ HEADLINE = [
     "similarity_prf_rocchio",
     "similarity_ivf_balance_audit",
     "events_bot_regularity_screen",
+    "text_bigram_entropy_rate",
 ]
 N_R3_SET = 53  # the first 53 entries are the r2/r3 headline set
 N_R4_SET = 61  # ... the first 61 are the r4 headline set

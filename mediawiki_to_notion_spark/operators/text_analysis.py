@@ -7,6 +7,8 @@ divisions (deterministic), so every query is fully oracle-checkable.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1522,4 +1524,81 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / n, 6
         ).alias("intercept"),
         F.round(num * num / (den * deny), 6).alias("r2"),
+    )
+
+
+@register(
+    "text_bigram_entropy_rate",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t
+      FROM documents WHERE len(string_split(text, ' ')) >= 2
+    ), big AS (
+      SELECT t[u.i+1] AS w1, t[u.i+2] AS w2
+      FROM toks, LATERAL (SELECT unnest(range(0, len(t) - 1)) AS i) u
+    ), c12 AS (
+      SELECT w1, w2, count(*) AS n12 FROM big GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, CAST(sum(n12) AS BIGINT) AS n1 FROM c12 GROUP BY w1
+    ), terms AS (
+      SELECT CAST(n12 AS BIGINT) AS n12,
+             CAST(round(ln(n1::DOUBLE / n12), 6) AS DECIMAL(18,6)) AS lp
+      FROM c12 JOIN c1 USING (w1)
+    ), tot AS (
+      SELECT CAST(sum(n12) AS BIGINT) AS n FROM terms
+    )
+    SELECT t2.n AS n_bigrams,
+           (SELECT count(*) FROM c12) AS n_bigram_types,
+           round(CAST(sum(n12 * lp) AS DOUBLE) / t2.n, 6)
+             AS entropy_rate_nats,
+           round(CAST(sum(n12 * lp) AS DOUBLE) / t2.n / ln(2), 6)
+             AS entropy_rate_bits
+    FROM terms, tot t2
+    GROUP BY t2.n
+    """,
+)
+def text_bigram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram conditional entropy rate H(w2|w1) =
+    -sum p(w1,w2) ln p(w2|w1) — the sequence-predictability health
+    stat that completes the monitor trio (char entropy = alphabet
+    health, Zipf slope = frequency-distribution health, entropy rate
+    = SEQUENCE health): templated/boilerplate-flooded corpora collapse
+    toward 0 bits (every next word is determined), token soup runs at
+    ln(vocabulary).  One row: bigram count, type count, rate in nats
+    and bits.
+
+    Exactness: each distinct bigram contributes count * round(ln(c1/
+    c12), 6), the rounded per-TYPE log enters DECIMAL(18,6) (the tfidf
+    idf pattern) and the n12 multiplier is exact, so the sum is
+    accumulation-order independent; doubles reappear in the two final
+    divisions only.
+
+    100 TB shape: two map-side-partial aggregates (bigram counts,
+    then prefix-marginal counts from the BIGRAM TYPE table, never a
+    second corpus pass — the ngram_lm_kneser_ney discipline), one
+    broadcast-sized join on w1, a single-row result."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.select(F.split("text", " ").alias("t")).filter(F.size("t") >= 2)
+    big = toks.select(
+        F.posexplode(F.slice("t", 1, F.size("t") - 1)).alias("i", "w1"),
+        F.col("t"),
+    ).select("w1", F.col("t")[F.col("i") + 1].alias("w2"))
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    c1 = c12.groupBy("w1").agg(F.sum("n12").cast("long").alias("n1"))
+    terms = c12.join(c1, "w1").select(
+        F.col("n12").cast("long").alias("n12"),
+        F.round(F.log(F.col("n1").cast("double") / F.col("n12")), 6)
+        .cast("decimal(18,6)").alias("lp"),
+    )
+    return terms.agg(
+        F.sum("n12").cast("long").alias("n_bigrams"),
+        F.count(F.lit(1)).alias("n_bigram_types"),
+        F.round(
+            F.sum(F.col("n12") * F.col("lp")).cast("double")
+            / F.sum("n12").cast("long"), 6
+        ).alias("entropy_rate_nats"),
+        F.round(
+            F.sum(F.col("n12") * F.col("lp")).cast("double")
+            / F.sum("n12").cast("long") / math.log(2), 6
+        ).alias("entropy_rate_bits"),
     )

@@ -82,6 +82,7 @@ SOAK = [
     "similarity_prf_rocchio",
     "similarity_ivf_balance_audit",
     "events_bot_regularity_screen",
+    "text_bigram_entropy_rate",
 ]
 
 
