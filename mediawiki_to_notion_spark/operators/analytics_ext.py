@@ -3025,3 +3025,84 @@ def events_bot_regularity_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             & ((F.col("s1") == 0) | (cv2 < BOT_CV2_MICRO_MAX))
         ).alias("is_bot"),
     )
+
+
+K_ANON = 5  # the classic k-anonymity floor
+
+
+@register(
+    "events_k_anonymity_audit",
+    oracle=f"""
+    WITH uc AS (
+      SELECT user_id, event_type, count(*) AS n
+      FROM events GROUP BY user_id, event_type
+    ), bucketed AS (
+      SELECT user_id, event_type,
+             CAST(power(2, length(bin(greatest(n - 1, 1)))) AS BIGINT)
+               AS n_bucket
+      FROM uc
+    ), sigs AS (
+      SELECT user_id,
+             array_to_string(
+               list(event_type || ':' || n_bucket ORDER BY event_type),
+               ',') AS signature
+      FROM bucketed GROUP BY user_id
+    )
+    SELECT signature, CAST(count(*) AS BIGINT) AS n_users,
+           count(*) < {K_ANON} AS at_risk
+    FROM sigs GROUP BY signature
+    """,
+)
+def events_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over behavioural fingerprints (Sweeney 2002)
+    — the privacy/compliance check a dataset release runs next to PII
+    redaction: treat each user's generalized activity profile (event
+    types with counts rounded UP to powers of two — the standard
+    generalization step; exact raw counts would make almost every user
+    unique and the audit vacuous) as a quasi-identifier, and report
+    each signature's population.  A signature shared by fewer than
+    {K_ANON} users is a re-identification risk: releasing "type
+    histograms per user" would single those users out.
+
+    Exactness: the power-of-two bucket is the integer bitlength trick
+    (2^bitlength(n-1), never float log2 — training_length_bucket's
+    edge rule); the signature is the type-sorted 'type:bucket' join,
+    deterministic in both engines.
+
+    100 TB shape: one map-side-partial (user, type) aggregate, one
+    per-user collect-sort over its OWN handful of type rows (bounded
+    by |types|, not events), one signature groupBy — all shuffles key
+    on user_id or the signature hash; output is signature-cardinality."""
+    e = load_table(spark, "events", sf_dir)
+    uc = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    bucket = F.pow(
+        F.lit(2), F.length(F.bin(F.greatest(F.col("n") - 1, F.lit(1))))
+    ).cast("long")
+    sigs = (
+        uc.select("user_id", "event_type", bucket.alias("n_bucket"))
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("event_type").alias("event_type"),
+                                F.col("n_bucket").alias("n_bucket"),
+                            )
+                        )
+                    ),
+                    lambda s: F.concat_ws(
+                        ":", s["event_type"], s["n_bucket"].cast("string")
+                    ),
+                ),
+                ",",
+            ).alias("signature")
+        )
+    )
+    return sigs.groupBy("signature").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        (F.count(F.lit(1)) < K_ANON).alias("at_risk"),
+    )

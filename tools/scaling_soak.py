@@ -83,6 +83,7 @@ SOAK = [
     "similarity_ivf_balance_audit",
     "events_bot_regularity_screen",
     "text_bigram_entropy_rate",
+    "events_k_anonymity_audit",
 ]
 
 
