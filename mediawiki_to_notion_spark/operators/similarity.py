@@ -1120,3 +1120,81 @@ def similarity_prf_rocchio(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "cos_exp_r",
         )
     )
+
+
+# --- Embedding dimension health audit ------------------------------------
+
+DIM_DEAD_VAR_MICRO = 100  # var < 1e-4 in micro-units = a dead dimension
+
+
+@register(
+    "embedding_dim_variance_audit",
+    oracle=V.hygiene_oracle(f"""
+    WITH comp AS (
+      SELECT u.k,
+             CAST(round(embedding[u.k + 1]::DOUBLE, 6) AS DECIMAL(18,6)) AS v
+      FROM embeddings,
+           LATERAL (SELECT unnest(range(0, {V.EMB_DIM})) AS k) u
+    ), agg AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS n,
+             sum(v) AS s1, sum(v * v) AS s2
+      FROM comp GROUP BY k
+    )
+    SELECT k AS dim,
+           CAST(round((n * s2 - s1 * s1)::DOUBLE / (n::DOUBLE * n) * 1000000)
+                AS BIGINT) AS var_micro,
+           CAST(round(s1::DOUBLE / n * 1000000) AS BIGINT) AS mean_micro,
+           round((n * s2 - s1 * s1)::DOUBLE / (n::DOUBLE * n) * 1000000)
+             < {DIM_DEAD_VAR_MICRO} AS is_dead,
+           CAST(row_number() OVER (
+             ORDER BY round((n * s2 - s1 * s1)::DOUBLE / (n::DOUBLE * n)
+                            * 1000000) DESC, k) AS BIGINT) AS variance_rank
+    FROM agg
+    """),
+)
+def embedding_dim_variance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding variance audit — the representation-
+    collapse / anisotropy monitor an embedding pipeline checks after
+    every encoder change: a dimension whose variance is ~0 is DEAD
+    (wasted storage, and under cosine it biases every similarity the
+    same direction), and a few dimensions holding most variance means
+    the effective dimensionality is far below the nominal {V.EMB_DIM}
+    (the anisotropy problem motivating whitening and Matryoshka
+    truncation — this audit says how far embedding_matryoshka_recall
+    can cut).  Output: per dimension, mean and variance in micro-units,
+    a dead flag, and the variance rank.
+
+    Exactness: components quantize round(x,6) -> DECIMAL(18,6) (the
+    PRF pattern), so s1/s2 are exact order-independent decimal sums
+    and variance = (n*s2 - s1^2)/n^2 divides exact operands once.
+
+    100 TB shape: ONE corpus pass exploding each vector to (k, v)
+    pairs feeding a map-side-partial groupBy(k) — {V.EMB_DIM} output
+    rows; the ranking window runs over those {V.EMB_DIM} rows."""
+    e = V.hygiene(load_table(spark, "embeddings", sf_dir))
+    comp = e.select(
+        F.posexplode("embedding").alias("k", "raw")
+    ).select(
+        "k",
+        F.round(F.col("raw").cast("double"), 6)
+        .cast("decimal(18,6)").alias("v"),
+    )
+    agg = comp.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).alias("s2"),
+    )
+    var_micro_raw = F.round(
+        (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+        / (F.col("n").cast("double") * F.col("n")) * 1_000_000
+    )
+    return agg.select(
+        F.col("k").alias("dim"),
+        var_micro_raw.cast("long").alias("var_micro"),
+        F.round(F.col("s1").cast("double") / F.col("n") * 1_000_000)
+        .cast("long").alias("mean_micro"),
+        (var_micro_raw < DIM_DEAD_VAR_MICRO).alias("is_dead"),
+        F.row_number().over(
+            W.orderBy(F.desc(var_micro_raw), F.asc("k"))
+        ).cast("long").alias("variance_rank"),
+    )

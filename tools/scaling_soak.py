@@ -84,6 +84,7 @@ SOAK = [
     "events_bot_regularity_screen",
     "text_bigram_entropy_rate",
     "events_k_anonymity_audit",
+    "embedding_dim_variance_audit",
 ]
 
 
