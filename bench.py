@@ -160,6 +160,7 @@ HEADLINE = [
     "text_bigram_entropy_rate",
     "events_k_anonymity_audit",
     "embedding_dim_variance_audit",
+    "events_ab_cuped",
 ]
 N_R3_SET = 53  # the first 53 entries are the r2/r3 headline set
 N_R4_SET = 61  # ... the first 61 are the r4 headline set

@@ -3106,3 +3106,133 @@ def events_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_users"),
         (F.count(F.lit(1)) < K_ANON).alias("at_risk"),
     )
+
+
+@register(
+    "events_ab_cuped",
+    oracle="""
+    WITH bounds AS (
+      SELECT (CAST(min(epoch_ms(ts)) AS BIGINT)
+              + CAST(max(epoch_ms(ts)) AS BIGINT)) // 2 AS cut_ms
+      FROM events
+    ), per_user AS (
+      SELECT user_id, user_id % 2 AS variant,
+             CAST(coalesce(sum(CASE WHEN epoch_ms(ts) < b.cut_ms
+               THEN CAST(round(value * 1000000) AS BIGINT) END), 0)
+               AS BIGINT) AS x,
+             CAST(coalesce(sum(CASE WHEN epoch_ms(ts) >= b.cut_ms
+               THEN CAST(round(value * 1000000) AS BIGINT) END), 0)
+               AS BIGINT) AS y
+      FROM events, bounds b
+      WHERE value IS NOT NULL
+      GROUP BY user_id, b.cut_ms
+    ), moments AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+             CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+             sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx,
+             sum(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS sxy,
+             sum(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS syy
+      FROM per_user
+    ), per_variant AS (
+      SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(x) AS DECIMAL(38,0)) AS sx_v,
+             CAST(sum(y) AS DECIMAL(38,0)) AS sy_v
+      FROM per_user GROUP BY variant
+    )
+    SELECT CAST(v.variant AS BIGINT) AS variant, v.n_users,
+           round(v.sy_v::DOUBLE / v.n_users / 1000000, 6) AS mean_post,
+           round((v.sy_v::DOUBLE / v.n_users
+                  - ((m.n * m.sxy - m.sx * m.sy)::DOUBLE
+                     / (m.n * m.sxx - m.sx * m.sx)::DOUBLE)
+                    * (v.sx_v::DOUBLE / v.n_users - m.sx::DOUBLE / m.n))
+                 / 1000000, 6) AS mean_post_cuped,
+           round((m.n * m.sxy - m.sx * m.sy)::DOUBLE
+                 / (m.n * m.sxx - m.sx * m.sx)::DOUBLE, 6) AS theta,
+           round((m.n * m.sxy - m.sx * m.sy)::DOUBLE
+                 * (m.n * m.sxy - m.sx * m.sy)::DOUBLE
+                 / ((m.n * m.sxx - m.sx * m.sx)::DOUBLE
+                    * (m.n * m.syy - m.sy * m.sy)::DOUBLE), 6)
+             AS var_reduction
+    FROM per_variant v, moments m
+    """,
+)
+def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted A/B readout (Deng et al., WSDM 2013 — the
+    variance-reduction technique every experimentation platform runs):
+    users split into variants by id parity, the experiment window is
+    the second half of the event range, the first half is the
+    PRE-PERIOD covariate; the adjusted metric y' = y - theta*(x - E[x])
+    with theta = cov(x,y)/var(x) removes the between-user variance the
+    pre-period explains, and var_reduction = corr(x,y)^2 is exactly the
+    fraction of metric variance CUPED eliminates.
+
+    Exactness: per-event values quantize once to integer micro-units
+    (round(value*1e6), identical in both engines); per-user pre/post
+    sums are exact BIGINT; the five pooled moments accumulate as
+    DECIMAL(38,0) (per-user sums square past 2^63 — the bot-screen
+    overflow discipline), so theta and every reported mean derive from
+    EXACT sums in a handful of scalar double ops.  The adjusted mean
+    uses the algebraic identity mean(y') = mean(y) - theta*(mean_v(x)
+    - mean(x)) — per-user adjusted values are never materialized, so
+    no engine-order double accumulation exists at all.
+
+    100 TB shape: one groupBy(user_id) over the event scan (the
+    cutover scalar broadcasts), then two aggregates over the USER
+    table (global moments, per-variant sums) — output is
+    |variants| rows."""
+    e = load_table(spark, "events", sf_dir).filter(F.col("value").isNotNull())
+    ms = F.unix_millis("ts")
+    bounds = e.agg(
+        F.expr("CAST((CAST(min(unix_millis(ts)) AS BIGINT)"
+               " + CAST(max(unix_millis(ts)) AS BIGINT)) div 2 AS BIGINT)")
+        .alias("cut_ms")
+    )
+    vmic = F.round(F.col("value") * 1_000_000).cast("long")
+    per_user = (
+        e.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id", "cut_ms")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(ms < F.col("cut_ms"), vmic)), F.lit(0)
+            ).cast("long").alias("x"),
+            F.coalesce(
+                F.sum(F.when(ms >= F.col("cut_ms"), vmic)), F.lit(0)
+            ).cast("long").alias("y"),
+        )
+        .select(
+            (F.col("user_id") % 2).cast("long").alias("variant"), "x", "y"
+        )
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
+    moments = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(xd * yd).alias("sxy"),
+        F.sum(yd * yd).alias("syy"),
+    )
+    per_variant = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("x").cast("decimal(38,0)").alias("sx_v"),
+        F.sum("y").cast("decimal(38,0)").alias("sy_v"),
+    )
+    j = per_variant.crossJoin(F.broadcast(moments))
+    cnum = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    cden = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    cdeny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    theta = cnum / cden
+    mean_y_v = F.col("sy_v").cast("double") / F.col("n_users")
+    mean_x_v = F.col("sx_v").cast("double") / F.col("n_users")
+    mean_x = F.col("sx").cast("double") / F.col("n")
+    return j.select(
+        "variant", "n_users",
+        F.round(mean_y_v / 1_000_000, 6).alias("mean_post"),
+        F.round(
+            (mean_y_v - theta * (mean_x_v - mean_x)) / 1_000_000, 6
+        ).alias("mean_post_cuped"),
+        F.round(theta, 6).alias("theta"),
+        F.round(cnum * cnum / (cden * cdeny), 6).alias("var_reduction"),
+    )

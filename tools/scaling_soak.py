@@ -85,6 +85,7 @@ SOAK = [
     "text_bigram_entropy_rate",
     "events_k_anonymity_audit",
     "embedding_dim_variance_audit",
+    "events_ab_cuped",
 ]
 
 
