@@ -161,6 +161,7 @@ HEADLINE = [
     "events_k_anonymity_audit",
     "embedding_dim_variance_audit",
     "events_ab_cuped",
+    "orders_demand_forecast_holt",
 ]
 N_R3_SET = 53  # the first 53 entries are the r2/r3 headline set
 N_R4_SET = 61  # ... the first 61 are the r4 headline set

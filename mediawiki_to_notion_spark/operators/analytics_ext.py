@@ -3236,3 +3236,136 @@ def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(theta, 6).alias("theta"),
         F.round(cnum * cnum / (cden * cdeny), 6).alias("var_reduction"),
     )
+
+
+# --- Holt linear-trend forecasting ---------------------------------------
+
+HOLT_ALPHA = 0.5    # level smoothing — binary-exact so double math is
+HOLT_BETA = 0.25    # reproducible cross-engine; trend smoothing
+
+
+@register(
+    "orders_demand_forecast_holt",
+    oracle=f"""
+    WITH RECURSIVE monthly AS (
+      SELECT n.n_name,
+             CAST(date_part('year', o.o_orderdate) * 12
+                  + date_part('month', o.o_orderdate) AS BIGINT) AS m,
+             CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS x
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name, m
+    ), series AS (
+      SELECT n_name, CAST(count(*) AS BIGINT) AS n_months,
+             list(x ORDER BY m) AS xs
+      FROM monthly GROUP BY n_name
+      HAVING count(*) >= 2
+    ), holt AS (
+      -- state at step j = about to consume xs[j] (1-based); the base
+      -- has consumed xs[1] via the init (level = x0, trend = x1 - x0)
+      SELECT n_name, n_months, xs, CAST(2 AS BIGINT) AS j,
+             xs[1] AS l, xs[2] - xs[1] AS t
+      FROM series
+      UNION ALL
+      SELECT n_name, n_months, xs, j + 1,
+             {HOLT_ALPHA} * xs[j] + {1 - HOLT_ALPHA} * (l + t),
+             {HOLT_BETA} * ({HOLT_ALPHA} * xs[j]
+                            + {1 - HOLT_ALPHA} * (l + t) - l)
+             + {1 - HOLT_BETA} * t
+      FROM holt WHERE j <= n_months
+    )
+    SELECT n_name, n_months,
+           round(l, 6) AS level,
+           round(t, 6) AS trend,
+           round(l + 1 * t, 6) AS forecast_1,
+           round(l + 2 * t, 6) AS forecast_2,
+           round(l + 3 * t, 6) AS forecast_3
+    FROM holt WHERE j = n_months + 1
+    """,
+)
+def orders_demand_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend exponential smoothing (Holt 1957) over monthly
+    revenue per nation — the classic short-horizon demand forecast a
+    warehouse runs on every series: level and trend update recursively
+    (alpha {HOLT_ALPHA}, beta {HOLT_BETA}), h-step forecast =
+    level + h * trend for h = 1..3.
+
+    Cross-engine float discipline: the recursion is inherently
+    sequential, so instead of avoiding doubles it makes them
+    REPRODUCIBLE — monthly revenue sums exactly as DECIMAL(18,2) and
+    casts to double once; the smoothing constants are binary-exact
+    (1/2, 1/4) and the update is written operand-for-operand
+    identically in both engines: Spark folds with `aggregate`, the
+    oracle steps with WITH RECURSIVE.  The oracle deliberately does
+    NOT use DuckDB's `list_reduce`: its struct lambda mutates the
+    accumulator field-by-field, so a trend update reading acc.l sees
+    the ALREADY-UPDATED level (reproduced: l=17.0176 vs the correct
+    17.2422 on a 5-point series) — pinned in
+    tests/test_holt_forecast.py.  Init: level = x0, trend = x1 - x0,
+    fold runs from x1.
+
+    100 TB shape: the corpus collapses to the (nation, month) table in
+    one map-side-partial agg behind broadcast dimension joins; each
+    per-nation fold runs over its OWN bounded month list (~84 at any
+    TPC-H scale — series length grows with time, not data volume)."""
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    monthly = (
+        o.join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+               o["o_custkey"] == F.col("c_custkey"))
+        .join(F.broadcast(n.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            "n_name",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("long").alias("m"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("x")
+        )
+    )
+    series = (
+        monthly.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_months"),
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("m"), F.col("x")))
+                ),
+                lambda s: s["x"],
+            ).alias("xs"),
+        )
+        .filter(F.col("n_months") >= 2)
+    )
+    a, b = HOLT_ALPHA, HOLT_BETA
+    init = F.struct(
+        F.element_at("xs", 1).alias("l"),
+        (F.element_at("xs", 2) - F.element_at("xs", 1)).alias("t"),
+    )
+    new_l = lambda acc, x: F.lit(a) * x + F.lit(1 - a) * (acc["l"] + acc["t"])  # noqa: E731
+    folded = series.select(
+        "n_name", F.col("n_months").cast("long").alias("n_months"),
+        F.aggregate(
+            F.slice("xs", 2, F.size("xs") - 1),
+            init,
+            lambda acc, x: F.struct(
+                new_l(acc, x).alias("l"),
+                (
+                    F.lit(b) * (new_l(acc, x) - acc["l"])
+                    + F.lit(1 - b) * acc["t"]
+                ).alias("t"),
+            ),
+        ).alias("st"),
+    )
+    st = F.col("st")
+    return folded.select(
+        "n_name", "n_months",
+        F.round(st["l"], 6).alias("level"),
+        F.round(st["t"], 6).alias("trend"),
+        F.round(st["l"] + 1 * st["t"], 6).alias("forecast_1"),
+        F.round(st["l"] + 2 * st["t"], 6).alias("forecast_2"),
+        F.round(st["l"] + 3 * st["t"], 6).alias("forecast_3"),
+    )

@@ -86,6 +86,7 @@ SOAK = [
     "events_k_anonymity_audit",
     "embedding_dim_variance_audit",
     "events_ab_cuped",
+    "orders_demand_forecast_holt",
 ]
 
 
