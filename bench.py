@@ -162,6 +162,7 @@ HEADLINE = [
     "embedding_dim_variance_audit",
     "events_ab_cuped",
     "orders_demand_forecast_holt",
+    "orders_open_interval_depth",
 ]
 N_R3_SET = 53  # the first 53 entries are the r2/r3 headline set
 N_R4_SET = 61  # ... the first 61 are the r4 headline set

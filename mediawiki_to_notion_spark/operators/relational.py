@@ -994,3 +994,74 @@ def dashboard_status_widget(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("row_md"),
         )
     )
+
+
+@register(
+    "orders_open_interval_depth",
+    oracle="""
+    WITH closes AS (
+      SELECT l_orderkey AS okey, max(l_shipdate) AS close_d
+      FROM lineitem GROUP BY l_orderkey
+    ), intervals AS (
+      SELECT o.o_orderdate AS open_d, c.close_d
+      FROM orders o JOIN closes c ON o.o_orderkey = c.okey
+    ), deltas AS (
+      SELECT open_d AS d, count(*) AS n_opened, 0 AS n_closed
+      FROM intervals GROUP BY open_d
+      UNION ALL
+      SELECT close_d AS d, 0, count(*) FROM intervals GROUP BY close_d
+    ), days AS (
+      SELECT d, CAST(sum(n_opened) AS BIGINT) AS n_opened,
+             CAST(sum(n_closed) AS BIGINT) AS n_closed
+      FROM deltas GROUP BY d
+    )
+    SELECT d, n_opened, n_closed,
+           CAST(sum(n_opened - n_closed) OVER (
+             ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS open_depth
+    FROM days
+    """,
+)
+def orders_open_interval_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-concurrency profile: how many orders are OPEN (placed
+    but not yet fully received) at the end of each day — the classic
+    active-interval depth pattern behind queue-depth, concurrent-
+    session, and WIP dashboards: explode each interval into a +1 at
+    open and a -1 at close, aggregate to day granularity, and take the
+    running sum.  An order's interval is [o_orderdate,
+    max(l_shipdate)] (this dataset's lineitem carries ship dates only);
+    orders with no lineitems carry no close event
+    and are excluded by the inner join (documented — they never
+    entered fulfilment).
+
+    100 TB shape: the fact tables collapse to per-DAY deltas in two
+    map-side-partial aggregates before any ordering exists, so the
+    running-sum window runs over the bounded day-calendar table
+    (~2,500 rows at any TPC-H scale — the explicitly-bounded global
+    window precedent of text_zipf_fit), never over orders.  All
+    counters are exact integers."""
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    closes = li.groupBy(F.col("l_orderkey").alias("okey")).agg(
+        F.max("l_shipdate").alias("close_d")
+    )
+    intervals = o.join(closes, o["o_orderkey"] == F.col("okey")).select(
+        F.col("o_orderdate").alias("open_d"), "close_d"
+    )
+    deltas = intervals.groupBy(F.col("open_d").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_opened"), F.lit(0).alias("n_closed")
+    ).unionByName(
+        intervals.groupBy(F.col("close_d").alias("d")).agg(
+            F.lit(0).alias("n_opened"), F.count(F.lit(1)).alias("n_closed")
+        )
+    )
+    days = deltas.groupBy("d").agg(
+        F.sum("n_opened").cast("long").alias("n_opened"),
+        F.sum("n_closed").cast("long").alias("n_closed"),
+    )
+    w = W.orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return days.select(
+        "d", "n_opened", "n_closed",
+        F.sum(F.col("n_opened") - F.col("n_closed")).over(w)
+        .cast("long").alias("open_depth"),
+    )

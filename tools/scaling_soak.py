@@ -87,6 +87,7 @@ SOAK = [
     "embedding_dim_variance_audit",
     "events_ab_cuped",
     "orders_demand_forecast_holt",
+    "orders_open_interval_depth",
 ]
 
 
