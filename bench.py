@@ -163,6 +163,7 @@ HEADLINE = [
     "events_ab_cuped",
     "orders_demand_forecast_holt",
     "orders_open_interval_depth",
+    "orders_forecast_holt_winters",
 ]
 N_R3_SET = 53  # the first 53 entries are the r2/r3 headline set
 N_R4_SET = 61  # ... the first 61 are the r4 headline set

@@ -3369,3 +3369,167 @@ def orders_demand_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(st["l"] + 2 * st["t"], 6).alias("forecast_2"),
         F.round(st["l"] + 3 * st["t"], 6).alias("forecast_3"),
     )
+
+
+# --- Holt-Winters additive seasonal forecasting ---------------------------
+
+HW_ALPHA = 0.5    # level   — all three binary-exact (1/2, 1/4, 1/4) so
+HW_BETA = 0.25    # trend     the sequential double recursion reproduces
+HW_GAMMA = 0.25   # seasonal  bit-for-bit cross-engine
+HW_PERIOD = 12    # monthly data, yearly season
+
+
+def _hw_nl(x: str, si: str, l: str, t: str) -> str:
+    return (f"{HW_ALPHA} * ({x} - {si}) "
+            f"+ {1 - HW_ALPHA} * ({l} + {t})")
+
+
+@register(
+    "orders_forecast_holt_winters",
+    oracle=f"""
+    WITH RECURSIVE monthly AS (
+      SELECT n.n_name,
+             CAST(date_part('year', o.o_orderdate) * 12
+                  + date_part('month', o.o_orderdate) AS BIGINT) AS m,
+             CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS x
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name, m
+    ), series AS (
+      SELECT n_name, CAST(count(*) AS BIGINT) AS n_months,
+             list(x ORDER BY m) AS xs
+      FROM monthly GROUP BY n_name
+      HAVING count(*) >= {HW_PERIOD + 1}
+    ), seeded AS (
+      SELECT n_name, n_months, xs,
+             ({' + '.join(f'xs[{i}]' for i in range(1, HW_PERIOD + 1))})
+               / {float(HW_PERIOD)} AS l0
+      FROM series
+    ), hw AS (
+      SELECT n_name, n_months, xs, CAST({HW_PERIOD + 1} AS BIGINT) AS j,
+             l0 AS l, 0.0::DOUBLE AS t,
+             list_transform(xs[1:{HW_PERIOD}], v -> v - l0) AS s
+      FROM seeded
+      UNION ALL
+      SELECT n_name, n_months, xs, j + 1,
+             {_hw_nl('xs[j]', 's[1]', 'l', 't')},
+             {HW_BETA} * (({_hw_nl('xs[j]', 's[1]', 'l', 't')}) - l)
+               + {1 - HW_BETA} * t,
+             list_append(s[2:],
+               {HW_GAMMA} * (xs[j] - ({_hw_nl('xs[j]', 's[1]', 'l', 't')}))
+               + {1 - HW_GAMMA} * s[1])
+      FROM hw WHERE j <= n_months
+    )
+    SELECT n_name, n_months,
+           round(l, 6) AS level,
+           round(t, 6) AS trend,
+           round(l + 1 * t + s[1], 6) AS forecast_1,
+           round(l + 2 * t + s[2], 6) AS forecast_2,
+           round(l + 3 * t + s[3], 6) AS forecast_3
+    FROM hw WHERE j = n_months + 1
+    """,
+)
+def orders_forecast_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE seasonal forecasting (Winters 1960) per
+    nation-month revenue — completes the forecasting pair: Holt tracks
+    level+trend, Holt-Winters adds a rotating {HW_PERIOD}-slot seasonal
+    index, so forecast_h = level + h*trend + season[h].  Seeds: level =
+    mean of the first year (explicit left-to-right sum so both engines
+    add in the identical order), trend = 0, season_i = x_i - level.
+
+    The state is (level, trend, season[{HW_PERIOD}]): Spark folds a
+    struct carrying the ARRAY (slice + append rotates the window), the
+    oracle steps the same array through a WITH RECURSIVE list column —
+    the new-level expression is inlined verbatim everywhere it appears
+    (trend and seasonal updates) so every IEEE operation runs in the
+    same order with the same operands in both engines; smoothing
+    constants are binary-exact (1/2, 1/4, 1/4).  DuckDB's list_reduce
+    is avoided for the Holt reasons (mutating struct lambda, pinned in
+    tests/test_holt_forecast.py).
+
+    100 TB shape: identical to orders_demand_forecast_holt — the
+    corpus collapses to (nation, month) behind broadcast dims; each
+    fold walks its own ~84-entry list with a {HW_PERIOD}-double state."""
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    monthly = (
+        o.join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+               o["o_custkey"] == F.col("c_custkey"))
+        .join(F.broadcast(n.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            "n_name",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("long").alias("m"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("x")
+        )
+    )
+    series = (
+        monthly.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_months"),
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("m"), F.col("x")))
+                ),
+                lambda s: s["x"],
+            ).alias("xs"),
+        )
+        .filter(F.col("n_months") >= HW_PERIOD + 1)
+    )
+    a, b, g, P = HW_ALPHA, HW_BETA, HW_GAMMA, HW_PERIOD
+    # explicit left-to-right first-year sum, matching the SQL literal
+    l0 = F.element_at("xs", 1)
+    for i in range(2, P + 1):
+        l0 = l0 + F.element_at("xs", i)
+    l0 = l0 / float(P)
+    seeded = series.withColumn("l0", l0)
+    init = F.struct(
+        F.col("l0").alias("l"),
+        F.lit(0.0).alias("t"),
+        F.transform(
+            F.slice("xs", 1, P), lambda v: v - F.col("l0")
+        ).alias("s"),
+    )
+    nl = lambda acc, x: (  # noqa: E731 — inlined everywhere, as in SQL
+        F.lit(a) * (x - F.element_at(acc["s"], 1))
+        + F.lit(1 - a) * (acc["l"] + acc["t"])
+    )
+    folded = seeded.select(
+        "n_name", F.col("n_months").cast("long").alias("n_months"),
+        F.aggregate(
+            F.slice("xs", P + 1, F.size("xs") - P),
+            init,
+            lambda acc, x: F.struct(
+                nl(acc, x).alias("l"),
+                (
+                    F.lit(b) * (nl(acc, x) - acc["l"])
+                    + F.lit(1 - b) * acc["t"]
+                ).alias("t"),
+                F.concat(
+                    F.slice(acc["s"], 2, P - 1),
+                    F.array(
+                        F.lit(g) * (x - nl(acc, x))
+                        + F.lit(1 - g) * F.element_at(acc["s"], 1)
+                    ),
+                ).alias("s"),
+            ),
+        ).alias("st"),
+    )
+    st = F.col("st")
+    return folded.select(
+        "n_name", "n_months",
+        F.round(st["l"], 6).alias("level"),
+        F.round(st["t"], 6).alias("trend"),
+        F.round(st["l"] + 1 * st["t"] + F.element_at(st["s"], 1), 6)
+        .alias("forecast_1"),
+        F.round(st["l"] + 2 * st["t"] + F.element_at(st["s"], 2), 6)
+        .alias("forecast_2"),
+        F.round(st["l"] + 3 * st["t"] + F.element_at(st["s"], 3), 6)
+        .alias("forecast_3"),
+    )

@@ -88,6 +88,7 @@ SOAK = [
     "events_ab_cuped",
     "orders_demand_forecast_holt",
     "orders_open_interval_depth",
+    "orders_forecast_holt_winters",
 ]
 
 
