@@ -2972,9 +2972,10 @@ BOT_CV2_MICRO_MAX = 10_000   # cv^2 < 0.01 (cv < 0.1) in micro-units
                 ELSE CAST(round(
                   (n_gaps * s2 - s1sq)::DOUBLE * 1000000
                   / s1sq::DOUBLE) AS BIGINT) END AS cv2_micro,
-           (n_gaps >= {BOT_MIN_EVENTS} AND (s1 = 0 OR
-              (n_gaps * s2 - s1sq)::DOUBLE * 1000000
-              / s1sq::DOUBLE < {BOT_CV2_MICRO_MAX})) AS is_bot
+           (n_gaps >= {BOT_MIN_EVENTS} AND
+              CASE WHEN s1 = 0 THEN TRUE
+                   ELSE (n_gaps * s2 - s1sq)::DOUBLE * 1000000
+                        / s1sq::DOUBLE < {BOT_CV2_MICRO_MAX} END) AS is_bot
     FROM wide
     """,
 )
@@ -3022,7 +3023,8 @@ def events_bot_regularity_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(cv2).cast("long")).alias("cv2_micro"),
         (
             (F.col("n_gaps") >= BOT_MIN_EVENTS)
-            & ((F.col("s1") == 0) | (cv2 < BOT_CV2_MICRO_MAX))
+            & F.when(F.col("s1") == 0, F.lit(True))
+               .otherwise(cv2 < BOT_CV2_MICRO_MAX)
         ).alias("is_bot"),
     )
 
@@ -3034,8 +3036,9 @@ K_ANON = 5  # the classic k-anonymity floor
     "events_k_anonymity_audit",
     oracle=f"""
     WITH uc AS (
-      SELECT user_id, event_type, count(*) AS n
-      FROM events GROUP BY user_id, event_type
+      SELECT user_id, coalesce(event_type, '') AS event_type,
+             count(*) AS n
+      FROM events GROUP BY user_id, coalesce(event_type, '')
     ), bucketed AS (
       SELECT user_id, event_type,
              CAST(power(2, length(bin(greatest(n - 1, 1)))) AS BIGINT)
@@ -3074,9 +3077,12 @@ def events_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     by |types|, not events), one signature groupBy — all shuffles key
     on user_id or the signature hash; output is signature-cardinality."""
     e = load_table(spark, "events", sf_dir)
-    uc = e.groupBy("user_id", "event_type").agg(
-        F.count(F.lit(1)).alias("n")
-    )
+    # NULL event types coalesce to '' BEFORE grouping (null-injection
+    # sweep finding: concat_ws SKIPS nulls while SQL || PROPAGATES
+    # them, so unguarded nulls produce different signatures per engine)
+    uc = e.groupBy(
+        "user_id", F.coalesce("event_type", F.lit("")).alias("event_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
     bucket = F.pow(
         F.lit(2), F.length(F.bin(F.greatest(F.col("n") - 1, F.lit(1))))
     ).cast("long")
@@ -3140,21 +3146,25 @@ def events_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(y) AS DECIMAL(38,0)) AS sy_v
       FROM per_user GROUP BY variant
     )
+    , guarded AS (
+      SELECT n, sx, sy, sxy,
+             (n * sxx - sx * sx)::DOUBLE AS vx,
+             (n * syy - sy * sy)::DOUBLE AS vy,
+             (n * sxy - sx * sy)::DOUBLE AS cxy
+      FROM moments
+    )
     SELECT CAST(v.variant AS BIGINT) AS variant, v.n_users,
            round(v.sy_v::DOUBLE / v.n_users / 1000000, 6) AS mean_post,
            round((v.sy_v::DOUBLE / v.n_users
-                  - ((m.n * m.sxy - m.sx * m.sy)::DOUBLE
-                     / (m.n * m.sxx - m.sx * m.sx)::DOUBLE)
+                  - (CASE WHEN m.vx = 0 THEN 0.0 ELSE m.cxy / m.vx END)
                     * (v.sx_v::DOUBLE / v.n_users - m.sx::DOUBLE / m.n))
                  / 1000000, 6) AS mean_post_cuped,
-           round((m.n * m.sxy - m.sx * m.sy)::DOUBLE
-                 / (m.n * m.sxx - m.sx * m.sx)::DOUBLE, 6) AS theta,
-           round((m.n * m.sxy - m.sx * m.sy)::DOUBLE
-                 * (m.n * m.sxy - m.sx * m.sy)::DOUBLE
-                 / ((m.n * m.sxx - m.sx * m.sx)::DOUBLE
-                    * (m.n * m.syy - m.sy * m.sy)::DOUBLE), 6)
+           round(CASE WHEN m.vx = 0 THEN 0.0 ELSE m.cxy / m.vx END, 6)
+             AS theta,
+           round(CASE WHEN m.vx = 0 OR m.vy = 0 THEN 0.0
+                 ELSE m.cxy * m.cxy / (m.vx * m.vy) END, 6)
              AS var_reduction
-    FROM per_variant v, moments m
+    FROM per_variant v, guarded m
     """,
 )
 def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3223,7 +3233,10 @@ def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnum = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     cden = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
     cdeny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
-    theta = cnum / cden
+    # zero-variance guards (adversarial-sweep finding: the one-hot-user
+    # fixture makes var(x) exactly 0 and ANSI divide raises): no
+    # covariate signal -> theta 0 -> CUPED degrades to the raw mean
+    theta = F.when(cden == 0, F.lit(0.0)).otherwise(cnum / cden)
     mean_y_v = F.col("sy_v").cast("double") / F.col("n_users")
     mean_x_v = F.col("sx_v").cast("double") / F.col("n_users")
     mean_x = F.col("sx").cast("double") / F.col("n")
@@ -3234,7 +3247,10 @@ def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             (mean_y_v - theta * (mean_x_v - mean_x)) / 1_000_000, 6
         ).alias("mean_post_cuped"),
         F.round(theta, 6).alias("theta"),
-        F.round(cnum * cnum / (cden * cdeny), 6).alias("var_reduction"),
+        F.round(
+            F.when((cden == 0) | (cdeny == 0), F.lit(0.0))
+            .otherwise(cnum * cnum / (cden * cdeny)), 6
+        ).alias("var_reduction"),
     )
 
 
