@@ -169,6 +169,11 @@ _RECHECK_SOFT["embedding_matryoshka_recall"] = 7
 _RECHECK_SOFT["wordpiece_tokenize_fertility"] = 7
 _RECHECK_SOFT["eval_bradley_terry_fit"] = 7
 _RECHECK_SOFT["multimodal_image_webp_roundtrip"] = 7
+# late-r7: both minhash CALIBRATION ops now run on the deterministic
+# ~2^11-doc sample (second-decade soak caught the unsampled pair set
+# at exponent 1.27); at gate SFs the sample is the whole corpus and
+# results were verified bit-identical, so these are soft re-gates.
+_RECHECK_SOFT["dedup_minhash_estimate_quality"] = 7
 # Added after the current round's ~50-query window filled; placed right
 # behind the fresh backlog (locally oracle-checked already).  All
 # round-2 additions queue here so the r1-era never-driver-checked

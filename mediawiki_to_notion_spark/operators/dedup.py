@@ -158,6 +158,49 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CALIB_TARGET_BITS = 11  # calibration sample aims at ~2^11 = 2048 docs
+
+
+def _calibration_sample(d: DataFrame) -> DataFrame:
+    """Deterministic corpus sample for estimator-CALIBRATION queries:
+    keep doc_id % M == 0 with M = 2^max(0, bitlen(n-1) - 11), so the
+    sample holds ~2^11 documents at ANY corpus size (all of them
+    below that).  Calibration measures a mean error over pairs — it
+    needs a stable, large-enough pair population, not every pair: the
+    r7 second-decade soak measured the unsampled all-co-shingled-pairs
+    shape at exponent 1.27 (246 s at sf10), the exact quadratic class
+    this engine bans.  Exact integer arithmetic (the power-of-two
+    bitlength trick) keeps both engines' samples identical; at the
+    driver's gate SFs (<= ~4k docs) M = 1 and results are bit-identical
+    to the unsampled op."""
+    nd = d.agg(F.count(F.lit(1)).alias("n"))
+    m = F.pow(
+        F.lit(2),
+        F.greatest(
+            F.length(F.bin(F.greatest(F.col("n") - 1, F.lit(1))))
+            - CALIB_TARGET_BITS,
+            F.lit(0),
+        ),
+    ).cast("long")
+    return (
+        d.crossJoin(F.broadcast(nd.select(m.alias("calib_m"))))
+        .filter(F.col("doc_id") % F.col("calib_m") == 0)
+        .drop("calib_m")
+    )
+
+
+_CALIB_SQL = f"""
+    nd AS (SELECT count(*) AS n FROM documents),
+    calib AS (
+      SELECT d.* FROM documents d, nd
+      WHERE d.doc_id % CAST(power(2, greatest(
+              length(bin(greatest(nd.n - 1, 1))) - {CALIB_TARGET_BITS}, 0))
+            AS BIGINT) = 0
+    )
+"""
+
+_SHINGLES_CALIB_SQL = _SHINGLES_SQL.replace("FROM documents", "FROM calib")
+
 _MINHASH_SQL = f"""
     sigs AS (
       SELECT doc_id, {', '.join(H.minhash_agg_sql('h'))}
@@ -1288,7 +1331,8 @@ def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_minhash_estimate_quality",
     oracle=f"""
-    WITH {_SHINGLES_SQL},
+    WITH {_CALIB_SQL},
+    {_SHINGLES_CALIB_SQL},
     {_MINHASH_SQL},
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
@@ -1322,14 +1366,19 @@ def dedup_minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFram
     the calibration check that tells you whether {H.N_MINHASH}
     permutations and the LSH band layout are adequate for the corpus's
     similarity distribution (completes the approximation-audit trio
-    with similarity_lsh_recall and dedup_cosine_lsh_recall).
+    with similarity_lsh_recall and dedup_cosine_lsh_recall).  Runs on
+    the ~2^11-doc deterministic calibration sample
+    (:func:`_calibration_sample` — identical to unsampled below ~4k
+    docs, so every driver gate row is unchanged): a mean-error audit
+    needs a large stable pair population, not the full quadratic
+    pair set (second-decade soak finding, exponent 1.27 unsampled).
 
     Scale shape: one shingle-keyed equi-join generates the evaluated
     pairs (∝ co-occurrence, not |corpus|²); signatures and sizes join
     in from the single groupBy(doc_id) shuffle; per-pair errors are
     6-dp rounded then decimal-summed, so the mean is
     accumulation-order exact."""
-    d = load_table(spark, "documents", sf_dir)
+    d = _calibration_sample(load_table(spark, "documents", sf_dir))
     sh = _hashed_shingles(d)
     stats = sh.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n"),
@@ -1412,7 +1461,8 @@ BBIT_C = 1.0 / BBIT_MOD          # accidental-collision rate (r->0 form)
 @register(
     "dedup_minhash_b_bit",
     oracle=f"""
-    WITH {_SHINGLES_SQL},
+    WITH {_CALIB_SQL},
+    {_SHINGLES_CALIB_SQL},
     sigs AS (
       SELECT doc_id, {', '.join(H.minhash_agg_sql('h'))}
       FROM sh GROUP BY doc_id
@@ -1468,13 +1518,17 @@ def dedup_minhash_b_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
     calibration row is the evidence the shrink keeps the banding
     threshold usable.
 
-    Scale shape: identical to dedup_minhash_estimate_quality — pairs
-    from the shingle equi-join (co-occurrence-bound), signatures from
-    the single groupBy(doc_id), per-pair errors 6-dp rounded then
-    DECIMAL-summed (accumulation-order exact); low-bit extraction is
-    `mh % {BBIT_MOD}` on already-computed signatures, free in both
-    engines."""
-    d = load_table(spark, "documents", sf_dir)
+    Scale shape: identical to dedup_minhash_estimate_quality, incl.
+    the ~2^11-doc deterministic calibration sample (the r7
+    second-decade soak measured the UNSAMPLED all-co-shingled-pairs
+    shape at exponent 1.27 / 246 s at sf10 — a calibration mean needs
+    a stable pair population, not the quadratic pair set; below ~4k
+    docs the sample is the whole corpus, so gate rows are unchanged).
+    Pairs come from the shingle equi-join, signatures from the single
+    groupBy(doc_id), per-pair errors 6-dp rounded then DECIMAL-summed;
+    low-bit extraction is `mh % {BBIT_MOD}` on already-computed
+    signatures, free in both engines."""
+    d = _calibration_sample(load_table(spark, "documents", sf_dir))
     sh = _hashed_shingles(d)
     stats = sh.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n"),
