@@ -85,6 +85,8 @@ SOAK = [
     "text_bigram_entropy_rate",
     "events_k_anonymity_audit",
     "embedding_dim_variance_audit",
+    # sampled calibration pair (the 1.27 second-decade catch)
+    "dedup_minhash_estimate_quality",
     "events_ab_cuped",
     "orders_demand_forecast_holt",
     "orders_open_interval_depth",
