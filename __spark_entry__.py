@@ -143,6 +143,13 @@ _RECHECK_SOFT["text_gopher_repetition_rules"] = 6
 # in one groupBy) — values identical, compare green at sf0.001+0.01
 _RECHECK_SOFT["text_repetition_ratio"] = 6
 _RECHECK_SOFT["approx_distinct_within_band"] = 6
+# r8 ADVICE fixes, verified bit-identical via oracle.compare at
+# sf0.001+sf0.01: CUPED oracle bounds CTE now NULL-filters like the
+# Spark side (no-op on driver data — no NULL-value extremes); bigram
+# entropy oracle restructured to a global agg (one-row shape on empty
+# corpora — no-op on driver data, which always has bigrams).
+_RECHECK_SOFT["events_ab_cuped"] = 8
+_RECHECK_SOFT["text_bigram_entropy_rate"] = 8
 # r6: rank machinery extracted into _dense_ranks (shared with
 # training_epoch_shuffle) — pure refactor, compare green at 2 SFs
 _RECHECK_SOFT["dense_global_ids"] = 6

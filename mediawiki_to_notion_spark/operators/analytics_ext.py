@@ -3121,6 +3121,7 @@ def events_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT (CAST(min(epoch_ms(ts)) AS BIGINT)
               + CAST(max(epoch_ms(ts)) AS BIGINT)) // 2 AS cut_ms
       FROM events
+      WHERE value IS NOT NULL
     ), per_user AS (
       SELECT user_id, user_id % 2 AS variant,
              CAST(coalesce(sum(CASE WHEN epoch_ms(ts) < b.cut_ms

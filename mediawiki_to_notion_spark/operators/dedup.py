@@ -108,10 +108,14 @@ def _hashed_shingles(d: DataFrame, key: str = "doc_id") -> DataFrame:
     return _shingles(d, key).select(key, H.token_hash60(F.col("shingle")).alias("h"))
 
 
-_SHINGLES_SQL = """
+# Parameterized over the source relation (ADVICE r7): the calibration
+# variant formats src='calib' instead of textually rewriting the
+# rendered SQL, so a future second 'FROM documents' cannot silently
+# desynchronize the calibration oracles from _calibration_sample.
+_SHINGLES_SQL_TMPL = """
     toks AS (
       SELECT doc_id, string_split(text, ' ') AS t
-      FROM documents WHERE len(string_split(text, ' ')) >= 3
+      FROM {src} WHERE len(string_split(text, ' ')) >= 3
     ),
     rawsh AS (
       SELECT DISTINCT doc_id,
@@ -123,6 +127,8 @@ _SHINGLES_SQL = """
     ),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
 """
+
+_SHINGLES_SQL = _SHINGLES_SQL_TMPL.format(src="documents")
 
 
 @register(
@@ -199,7 +205,7 @@ _CALIB_SQL = f"""
     )
 """
 
-_SHINGLES_CALIB_SQL = _SHINGLES_SQL.replace("FROM documents", "FROM calib")
+_SHINGLES_CALIB_SQL = _SHINGLES_SQL_TMPL.format(src="calib")
 
 _MINHASH_SQL = f"""
     sigs AS (

@@ -1544,17 +1544,18 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(n12 AS BIGINT) AS n12,
              CAST(round(ln(n1::DOUBLE / n12), 6) AS DECIMAL(18,6)) AS lp
       FROM c12 JOIN c1 USING (w1)
-    ), tot AS (
-      SELECT CAST(sum(n12) AS BIGINT) AS n FROM terms
     )
-    SELECT t2.n AS n_bigrams,
-           (SELECT count(*) FROM c12) AS n_bigram_types,
-           round(CAST(sum(n12 * lp) AS DOUBLE) / t2.n, 6)
-             AS entropy_rate_nats,
-           round(CAST(sum(n12 * lp) AS DOUBLE) / t2.n / ln(2), 6)
+    -- global aggregate (no GROUP BY): exactly one row even when terms
+    -- is empty, matching Spark's global agg shape (ADVICE r7 —
+    -- sum() -> NULL, count() -> 0 on an all-short-document corpus)
+    SELECT CAST(sum(n12) AS BIGINT) AS n_bigrams,
+           count(*) AS n_bigram_types,
+           round(CAST(sum(n12 * lp) AS DOUBLE)
+                 / CAST(sum(n12) AS BIGINT), 6) AS entropy_rate_nats,
+           round(CAST(sum(n12 * lp) AS DOUBLE)
+                 / CAST(sum(n12) AS BIGINT) / ln(2), 6)
              AS entropy_rate_bits
-    FROM terms, tot t2
-    GROUP BY t2.n
+    FROM terms
     """,
 )
 def text_bigram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:

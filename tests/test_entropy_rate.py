@@ -27,6 +27,29 @@ def test_deterministic_sequence_is_zero_entropy(spark, tmp_path):
     assert r["n_bigram_types"] == 3
 
 
+def test_empty_bigram_corpus_matches_oracle_arity(spark, tmp_path):
+    """ADVICE r7: a corpus where no document has >= 2 tokens must
+    produce the SAME one-row (count 0-ish, NULL rates) shape in both
+    engines — the old oracle's GROUP BY emitted zero rows there."""
+    import os as _os
+
+    from mediawiki_to_notion_spark.operators import ORACLES
+    from mediawiki_to_notion_spark.oracle import compare
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({"doc_id": pa.array([0, 1, 2], type=pa.int32()),
+                  "text": ["single", "word", ""]}),
+        _os.path.join(str(tmp_path), "documents.parquet"),
+    )
+    r = compare(spark, QUERIES["text_bigram_entropy_rate"],
+                ORACLES["text_bigram_entropy_rate"], str(tmp_path))
+    assert r["match"], r
+    assert r["spark_rows"] == 1
+
+
 def test_uniform_branching_measures_ln_k(spark, tmp_path):
     # From hub word "h", branch uniformly to x0..x3, each returning to
     # "h": bigrams h->xi (uniform over 4) and xi->h (determined).
