@@ -163,11 +163,11 @@ HEADLINE = [
     "events_ab_cuped",
     "orders_demand_forecast_holt",
     "orders_open_interval_depth",
-    # orders_forecast_holt_winters is registered + driver-gated but NOT
-    # headline: its ~8-10 s wall is Catalyst COMPILATION of the 12-slot
-    # array-state fold expression (soak exponent -0.14: sf1 runs FASTER
-    # than sf0.1), not engine data-path performance — the multimodal
-    # codec-throughput exclusion precedent applied to plan compile cost.
+    # restored to the headline in r8: the ~8-10 s Catalyst-compile cost
+    # of the old 12-slot array-state fold expression (its r7 exclusion
+    # rationale) is gone — the fold now runs as an Arrow-batched pandas
+    # UDF replaying the identical IEEE operation order (~1.1 s at sf0.1)
+    "orders_forecast_holt_winters",
 ]
 N_R3_SET = 53  # the first 53 entries are the r2/r3 headline set
 N_R4_SET = 61  # ... the first 61 are the r4 headline set

@@ -870,6 +870,46 @@ def _mmr_oracle() -> str:
     return V.hygiene_oracle(body)
 
 
+def _mmr_greedy_select(cands_pdf, sims_pdf):
+    """Per-query greedy MMR walk, the exact integer recurrence of the
+    unrolled-SQL oracle: step 0 picks argmax rel_u (ties to smaller
+    vec_id), step i picks argmax 7*rel_u - 3*max(sim_u to selected).
+    State is <= MMR_C rows per query — a Python loop IS the right
+    physical plan; int64 in, int64 out, no floats anywhere."""
+    import pandas as pd
+
+    if len(cands_pdf) == 0:
+        return pd.DataFrame(
+            columns=["query_id", "step", "vec_id", "rel_u", "score_u"])
+    qid = int(cands_pdf["query_id"].iloc[0])
+    rel = {int(r.vec_id): int(r.rel_u) for r in cands_pdf.itertuples()}
+    sim: dict[tuple[int, int], int] = {
+        (int(r.va), int(r.vb)): int(r.sim_u) for r in sims_pdf.itertuples()
+    }
+    selected: list[int] = []
+    rows = []
+    for step in range(MMR_K):
+        best = None
+        for v, r in rel.items():
+            if v in selected:
+                continue
+            if step == 0:
+                score = MMR_LAMBDA_NUM * r
+            else:
+                pair_sims = [sim[(v, s)] for s in selected if (v, s) in sim]
+                if not pair_sims:  # inner-join semantics of the oracle
+                    continue
+                score = MMR_LAMBDA_NUM * r - MMR_DIV_NUM * max(pair_sims)
+            if best is None or (score, -v) > (best[0], -best[1]):
+                best = (score, v, r)
+        if best is None:
+            break
+        rows.append((qid, step, best[1], best[2], best[0]))
+        selected.append(best[1])
+    return pd.DataFrame(
+        rows, columns=["query_id", "step", "vec_id", "rel_u", "score_u"])
+
+
 @register("similarity_mmr_rerank", oracle=_mmr_oracle())
 def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
@@ -925,55 +965,25 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, ["query_id"])
         .filter(F.col("va") != F.col("vb"))
         .select("query_id", "va", "vb", sim_u.alias("sim_u"))
-        .localCheckpoint()  # bounded: N_QUERIES x MMR_C^2 rows
+        # bounded (N_QUERIES x MMR_C^2 rows); also disambiguates the
+        # cogroup below, whose two sides otherwise share cands' lineage
+        .localCheckpoint()
     )
     cands_slim = cands.select("query_id", "vec_id", "rel_u")
-    sel = (
-        cands_slim.withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") == 1)
-        .select(
-            "query_id", "vec_id", "rel_u",
-            (F.lit(MMR_LAMBDA_NUM) * F.col("rel_u")).cast("long")
-            .alias("score_u"),
-            F.lit(0).cast("long").alias("step"),
-        )
+    # The greedy MMR_K-step selection is PURE int64 arithmetic over a
+    # per-query state of <= MMR_C rows — r7's 5 unrolled level plans
+    # (anti-join + agg + rank-1 window each) cost ~6.8 s of FIXED plan
+    # overhead at every scale (soak exp -0.04).  One cogrouped
+    # applyInPandas replays the identical integer recurrence per query
+    # (no floats touch the selection path, so the oracle's unrolled-SQL
+    # greedy walk stays bit-identical); everything float-parity-
+    # critical (cosine rounding) stays in the Spark columns above.
+    out = cands_slim.groupBy("query_id").cogroup(
+        sims.groupBy("query_id")
+    ).applyInPandas(
+        _mmr_greedy_select,
+        "query_id long, step long, vec_id long, rel_u long, score_u long",
     )
-    out = sel
-    for i in range(1, MMR_K):
-        prev = out.select("query_id", F.col("vec_id").alias("sel_vec"))
-        remaining = cands_slim.join(
-            prev.withColumnsRenamed({"sel_vec": "vec_id"}),
-            ["query_id", "vec_id"], "left_anti",
-        )
-        level_scored = (
-            remaining
-            .join(
-                sims.withColumnsRenamed({"va": "vec_id"}),
-                ["query_id", "vec_id"],
-            )
-            .join(
-                prev.withColumnsRenamed({"sel_vec": "vb"}), ["query_id", "vb"]
-            )
-            .groupBy("query_id", "vec_id", "rel_u")
-            .agg(
-                (
-                    F.lit(MMR_LAMBDA_NUM) * F.col("rel_u")
-                    - F.lit(MMR_DIV_NUM) * F.max("sim_u")
-                ).cast("long").alias("score_u")
-            )
-        )
-        ws = W.partitionBy("query_id").orderBy(
-            F.desc("score_u"), F.asc("vec_id")
-        )
-        level_sel = (
-            level_scored.withColumn("rn", F.row_number().over(ws))
-            .filter(F.col("rn") == 1)
-            .select(
-                "query_id", "vec_id", "rel_u", "score_u",
-                F.lit(i).cast("long").alias("step"),
-            )
-        )
-        out = out.unionByName(level_sel)
     return out.select("query_id", "step", "vec_id", "rel_u", "score_u")
 
 
