@@ -115,7 +115,13 @@ _RECHECK = {"pack_sequences_greedy": 3, "markdown_blocks_golden": 4,
             # r8 (VERDICT r7 brief #6): the 5 unrolled greedy MMR level
             # plans folded into one cogrouped applyInPandas (pure-int64
             # selection; compare green sf0.001+sf0.01) — same reason
-            "similarity_mmr_rerank": 8}
+            "similarity_mmr_rerank": 8,
+            # r8 (VERDICT r7 brief #5): the fuzzy primary re-pointed at
+            # sorted-neighborhood pairing (output-linear; the r7
+            # exhaustive enumeration measured output exponent 1.75 at
+            # sf10 and survives as .._exhaustive) — semantics changed
+            # at the primary name, fresh hash-green row required
+            "dedup_fuzzy_levenshtein": 8}
 
 # SOFT rechecks: confirmed queries EDITED since their green row where
 # the edit is a verified semantic no-op on the driver's data (the r3

@@ -598,7 +598,8 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     No SQL oracle (iterative float eigensolve); pytest pins the
     distributed moment computation and the components against a pure
-    numpy PCA of the same vectors.
+    numpy PCA of the same vectors, and ``pca_power_certificate``
+    hash-gates the eigenpair properties at the driver gate.
 
     100 TB shape: one scan, then a THREE-tier reduction that is all
     code: numpy within an Arrow batch, an executor-side
@@ -639,6 +640,87 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         for dim in range(d_dim):
             out_rows.append((k, dim, float(mu[dim]), float(v[dim]), lam))
     return spark.createDataFrame(out_rows, schema)
+
+
+# Eigenpair-residual tolerance for pca_power_certificate: float64
+# eigh residuals sit at ~1e-15 of the eigenvalue scale; 1e-8 leaves
+# seven orders of headroom while still failing instantly on a wrong
+# covariance assembly or a non-eigenpair.
+PCA_RESIDUAL_TOL = 1e-8
+
+
+@register(
+    "pca_power_certificate",
+    oracle=f"""
+    -- arity mirrors the Spark side: zero rows when no usable vectors
+    -- survive the pca_gram_reduced input filter, else one TRUE row
+    -- per reported component
+    SELECT CAST(u.k AS INT) AS component,
+           TRUE AS residual_within_band,
+           TRUE AS unit_norm,
+           TRUE AS eigenvalue_nonneg,
+           TRUE AS ordered_nonincreasing,
+           TRUE AS explained_ratio_in_unit
+    FROM (SELECT unnest(range(0, {PCA_COMPONENTS})) AS k) u
+    WHERE EXISTS (SELECT 1 FROM embeddings
+                  WHERE embedding IS NOT NULL AND len(embedding) > 0)
+    ORDER BY component
+    """,
+)
+def pca_power_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-CHECKABLE certificate for ``embedding_pca_power`` (VERDICT
+    r7 brief #7 — the sketch families' within-band pattern applied to
+    the eigensolve): rebuilds the covariance from the SAME distributed
+    Gram reduction, then certifies per reported component that
+    (lambda, v) is a genuine eigenpair of that covariance —
+    ||C v - lambda v|| <= {PCA_RESIDUAL_TOL} * max(lambda, 1e-12),
+    ||v|| = 1, lambda >= 0 (covariance PSD), eigenvalues
+    non-increasing, and explained-variance ratio lambda/trace(C) in
+    [0, 1] (zero allowed: degenerate spectra are legitimate).  The oracle predicts TRUE everywhere, so a hash-green
+    driver row certifies the distributed moment assembly AND the
+    eigensolve — the numpy-pinned pytest covers the component VALUES,
+    this covers them at the driver gate.  Float tolerance note: the
+    booleans are load-and-order-independent because the partials are
+    summed in one deterministic driver loop (same as the primary)."""
+    import numpy as np
+
+    partials = pca_gram_reduced(spark, sf_dir).collect()
+    schema = ("component int, residual_within_band boolean, "
+              "unit_norm boolean, eigenvalue_nonneg boolean, "
+              "ordered_nonincreasing boolean, "
+              "explained_ratio_in_unit boolean")
+    if not partials:
+        return spark.createDataFrame([], schema)
+    d_dim = partials[0].d
+    n = sum(r.n for r in partials)
+    mu = sum(np.frombuffer(r.colsum, dtype=np.float64) for r in partials) / n
+    gram = sum(
+        np.frombuffer(r.gram, dtype=np.float64).reshape(d_dim, d_dim)
+        for r in partials
+    )
+    cov = gram / n - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(cov)
+    trace = float(np.trace(cov))
+    rows = []
+    prev_lam = None
+    for k in range(PCA_COMPONENTS):
+        v = evecs[:, -(k + 1)]
+        lam = float(evals[-(k + 1)])
+        resid = float(np.linalg.norm(cov @ v - lam * v))
+        ratio = lam / trace if trace > 0 else 0.0
+        rows.append((
+            k,
+            bool(resid <= PCA_RESIDUAL_TOL * max(lam, 1e-12)),
+            bool(abs(float(np.linalg.norm(v)) - 1.0) <= 1e-9),
+            bool(lam >= -1e-12),
+            bool(prev_lam is None or lam <= prev_lam + 1e-12),
+            # [0, 1] with fp headroom — a ZERO eigenvalue (constant or
+            # perfectly collinear corpus, the adversarial sweep's
+            # degenerate case) is a legitimate spectrum, not a defect
+            bool(-1e-12 <= ratio <= 1.0 + 1e-12),
+        ))
+        prev_lam = lam
+    return spark.createDataFrame(rows, schema)
 
 
 EPOCH_SEEDS = (7, 13)  # two epochs: proves a seed change reorders

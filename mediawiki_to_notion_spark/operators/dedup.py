@@ -19,7 +19,7 @@ arithmetic shared verbatim with the oracle (functions/hashing.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from mediawiki_to_notion_spark.functions import hashing as H
@@ -1093,29 +1093,98 @@ FUZZY_TITLE_CHARS = 40
 FUZZY_MAX_EDITS = 5
 
 
-@register(
-    "dedup_fuzzy_levenshtein",
-    oracle=f"""
-    WITH t AS (
+# Sorted-neighborhood window for the PRIMARY fuzzy pass: each doc is
+# compared to at most W in-block neighbors (by doc_id rank), so the
+# candidate count is O(n·W) — linear — instead of O(sum block²).  The
+# r7 sf1→sf10 soak measured the exhaustive enumeration's OUTPUT at
+# exponent 1.75 (duplicate clusters grow in SIZE with the corpus, so
+# within-block pairs grow quadratically); the window bounds both the
+# candidates and the output without losing cluster CONNECTIVITY for
+# clusters up to W-chained members.
+FUZZY_SN_WINDOW = 8
+
+_FUZZY_BLOCKED_SQL = f"""
+    t AS (
       SELECT doc_id,
              substr(text, 1, {FUZZY_TITLE_CHARS}) AS title,
              substr(text, 1, {FUZZY_BLOCK_CHARS}) AS blk
       FROM documents
     )
+"""
+
+
+@register(
+    "dedup_fuzzy_levenshtein",
+    oracle=f"""
+    WITH {_FUZZY_BLOCKED_SQL},
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY blk ORDER BY doc_id)
+               AS rn
+      FROM t
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(a.title, b.title) AS edit_distance
+    FROM ranked a JOIN ranked b
+      ON a.blk = b.blk AND b.rn > a.rn AND b.rn <= a.rn + {FUZZY_SN_WINDOW}
+    WHERE levenshtein(a.title, b.title) <= {FUZZY_MAX_EDITS}
+    """,
+)
+def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance) near-dup pairs over document title
+    prefixes: prefix blocking + SORTED-NEIGHBORHOOD pairing (Hernández
+    & Stolfo, SIGMOD 1995) — candidates share their first
+    {FUZZY_BLOCK_CHARS} characters AND sit within {FUZZY_SN_WINDOW}
+    rank positions of each other inside the block, so the O(len²)
+    Levenshtein verify runs on O(n·W) pairs.  This is the 100 TB
+    PRIMARY (the r8 re-point, same discipline as r7's dedup_simhash):
+    the exhaustive in-block enumeration survives as
+    ``dedup_fuzzy_levenshtein_exhaustive`` — its candidate set is
+    lossless but its OUTPUT is duplicate-cluster-quadratic (r7 soak:
+    wall exponent 1.44, output exponent 1.75).  Within a duplicate-
+    flooded block the window still chains every member to the cluster
+    (adjacent ranks are W-connected), which is what the downstream
+    connected-components / survivorship passes consume."""
+    d = load_table(spark, "documents", sf_dir)
+    t = d.select(
+        "doc_id",
+        F.substring("text", 1, FUZZY_TITLE_CHARS).alias("title"),
+        F.substring("text", 1, FUZZY_BLOCK_CHARS).alias("blk"),
+    ).withColumn(
+        "rn", F.row_number().over(W.partitionBy("blk").orderBy("doc_id"))
+    )
+    a, b = t.alias("a"), t.alias("b")
+    dist = F.levenshtein(F.col("a.title"), F.col("b.title"))
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk"))
+               & (F.col("b.rn") > F.col("a.rn"))
+               & (F.col("b.rn") <= F.col("a.rn") + FUZZY_SN_WINDOW))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") <= FUZZY_MAX_EDITS)
+    )
+
+
+@register(
+    "dedup_fuzzy_levenshtein_exhaustive",
+    oracle=f"""
+    WITH {_FUZZY_BLOCKED_SQL}
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            levenshtein(a.title, b.title) AS edit_distance
     FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
     WHERE levenshtein(a.title, b.title) <= {FUZZY_MAX_EDITS}
     """,
 )
-def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy (edit-distance) near-dup pairs over document title prefixes,
-    with prefix blocking: candidates must share their first
-    {FUZZY_BLOCK_CHARS} characters, so the O(len²) Levenshtein runs on
-    same-block pairs only — an equi-join shuffle on the blocking key,
-    never all-pairs.  (Blocking is the classical record-linkage scale
-    move; swap the prefix for a phonetic or sorted-token key without
-    touching the join.)"""
+def dedup_fuzzy_levenshtein_exhaustive(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    """The r1-r7 primary: prefix blocking with EXHAUSTIVE in-block pair
+    enumeration — candidate generation is an equi-join (never
+    all-pairs), but the pair OUTPUT grows quadratically in duplicate-
+    cluster size (r7 soak: output exponent 1.75), so this is the
+    small-corpus / audit variant; the sorted-neighborhood primary is
+    the scale path."""
     d = load_table(spark, "documents", sf_dir)
     t = d.select(
         "doc_id",

@@ -373,13 +373,68 @@ def uuid_batch_mint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-file batch-id minting (uuid4 per upload,
     store_notion_blocks.py:86) — exposed as the nondeterministic
     `uuid()` plus the deterministic content-addressed alternative the
-    pipeline actually uses (md5 of the object key)."""
+    pipeline actually uses (md5 of the object key).  Value-certified
+    by ``uuid_mint_certificate`` (hash-gated version/variant/
+    uniqueness properties — the rows-only check here covers only the
+    raw minted column, which is random by design)."""
     d = load_table(spark, "documents", sf_dir)
     key = F.concat(F.lit("docs/"), F.col("doc_id"), F.lit(".md"))
     return d.select(
         "doc_id",
         F.uuid().alias("random_batch_id"),
         F.md5(key).alias("content_addressed_batch_id"),
+    )
+
+
+@register(
+    "uuid_mint_certificate",
+    oracle="""
+    -- the boolean fields mirror Spark's every(): NULL over an empty
+    -- table, TRUE otherwise (a correct generator never yields FALSE)
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_distinct_random,
+           CASE WHEN count(*) = 0 THEN NULL ELSE TRUE END
+             AS all_canonical_format,
+           CASE WHEN count(*) = 0 THEN NULL ELSE TRUE END
+             AS all_version_4,
+           CASE WHEN count(*) = 0 THEN NULL ELSE TRUE END
+             AS all_variant_rfc4122,
+           CAST(count(DISTINCT md5('docs/' || doc_id || '.md'))
+                AS BIGINT) AS n_distinct_content
+    FROM documents
+    """,
+)
+def uuid_mint_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-CHECKABLE certificate for ``uuid_batch_mint`` (VERDICT r7
+    brief #7) — the minted values are nondeterministic, but their
+    PROPERTIES are not: one row asserting (a) every uuid matches the
+    canonical lowercase 8-4-4-4-12 form, (b) the version nibble is 4
+    and the variant nibble is RFC-4122 (8/9/a/b), (c) the batch is
+    collision-free (n_distinct == n_rows — the property the pipeline
+    actually relies on when uuid4 keys upload batches), and (d) the
+    deterministic content-addressed twin column agrees with DuckDB's
+    md5 exactly.  The oracle predicts every field, so a hash-green
+    driver row certifies the generator, not just a row count."""
+    d = load_table(spark, "documents", sf_dir)
+    key = F.concat(F.lit("docs/"), F.col("doc_id"), F.lit(".md"))
+    u = F.uuid()
+    minted = d.select(
+        u.alias("u"), F.md5(key).alias("content_id"),
+    )
+    canonical = (
+        r"^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}"
+        r"-[0-9a-f]{12}$"
+    )
+    return minted.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count_distinct(F.col("u")).cast("long")
+        .alias("n_distinct_random"),
+        F.every(F.col("u").rlike(canonical)).alias("all_canonical_format"),
+        F.every(F.substring("u", 15, 1) == "4").alias("all_version_4"),
+        F.every(F.substring("u", 20, 1).isin("8", "9", "a", "b"))
+        .alias("all_variant_rfc4122"),
+        F.count_distinct(F.col("content_id")).cast("long")
+        .alias("n_distinct_content"),
     )
 
 

@@ -14,6 +14,42 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# Bytes of on-disk parquet per INITIAL AQE shuffle partition.  4 MiB of
+# compressed parquet expands to ~30-60 MB in-flight, a healthy shuffle
+# partition.  Calibrated by the r8 A/B (SCALING.md "wide-AQE A/B"):
+# sf0.1 (17.5 MB) -> 32 initial partitions = Spark default, zero tax
+# (the r7 constant 256 cost +0.5-1.1 s/query there); sf10 (1.6 GB) ->
+# 256, reproducing the r7 soak win (substring cut exponent 1.25->1.03).
+_AQE_BYTES_PER_INITIAL_PARTITION = 4 * 1024 * 1024
+
+
+def _input_bytes(sf_dir: str) -> int:
+    total = 0
+    try:
+        for root, _dirs, files in os.walk(sf_dir):
+            for f in files:
+                if f.endswith(".parquet"):
+                    try:
+                        total += os.path.getsize(os.path.join(root, f))
+                    except OSError:
+                        pass
+    except OSError:
+        pass
+    return total
+
+
+def _aqe_initial_partitions(sp: int, cpus: int, sf_dir: str) -> int:
+    """Input-size-aware AQE initialPartitionNum (VERDICT r7 brief #1):
+    small inputs keep Spark's default (= shuffle partitions — wide
+    initial shuffles carry a fixed per-task cost the input can't
+    amortize), big inputs start wide (up to 8x cores) so sort/agg
+    partitions stay spill-free and AQE coalesces DOWN.  On a real
+    cluster the same policy runs off the job's input listing; here the
+    bench/test input is $SPARK_GRAFT_SF_DIR."""
+    return max(sp, min(8 * cpus,
+                       _input_bytes(sf_dir)
+                       // _AQE_BYTES_PER_INITIAL_PARTITION))
+
 
 def get_spark(app_name: str = "mediawiki_to_notion_spark",
               shuffle_partitions: int | None = None) -> SparkSession:
@@ -34,16 +70,6 @@ def get_spark(app_name: str = "mediawiki_to_notion_spark",
         .config("spark.sql.shuffle.partitions", str(sp))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # Shuffles START wide (8x cores) and AQE coalesces DOWN
-        # (parallelismFirst keeps >= default parallelism, so small-SF
-        # plans are unchanged): a static 32 caps sort/agg partition
-        # size at big SFs — the r7 sf1->sf10 soak measured
-        # dedup_substring_cut at exponent 1.25 from exactly that
-        # (150M-token rebuild shuffles spilling through 32 partitions;
-        # 1.25 -> ~1.0 with this set).  At 100 TB this is the knob
-        # that replaces hand-sizing shuffle.partitions per job.
-        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-                str(8 * int(cpus) if str(cpus).isdigit() else 256))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
@@ -57,6 +83,28 @@ def get_spark(app_name: str = "mediawiki_to_notion_spark",
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     )
+    # AQE initial shuffle-partition count (shuffles start wide, AQE
+    # coalesces down).  A/B-able via SPARK_GRAFT_AQE_INITIAL: an
+    # integer sets it, "unset"/"0" leaves Spark's default (= shuffle
+    # partitions); by default it derives from the input size (see
+    # _aqe_initial_partitions — r7's constant 8x cores taxed small
+    # inputs +0.5-1.1 s/query, measured, SCALING.md "wide-AQE A/B").
+    aqe_init = os.environ.get("SPARK_GRAFT_AQE_INITIAL", "")
+    if aqe_init in ("unset", "0"):
+        pass
+    elif aqe_init.isdigit():
+        builder = builder.config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            aqe_init)
+    else:
+        ncpu = int(cpus) if str(cpus).isdigit() else 32
+        derived = _aqe_initial_partitions(
+            sp, ncpu, os.environ.get("SPARK_GRAFT_SF_DIR",
+                                     "/root/testdata/sf0.1"))
+        if derived > sp:
+            builder = builder.config(
+                "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+                str(derived))
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -147,10 +147,14 @@ def stage2_ingest(spark, staged_parquet: str, tables_dir: str) -> dict:
 
 class _OkHandler(BaseHTTPRequestHandler):
     server_version = "notion-bench/0"
+    latency_s = 0.0  # injected per-request service time (class attr,
+    # set on a per-server subclass by _make_server)
 
     def _handle(self) -> None:
         length = int(self.headers.get("Content-Length", 0))
         self.rfile.read(length)
+        if self.latency_s:
+            time.sleep(self.latency_s)
         payload = json.dumps(
             {"ok": True, "url": f"http://notion.bench{self.path}"}
         ).encode()
@@ -167,10 +171,23 @@ class _OkHandler(BaseHTTPRequestHandler):
         pass
 
 
+def _make_server(latency_s: float = 0.0) -> ThreadingHTTPServer:
+    handler = type("_H", (_OkHandler,), {"latency_s": latency_s})
+    return ThreadingHTTPServer(("127.0.0.1", 0), handler)
+
+
 def stage3_upload(spark, staged_parquet: str, scratch: str,
-                  parallelism: int) -> dict:
+                  parallelism: int, n_pages: int = UPLOAD_PAGES,
+                  latency_s: float = 0.0,
+                  min_interval_s: float = 0.0) -> dict:
     """Timed: drain a bounded page slice through the real HTTP
-    transport against a live local server."""
+    transport against a live local server.
+
+    ``latency_s`` injects a per-request service time so parallelism is
+    OBSERVABLE (VERDICT r7 brief #4: with a zero-RTT local server the
+    per-pass fixed costs dominate and p1 vs p8 measures nothing);
+    ``min_interval_s`` paces each shard's client, so the global request
+    budget is parallelism / min_interval_s req/s."""
     from pyspark.sql import functions as F
 
     from mediawiki_to_notion_spark.streaming import ingest
@@ -180,21 +197,25 @@ def stage3_upload(spark, staged_parquet: str, scratch: str,
         run_upload,
     )
 
-    tables_dir = os.path.join(scratch, f"upload_tables_p{parallelism}")
+    tables_dir = os.path.join(
+        scratch,
+        f"upload_tables_p{parallelism}_n{n_pages}"
+        f"_l{int(latency_s * 1000)}_i{int(min_interval_s * 1000)}")
     staged = spark.read.parquet(staged_parquet)
     keys = [r.s3_object_key for r in staged.select("s3_object_key")
-            .orderBy("s3_object_key").limit(UPLOAD_PAGES).collect()]
+            .orderBy("s3_object_key").limit(n_pages).collect()]
     slice_df = staged.filter(F.col("s3_object_key").isin(keys))
     ingest.ingest_batch(spark, slice_df, tables_dir)
     n_blocks = ingest.blocks_table(spark, tables_dir).read().count()
 
-    srv = ThreadingHTTPServer(("127.0.0.1", 0), _OkHandler)
+    srv = _make_server(latency_s)
     threading.Thread(target=srv.serve_forever, daemon=True).start()
     base = f"http://127.0.0.1:{srv.server_address[1]}"
     try:
         cfg = UploadConfig(
             transport=HttpTransport(base),
             max_blocks=10_000,
+            min_interval_s=min_interval_s,
             upload_parallelism=parallelism,
         )
         t0 = time.time()
@@ -205,9 +226,15 @@ def stage3_upload(spark, staged_parquet: str, scratch: str,
         srv.shutdown()
         srv.server_close()
     assert n_ok == n_blocks, f"upload failed: {n_ok}/{n_blocks}"
-    return {"n_pages": UPLOAD_PAGES, "n_blocks": n_blocks,
-            "parallelism": parallelism, "wall_s": round(wall, 3),
-            "blocks_per_s": round(n_blocks / wall, 1)}
+    row = {"n_pages": n_pages, "n_blocks": n_blocks,
+           "parallelism": parallelism, "wall_s": round(wall, 3),
+           "blocks_per_s": round(n_blocks / wall, 1)}
+    if latency_s:
+        row["latency_ms"] = round(latency_s * 1000, 1)
+    if min_interval_s:
+        row["min_interval_ms"] = round(min_interval_s * 1000, 1)
+        row["global_budget_req_s"] = round(parallelism / min_interval_s, 1)
+    return row
 
 
 def main() -> None:
@@ -244,8 +271,13 @@ def main() -> None:
             s1 = stage1_process_dump(spark, ddir, staged)
             s2 = stage2_ingest(
                 spark, staged, os.path.join(scratch, f"tables_{label}"))
-            s3 = [stage3_upload(spark, staged, os.path.join(scratch, label), p)
-                  for p in (1, 8)]
+            # reference-semantics row only (politeness=1, zero-RTT
+            # server): the r7 p1-vs-p8 pair at zero RTT measured
+            # nothing but per-pass fixed costs (VERDICT r7 #4) — the
+            # real parallel-scaling table runs once below, with an
+            # injected per-request service time
+            s3 = [stage3_upload(spark, staged,
+                                os.path.join(scratch, label), 1)]
             out["sfs"][label] = {
                 "n_source_docs": n,
                 "process_dump": s1,
@@ -253,6 +285,39 @@ def main() -> None:
                 "upload_drain": s3,
             }
             print(f"{label}: {json.dumps(out['sfs'][label])}",
+                  file=sys.stderr, flush=True)
+
+        # Upload-drain parallel scaling (VERDICT r7 brief #4): 10x the
+        # page slice, 20 ms injected per-request service time (so wall
+        # is request-bound: ~4 requests/page — 1 page-create + ~3 block
+        # appends).  Expect wall ~ n_requests * latency / parallelism
+        # until the politeness budget binds: each shard's RateLimiter
+        # paces ITS OWN client at 1/min_interval_s req/s, so the global
+        # budget is parallelism / min_interval_s — the final row pins
+        # that bound (p=8, 80 ms pacing -> 100 req/s global, which
+        # caps ~8k requests at >= ~80 s regardless of latency).
+        if "sf0.1" in out["sfs"]:
+            staged = os.path.join(scratch, "staged_sf0.1")
+            lat = 0.02
+            sweep = [
+                stage3_upload(spark, staged, os.path.join(scratch, "lat"),
+                              p, n_pages=10 * UPLOAD_PAGES, latency_s=lat)
+                for p in (1, 2, 4, 8)
+            ]
+            bound = stage3_upload(
+                spark, staged, os.path.join(scratch, "lat"), 8,
+                n_pages=10 * UPLOAD_PAGES, latency_s=lat,
+                min_interval_s=0.08)
+            out["upload_parallel_scaling"] = {
+                "latency_ms": lat * 1000,
+                "n_pages": 10 * UPLOAD_PAGES,
+                "sweep": sweep,
+                "politeness_bound": bound,
+                "speedup_p8_over_p1": round(
+                    sweep[0]["wall_s"] / sweep[-1]["wall_s"], 2),
+            }
+            print(f"parallel scaling: "
+                  f"{json.dumps(out['upload_parallel_scaling'])}",
                   file=sys.stderr, flush=True)
 
         if "sf0.1" in out["sfs"] and "sf1" in out["sfs"]:

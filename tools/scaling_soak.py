@@ -106,6 +106,10 @@ def main() -> None:
     soak += extra
     n_runs = int(os.environ.get("SOAK_RUNS", "3"))
     loadavg = list(os.getloadavg())
+    # the session's input-size-derived AQE width (session.py) must fit
+    # the LARGER side of the soak pair — that's where wide initial
+    # shuffles pay (r7: substring cut exp 1.25 -> 1.03 at sf10)
+    os.environ.setdefault("SPARK_GRAFT_SF_DIR", SF1)
     spark = get_spark("scaling_soak")
 
     def timed(name: str, sf_dir: str) -> float:
