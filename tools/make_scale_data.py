@@ -76,6 +76,12 @@ def main() -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     os.makedirs(DST, exist_ok=True)
 
+    # SCALE_TABLES=documents,embeddings restricts the build (the r8
+    # sf100 decade only soaks the pair-output family, so the 10 GB
+    # lineitem replication would be pure waste); dims always copy.
+    only = os.environ.get("SCALE_TABLES")
+    wanted = set(only.split(",")) if only else set(KEY_COLS)
+
     for t in ("region", "nation"):
         spark.read.parquet(f"{SRC}/{t}.parquet").write.mode(
             "overwrite").parquet(f"{DST}/{t}.parquet")
@@ -83,14 +89,19 @@ def main() -> None:
 
     # one base per key DOMAIN: max over every column mapped to it
     bases: dict[str, int] = {}
-    raw = {t: spark.read.parquet(f"{SRC}/{t}.parquet") for t in KEY_COLS}
+    raw = {t: spark.read.parquet(f"{SRC}/{t}.parquet")
+           for t in KEY_COLS if t in wanted}
     for t, cols in KEY_COLS.items():
+        if t not in wanted:
+            continue
         for c in cols:
             mx = raw[t].agg(F.max(c)).collect()[0][0]
             dom = KEY_DOMAIN[c]
             bases[dom] = max(bases.get(dom, 0), int(mx) + 1)
 
     for t, cols in KEY_COLS.items():
+        if t not in wanted:
+            continue
         df = raw[t]
         copies = []
         for k in range(N_COPIES):
@@ -111,7 +122,28 @@ def main() -> None:
                         ),
                     ),
                 ).withColumn("n_chars", F.length("text"))
-            if t == "embeddings" and k > 0:
+            if t == "embeddings" and k > 0 and os.environ.get(
+                    "SCALE_EMB_SIGNS") == "1":
+                # STAGE-2 transform (building sfN00 FROM an already
+                # rotated sfN0): rotations COMPOSE, so a second rotation
+                # stage would mint exact cross-copy duplicates
+                # (rot(j)+rot(k) == rot(j')+rot(k') whenever j+k ==
+                # j'+k' mod d).  Sign masks don't compose with
+                # rotations and are pairwise distinct for k+1 in 2..10:
+                # flip dim i iff ((i+1)*(k+1)) % 11 < 5 — the indicator
+                # sets m^-1{0..4} differ for every multiplier because
+                # {1,2,3,4} is not multiplicatively invariant mod 11.
+                # Norm-preserving, identity-free (~5/11 of dims flip).
+                m = k + 1
+                c = c.withColumn(
+                    "embedding",
+                    F.transform(
+                        "embedding",
+                        lambda v, i: F.when(
+                            ((i + 1) * m) % 11 < 5, -v).otherwise(v),
+                    ),
+                )
+            elif t == "embeddings" and k > 0:
                 # rotate by k mod d; past a full cycle (k >= d, only at
                 # N_COPIES > 64) alternate cycles also REVERSE the
                 # vector so no two copies share a transform — both ops
