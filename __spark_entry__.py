@@ -121,7 +121,14 @@ _RECHECK = {"pack_sequences_greedy": 3, "markdown_blocks_golden": 4,
             # exhaustive enumeration measured output exponent 1.75 at
             # sf10 and survives as .._exhaustive) — semantics changed
             # at the primary name, fresh hash-green row required
-            "dedup_fuzzy_levenshtein": 8}
+            "dedup_fuzzy_levenshtein": 8,
+            # r8 sf100-soak catch #2: multitable LSH buckets moved to
+            # the Arrow kernel (bit-identical numpy replay) and the
+            # verify path to a pipelined SHUFFLE_HASH join — compare
+            # green at sf0.001+sf0.01, but the physical path changed
+            # end to end, so both it and its recall gate re-gate hard
+            "dedup_embedding_cosine_lsh_multitable": 8,
+            "dedup_cosine_lsh_recall_multitable": 8}
 
 # SOFT rechecks: confirmed queries EDITED since their green row where
 # the edit is a verified semantic no-op on the driver's data (the r3

@@ -94,6 +94,32 @@ def hyperplane(j: int, dim: int = 64) -> Column:
     )
 
 
+def np_hyperplane(j: int, dim: int = 64):
+    """Numpy twin of :func:`hyperplane`, bit-identical: the formula is
+    integer-exact (products <= ~1.7e17 < 2^63 in int64), the division
+    by 2^31 and the 0.5 subtraction are IEEE-exact, so the float64
+    components equal the JVM/DuckDB values to the last bit."""
+    import numpy as np
+
+    k = np.arange(dim, dtype=np.int64)
+    v = ((j * dim + 1 + k) * (j * dim + 2 + k) * 2654435761) % 2147483648
+    return v.astype(np.float64) / 2147483648.0 - 0.5
+
+
+def np_srp_buckets(X, base: int, n_planes: int):
+    """SRP bucket ids for rows of X under planes base..base+n_planes-1,
+    with DIMENSION-SEQUENTIAL dot accumulation (np_fold_dots order) so
+    every sign decision is bit-identical to the engines' aggregate
+    folds.  Returns int64 bucket ids."""
+    import numpy as np
+
+    H = np.stack([np_hyperplane(base + j, X.shape[1])
+                  for j in range(n_planes)])        # (p, d)
+    dots = np_fold_dots(X, H)                        # (n, p), exact order
+    bits = (dots > 0).astype(np.int64)
+    return (bits << np.arange(n_planes, dtype=np.int64)).sum(axis=1)
+
+
 def hyperplane_sql(j: int, dim: int = 64) -> str:
     """DuckDB twin of :func:`hyperplane` (a DOUBLE[] literal expression)."""
     return (

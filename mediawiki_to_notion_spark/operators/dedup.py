@@ -941,6 +941,35 @@ LSH_N_TABLES = 2        # independent hash tables (recall compensation)
 LSH_TABLE_STRIDE = 100  # disjoint hyperplane family per table
 
 
+def _make_srp_bucket_kernel(npl: int):
+    """Arrow kernel computing ALL {LSH_N_TABLES} tables' SRP buckets in
+    one pass (r8 sf100 soak catch #2): the column-expression bucket —
+    npl interpreted ArrayAggregate folds per row, re-evaluated for
+    every probe-array slot because higher-order functions neither
+    codegen nor CSE — cost O(n·npl²·d) of interpreted Catalyst eval
+    and dominated the multitable wall at sf100.  numpy replays the
+    identical arithmetic (integer-exact plane formula, dimension-
+    sequential fold — functions.vectors.np_srp_buckets), so every
+    sign bit and therefore every bucket id is bit-identical to the
+    SQL twin's."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf["embedding"]])
+            out = {"vec_id": pdf["vec_id"], "embedding": pdf["embedding"]}
+            for t in range(LSH_N_TABLES):
+                out[f"b{t}"] = V.np_srp_buckets(
+                    X, t * LSH_TABLE_STRIDE, npl)
+            yield pd.DataFrame(out)
+
+    return kernel
+
+
 def _multitable_cand_sql() -> str:
     tables = []
     for t in range(LSH_N_TABLES):
@@ -992,51 +1021,70 @@ def dedup_embedding_cosine_lsh_multitable(spark: SparkSession,
     and therefore verification cost — stays a union of two near-linear
     streams, never quadratic.
 
-    Physical shape: candidate generation is one bucket equi-join PER
-    TABLE over id-only rows, a distinct-union (8+8 byte keys), then a
-    single id→embedding rejoin feeding the shared Arrow verification
-    kernel — the tables multiply probe work, not the verify pass.
+    Physical shape (rebuilt twice by the r8 sf10→sf100 soak, which
+    measured the r7 formulation at wall exponent 1.20 / 586 s at
+    sf100).  What the decade actually measured: candidate pairs are
+    LINEAR (8.9M → 94.4M for 10x corpus, ~45 per vector at both
+    decades) — generation was never quadratic; the costs were (a) the
+    bucket ids computed as npl interpreted ArrayAggregate folds per
+    row, re-evaluated per probe-array slot because higher-order
+    functions neither codegen nor CSE — an O(n·npl²·d) interpreted-
+    eval bomb, now ONE Arrow pass (``_make_srp_bucket_kernel``,
+    bit-identical numpy replay) — and (b) materializing the 94M-row
+    candidate-id set through a distinct() plus TWO id→embedding
+    rejoins (~50 GB shuffle), now ONE probe-key SHUFFLE_HASH equi-join
+    per table that carries the vectors, verification pipelined in the
+    join stage, dedup on the post-threshold VERIFIED output (exact:
+    round(cosine, 6) is identical wherever a pair verified).
+    Re-measured: sf10 37.3 → 9.5 s, sf100 586 → 177 s.  The residual
+    wall exponent (~1.1 algorithmic) is the npl = O(log n) probe
+    factor every multi-probe LSH carries — probe-shuffle bytes grow
+    n·(npl+1), measured 12.2x per 10x — plus this box's in-memory →
+    on-disk shuffle transition at ~12 GB; per-executor shuffle on a
+    real cluster stays in one regime.
     ``dedup_cosine_lsh_recall_multitable`` measures the recall lift
     against the same exact ground truth as the other gates."""
     from mediawiki_to_notion_spark.plans.pipeline import ensure_parallelism
 
     e = V.hygiene(load_table(spark, "embeddings", sf_dir))
     npl = _adaptive_plane_count(e)
-    cand_ids = None
+    bucketed = ensure_parallelism(
+        e.select("vec_id", "embedding"), 16
+    ).mapInPandas(
+        _make_srp_bucket_kernel(npl),
+        "vec_id long, embedding array<float>, "
+        + ", ".join(f"b{t} long" for t in range(LSH_N_TABLES)),
+    )
+    verified = None
     for t in range(LSH_N_TABLES):
-        base = t * LSH_TABLE_STRIDE
-        bucket = F.lit(0)
-        for j in range(npl):
-            bucket = bucket + F.when(
-                V.dot(F.col("embedding"), V.hyperplane(base + j)) > 0,
-                F.lit(1 << j),
-            ).otherwise(0)
-        bucketed = e.select("vec_id", "embedding", bucket.alias("bucket"))
+        bucket = F.col(f"b{t}")
         probe_keys = F.array(
-            F.col("bucket"),
-            *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(npl)],
+            bucket,
+            *[bucket.bitwiseXOR(F.lit(1 << j)) for j in range(npl)],
         )
-        a = ensure_parallelism(
-            bucketed.select("vec_id", F.explode(probe_keys).alias("probe")),
-            16,
-        ).alias("a")
-        b = bucketed.select("vec_id", "bucket").alias("b")
-        ids_t = a.join(
-            F.broadcast(b),
-            (F.col("a.probe") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        ).select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
+        a = bucketed.select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("embedding").alias("emb_a"),
+            F.explode(probe_keys).alias("probe"),
         )
-        cand_ids = ids_t if cand_ids is None else cand_ids.unionByName(ids_t)
-    cand_ids = cand_ids.distinct()
-    x = e.select(F.col("vec_id").alias("vec_a"),
-                 F.col("embedding").alias("emb_a"))
-    y = e.select(F.col("vec_id").alias("vec_b"),
-                 F.col("embedding").alias("emb_b"))
-    cand = cand_ids.join(x, "vec_a").join(y, "vec_b")
-    return _cosine_verify(cand)
+        b = bucketed.select(
+            F.col("vec_id").alias("vec_b"),
+            F.col("embedding").alias("emb_b"),
+            bucket.alias("probe"),
+        )
+        pairs_t = (
+            # SHUFFLE_HASH: the probe side is n·(npl+1) exploded
+            # VECTOR rows (~12 GB at sf100) — a sort-merge join would
+            # sort-spill exactly that; hashing the corpus-sized build
+            # side (per-partition slices) keeps the probe side
+            # streaming, unsorted, straight into the verify kernel
+            a.join(b.hint("shuffle_hash"), ["probe"])
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b", "emb_a", "emb_b")
+        )
+        v_t = _cosine_verify(pairs_t)
+        verified = v_t if verified is None else verified.unionByName(v_t)
+    return verified.distinct()
 
 
 @register(
@@ -1143,7 +1191,17 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     wall exponent 1.44, output exponent 1.75).  Within a duplicate-
     flooded block the window still chains every member to the cluster
     (adjacent ranks are W-connected), which is what the downstream
-    connected-components / survivorship passes consume."""
+    connected-components / survivorship passes consume.
+
+    Physical-plan note (the r8 sf100 soak's own catch): joining on
+    ``blk`` alone with the window as a POST-JOIN range predicate
+    degenerates inside a duplicate-flooded block — the equi-join still
+    enumerates m² in-block pairs (and runs m² Levenshteins; a single
+    sf100 task burned 35 CPU-minutes) before the rank filter drops
+    them.  The neighbor offset is therefore EXPLODED INTO THE JOIN
+    KEY: the right side emits {FUZZY_SN_WINDOW} (blk, rn - j) probe
+    keys per row and the join is a pure equi-join on (blk, rn), so
+    exactly n·W candidate rows ever exist."""
     d = load_table(spark, "documents", sf_dir)
     t = d.select(
         "doc_id",
@@ -1152,17 +1210,24 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "rn", F.row_number().over(W.partitionBy("blk").orderBy("doc_id"))
     )
-    a, b = t.alias("a"), t.alias("b")
-    dist = F.levenshtein(F.col("a.title"), F.col("b.title"))
-    return (
-        a.join(b, (F.col("a.blk") == F.col("b.blk"))
-               & (F.col("b.rn") > F.col("a.rn"))
-               & (F.col("b.rn") <= F.col("a.rn") + FUZZY_SN_WINDOW))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            dist.alias("edit_distance"),
+    a = t.select("blk", F.col("rn").alias("a_rn"),
+                 F.col("doc_id").alias("doc_a"),
+                 F.col("title").alias("title_a"))
+    b = (
+        t.select(
+            "blk", F.col("doc_id").alias("doc_b"),
+            F.col("title").alias("title_b"), "rn",
+            F.explode(F.sequence(F.lit(1), F.lit(FUZZY_SN_WINDOW)))
+            .alias("off"),
         )
+        .select("blk", "doc_b", "title_b",
+                (F.col("rn") - F.col("off")).alias("a_rn"))
+        .filter(F.col("a_rn") >= 1)
+    )
+    dist = F.levenshtein(F.col("title_a"), F.col("title_b"))
+    return (
+        a.join(b, ["blk", "a_rn"])
+        .select("doc_a", "doc_b", dist.alias("edit_distance"))
         .filter(F.col("edit_distance") <= FUZZY_MAX_EDITS)
     )
 

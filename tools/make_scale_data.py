@@ -36,7 +36,7 @@ import sys
 
 from pyspark.sql import functions as F
 
-SRC = "/root/testdata/sf0.1"
+SRC = os.environ.get("SCALE_SRC", "/root/testdata/sf0.1")
 # N_COPIES=10 -> sf1 (the r6 soak default); SCALE_N_COPIES=100 -> sf10
 # (the r7 heavy-tail decade).  DST defaults to .scale/sf{N/10}.
 N_COPIES = int(os.environ.get("SCALE_N_COPIES", "10"))
