@@ -168,6 +168,11 @@ HEADLINE = [
     # rationale) is gone — the fold now runs as an Arrow-batched pandas
     # UDF replaying the identical IEEE operation order (~1.1 s at sf0.1)
     "orders_forecast_holt_winters",
+    # r8 additions (the multitable LSH rebuild is already a headline
+    # entry from r7; it keeps its slot)
+    "uuid_mint_certificate",
+    "pca_power_certificate",
+    "dedup_fuzzy_levenshtein_exhaustive",
 ]
 N_R3_SET = 53  # the first 53 entries are the r2/r3 headline set
 N_R4_SET = 61  # ... the first 61 are the r4 headline set
