@@ -94,10 +94,32 @@ SHOWCASE: list[tuple[str, str]] = [
      "2^planes tracks n·(p+1)/32 (SCALING.md r7) over decorrelated "
      "hyperplanes."),
     ("dedup_embedding_cosine_lsh_multitable",
-     "Two id-only probe equi-joins (one per hyperplane family) union "
-     "into a distinct candidate set; embeddings rejoin once; a single "
-     "Arrow `MapInPandas` verify pass — tables multiply probe work, "
-     "never the verification."),
+     "r8 sf100 rebuild: ONE Arrow `MapInPandas` computes both tables' "
+     "bucket ids (the column-expression folds were interpreted "
+     "O(n·npl²·d)); per table, a `ShuffledHashJoin` on the probe key "
+     "carries the vectors so the Arrow verify kernel consumes the join "
+     "output pipelined — no candidate-id materialization; the "
+     "`HashAggregate` dedup runs on the post-threshold verified "
+     "output."),
+    ("dedup_fuzzy_levenshtein",
+     "Sorted-neighborhood pairing with the window offset exploded INTO "
+     "the join key: `Generate explode(sequence(1, W))` on the right "
+     "side, then a pure equi-join on (blk, rn) — n·W candidate rows "
+     "exist structurally; Levenshtein runs post-join inside the same "
+     "codegen stage, never per in-block pair (the sf100 soak caught "
+     "the post-join-predicate formulation at m² per flooded block)."),
+    ("similarity_mmr_rerank",
+     "Candidate generation and MICRO-UNIT pair cosines stay relational "
+     "(broadcast query side, two bounded localCheckpoints); the greedy "
+     "MMR walk is one cogrouped `FlatMapCoGroupsInPandas` per query — "
+     "pure int64 state ≤ 16 rows/query; the r7 formulation's five "
+     "unrolled level plans (~6.8 s fixed) are gone."),
+    ("orders_forecast_holt_winters",
+     "The relational half (broadcast dims, month aggregate, per-nation "
+     "ordered series collect) feeds one `ArrowEvalPython` (pandas UDF) "
+     "fold per nation — the 12-slot array-state Catalyst expression "
+     "this replaced cost 8-10 s of pure plan compilation at every "
+     "scale factor."),
     ("dedup_substring_cut_exact",
      "Everything heavy is a hash partial-agg on 8-byte keys; the "
      "lag/cumsum `Window`s run only over duplicated windows "
