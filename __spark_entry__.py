@@ -204,6 +204,18 @@ _RECHECK_SOFT["multimodal_image_webp_roundtrip"] = 7
 # at exponent 1.27); at gate SFs the sample is the whole corpus and
 # results were verified bit-identical, so these are soft re-gates.
 _RECHECK_SOFT["dedup_minhash_estimate_quality"] = 7
+# r9 plan-only edits, each verified bit-identical via oracle.compare at
+# sf0.01 before registering: multitable cross-table dedup re-keyed from
+# distinct() over (vec_a, vec_b, cosine_r) to dropDuplicates on the
+# PAIR key (ADVICE r8 — no float bit-equality dependence; recall gate
+# shares the candidate CTE so it re-gates too), and both forecast
+# queries dropped the unconditional F.broadcast hint on the customer
+# projection (VERDICT r8 item 7 — Catalyst auto-broadcasts at tested
+# SFs, plan-asserted; degrades to shuffle past the threshold).
+_RECHECK_SOFT["dedup_embedding_cosine_lsh_multitable"] = 9
+_RECHECK_SOFT["dedup_cosine_lsh_recall_multitable"] = 9
+_RECHECK_SOFT["orders_demand_forecast_holt"] = 9
+_RECHECK_SOFT["orders_forecast_holt_winters"] = 9
 # Added after the current round's ~50-query window filled; placed right
 # behind the fresh backlog (locally oracle-checked already).  All
 # round-2 additions queue here so the r1-era never-driver-checked

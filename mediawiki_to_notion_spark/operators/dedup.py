@@ -1034,8 +1034,10 @@ def dedup_embedding_cosine_lsh_multitable(spark: SparkSession,
     candidate-id set through a distinct() plus TWO id→embedding
     rejoins (~50 GB shuffle), now ONE probe-key SHUFFLE_HASH equi-join
     per table that carries the vectors, verification pipelined in the
-    join stage, dedup on the post-threshold VERIFIED output (exact:
-    round(cosine, 6) is identical wherever a pair verified).
+    join stage, dedup on the post-threshold VERIFIED output keyed by
+    (vec_a, vec_b) — never by float equality across tables (ADVICE
+    r8), though the deterministic kernel does emit identical cosine_r
+    wherever a pair verifies in both tables.
     Re-measured: sf10 37.3 → 9.5 s, sf100 586 → 177 s.  The residual
     wall exponent (~1.1 algorithmic) is the npl = O(log n) probe
     factor every multi-probe LSH carries — probe-shuffle bytes grow
@@ -1084,7 +1086,14 @@ def dedup_embedding_cosine_lsh_multitable(spark: SparkSession,
         )
         v_t = _cosine_verify(pairs_t)
         verified = v_t if verified is None else verified.unionByName(v_t)
-    return verified.distinct()
+    # Cross-table dedup on the PAIR KEY, not distinct() over all three
+    # columns: distinct() would require cosine_r to be bit-identical
+    # between the tables' verify passes — true today because
+    # _cosine_verify is deterministic left-fold, but any future change
+    # to the kernel's accumulation order would silently duplicate pairs
+    # instead of failing (ADVICE r8).  The key-based form is robust;
+    # tests/test_dedup.py pins one-row-per-pair on a multi-table hit.
+    return verified.dropDuplicates(["vec_a", "vec_b"])
 
 
 @register(

@@ -89,7 +89,15 @@ def get_spark(app_name: str = "mediawiki_to_notion_spark",
     # partitions); by default it derives from the input size (see
     # _aqe_initial_partitions — r7's constant 8x cores taxed small
     # inputs +0.5-1.1 s/query, measured, SCALING.md "wide-AQE A/B").
+    # Strict parse (ADVICE r8): a mistyped value ('none', '-1',
+    # '256 ') must be an ERROR, not a silent fall-through to the
+    # derived heuristic — an A/B arm running the wrong config while
+    # tools/aqe_ab.py labels it by intent would corrupt the experiment.
     aqe_init = os.environ.get("SPARK_GRAFT_AQE_INITIAL", "")
+    if aqe_init not in ("", "unset", "0") and not aqe_init.isdigit():
+        raise ValueError(
+            f"SPARK_GRAFT_AQE_INITIAL={aqe_init!r}: expected an integer, "
+            "'unset', '0', or empty (derived heuristic)")
     if aqe_init in ("unset", "0"):
         pass
     elif aqe_init.isdigit():

@@ -841,3 +841,17 @@ def test_winnowing_pairs_are_equi_join_only(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Window" in plan  # per-doc winnowing window, not a driver loop
+
+
+def test_forecast_customer_join_auto_broadcasts(spark):
+    """The forecast queries join orders to a 2-column CUSTOMER
+    projection.  Customer is not a bounded dimension (nation/region
+    are), so the join carries NO F.broadcast hint — at tested SFs
+    Catalyst must still pick a broadcast join from the size estimate
+    (autoBroadcastJoinThreshold), and past the threshold it degrades
+    to a shuffle join instead of a driver OOM (VERDICT r8 item 7)."""
+    for name in ("orders_demand_forecast_holt",
+                 "orders_forecast_holt_winters"):
+        plan = plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name

@@ -40,6 +40,15 @@ SRC = os.environ.get("SCALE_SRC", "/root/testdata/sf0.1")
 # N_COPIES=10 -> sf1 (the r6 soak default); SCALE_N_COPIES=100 -> sf10
 # (the r7 heavy-tail decade).  DST defaults to .scale/sf{N/10}.
 N_COPIES = int(os.environ.get("SCALE_N_COPIES", "10"))
+# The sign-mask scheme (flip dim i iff ((i+1)*(k+1)) % 11 < 5) is only
+# pairwise distinct for multipliers k+1 in 2..10 (mod 11): with more
+# copies, multipliers congruent mod 11 (k+1=2 vs 13) would get the SAME
+# mask and silently mint exact duplicate embedding copies, corrupting
+# scaling/dedup measurements (ADVICE r8).  Fail loudly instead.
+if os.environ.get("SCALE_EMB_SIGNS") == "1" and N_COPIES > 10:
+    raise SystemExit(
+        f"SCALE_EMB_SIGNS=1 supports at most 10 copies (got {N_COPIES}): "
+        "sign masks repeat for multipliers congruent mod 11")
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DST = os.environ.get(
     "SCALE_DST",
