@@ -128,7 +128,21 @@ _RECHECK = {"pack_sequences_greedy": 3, "markdown_blocks_golden": 4,
             # green at sf0.001+sf0.01, but the physical path changed
             # end to end, so both it and its recall gate re-gate hard
             "dedup_embedding_cosine_lsh_multitable": 8,
-            "dedup_cosine_lsh_recall_multitable": 8}
+            "dedup_cosine_lsh_recall_multitable": 8,
+            # r9 (VERDICT r8 brief #2): the three tokenizer trainers
+            # gained a scale cutover — distinct-word tables under
+            # DRIVER_VOCAB_CAP replay the merge/EM rounds driver-side
+            # in exact integer arithmetic (family total 19.3 -> 6.5 s
+            # at sf0.1); the distributed loop survives as the at-scale
+            # fallback and both paths are pinned bit-identical in
+            # tests/test_tokenizer_driver_cutover.py.  Physical path
+            # changed end-to-end at every tested SF, so re-gate hard.
+            "bpe_train_merges": 9,
+            "bpe_tokenize_fertility": 9,
+            "wordpiece_train_merges": 9,
+            "wordpiece_tokenize_fertility": 9,
+            "unigram_lm_train": 9,
+            "unigram_lm_fertility": 9}
 
 # SOFT rechecks: confirmed queries EDITED since their green row where
 # the edit is a verified semantic no-op on the driver's data (the r3

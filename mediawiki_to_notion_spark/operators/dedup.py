@@ -1283,6 +1283,146 @@ CC_MAX_ITERS = 20
 CC_CHECKPOINT_EVERY = 3
 
 
+def _min_label_components(pairs: DataFrame) -> DataFrame:
+    """Min-label propagation over an undirected (doc_a, doc_b) edge
+    list; returns (doc_id, label) for the edge-induced subgraph only
+    (isolated nodes are the caller's concern).  Same algorithm,
+    checkpoint cadence, and loud non-convergence failure as
+    ``dedup_connected_components``."""
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"),
+                     F.col("doc_a").alias("doc_b"))
+    ).withColumnsRenamed({"doc_a": "src", "doc_b": "dst"}).localCheckpoint()
+    labels = edges.select(F.col("src").alias("doc_id")).distinct() \
+        .select("doc_id", F.col("doc_id").alias("label"))
+    for it in range(CC_MAX_ITERS):
+        propagated = (
+            labels.join(edges, labels.doc_id == edges.src)
+            .select(F.col("dst").alias("doc_id"), "label")
+        )
+        new_labels = (
+            labels.unionByName(propagated)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+        )
+        if (it + 1) % CC_CHECKPOINT_EVERY == 0:
+            new_labels = new_labels.localCheckpoint(eager=False)
+        else:
+            new_labels = new_labels.cache()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected components did not converge within {CC_MAX_ITERS} "
+        "rounds")
+
+
+_FUZZY_CERT_CC_SQL = f"""
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY blk ORDER BY doc_id)
+               AS rn
+      FROM t
+    ),
+    win AS (
+      SELECT a.doc_id AS da, b.doc_id AS db
+      FROM ranked a JOIN ranked b
+        ON a.blk = b.blk AND b.rn > a.rn AND b.rn <= a.rn + {FUZZY_SN_WINDOW}
+      WHERE levenshtein(a.title, b.title) <= {FUZZY_MAX_EDITS}
+    ),
+    exh AS (
+      SELECT a.doc_id AS da, b.doc_id AS db
+      FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
+      WHERE levenshtein(a.title, b.title) <= {FUZZY_MAX_EDITS}
+    ),
+    ew AS (SELECT da AS a, db AS b FROM win
+           UNION ALL SELECT db, da FROM win),
+    ex AS (SELECT da AS a, db AS b FROM exh
+           UNION ALL SELECT db, da FROM exh),
+    rw(src, node) AS (
+      SELECT DISTINCT a, a FROM ew
+      UNION
+      SELECT r.src, e.b FROM rw r JOIN ew e ON e.a = r.node
+    ),
+    rx(src, node) AS (
+      SELECT DISTINCT a, a FROM ex
+      UNION
+      SELECT r.src, e.b FROM rx r JOIN ex e ON e.a = r.node
+    ),
+    cw AS (SELECT src, min(node) AS comp FROM rw GROUP BY src),
+    cx AS (SELECT src, min(node) AS comp FROM rx GROUP BY src)
+"""
+
+
+@register(
+    "dedup_fuzzy_connectivity_certificate",
+    oracle=f"""
+    WITH RECURSIVE {_FUZZY_BLOCKED_SQL},
+    {_FUZZY_CERT_CC_SQL}
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM cw) AS n_nodes_window,
+           (SELECT CAST(count(*) AS BIGINT) FROM cx) AS n_nodes_exhaustive,
+           (SELECT CAST(count(DISTINCT comp) AS BIGINT) FROM cw)
+             AS n_clusters_window,
+           (SELECT CAST(count(DISTINCT comp) AS BIGINT) FROM cx)
+             AS n_clusters_exhaustive,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM cw JOIN cx ON cw.src = cx.src
+            WHERE cw.comp != cx.comp) AS n_label_mismatches,
+           (SELECT count(*) FROM cw JOIN cx ON cw.src = cx.src
+            WHERE cw.comp != cx.comp) = 0 AS window_connectivity_ok
+    """,
+)
+def dedup_fuzzy_connectivity_certificate(spark: SparkSession,
+                                         sf_dir: str) -> DataFrame:
+    """CERTIFICATE for the sorted-neighborhood fuzzy primary's
+    connectivity claim (VERDICT r8 brief #4): composing BOTH fuzzy
+    pair sets through min-label connected components must yield the
+    SAME cluster labels on every shared node — i.e. the
+    {FUZZY_SN_WINDOW}-neighbor window never SPLITS a duplicate
+    cluster that the exhaustive enumeration connects (flooded blocks
+    stay cluster-connected because adjacent ranks are W-chained,
+    ``dedup_fuzzy_levenshtein`` docstring).  What the window MAY lose
+    is whole rank-distant pairs (recall, reported as the node-count
+    delta), never cluster structure; ``window_connectivity_ok`` pins
+    zero label mismatches, hash-gated against the DuckDB recursive
+    closure of both edge sets — the same discipline as the three LSH
+    recall gates."""
+    w = dedup_fuzzy_levenshtein(spark, sf_dir).select("doc_a", "doc_b")
+    x = dedup_fuzzy_levenshtein_exhaustive(spark, sf_dir) \
+        .select("doc_a", "doc_b")
+    cw = _min_label_components(w)
+    cx = _min_label_components(x)
+    nw = cw.agg(
+        F.count(F.lit(1)).alias("n_nodes_window"),
+        F.countDistinct("label").alias("n_clusters_window"),
+    )
+    nx = cx.agg(
+        F.count(F.lit(1)).alias("n_nodes_exhaustive"),
+        F.countDistinct("label").alias("n_clusters_exhaustive"),
+    )
+    mm = (
+        cw.alias("w").join(cx.alias("x"), "doc_id")
+        .filter(F.col("w.label") != F.col("x.label"))
+        .agg(F.count(F.lit(1)).alias("n_label_mismatches"))
+    )
+    return (
+        nw.crossJoin(F.broadcast(nx)).crossJoin(F.broadcast(mm))
+        .select(
+            "n_nodes_window", "n_nodes_exhaustive",
+            "n_clusters_window", "n_clusters_exhaustive",
+            "n_label_mismatches",
+            (F.col("n_label_mismatches") == 0)
+            .alias("window_connectivity_ok"),
+        )
+    )
+
+
 @register(
     "dedup_connected_components",
     oracle=f"""

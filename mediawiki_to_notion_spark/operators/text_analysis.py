@@ -1119,7 +1119,16 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
     merge_rules is [(round, a, b, count)] and vocab is the final
     (word, l, freq) frame with each word rewritten into its
     post-merge symbol sequence.  Shared by ``bpe_train_merges`` (rule
-    table) and ``bpe_tokenize_fertility`` (apply/encode side)."""
+    table) and ``bpe_tokenize_fertility`` (apply/encode side).
+
+    Scale cutover (r9): the loop state is the distinct-word table —
+    when it fits DRIVER_VOCAB_CAP the rounds replay driver-side in
+    exact integer arithmetic (bit-identical by construction and by
+    tests/test_tokenizer_driver_cutover.py), one bounded collect
+    instead of {BPE_TRAIN_ROUNDS}+ actions; past the cap the
+    distributed loop below runs unchanged (the 100 TB path)."""
+    from mediawiki_to_notion_spark.operators import tokenizer_local as TL
+
     d = load_table(spark, "documents", sf_dir)
     words = (
         d.select(F.explode(F.split("text", " ")).alias("word"))
@@ -1127,6 +1136,14 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
+    wf = TL.collect_word_freqs(words)
+    if wf is not None:
+        merges, seqs = TL.bpe_train_local(wf, BPE_TRAIN_ROUNDS)
+        vocab = spark.createDataFrame(
+            [(w, seqs[w], f) for w, f in wf],
+            "word string, l array<string>, freq long",
+        )
+        return merges, vocab
     cur = words.select("word", F.split("word", "").alias("l"), "freq") \
         .localCheckpoint()
     merges: list[tuple[int, str, str, int]] = []

@@ -164,7 +164,21 @@ def _unigram_train(spark: SparkSession, sf_dir: str):
     """Run the hard-EM loop; returns (vocab, words) where vocab is the
     final {piece: count} dict (driver-sized artifact) and words the
     localCheckpointed distinct-word frame for the apply side."""
-    words = _word_freq(spark, sf_dir).localCheckpoint()
+    from mediawiki_to_notion_spark.operators import tokenizer_local as TL
+
+    words_raw = _word_freq(spark, sf_dir)
+    # Scale cutover (r9, see tokenizer_local.py): when the distinct-word
+    # table fits the cap, the seed + EM rounds replay driver-side (same
+    # libm ln via _micro_nat_cost, same integer usage counts, same
+    # tie-breaks); the words frame is rebuilt from the collected rows so
+    # the apply side needs no extra corpus pass.
+    wf = TL.collect_word_freqs(words_raw)
+    if wf is not None:
+        vocab = TL.unigram_train_local(
+            wf, UNI_ROUNDS, UNI_SEED_K, UNI_MAX_PIECE, _micro_nat_cost)
+        words = spark.createDataFrame(wf, "word string, freq long")
+        return vocab, words
+    words = words_raw.localCheckpoint()
     cand = (
         _position_pieces(words)
         .groupBy("piece")
@@ -367,13 +381,33 @@ def unigram_lm_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     word-keyed equi-join of the exploded token stream against the
     (word -> n_pieces) dim followed by a map-side-combinable per-doc
     sum."""
+    from mediawiki_to_notion_spark.operators import tokenizer_local as TL
+
     vocab, words = _unigram_train(spark, sf_dir)
-    costs = _final_costs(spark, vocab).select(
-        "piece", F.col("cost_micro_nats").alias("cost")
-    )
-    wl = _viterbi_segment(words, costs).select(
-        "word", F.size("pieces").alias("n_pieces")
-    )
+    wf = TL.collect_word_freqs(words)
+    if wf is not None:
+        # driver replay of the final segmentation (r9 cutover): same
+        # float(total)/libm-ln cost table as _final_costs, same
+        # (cost, pieces) tie-break as _viterbi_segment
+        total = float(sum(vocab.values()))
+        costs_local = {
+            p: _micro_nat_cost(total, c) for p, c in vocab.items()
+        }
+        wl = spark.createDataFrame(
+            sorted(
+                (w, len(TL.unigram_viterbi_local(
+                    w, costs_local, UNI_MAX_PIECE)[1]))
+                for w, _f in wf
+            ),
+            "word string, n_pieces long",
+        )
+    else:
+        costs = _final_costs(spark, vocab).select(
+            "piece", F.col("cost_micro_nats").alias("cost")
+        )
+        wl = _viterbi_segment(words, costs).select(
+            "word", F.size("pieces").alias("n_pieces")
+        )
     d = load_table(spark, "documents", sf_dir)
     dw = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")

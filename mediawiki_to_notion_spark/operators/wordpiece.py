@@ -71,6 +71,8 @@ def _wordpiece_train(spark: SparkSession, sf_dir: str):
     """Run the WordPiece merge loop; returns (merges, vocab_frame)
     where merges is [(round, a, b, merged, n_pair, score_scaled)] and
     vocab_frame the final (word, l, freq) symbol-sequence table."""
+    from mediawiki_to_notion_spark.operators import tokenizer_local as TL
+
     d = load_table(spark, "documents", sf_dir)
     words = (
         d.select(F.explode(F.split("text", " ")).alias("word"))
@@ -78,6 +80,19 @@ def _wordpiece_train(spark: SparkSession, sf_dir: str):
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
+    # Scale cutover (r9, see tokenizer_local.py): driver replay of the
+    # rounds when the distinct-word table fits the cap — exact DECIMAL
+    # score arithmetic is plain unbounded-int // in Python — else the
+    # distributed loop below, unchanged.
+    wf = TL.collect_word_freqs(words)
+    if wf is not None:
+        merges, seqs = TL.wordpiece_train_local(
+            wf, WP_TRAIN_ROUNDS, WP_SCALE)
+        vocab = spark.createDataFrame(
+            [(w, seqs[w], f) for w, f in wf],
+            "word string, l array<string>, freq long",
+        )
+        return merges, vocab
     cur = words.select(
         "word", _initial_symbols().alias("l"), "freq"
     ).localCheckpoint()
@@ -321,6 +336,8 @@ def wordpiece_tokenize_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     table; the greedy scan is a JVM ``aggregate`` fold over each
     word's (i, j)-sorted match list; the corpus pass is one word-keyed
     equi-join + map-side-combinable per-doc sum."""
+    from mediawiki_to_notion_spark.operators import tokenizer_local as TL
+
     merges, _vocab = _wordpiece_train(spark, sf_dir)
     d = load_table(spark, "documents", sf_dir)
     words = (
@@ -329,6 +346,34 @@ def wordpiece_tokenize_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
+    dw_corpus = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    # Scale cutover (r9): max-munch is a per-distinct-word scan — when
+    # the word table fits the cap it runs driver-side against the
+    # Python vocab set (same greedy longest-match), and only the
+    # corpus-scale join+agg below stays distributed.
+    wf = TL.collect_word_freqs(words)
+    if wf is not None:
+        vocab_set = set()
+        for w, _f in wf:
+            vocab_set.add(w[0])
+            vocab_set.update("##" + c for c in w[1:])
+        vocab_set.update(m[3] for m in merges)
+        wp = TL.wordpiece_max_munch_local([w for w, _ in wf], vocab_set)
+        wl_local = spark.createDataFrame(
+            sorted(wp.items()), "word string, n_pieces long")
+        return (
+            dw_corpus.join(wl_local, "word")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_words"),
+                F.sum("n_pieces").alias("n_pieces"),
+                F.round(
+                    F.sum("n_pieces").cast("double") / F.count(F.lit(1)), 6
+                ).alias("fertility"),
+            )
+        )
     alphabet = words.select(
         F.explode(_initial_symbols()).alias("piece")
     ).distinct()

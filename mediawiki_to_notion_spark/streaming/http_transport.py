@@ -65,27 +65,38 @@ if HAVE_URLLIB3:
         so exhaustion surfaces the real final status instead of being
         regex-scraped out of urllib3's (non-contractual) exception text."""
 
-        def __init__(self, *args, status_cell: list | None = None, **kw) -> None:
+        def __init__(self, *args, status_cell: list | None = None,
+                     throttle_cell: list | None = None, **kw) -> None:
             super().__init__(*args, **kw)
             self._status_cell = status_cell
+            self._throttle_cell = throttle_cell
 
         def new(self, **kw):  # urllib3 clones Retry on every increment
             clone = super().new(**kw)
             clone._status_cell = self._status_cell
+            clone._throttle_cell = self._throttle_cell
             return clone
 
         def increment(self, *args, response=None, **kw):
             if response is not None and self._status_cell is not None:
                 self._status_cell[0] = response.status
+            if (response is not None and response.status == 429
+                    and self._throttle_cell is not None):
+                # count every 429 the retry loop absorbs so the
+                # adaptive pacer sees throttle density even when
+                # urllib3 owns the retries
+                self._throttle_cell[0] += 1
             return super().increment(*args, response=response, **kw)
 
 
-def reference_retry_policy(status_cell: list | None = None) -> "Retry":
+def reference_retry_policy(status_cell: list | None = None,
+                           throttle_cell: list | None = None) -> "Retry":
     """The reference's Retry, verbatim where urllib3 v2 allows (v2 renamed
     ``method_whitelist`` → ``allowed_methods``), plus the explicit
     connect/read/redirect zeros discussed in the module docstring."""
     return _RecordingRetry(
         status_cell=status_cell,
+        throttle_cell=throttle_cell,
         total=None,
         status=MAX_STATUS_RETRIES,
         connect=0,
@@ -113,13 +124,22 @@ class HttpTransport:
         self.token = token
         self.timeout_s = timeout_s
         self._pool = None
+        self._throttles = 0  # 429s absorbed by urllib3 since last pop
 
     # -- pickling: pool is per-process, never shipped ------------------------
 
     def __getstate__(self) -> dict:
         state = self.__dict__.copy()
         state["_pool"] = None
+        state["_throttles"] = 0  # per-process counter, never shipped
         return state
+
+    def pop_throttle_count(self) -> int:
+        """Drain the 429 counter (read by NotionClient so an adaptive
+        rate limiter can react to throttles urllib3 already retried)."""
+        n = self._throttles
+        self._throttles = 0
+        return n
 
     def _http(self):
         if self._pool is None:
@@ -158,12 +178,17 @@ class HttpTransport:
         if self.token:
             headers["Authorization"] = f"Bearer {self.token}"
         last_status: list = [None]
+        throttles: list = [0]
         try:
             resp = self._http().request(
                 method, url, body=body, headers=headers,
-                retries=reference_retry_policy(last_status),
+                retries=reference_retry_policy(last_status, throttles),
             )
         except MaxRetryError as exc:
+            # the recording Retry counts EVERY 429 (its increment runs
+            # before super()'s exhaustion raise, so the final 429 is
+            # already included)
+            self._throttles += throttles[0]
             # status=5 exhausted (raise_on_status) — the recording Retry
             # carried the real final status out of the retry loop
             if last_status[0] is not None:
@@ -172,6 +197,7 @@ class HttpTransport:
         except _U3HTTPError as exc:
             # connect/read/protocol errors: never retried (connect=0)
             raise TransportError(str(exc)) from exc
+        self._throttles += throttles[0]
         if resp.status != 200:
             # non-forcelist status (e.g. 404): one attempt, no retry
             raise HTTPStatusError(resp.status)

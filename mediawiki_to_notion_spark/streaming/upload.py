@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from mediawiki_to_notion_spark.storage import ParquetTable
 from mediawiki_to_notion_spark.streaming import ingest as tables
 from mediawiki_to_notion_spark.streaming.notion_client import (
+    AdaptiveRateLimiter,
     RateLimiter,
     executor_client,
 )
@@ -48,6 +49,13 @@ class UploadConfig:
     # upload_parallelism / min_interval_s — scale min_interval_s with
     # parallelism to hold a global API budget.
     upload_parallelism: int = 1
+    # r9 (VERDICT r8 brief #6): opt-in 429-feedback pacing — each
+    # shard's limiter widens its interval on observed 429s and decays
+    # back to min_interval_s on successes, so the aggregate rate
+    # CONVERGES under the server's real budget when the static
+    # parallelism/min_interval_s estimate overshoots.  Retry semantics
+    # (statuses, counts, backoff) are untouched.
+    adaptive_pacing: bool = False
 
 
 def _make_worker(cfg: UploadConfig):
@@ -56,7 +64,11 @@ def _make_worker(cfg: UploadConfig):
     breaks the page (upload_notion_blocks.py:282-297)."""
 
     def worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        client = executor_client(cfg.transport, RateLimiter(cfg.min_interval_s))
+        limiter = (
+            AdaptiveRateLimiter(cfg.min_interval_s)
+            if cfg.adaptive_pacing else RateLimiter(cfg.min_interval_s)
+        )
+        client = executor_client(cfg.transport, limiter)
         failed_batches: set[str] = set()
         page_urls: dict[str, str] = {}
         out_cols = ["batch_id", "block_index", "s3_object_key", "ok", "page_url", "error"]

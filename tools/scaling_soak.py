@@ -105,6 +105,16 @@ def main() -> None:
     extra = ([n for n in only.split(",") if n not in SOAK] if only else [])
     soak += extra
     n_runs = int(os.environ.get("SOAK_RUNS", "3"))
+    # idle gate (r9, VERDICT r8 brief #3: the SOAK100 multitable row was
+    # captured under decaying load 7.4 with the idle number hand-timed —
+    # never again): block until 1-min load < 1.0, same policy as bench.py
+    idle_gate_load = float(os.environ.get("SOAK_IDLE_LOAD", "1.0"))
+    idle_budget_s = float(os.environ.get("SOAK_IDLE_WAIT", "1800"))
+    waited_s = 0.0
+    while (os.getloadavg()[0] >= idle_gate_load and waited_s < idle_budget_s):
+        time.sleep(15.0)
+        waited_s += 15.0
+    idle_gate_timed_out = os.getloadavg()[0] >= idle_gate_load
     loadavg = list(os.getloadavg())
     # the session's input-size-derived AQE width (session.py) must fit
     # the LARGER side of the soak pair — that's where wide initial
@@ -131,13 +141,20 @@ def main() -> None:
             .write.mode("overwrite").format("noop").save()
     spark.catalog.clearCache()
 
+    # r9 fix (VERDICT r8 brief #3): key the per-SF timings by the
+    # ACTUAL soak pair (the r8 third-decade artifact said t_sf0.1/t_sf1
+    # while holding sf10/sf100 values)
+    k_src = f"t_{os.path.basename(SF01)}"
+    k_dst = f"t_{os.path.basename(SF1)}"
     rows = {}
     for name in soak:
+        la_q = round(os.getloadavg()[0], 2)
         t01 = timed(name, SF01)
         t1 = timed(name, SF1)
         exp = math.log(t1 / t01) / math.log(10.0)
-        rows[name] = {"t_sf0.1": round(t01, 3), "t_sf1": round(t1, 3),
-                      "exponent": round(exp, 3)}
+        rows[name] = {k_src: round(t01, 3), k_dst: round(t1, 3),
+                      "exponent": round(exp, 3),
+                      "loadavg_1m_at_start": la_q}
         print(f"{name:40s} {t01:7.2f}s  {t1:8.2f}s  exp {exp:5.2f}",
               file=sys.stderr, flush=True)
 
@@ -146,6 +163,9 @@ def main() -> None:
                   f"{os.path.basename(SF1)}",
         "n_runs_min_of": n_runs,
         "loadavg_start": [round(x, 2) for x in loadavg],
+        "idle_gate_waited_s": waited_s,
+        "idle_gate_load_threshold": idle_gate_load,
+        "idle_gate_timed_out": idle_gate_timed_out,
         "queries": rows,
         "max_exponent": max(r["exponent"] for r in rows.values()),
         "median_exponent": sorted(
