@@ -37,6 +37,15 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = "/root/testdata/sf0.1"
 N_FILES = int(os.environ.get("STREAM_SOAK_N", "500"))
 PARALLELISM = int(os.environ.get("STREAM_SOAK_PARALLELISM", "8"))
+# r9 (VERDICT r8 brief #5): the soak is decade-parameterized — pass
+# STREAM_SOAK_SCALES=1x,10x,100x for the third decade (100x = 100*N
+# files; the kill+exactly-once pass then ALSO runs at the largest
+# scale) and STREAM_SOAK_OUT=STREAMING_SOAK100.json to keep the r6/r8
+# artifact intact.
+SCALES = os.environ.get("STREAM_SOAK_SCALES", "1x,10x").split(",")
+KILL_N = int(os.environ.get("STREAM_SOAK_KILL_N", "50"))
+SOAK_OUT = os.environ.get("STREAM_SOAK_OUT", "STREAMING_SOAK.json")
+_MULT = {"1x": 1, "10x": 10, "100x": 100}
 
 
 class _OkHandler(BaseHTTPRequestHandler):
@@ -166,6 +175,14 @@ def main() -> None:
     from mediawiki_to_notion_spark.streaming import ingest
     from mediawiki_to_notion_spark.streaming.upload import UploadConfig
 
+    # idle gate (same policy as bench.py / scaling_soak.py, r9)
+    idle_gate_load = float(os.environ.get("SOAK_IDLE_LOAD", "1.0"))
+    idle_budget_s = float(os.environ.get("SOAK_IDLE_WAIT", "1800"))
+    waited_s = 0.0
+    while (os.getloadavg()[0] >= idle_gate_load and waited_s < idle_budget_s):
+        time.sleep(15.0)
+        waited_s += 15.0
+    idle_gate_timed_out = os.getloadavg()[0] >= idle_gate_load
     loadavg = list(os.getloadavg())
     spark = get_spark("streaming_soak")
     scratch = tempfile.mkdtemp(prefix="streaming_soak_")
@@ -175,7 +192,11 @@ def main() -> None:
     out: dict = {
         "metric": "streaming_pipeline_soak",
         "loadavg_start": [round(x, 2) for x in loadavg],
+        "idle_gate_waited_s": waited_s,
+        "idle_gate_load_threshold": idle_gate_load,
+        "idle_gate_timed_out": idle_gate_timed_out,
         "n_files": N_FILES,
+        "scales": SCALES,
         "upload_parallelism": PARALLELISM,
     }
     try:
@@ -188,16 +209,22 @@ def main() -> None:
         _build_tree(winbox, 20)
         _run_pass(spark, winbox, scratch, "warm", HttpTransport(base))
 
-        for label, n in (("1x", N_FILES), ("10x", N_FILES * 10)):
+        for label in SCALES:
+            n = N_FILES * _MULT[label]
             inbox = os.path.join(scratch, f"inbox_{label}")
             _build_tree(inbox, n)
             r = _run_pass(spark, inbox, scratch, label, HttpTransport(base))
             r.pop("tables_dir"), r.pop("ckpt")
             out[label] = r
             print(f"{label}: {json.dumps(r)}", file=sys.stderr, flush=True)
-        out["exponent_wall"] = round(
-            math.log(out["10x"]["wall_s"] / out["1x"]["wall_s"])
-            / math.log(10), 3)
+        for lo, hi in zip(SCALES, SCALES[1:]):
+            out[f"exponent_wall_{lo}_{hi}"] = round(
+                math.log(out[hi]["wall_s"] / out[lo]["wall_s"])
+                / math.log(_MULT[hi] / _MULT[lo]), 3)
+        if "10x" in out and "1x" in out:
+            out["exponent_wall"] = round(
+                math.log(out["10x"]["wall_s"] / out["1x"]["wall_s"])
+                / math.log(10), 3)
 
         # --- injected mid-stream kill + exactly-once verification ----
         # batch_ids are content-addressed at ingest time, so the kill is
@@ -205,8 +232,15 @@ def main() -> None:
         # worker sees (i.e. a genuinely mid-page, mid-stream call)
         # crashes once; the flag file makes task retries and the
         # streaming replay succeed.
+        # the kill pass runs at the LARGEST soaked scale when the
+        # third decade is requested (brief #5: exactly-once AT volume),
+        # else at the small default
+        kill_n = (N_FILES * _MULT[SCALES[-1]]
+                  if os.environ.get("STREAM_SOAK_KILL_AT_SCALE") == "1"
+                  else KILL_N)
+        out["kill_n_files"] = kill_n
         inbox = os.path.join(scratch, "inbox_kill")
-        _build_tree(inbox, 50)
+        _build_tree(inbox, kill_n)
         tables_dir = os.path.join(scratch, "tables_kill")
         ckpt = os.path.join(scratch, "ckpt_kill")
         kill_tr = CrashOnceTransport(
@@ -217,7 +251,7 @@ def main() -> None:
         q = ingest.start_pipeline_stream(spark, inbox, tables_dir, ckpt, cfg)
         kill_failed = False
         try:
-            q.awaitTermination(600)
+            q.awaitTermination(3600)
         except Exception:
             kill_failed = True
         finally:
@@ -231,7 +265,7 @@ def main() -> None:
             spark, inbox, tables_dir, ckpt,
             UploadConfig(transport=kill_tr, max_blocks=10_000,
                          upload_parallelism=PARALLELISM))
-        replay_ok = bool(q.awaitTermination(600))
+        replay_ok = bool(q.awaitTermination(3600))
         pages = ingest.pages_table(spark, tables_dir).read()
         blocks = ingest.blocks_table(spark, tables_dir).read()
         n_pages = pages.count()
@@ -258,7 +292,7 @@ def main() -> None:
         srv.server_close()
         shutil.rmtree(scratch, ignore_errors=True)
 
-    with open(os.path.join(ROOT, "STREAMING_SOAK.json"), "w") as f:
+    with open(os.path.join(ROOT, SOAK_OUT), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 
