@@ -1284,11 +1284,20 @@ CC_CHECKPOINT_EVERY = 3
 
 
 def _min_label_components(pairs: DataFrame) -> DataFrame:
-    """Min-label propagation over an undirected (doc_a, doc_b) edge
-    list; returns (doc_id, label) for the edge-induced subgraph only
-    (isolated nodes are the caller's concern).  Same algorithm,
-    checkpoint cadence, and loud non-convergence failure as
-    ``dedup_connected_components``."""
+    """Min-label propagation WITH pointer jumping over an undirected
+    (doc_a, doc_b) edge list; returns (doc_id, label) for the
+    edge-induced subgraph only (isolated nodes are the caller's
+    concern).
+
+    Plain propagation needs O(component diameter) rounds — fine for
+    the near-clique minhash clusters ``dedup_connected_components``
+    consumes, but the sorted-neighborhood fuzzy pairs form rank CHAINS
+    whose diameter grows with flooded-block size (the adversarial-
+    distribution fixture exceeds 20 rounds).  Each round here adds the
+    Shiloach-Vishkin shortcut label := label[label] after the neighbor
+    min, so labels travel 2^k ranks after k rounds and CC_MAX_ITERS=20
+    covers ~10^6-deep chains.  Labels are node ids of the subgraph by
+    construction, so the self-join lookup always hits."""
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"),
                      F.col("doc_a").alias("doc_b"))
@@ -1300,10 +1309,20 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
             labels.join(edges, labels.doc_id == edges.src)
             .select(F.col("dst").alias("doc_id"), "label")
         )
-        new_labels = (
+        merged = (
             labels.unionByName(propagated)
             .groupBy("doc_id")
             .agg(F.min("label").alias("label"))
+        )
+        # pointer jump: label[label] <= label, so take it directly
+        new_labels = (
+            merged.alias("m")
+            .join(
+                merged.select(F.col("doc_id").alias("label"),
+                              F.col("label").alias("label2")).alias("r"),
+                "label",
+            )
+            .select("doc_id", F.col("label2").alias("label"))
         )
         if (it + 1) % CC_CHECKPOINT_EVERY == 0:
             new_labels = new_labels.localCheckpoint(eager=False)

@@ -87,3 +87,18 @@ def test_window_pairs_subset_of_exhaustive(spark, tmp_path):
     assert all(ex[k] == v for k, v in sn.items())
     # with blocks smaller than the window the sets coincide
     assert set(sn) == set(ex)
+
+
+def test_connectivity_certificate_on_deep_chain(spark, tmp_path):
+    """A flooded block's sorted-neighborhood pairs form a rank CHAIN
+    whose diameter is ~n/W — plain min-label propagation would need
+    that many rounds (the adversarial-distribution fixture caught it
+    at >20).  The certificate's pointer-jumping CC must converge and
+    report zero label mismatches on a 200-deep single-cluster chain."""
+    _write_docs(tmp_path, [f"aaaaaaaa doc {'x' * (i % 3)}"
+                           for i in range(200)])
+    row = QUERIES["dedup_fuzzy_connectivity_certificate"](
+        spark, str(tmp_path)).collect()[0]
+    assert row.n_clusters_window == row.n_clusters_exhaustive == 1
+    assert row.n_label_mismatches == 0
+    assert row.window_connectivity_ok
