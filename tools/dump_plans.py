@@ -127,13 +127,16 @@ SHOWCASE: list[tuple[str, str]] = [
      "are two more hash aggregates; the rebuild is the same one-pass "
      "anti-membership left join as dedup_substring_cut."),
     ("wordpiece_tokenize_fertility",
-     "The tokenizer-apply shape (late r6, same for unigram-LM): the "
-     "vocab arrives via `BroadcastExchange` onto the candidate-match "
-     "stream of the DISTINCT-WORD table; the greedy max-munch scan is "
-     "a JVM `aggregate` fold (no Python); the corpus pass is one "
-     "word-keyed `BroadcastHashJoin` + partial-combinable per-doc "
-     "`HashAggregate` — every stage is vocabulary-sized except the "
-     "single corpus scan."),
+     "The tokenizer-apply shape after the r9 scale cutover: under "
+     "DRIVER_VOCAB_CAP distinct words the trained (word → n_pieces) "
+     "dim is a `LocalTableScan` (driver replay, bit-identical — "
+     "tests/test_tokenizer_driver_cutover.py) broadcast onto the ONE "
+     "corpus pass: a word-keyed `BroadcastHashJoin` + "
+     "partial-combinable per-doc `HashAggregate`.  Past the cap the "
+     "late-r6 distributed shape runs instead: vocab via "
+     "`BroadcastExchange` onto the distinct-word candidate stream, "
+     "greedy max-munch as a JVM `aggregate` fold — every stage "
+     "vocabulary-sized except the single corpus scan."),
     ("dedup_winnowing_fingerprint",
      "Winnowing (late r7): the per-window min(struct(h,-p)) runs in a "
      "`Window` doc-partitioned by doc_id (no cross-doc shuffle beyond "
