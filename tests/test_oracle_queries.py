@@ -17,9 +17,27 @@ load_all()
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
+def _oracle_for(name: str, sf_dir: str) -> str:
+    """The registered oracle — except pipeline_prepare_convert, whose
+    sequential-reference VALUES table is precomputed at import time
+    for the two driver gate SFs only (computing 50k+ sequential
+    conversions per import would tax every session start).  At any
+    other SF the same pure builder recomputes the reference for that
+    corpus here, test-side, so the sweep keeps full coverage at
+    sf0.1+ (r9; the r8 suite never ran this file at sf0.1)."""
+    if name == "pipeline_prepare_convert":
+        from mediawiki_to_notion_spark.operators.pipeline_queries import (
+            PREPARE_CONVERT_SF_DIRS,
+            _prepare_convert_oracle,
+        )
+        if sf_dir not in PREPARE_CONVERT_SF_DIRS:
+            return _prepare_convert_oracle((sf_dir,))
+    return ORACLES[name]
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(spark, name):
-    result = compare(spark, QUERIES[name], ORACLES[name], SF_DIR)
+    result = compare(spark, QUERIES[name], _oracle_for(name, SF_DIR), SF_DIR)
     assert result["match"], f"{name}: {result}"
 
 
