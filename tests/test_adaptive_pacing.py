@@ -140,3 +140,36 @@ def test_http_transport_throttle_counter_pops():
     t._throttles = 5
     t2 = pickle.loads(pickle.dumps(t))
     assert t2.pop_throttle_count() == 0
+
+
+def test_drain_e2e_with_adaptive_pacing(spark, tmp_path):
+    """End-to-end: the upload drain with adaptive_pacing=True survives
+    a 429 burst (retries absorb it, the limiter widens) and every page
+    lands SUCCESS — the opt-in flag changes pacing, never outcomes."""
+    import pyspark.sql.functions as F
+
+    from mediawiki_to_notion_spark.streaming import ingest
+    from mediawiki_to_notion_spark.streaming.notion_client import (
+        ScriptedTransport,
+    )
+    from mediawiki_to_notion_spark.streaming.upload import (
+        UploadConfig,
+        drain,
+    )
+
+    staged = spark.createDataFrame(
+        [(f"wiki/p{i}.md", f"# T{i}\n\nbody {i}\n\n- a\n- b\n")
+         for i in range(3)],
+        "s3_object_key string, markdown string",
+    )
+    tables_dir = str(tmp_path / "tables")
+    ingest.ingest_batch(spark, staged, tables_dir)
+    batch = ingest.blocks_table(spark, tables_dir).read().first().batch_id
+    tr = ScriptedTransport(script={f"block:{batch}:1": [429, 429]})
+    cfg = UploadConfig(transport=tr, adaptive_pacing=True,
+                       min_interval_s=0.001)
+    assert drain(spark, tables_dir, cfg) >= 1
+    pages = ingest.pages_table(spark, tables_dir).read().collect()
+    assert {p.status for p in pages} == {"SUCCESS"}
+    blocks = ingest.blocks_table(spark, tables_dir).read()
+    assert blocks.filter(F.col("uploaded_at").isNull()).count() == 0

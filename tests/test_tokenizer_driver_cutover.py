@@ -51,3 +51,27 @@ def test_cap_probe_is_exact(spark):
         assert len(tl.collect_word_freqs(df)) == 10
     finally:
         tl.DRIVER_VOCAB_CAP = old
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_paths_agree_on_unicode_corpus(spark, name, monkeypatch, tmp_path):
+    """Path parity beyond ASCII: Python compares strings by code point,
+    Spark/DuckDB by UTF-8 bytes — orders that agree (UTF-8 preserves
+    code-point order), pinned here on a corpus with combining marks,
+    CJK, and astral-plane symbols."""
+    texts = [
+        "café café naïve",
+        "café 中文词 中文",
+        "\U0001f600\U0001f600 élève 中文词",
+        "naïve élève café",
+    ]
+    rows = [(i, t, len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, n_chars int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet"))
+    driver = sorted(map(tuple, QUERIES[name](spark, str(tmp_path)).collect()))
+    assert driver, name
+    monkeypatch.setattr(TL, "DRIVER_VOCAB_CAP", 0)
+    dist = sorted(map(tuple, QUERIES[name](spark, str(tmp_path)).collect()))
+    assert driver == dist
