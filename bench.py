@@ -213,7 +213,8 @@ def main() -> None:
     # Explicit timeout marker (ADVICE r8): a waited_s == budget run that
     # proceeded on a still-busy box must be distinguishable from one
     # that went idle on the last poll.
-    idle_gate_timed_out = os.getloadavg()[0] >= idle_gate_load
+    idle_gate_timed_out = (waited_s >= idle_budget_s
+                           and os.getloadavg()[0] >= idle_gate_load)
     loadavg_start = list(os.getloadavg())
     spark = get_spark("bench")
 

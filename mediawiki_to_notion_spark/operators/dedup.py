@@ -1098,7 +1098,7 @@ def dedup_embedding_cosine_lsh_multitable(spark: SparkSession,
     # _cosine_verify is deterministic left-fold, but any future change
     # to the kernel's accumulation order would silently duplicate pairs
     # instead of failing (ADVICE r8).  The key-based form is robust;
-    # tests/test_dedup.py pins one-row-per-pair on a multi-table hit.
+    # tests/test_multitable_pair_dedup.py pins one-row-per-pair on a multi-table hit.
     return verified.dropDuplicates(["vec_a", "vec_b"])
 
 
@@ -1319,7 +1319,7 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
             labels.unionByName(propagated)
             .groupBy("doc_id")
             .agg(F.min("label").alias("label"))
-        )
+        ).cache()  # read twice by the self-join below — don't recompute
         # pointer jump: label[label] <= label, so take it directly
         new_labels = (
             merged.alias("m")
@@ -1340,6 +1340,7 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
+        merged.unpersist()  # new_labels materialized by the count above
         labels.unpersist()
         labels = new_labels
         if changed == 0:

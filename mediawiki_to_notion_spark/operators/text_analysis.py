@@ -1136,8 +1136,13 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
+    # persist across the probe: collect_word_freqs runs the corpus
+    # aggregation; without the cache the over-cap fallback would pay
+    # that dominant scan a second time building `cur`
+    words = words.persist()
     wf = TL.collect_word_freqs(words)
     if wf is not None:
+        words.unpersist()
         merges, seqs = TL.bpe_train_local(wf, BPE_TRAIN_ROUNDS)
         vocab = spark.createDataFrame(
             [(w, seqs[w], f) for w, f in wf],
@@ -1146,6 +1151,7 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
         return merges, vocab
     cur = words.select("word", F.split("word", "").alias("l"), "freq") \
         .localCheckpoint()
+    words.unpersist()
     merges: list[tuple[int, str, str, int]] = []
     for rnd in range(1, BPE_TRAIN_ROUNDS + 1):
         pairs = (

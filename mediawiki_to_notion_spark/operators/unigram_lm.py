@@ -172,13 +172,16 @@ def _unigram_train(spark: SparkSession, sf_dir: str):
     # libm ln via _micro_nat_cost, same integer usage counts, same
     # tie-breaks); the words frame is rebuilt from the collected rows so
     # the apply side needs no extra corpus pass.
+    words_raw = words_raw.persist()  # probe + fallback share one agg
     wf = TL.collect_word_freqs(words_raw)
     if wf is not None:
+        words_raw.unpersist()
         vocab = TL.unigram_train_local(
             wf, UNI_ROUNDS, UNI_SEED_K, UNI_MAX_PIECE, _micro_nat_cost)
         words = spark.createDataFrame(wf, "word string, freq long")
         return vocab, words
     words = words_raw.localCheckpoint()
+    words_raw.unpersist()
     cand = (
         _position_pieces(words)
         .groupBy("piece")

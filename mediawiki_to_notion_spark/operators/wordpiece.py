@@ -84,8 +84,10 @@ def _wordpiece_train(spark: SparkSession, sf_dir: str):
     # rounds when the distinct-word table fits the cap — exact DECIMAL
     # score arithmetic is plain unbounded-int // in Python — else the
     # distributed loop below, unchanged.
+    words = words.persist()  # probe + fallback share one aggregation
     wf = TL.collect_word_freqs(words)
     if wf is not None:
+        words.unpersist()
         merges, seqs = TL.wordpiece_train_local(
             wf, WP_TRAIN_ROUNDS, WP_SCALE)
         vocab = spark.createDataFrame(
@@ -96,6 +98,7 @@ def _wordpiece_train(spark: SparkSession, sf_dir: str):
     cur = words.select(
         "word", _initial_symbols().alias("l"), "freq"
     ).localCheckpoint()
+    words.unpersist()
     merges: list[tuple[int, str, str, str, int, int]] = []
     for rnd in range(1, WP_TRAIN_ROUNDS + 1):
         syms = (
@@ -353,8 +356,12 @@ def wordpiece_tokenize_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the word table fits the cap it runs driver-side against the
     # Python vocab set (same greedy longest-match), and only the
     # corpus-scale join+agg below stays distributed.
+    # persist: the probe aggregates the corpus; the distributed path
+    # below reads `words` three more times (alphabet, candidates, fold)
+    words = words.persist()
     wf = TL.collect_word_freqs(words)
     if wf is not None:
+        words.unpersist()
         vocab_set = set()
         for w, _f in wf:
             vocab_set.add(w[0])
@@ -446,11 +453,8 @@ def wordpiece_tokenize_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             )["n_pieces"].alias("n_pieces")
         )
     )
-    dw = d.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("word")
-    ).filter(F.col("word") != "")
     return (
-        dw.join(wl.select("word", "n_pieces"), "word")
+        dw_corpus.join(wl.select("word", "n_pieces"), "word")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_words"),

@@ -853,5 +853,10 @@ def test_forecast_customer_join_auto_broadcasts(spark):
     for name in ("orders_demand_forecast_holt",
                  "orders_forecast_holt_winters"):
         plan = plan_of(spark, name)
-        assert "BroadcastHashJoin" in plan, name
+        # >= 2: the HINTED nation join alone must not satisfy this —
+        # the un-hinted customer join has to broadcast too (a single
+        # occurrence would mean Catalyst chose a sort-merge/shuffle
+        # join for customer and the gate would be vacuous)
+        assert plan.count("BroadcastHashJoin") >= 2, name
+        assert "SortMergeJoin" not in plan, name
         assert "CartesianProduct" not in plan, name

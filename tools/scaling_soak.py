@@ -114,7 +114,8 @@ def main() -> None:
     while (os.getloadavg()[0] >= idle_gate_load and waited_s < idle_budget_s):
         time.sleep(15.0)
         waited_s += 15.0
-    idle_gate_timed_out = os.getloadavg()[0] >= idle_gate_load
+    idle_gate_timed_out = (waited_s >= idle_budget_s
+                           and os.getloadavg()[0] >= idle_gate_load)
     loadavg = list(os.getloadavg())
     # the session's input-size-derived AQE width (session.py) must fit
     # the LARGER side of the soak pair — that's where wide initial

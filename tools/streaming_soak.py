@@ -182,7 +182,8 @@ def main() -> None:
     while (os.getloadavg()[0] >= idle_gate_load and waited_s < idle_budget_s):
         time.sleep(15.0)
         waited_s += 15.0
-    idle_gate_timed_out = os.getloadavg()[0] >= idle_gate_load
+    idle_gate_timed_out = (waited_s >= idle_budget_s
+                           and os.getloadavg()[0] >= idle_gate_load)
     loadavg = list(os.getloadavg())
     spark = get_spark("streaming_soak")
     scratch = tempfile.mkdtemp(prefix="streaming_soak_")
