@@ -139,10 +139,32 @@ _RECHECK = {"pack_sequences_greedy": 3, "markdown_blocks_golden": 4,
             # changed end-to-end at every tested SF, so re-gate hard.
             "bpe_train_merges": 9,
             "bpe_tokenize_fertility": 9,
-            "wordpiece_train_merges": 9,
-            "wordpiece_tokenize_fertility": 9,
+            # r10: fertility reuses the trainer's word table (ADVICE
+            # r9) — one corpus scan and one collect fewer on the apply
+            # side; train's only change is returning that table.
+            "wordpiece_train_merges": 10,
+            "wordpiece_tokenize_fertility": 10,
             "unigram_lm_train": 9,
-            "unigram_lm_fertility": 9}
+            "unigram_lm_fertility": 9,
+            # r10 (VERDICT r9 brief #1): the iterative-loop cutover
+            # extended to CC / PageRank / Lloyd k-means
+            # (operators/iter_local.py) — under the cap the rounds
+            # replay driver-side (union-find min-labels, all-integer
+            # rank updates, order-exact float folds), distributed loops
+            # verbatim past it; both paths pinned bit-identical in
+            # tests/test_iter_driver_cutover.py.  Physical path changed
+            # at every tested SF for these names (survivorship /
+            # histogram / prepare compose the CC cutover; the
+            # certificate runs _min_label_components twice), plus the
+            # wordpiece fertility apply side now reuses the trainer's
+            # collected word table (ADVICE r9) — re-gate hard.
+            "dedup_connected_components": 10,
+            "dedup_survivorship": 10,
+            "dedup_cluster_size_histogram": 10,
+            "dedup_fuzzy_connectivity_certificate": 10,
+            "corpus_prepare_pipeline": 10,
+            "pagerank_word_graph": 10,
+            "kmeans_lloyd_refine": 10}
 
 # SOFT rechecks: confirmed queries EDITED since their green row where
 # the edit is a verified semantic no-op on the driver's data (the r3

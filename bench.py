@@ -206,15 +206,19 @@ def main() -> None:
     idle_budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_WAIT",
                                          "1800"))
     waited_s = 0.0
-    while (os.getloadavg()[0] >= idle_gate_load
-           and waited_s < idle_budget_s):
+    last_load = os.getloadavg()[0]
+    while last_load >= idle_gate_load and waited_s < idle_budget_s:
         time.sleep(15.0)
         waited_s += 15.0
+        last_load = os.getloadavg()[0]
     # Explicit timeout marker (ADVICE r8): a waited_s == budget run that
     # proceeded on a still-busy box must be distinguishable from one
-    # that went idle on the last poll.
+    # that went idle on the last poll.  Derived from the FINAL in-loop
+    # observation (ADVICE r9): re-sampling after the loop could label a
+    # budget-exhausted run not-timed-out if load dipped between the last
+    # poll and the recheck.
     idle_gate_timed_out = (waited_s >= idle_budget_s
-                           and os.getloadavg()[0] >= idle_gate_load)
+                           and last_load >= idle_gate_load)
     loadavg_start = list(os.getloadavg())
     spark = get_spark("bench")
 

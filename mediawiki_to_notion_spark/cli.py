@@ -306,7 +306,7 @@ def cmd_tokenizer_train(args: argparse.Namespace) -> int:
             _wordpiece_train,
         )
 
-        merges, vocab = _wordpiece_train(spark, args.data)
+        merges, vocab, _wf = _wordpiece_train(spark, args.data)
         artifact = {
             "family": "wordpiece",
             "merges": [

@@ -1303,11 +1303,26 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
     Shiloach-Vishkin shortcut label := label[label] after the neighbor
     min, so labels travel 2^k ranks after k rounds and CC_MAX_ITERS=20
     covers ~10^6-deep chains.  Labels are node ids of the subgraph by
-    construction, so the self-join lookup always hits."""
+    construction, so the self-join lookup always hits.
+
+    Scale cutover (r10, see iter_local.py): the edge list is sized by
+    duplicate pairs, not the corpus — when it fits the cap, union-find
+    replays the converged labelling driver-side (the identical
+    node → min-component-id function, exact integers); past the cap
+    the pointer-jumping loop below runs verbatim."""
+    from mediawiki_to_notion_spark.operators import iter_local as IL
+
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"),
                      F.col("doc_a").alias("doc_b"))
     ).withColumnsRenamed({"doc_a": "src", "doc_b": "dst"}).localCheckpoint()
+    # probe reads the checkpointed blocks — one bounded action
+    erows = IL.collect_capped(edges)
+    if erows is not None:
+        labels = IL.cc_min_labels((r.src, r.dst) for r in erows)
+        return pairs.sparkSession.createDataFrame(
+            sorted(labels.items()), "doc_id long, label long"
+        )
     labels = edges.select(F.col("src").alias("doc_id")).distinct() \
         .select("doc_id", F.col("doc_id").alias("label"))
     for it in range(CC_MAX_ITERS):
@@ -1344,7 +1359,14 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
         labels.unpersist()
         labels = new_labels
         if changed == 0:
-            return labels
+            # ADVICE r9: don't leak the loop's final cached frame (the
+            # certificate calls this twice per query) — hand back an
+            # eager checkpoint with its own blocks, then drop the loop
+            # cache.  (localCheckpoint blocks themselves are reaped by
+            # the ContextCleaner once the Python references die.)
+            out = labels.localCheckpoint()
+            labels.unpersist()
+            return out
     raise RuntimeError(
         f"connected components did not converge within {CC_MAX_ITERS} "
         "rounds")
@@ -1506,6 +1528,30 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).withColumnsRenamed({"doc_a": "src", "doc_b": "dst"}).localCheckpoint()
+
+    # Scale cutover (r10, see iter_local.py): the edge list is the
+    # duplicate subgraph — tiny relative to the corpus by construction.
+    # When it fits the cap, union-find replays the converged labelling
+    # driver-side (same node → min-component-id function, exact
+    # integers) and only the singleton graft below stays distributed;
+    # past the cap the propagation loop runs verbatim.  The probe reads
+    # the just-checkpointed blocks, one bounded action.
+    from mediawiki_to_notion_spark.operators import iter_local as IL
+
+    erows = IL.collect_capped(edges)
+    if erows is not None:
+        local = IL.cc_min_labels((r.src, r.dst) for r in erows)
+        labels = spark.createDataFrame(
+            sorted(local.items()), "doc_id long, label long"
+        )
+        full = d.join(labels, "doc_id", "left").select(
+            "doc_id", F.coalesce("label", "doc_id").alias("label")
+        )
+        return full.select(
+            "doc_id",
+            F.col("label").alias("component"),
+            (F.col("doc_id") == F.col("label")).alias("is_representative"),
+        )
 
     # iterate ONLY the edge-induced subgraph: isolated documents (the
     # overwhelming majority of a deduplicated corpus) keep label=doc_id

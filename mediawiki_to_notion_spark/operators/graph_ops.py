@@ -86,23 +86,51 @@ def pagerank_word_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokall = d.select(F.explode(F.split("text", " ")).alias("token")).filter(
         F.col("token") != ""
     )
+    from mediawiki_to_notion_spark.functions.text import adjacent_bigrams
+    from mediawiki_to_notion_spark.operators import iter_local as IL
+
+    nodes_raw = tokall.distinct()
+    adj = adjacent_bigrams(d)
+    edges_w = adj.groupBy("a", "b").agg(F.count(F.lit(1)).alias("w"))
+    outw = edges_w.groupBy("a").agg(F.sum("w").alias("out_w"))
+    edges_raw = edges_w.join(outw, "a")
+
+    # Scale cutover (r10, see iter_local.py): rank vector and edge
+    # list are vocabulary-sized.  When both fit the cap the all-integer
+    # update replays driver-side — Python unbounded ints compute the
+    # identical div/mod shares — two vocabulary-aggregation jobs total,
+    # no checkpoints.  Past the cap (a web-scale vocabulary) the
+    # distributed loop below runs verbatim; the over-cap probes cost
+    # one extra vocabulary aggregation, the same accepted trade as the
+    # tokenizer cutover.
+    nrows = IL.collect_capped(nodes_raw)
+    if nrows is not None:
+        if not nrows:
+            return nodes_raw.select(
+                "token", F.lit(0).cast("long").alias("rank"))
+        erows = IL.collect_capped(edges_raw)
+        if erows is not None:
+            local = IL.pagerank_local(
+                [r.token for r in nrows],
+                [(r.a, r.b, int(r.w), int(r.out_w)) for r in erows],
+                PR_ITERS, PR_SCALE, PR_DAMP_NUM, PR_DAMP_DEN,
+            )
+            return spark.createDataFrame(
+                sorted(local.items()), "token string, rank long"
+            )
+
     # eager checkpoints: nodes and edges are re-referenced every round,
     # and a cached DF would still carry the full tokenize/agg lineage
     # into each round's plan — leaf scans keep per-round Catalyst work
     # flat (see dedup_connected_components for the measured rationale)
-    nodes = tokall.distinct().localCheckpoint()
+    nodes = nodes_raw.localCheckpoint()
     n = nodes.count()
     if n == 0:
         # empty corpus → empty rank vector (the teleport term below
         # divides by |V|; an empty graph must not crash the pipeline)
         return nodes.select("token", F.lit(0).cast("long").alias("rank"))
 
-    from mediawiki_to_notion_spark.functions.text import adjacent_bigrams
-
-    adj = adjacent_bigrams(d)
-    edges = adj.groupBy("a", "b").agg(F.count(F.lit(1)).alias("w"))
-    outw = edges.groupBy("a").agg(F.sum("w").alias("out_w"))
-    edges = edges.join(outw, "a").localCheckpoint()
+    edges = edges_raw.localCheckpoint()
 
     teleport = ((PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE) // (PR_DAMP_DEN * n)
     ranks = nodes.select("token", F.lit(PR_SCALE // n).alias("rank"))

@@ -91,6 +91,26 @@ def kmeans_lloyd_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = ensure_parallelism(
         V.hygiene(load_table(spark, "embeddings", sf_dir))
     )
+    # Scale cutover (r10, see iter_local.py): when the hygiene-filtered
+    # vector table fits the cap, the Lloyd rounds replay driver-side
+    # with every double operation in the engines' order (dimension-
+    # sequential folds, Double.toString-based HALF_UP rounding, exact
+    # decimal sums) — bit-identical by tests/test_iter_driver_cutover;
+    # past the cap the broadcast-assignment loop below runs verbatim
+    # (a 100 TB embedding table must never be collected).
+    from mediawiki_to_notion_spark.operators import iter_local as IL
+
+    vrows = IL.collect_capped(e.select("vec_id", "embedding"))
+    if vrows is not None:
+        cents = IL.lloyd_refine_local(
+            [(int(r.vec_id), list(r.embedding)) for r in vrows],
+            KM_K, KM_ITERS, KM_DIM,
+        )
+        return spark.createDataFrame(
+            [(cid, d, c) for cid, coords in cents
+             for d, c in enumerate(coords)],
+            "cluster_id long, dim int, coord double",
+        )
     cents = (
         e.filter(F.col("vec_id") < KM_K)
         .select(

@@ -68,9 +68,13 @@ def _initial_symbols():
 
 
 def _wordpiece_train(spark: SparkSession, sf_dir: str):
-    """Run the WordPiece merge loop; returns (merges, vocab_frame)
-    where merges is [(round, a, b, merged, n_pair, score_scaled)] and
-    vocab_frame the final (word, l, freq) symbol-sequence table."""
+    """Run the WordPiece merge loop; returns (merges, vocab_frame, wf)
+    where merges is [(round, a, b, merged, n_pair, score_scaled)],
+    vocab_frame the final (word, l, freq) symbol-sequence table, and
+    wf the collected (word, freq) list when the driver cutover fired
+    (None on the distributed path) — returned so the fertility apply
+    side can reuse it instead of re-aggregating the corpus and
+    re-collecting the identical table (ADVICE r9)."""
     from mediawiki_to_notion_spark.operators import tokenizer_local as TL
 
     d = load_table(spark, "documents", sf_dir)
@@ -94,7 +98,7 @@ def _wordpiece_train(spark: SparkSession, sf_dir: str):
             [(w, seqs[w], f) for w, f in wf],
             "word string, l array<string>, freq long",
         )
-        return merges, vocab
+        return merges, vocab, wf
     cur = words.select(
         "word", _initial_symbols().alias("l"), "freq"
     ).localCheckpoint()
@@ -167,7 +171,7 @@ def _wordpiece_train(spark: SparkSession, sf_dir: str):
             ).alias("l"),
             "freq",
         ).localCheckpoint()
-    return merges, cur
+    return merges, cur, None
 
 
 def _seq_sql() -> str:
@@ -316,7 +320,7 @@ def wordpiece_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: see module docstring — vocabulary-sized rounds, one
     driver row per round, JVM-side merge fold."""
-    merges, _vocab = _wordpiece_train(spark, sf_dir)
+    merges, _vocab, _wf = _wordpiece_train(spark, sf_dir)
     return spark.createDataFrame(
         merges,
         "round int, a string, b string, merged string, n_pair long, "
@@ -341,27 +345,20 @@ def wordpiece_tokenize_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join + map-side-combinable per-doc sum."""
     from mediawiki_to_notion_spark.operators import tokenizer_local as TL
 
-    merges, _vocab = _wordpiece_train(spark, sf_dir)
+    merges, vocab_frame, wf = _wordpiece_train(spark, sf_dir)
     d = load_table(spark, "documents", sf_dir)
-    words = (
-        d.select(F.explode(F.split("text", " ")).alias("word"))
-        .filter(F.col("word") != "")
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("freq"))
-    )
     dw_corpus = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     ).filter(F.col("word") != "")
     # Scale cutover (r9): max-munch is a per-distinct-word scan — when
     # the word table fits the cap it runs driver-side against the
     # Python vocab set (same greedy longest-match), and only the
-    # corpus-scale join+agg below stays distributed.
-    # persist: the probe aggregates the corpus; the distributed path
-    # below reads `words` three more times (alphabet, candidates, fold)
-    words = words.persist()
-    wf = TL.collect_word_freqs(words)
+    # corpus-scale join+agg below stays distributed.  The (word, freq)
+    # table is NOT re-aggregated or re-collected here: _wordpiece_train
+    # just built the identical table, so its collected wf (driver path)
+    # / checkpointed vocab frame (distributed path) are reused verbatim
+    # (ADVICE r9 — one corpus scan and one driver collect fewer).
     if wf is not None:
-        words.unpersist()
         vocab_set = set()
         for w, _f in wf:
             vocab_set.add(w[0])
@@ -381,6 +378,9 @@ def wordpiece_tokenize_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("fertility"),
             )
         )
+    # distributed path: the trainer's checkpointed (word, l, freq)
+    # frame is a leaf scan — project the word table straight off it
+    words = vocab_frame.select("word", "freq")
     alphabet = words.select(
         F.explode(_initial_symbols()).alias("piece")
     ).distinct()

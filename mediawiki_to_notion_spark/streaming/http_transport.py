@@ -195,7 +195,10 @@ class HttpTransport:
                 raise HTTPStatusError(int(last_status[0])) from exc
             raise TransportError(str(exc)) from exc
         except _U3HTTPError as exc:
-            # connect/read/protocol errors: never retried (connect=0)
+            # connect/read/protocol errors: never retried (connect=0) —
+            # but a 429 absorbed on an EARLIER attempt of this request
+            # must still reach the adaptive pacer (ADVICE r9)
+            self._throttles += throttles[0]
             raise TransportError(str(exc)) from exc
         self._throttles += throttles[0]
         if resp.status != 200:

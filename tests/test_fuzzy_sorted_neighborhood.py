@@ -8,6 +8,7 @@ from __future__ import annotations
 import os
 
 import pyarrow as pa
+import pytest
 import pyarrow.parquet as pq
 
 from mediawiki_to_notion_spark.operators import QUERIES, load_all
@@ -89,12 +90,18 @@ def test_window_pairs_subset_of_exhaustive(spark, tmp_path):
     assert set(sn) == set(ex)
 
 
-def test_connectivity_certificate_on_deep_chain(spark, tmp_path):
+@pytest.mark.parametrize("cap", ["0", None])
+def test_connectivity_certificate_on_deep_chain(spark, tmp_path,
+                                                monkeypatch, cap):
     """A flooded block's sorted-neighborhood pairs form a rank CHAIN
     whose diameter is ~n/W — plain min-label propagation would need
     that many rounds (the adversarial-distribution fixture caught it
     at >20).  The certificate's pointer-jumping CC must converge and
-    report zero label mismatches on a 200-deep single-cluster chain."""
+    report zero label mismatches on a 200-deep single-cluster chain.
+    cap="0" forces the DISTRIBUTED pointer-jumping loop (r10 cutover);
+    cap=None exercises the union-find driver replay."""
+    if cap is not None:
+        monkeypatch.setenv("SPARK_GRAFT_ITER_DRIVER_CAP", cap)
     _write_docs(tmp_path, [f"aaaaaaaa doc {'x' * (i % 3)}"
                            for i in range(200)])
     row = QUERIES["dedup_fuzzy_connectivity_certificate"](

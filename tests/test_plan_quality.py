@@ -219,9 +219,12 @@ def test_shard_assignment_single_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
-def test_pagerank_iteration_is_equi_join(spark):
+def test_pagerank_iteration_is_equi_join(spark, monkeypatch):
     """Every PageRank round must join rank⋈edges by key and aggregate
-    with a partial phase — no nested loops anywhere in the loop."""
+    with a partial phase — no nested loops anywhere in the loop.
+    (Cap forced to 0 so the DISTRIBUTED loop's plan is inspected, not
+    the r10 driver-replay LocalTableScan.)"""
+    monkeypatch.setenv("SPARK_GRAFT_ITER_DRIVER_CAP", "0")
     plan = plan_of(spark, "pagerank_word_graph")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan

@@ -100,7 +100,7 @@ def test_wordpiece_matches_reference(spark, seed):
         spark.createDataFrame(
             [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
         ).write.parquet(os.path.join(tmp, "documents.parquet"))
-        merges, _ = _wordpiece_train(spark, tmp)
+        merges, _vocab, _wf = _wordpiece_train(spark, tmp)
         fert = {
             r.doc_id: (r.n_words, r.n_pieces)
             for r in wordpiece_tokenize_fertility(spark, tmp).collect()

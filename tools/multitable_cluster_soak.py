@@ -42,17 +42,27 @@ def _rest(base: str, path: str):
         return json.loads(r.read().decode())
 
 
-def _stage_totals(base: str) -> dict:
-    apps = _rest(base, "/api/v1/applications")
-    app_id = apps[0]["id"]
-    stages = _rest(base, f"/api/v1/applications/{app_id}/stages?status=complete")
+def _stage_totals(base: str, app_id: str) -> dict:
+    """Aggregate shuffle/spill metrics for THIS application's stages.
+
+    ADVICE r9: the app is addressed by the caller's sc.applicationId
+    (never applications[0], which could be a stale history entry), and
+    failed stages are counted too — their shuffle bytes are real work,
+    and a nonzero ``failed_stages`` in the artifact flags that the
+    deltas include partial attempts."""
     tot = {"shuffle_write_bytes": 0, "shuffle_read_bytes": 0,
-           "memory_spilled_bytes": 0, "disk_spilled_bytes": 0}
-    for st in stages:
-        tot["shuffle_write_bytes"] += st.get("shuffleWriteBytes", 0)
-        tot["shuffle_read_bytes"] += st.get("shuffleReadBytes", 0)
-        tot["memory_spilled_bytes"] += st.get("memoryBytesSpilled", 0)
-        tot["disk_spilled_bytes"] += st.get("diskBytesSpilled", 0)
+           "memory_spilled_bytes": 0, "disk_spilled_bytes": 0,
+           "failed_stages": 0}
+    for status in ("complete", "failed"):
+        stages = _rest(
+            base, f"/api/v1/applications/{app_id}/stages?status={status}")
+        for st in stages:
+            tot["shuffle_write_bytes"] += st.get("shuffleWriteBytes", 0)
+            tot["shuffle_read_bytes"] += st.get("shuffleReadBytes", 0)
+            tot["memory_spilled_bytes"] += st.get("memoryBytesSpilled", 0)
+            tot["disk_spilled_bytes"] += st.get("diskBytesSpilled", 0)
+            if status == "failed":
+                tot["failed_stages"] += 1
     return tot
 
 
@@ -65,12 +75,13 @@ def main() -> None:
     idle_gate_load = float(os.environ.get("SOAK_IDLE_LOAD", "1.0"))
     idle_budget_s = float(os.environ.get("SOAK_IDLE_WAIT", "1800"))
     waited_s = 0.0
-    while (os.getloadavg()[0] >= idle_gate_load
-           and waited_s < idle_budget_s):
+    last_load = os.getloadavg()[0]
+    while last_load >= idle_gate_load and waited_s < idle_budget_s:
         time.sleep(15.0)
         waited_s += 15.0
+        last_load = os.getloadavg()[0]
     idle_gate_timed_out = (waited_s >= idle_budget_s
-                           and os.getloadavg()[0] >= idle_gate_load)
+                           and last_load >= idle_gate_load)
     loadavg = list(os.getloadavg())
 
     # mirror get_spark()'s confs (session.py) on a local-cluster master;
@@ -107,6 +118,7 @@ def main() -> None:
     load_all()
     ui_base = f"http://127.0.0.1:{spark.sparkContext.uiWebUrl.rsplit(':', 1)[1]}" \
         if spark.sparkContext.uiWebUrl else None
+    app_id = spark.sparkContext.applicationId
 
     fn = QUERIES[QUERY]
     # warmup (codegen + Arrow workers on every executor)
@@ -115,14 +127,14 @@ def main() -> None:
     spark.catalog.clearCache()
 
     rows = {}
-    prev_tot = _stage_totals(ui_base) if ui_base else {}
+    prev_tot = _stage_totals(ui_base, app_id) if ui_base else {}
     for label, sf_dir in (("sf10", SF10), ("sf100", SF100)):
         la = round(os.getloadavg()[0], 2)
         t0 = time.time()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         wall = time.time() - t0
         spark.catalog.clearCache()
-        tot = _stage_totals(ui_base) if ui_base else {}
+        tot = _stage_totals(ui_base, app_id) if ui_base else {}
         delta = {k: tot[k] - prev_tot.get(k, 0) for k in tot}
         prev_tot = tot
         rows[label] = {"wall_s": round(wall, 3),

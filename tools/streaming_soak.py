@@ -179,11 +179,13 @@ def main() -> None:
     idle_gate_load = float(os.environ.get("SOAK_IDLE_LOAD", "1.0"))
     idle_budget_s = float(os.environ.get("SOAK_IDLE_WAIT", "1800"))
     waited_s = 0.0
-    while (os.getloadavg()[0] >= idle_gate_load and waited_s < idle_budget_s):
+    last_load = os.getloadavg()[0]
+    while last_load >= idle_gate_load and waited_s < idle_budget_s:
         time.sleep(15.0)
         waited_s += 15.0
+        last_load = os.getloadavg()[0]
     idle_gate_timed_out = (waited_s >= idle_budget_s
-                           and os.getloadavg()[0] >= idle_gate_load)
+                           and last_load >= idle_gate_load)
     loadavg = list(os.getloadavg())
     spark = get_spark("streaming_soak")
     scratch = tempfile.mkdtemp(prefix="streaming_soak_")
