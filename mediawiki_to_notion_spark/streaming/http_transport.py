@@ -84,8 +84,18 @@ if HAVE_URLLIB3:
                     and self._throttle_cell is not None):
                 # count every 429 the retry loop absorbs so the
                 # adaptive pacer sees throttle density even when
-                # urllib3 owns the retries
+                # urllib3 owns the retries — and carry the largest
+                # advertised Retry-After out with it (r10: the pacer
+                # adopts it as the interval floor; urllib3's own sleep
+                # semantics are untouched, we only READ the header)
                 self._throttle_cell[0] += 1
+                try:
+                    ra = self.get_retry_after(response)
+                except Exception:
+                    ra = None
+                if ra:
+                    prev = self._throttle_cell[1] or 0.0
+                    self._throttle_cell[1] = max(prev, float(ra))
             return super().increment(*args, response=response, **kw)
 
 
@@ -125,6 +135,7 @@ class HttpTransport:
         self.timeout_s = timeout_s
         self._pool = None
         self._throttles = 0  # 429s absorbed by urllib3 since last pop
+        self._retry_after_hint: float | None = None  # largest advertised
 
     # -- pickling: pool is per-process, never shipped ------------------------
 
@@ -132,6 +143,7 @@ class HttpTransport:
         state = self.__dict__.copy()
         state["_pool"] = None
         state["_throttles"] = 0  # per-process counter, never shipped
+        state["_retry_after_hint"] = None
         return state
 
     def pop_throttle_count(self) -> int:
@@ -140,6 +152,20 @@ class HttpTransport:
         n = self._throttles
         self._throttles = 0
         return n
+
+    def pop_retry_after_hint(self) -> float | None:
+        """Drain the largest Retry-After (seconds) advertised by the
+        429s counted since the last pop — the adaptive pacer adopts it
+        as the interval floor (VERDICT r9 #5)."""
+        h = self._retry_after_hint
+        self._retry_after_hint = None
+        return h
+
+    def _flush_throttles(self, throttles: list) -> None:
+        self._throttles += throttles[0]
+        if throttles[1]:
+            prev = self._retry_after_hint or 0.0
+            self._retry_after_hint = max(prev, throttles[1])
 
     def _http(self):
         if self._pool is None:
@@ -178,7 +204,7 @@ class HttpTransport:
         if self.token:
             headers["Authorization"] = f"Bearer {self.token}"
         last_status: list = [None]
-        throttles: list = [0]
+        throttles: list = [0, None]  # [count, largest Retry-After]
         try:
             resp = self._http().request(
                 method, url, body=body, headers=headers,
@@ -188,7 +214,7 @@ class HttpTransport:
             # the recording Retry counts EVERY 429 (its increment runs
             # before super()'s exhaustion raise, so the final 429 is
             # already included)
-            self._throttles += throttles[0]
+            self._flush_throttles(throttles)
             # status=5 exhausted (raise_on_status) — the recording Retry
             # carried the real final status out of the retry loop
             if last_status[0] is not None:
@@ -198,9 +224,9 @@ class HttpTransport:
             # connect/read/protocol errors: never retried (connect=0) —
             # but a 429 absorbed on an EARLIER attempt of this request
             # must still reach the adaptive pacer (ADVICE r9)
-            self._throttles += throttles[0]
+            self._flush_throttles(throttles)
             raise TransportError(str(exc)) from exc
-        self._throttles += throttles[0]
+        self._flush_throttles(throttles)
         if resp.status != 200:
             # non-forcelist status (e.g. 404): one attempt, no retry
             raise HTTPStatusError(resp.status)

@@ -36,9 +36,14 @@ class WorkerCrash(BaseException):
 
 
 class HTTPStatusError(Exception):
-    def __init__(self, status: int) -> None:
+    def __init__(self, status: int,
+                 retry_after_s: float | None = None) -> None:
         super().__init__(f"HTTP {status}")
         self.status = status
+        # a 429's advertised Retry-After (seconds), when the server
+        # sent one — the adaptive pacer adopts it as the interval
+        # floor instead of multiplicative guessing (VERDICT r9 #5)
+        self.retry_after_s = retry_after_s
 
 
 @dataclass
@@ -91,8 +96,10 @@ class RateLimiter:
             self.clock.sleep(self.min_interval_s - delta)
         self._last = self.clock.monotonic()
 
-    def on_throttle(self, n: int = 1) -> None:
-        """Feedback hook: the API said 429 (n times).  No-op here."""
+    def on_throttle(self, n: int = 1,
+                    retry_after_s: float | None = None) -> None:
+        """Feedback hook: the API said 429 (n times), optionally
+        advertising a Retry-After of ``retry_after_s``.  No-op here."""
 
     def on_success(self) -> None:
         """Feedback hook: a call completed without throttling."""
@@ -126,7 +133,23 @@ class AdaptiveRateLimiter(RateLimiter):
             self.max_interval_s = 32 * max(
                 self._base, self.min_throttle_interval_s)
 
-    def on_throttle(self, n: int = 1) -> None:
+    def on_throttle(self, n: int = 1,
+                    retry_after_s: float | None = None) -> None:
+        # Retry-After adoption (VERDICT r9 #5): when the server
+        # advertises a precise recovery interval, jump the pacing
+        # interval straight to it — one 429 instead of several blind
+        # doublings, the kindness the reference intends
+        # (upload_notion_blocks.py:157-184).  A hint that does NOT
+        # raise the interval (server still throttling at/below the
+        # adopted floor) falls through to the multiplicative widen so
+        # adaptation can never stall on a stale advertisement.
+        if retry_after_s and retry_after_s > self.min_interval_s:
+            self.min_interval_s = min(
+                self.max_interval_s,
+                max(retry_after_s, self.min_throttle_interval_s,
+                    self._base),
+            )
+            return
         for _ in range(max(1, n)):
             self.min_interval_s = min(
                 self.max_interval_s,
@@ -159,11 +182,15 @@ class NotionClient:
             finally:
                 # transports owning their retries can expose how many
                 # 429s the retry loop absorbed (HttpTransport does) so
-                # adaptive pacing still sees throttle density
+                # adaptive pacing still sees throttle density — plus
+                # the largest Retry-After those 429s advertised
                 pop = getattr(self.transport, "pop_throttle_count", None)
                 n429 = pop() if callable(pop) else 0
+                pop_h = getattr(self.transport, "pop_retry_after_hint",
+                                None)
+                hint = pop_h() if callable(pop_h) else None
                 if n429:
-                    self.rate.on_throttle(n429)
+                    self.rate.on_throttle(n429, retry_after_s=hint)
             if not n429:
                 self.rate.on_success()
             return result
@@ -176,7 +203,8 @@ class NotionClient:
                 return result
             except HTTPStatusError as exc:
                 if exc.status == 429:
-                    self.rate.on_throttle()
+                    self.rate.on_throttle(
+                        retry_after_s=getattr(exc, "retry_after_s", None))
                 if exc.status not in RETRYABLE_STATUSES:
                     raise
                 attempts += 1
@@ -186,6 +214,11 @@ class NotionClient:
                 # the limiter's clock so virtual-clock tests stay
                 # coherent (real clock by default — behavior unchanged)
                 delay = BACKOFF_FACTOR * (2 ** (attempts - 1))
+                ra = getattr(exc, "retry_after_s", None)
+                if ra:
+                    # mirror urllib3 respect_retry_after_header: the
+                    # advertised wait wins over the computed backoff
+                    delay = max(delay, ra)
                 if self.rate.min_interval_s > 0 or getattr(
                     self.transport, "sleep", False
                 ):

@@ -35,11 +35,12 @@ class BudgetTransport:
     sleep = True  # let the client's backoff advance the virtual clock
 
     def __init__(self, budget_rps: float, clock: VirtualClock,
-                 burst: float = 1.0) -> None:
+                 burst: float = 1.0, advertise: bool = False) -> None:
         self.budget_rps = budget_rps
         self.clock = clock
         self.tokens = burst
         self.burst = burst
+        self.advertise = advertise  # send Retry-After on 429s
         self._last = clock.monotonic()
         self.attempts: list[tuple[float, bool]] = []  # (t, throttled)
 
@@ -56,6 +57,10 @@ class BudgetTransport:
         from mediawiki_to_notion_spark.streaming.notion_client import (
             HTTPStatusError,
         )
+        if self.advertise:
+            # precise recovery time: seconds until the next token
+            raise HTTPStatusError(
+                429, retry_after_s=(1.0 - self.tokens) / self.budget_rps)
         raise HTTPStatusError(429)
 
 
@@ -118,6 +123,53 @@ def test_aggregate_rate_converges_under_server_budget():
     assert frac <= 0.05, frac
     # the interval settled near the budget's implied spacing, not the cap
     assert rl.min_interval_s < rl.max_interval_s
+
+
+def test_retry_after_adoption_jumps_to_the_advertised_floor():
+    """A Retry-After hint replaces the multiplicative guess: the
+    interval jumps straight to the advertised value; a hint at/below
+    the current interval falls through to the blind widen so
+    adaptation never stalls on a stale advertisement (VERDICT r9 #5)."""
+    rl = AdaptiveRateLimiter(min_interval_s=0.01)
+    rl.on_throttle(retry_after_s=0.75)
+    assert rl.min_interval_s == 0.75  # one jump, not log2(0.75/0.05) widens
+    before = rl.min_interval_s
+    rl.on_throttle(retry_after_s=0.5)  # stale hint below current
+    assert rl.min_interval_s == before * rl.widen_factor  # blind widen
+    # decay probes back toward the base as usual
+    for _ in range(2000):
+        rl.on_success()
+    assert rl.min_interval_s == 0.01
+
+
+def _run_converge(advertise: bool):
+    clock = VirtualClock()
+    budget = 20.0
+    server = BudgetTransport(budget, clock, advertise=advertise)
+    rl = AdaptiveRateLimiter(min_interval_s=0.005, clock=clock,
+                             min_throttle_interval_s=0.005)
+    client = NotionClient(server, rl)
+    for i in range(400):
+        client.upload_block("b", i)
+    times = [t for t, _ in server.attempts]
+    half = times[len(times) // 2]
+    late = [(t, thr) for t, thr in server.attempts if t >= half]
+    attempt_rate = len(late) / (times[-1] - half)
+    n_throttles = sum(thr for _, thr in server.attempts)
+    return attempt_rate, n_throttles
+
+
+def test_advertised_retry_after_converges_faster_than_blind_widen():
+    """Same server budget, same base overshoot: with Retry-After
+    advertised the pacer reaches a compliant rate with FEWER total
+    429s than blind multiplicative widening, and still converges under
+    the budget (VERDICT r9 #5 'Done' criterion)."""
+    budget = 20.0
+    rate_hint, thr_hint = _run_converge(advertise=True)
+    rate_blind, thr_blind = _run_converge(advertise=False)
+    assert rate_hint <= budget * 1.05
+    assert rate_blind <= budget * 1.05
+    assert thr_hint < thr_blind, (thr_hint, thr_blind)
 
 
 def test_http_transport_throttle_counter_pops():

@@ -133,6 +133,28 @@ def test_connect_error_not_retried():
         tr.request("page:x", {"parent_url": "p", "title": "t"})
 
 
+def test_retry_after_hint_pops_and_semantics_unchanged(fake_api):
+    """A 429 with Retry-After must (a) keep the verbatim retry matrix —
+    one absorbed 429, one retry, success — and (b) surface the
+    advertised seconds via pop_retry_after_hint for the adaptive pacer
+    (VERDICT r9 #5).  The hint drains on pop."""
+    srv, base = fake_api
+    srv.script["block:rah:0"] = [429]
+    srv.retry_after = 1
+    tr = HttpTransport(base)
+    client = NotionClient(tr, RateLimiter(0))
+    client.upload_block("rah", 0, block_json="{}", page_url="u")
+    assert srv.calls["block:rah:0"] == 2  # retry count untouched
+    assert tr._retry_after_hint is None   # drained by the client...
+    # ...into the pacer: wire a fresh transport to check the pop itself
+    srv.script["block:rah:1"] = [429]
+    tr2 = HttpTransport(base)
+    tr2.request("block:rah:1", {"block_json": "{}", "page_url": "u"})
+    assert tr2.pop_throttle_count() == 1
+    assert tr2.pop_retry_after_hint() == 1.0
+    assert tr2.pop_retry_after_hint() is None
+
+
 def test_transport_pickles_without_pool(fake_api):
     srv, base = fake_api
     tr = HttpTransport(base, token="secret")
