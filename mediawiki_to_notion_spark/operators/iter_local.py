@@ -228,7 +228,6 @@ def lloyd_refine_local(
 
     for _ in range(iters):
         C = np.array([c for _, c in cents], dtype=np.float64)
-        cluster_ids = [cid for cid, _ in cents]
         nc = np.sqrt(np_fold_sq(C))
         dots = np_fold_dots(E, C)                      # (n, k)
         cos = dots / (ne[:, None] * nc[None, :])       # a/(na*nb) order
