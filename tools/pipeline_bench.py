@@ -147,6 +147,12 @@ def stage2_ingest(spark, staged_parquet: str, tables_dir: str) -> dict:
 
 class _OkHandler(BaseHTTPRequestHandler):
     server_version = "notion-bench/0"
+    # keep-alive (r10): HTTP/1.0's close-per-request forces one TCP
+    # accept per API call through the single accept loop — at p16/p32
+    # the backlog (default 5) overflows and connect REFUSALS masquerade
+    # as API failures (drain soak: 26 of 250k at p32).  Real APIs and
+    # the reference's urllib3 both hold keep-alive connections.
+    protocol_version = "HTTP/1.1"
     latency_s = 0.0  # injected per-request service time (class attr,
     # set on a per-server subclass by _make_server)
 
@@ -173,7 +179,9 @@ class _OkHandler(BaseHTTPRequestHandler):
 
 def _make_server(latency_s: float = 0.0) -> ThreadingHTTPServer:
     handler = type("_H", (_OkHandler,), {"latency_s": latency_s})
-    return ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    server = type("_S", (ThreadingHTTPServer,),
+                  {"request_queue_size": 128})
+    return server(("127.0.0.1", 0), handler)
 
 
 def stage3_upload(spark, staged_parquet: str, scratch: str,

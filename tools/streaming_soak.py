@@ -50,6 +50,7 @@ _MULT = {"1x": 1, "10x": 10, "100x": 100}
 
 class _OkHandler(BaseHTTPRequestHandler):
     server_version = "notion-soak/0"
+    protocol_version = "HTTP/1.1"  # keep-alive; see pipeline_bench
 
     def _handle(self) -> None:
         length = int(self.headers.get("Content-Length", 0))
