@@ -592,8 +592,12 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
                 huff[(tclass, tid)] = _HuffDecoder(bits, vals)
                 p += 17 + n
         elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise JPEGError("truncated DRI")
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext.seq / prog
+            if len(body) < 6:
+                raise JPEGError("truncated SOF header")
             prec = body[0]
             if prec != 8:
                 raise UnsupportedJPEGError(f"{prec}-bit precision")
@@ -641,6 +645,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
         elif marker == 0xDA:  # SOS — entropy-coded data follows
             if frame is None:
                 raise JPEGError("SOS before SOF")
+            if len(body) < 1:
+                raise JPEGError("truncated SOS header")
             ns = body[0]
             if len(body) < 1 + 2 * ns + 3:
                 raise JPEGError("truncated SOS header")

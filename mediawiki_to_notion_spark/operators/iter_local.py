@@ -206,6 +206,12 @@ def lloyd_refine_local(
         np_fold_sq,
     )
 
+    # Degenerate inputs (empty table, or no vec_id < k to seed from):
+    # the distributed loop yields an empty centroid frame — replay that
+    # directly instead of feeding 1-D empty arrays to the fold kernels.
+    if not vecs or not any(vid < k for vid, _ in vecs):
+        return []
+
     ids = [v for v, _ in vecs]
     E = np.array([e for _, e in vecs], dtype=np.float64)  # float32 exact
     n = E.shape[0]
