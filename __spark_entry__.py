@@ -164,7 +164,19 @@ _RECHECK = {"pack_sequences_greedy": 3, "markdown_blocks_golden": 4,
             "dedup_fuzzy_connectivity_certificate": 10,
             "corpus_prepare_pipeline": 10,
             "pagerank_word_graph": 10,
-            "kmeans_lloyd_refine": 10}
+            "kmeans_lloyd_refine": 10,
+            # r10 optimization round: the span-cut rebuild moved from a
+            # token-stream explode + token-level anti-membership join +
+            # corpus-wide collect_list to per-doc cut-span merging with
+            # array folds (dedup_ext._rebuild_excising_spans), and the
+            # dup/survivor aggregates folded into one shuffle — values
+            # re-verified bit-identical vs the unchanged DuckDB oracles
+            # at sf0.001+sf0.01, but the physical path changed end to
+            # end, so re-gate hard.
+            "dedup_substring_cut": 10,
+            "dedup_substring_cut_exact": 10,
+            "decontaminate_span_cut": 10,
+            "dedup_duplicate_ngram_spans": 10}
 
 # SOFT rechecks: confirmed queries EDITED since their green row where
 # the edit is a verified semantic no-op on the driver's data (the r3

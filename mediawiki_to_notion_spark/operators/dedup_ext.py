@@ -31,6 +31,87 @@ SEMDEDUP_K = 16  # codebook size (deterministic: the first K vectors)
 SEMDEDUP_THRESHOLD = 0.35
 
 
+def _rebuild_excising_spans(toks: DataFrame, spans: DataFrame) -> DataFrame:
+    """Rebuild every document with its cut token spans excised — the
+    shared final stage of dedup_substring_cut / dedup_substring_cut_exact
+    / decontaminate_span_cut.  ``toks`` is (doc_id, t: array<string>),
+    ``spans`` is (doc_id, s, e) inclusive 0-based token ranges to cut
+    (possibly overlapping, never exact duplicates).  Returns
+    (doc_id, n_tokens, n_cut_tokens, n_kept_tokens, clean_text).
+
+    Scale shape (r10, guide §8 "decide with small rows, move big rows
+    once"): the old rebuild posexploded the ENTIRE corpus token stream,
+    left-joined it against the exploded+distinct'd cut-token ids at
+    (doc_id, tok_i) granularity, and re-assembled each document with a
+    corpus-wide collect_list — two corpus-scale shuffles of one-row-per-
+    TOKEN data.  Cut decisions are span-sized, not corpus-sized: collect
+    the (few) cut spans per document (one shuffle over cut spans only),
+    join them onto the packed token arrays at DOC granularity, and do
+    the merge/excise/count entirely with array higher-order functions
+    beside the scan — zero token-level shuffles, values bit-identical
+    (same kept tokens in the same order, re-verified vs the unchanged
+    DuckDB oracles)."""
+    per_doc = spans.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("s"), F.col("e")))
+        ).alias("spans")
+    )
+    j = toks.join(per_doc, "doc_id", "left")
+    sp = F.coalesce(F.col("spans"), F.array().cast("array<struct<s:int,e:int>>"))
+    n = F.size("t")
+    zero = F.struct(
+        F.lit(0).alias("pos"),
+        F.lit(0).cast("long").alias("cut"),
+        F.array().cast("array<struct<o:int,l:int>>").alias("segs"),
+    )
+
+    def step(acc, s):
+        # tokens kept before this span starts (0 when it overlaps the
+        # already-covered prefix), newly covered tokens, advanced cursor
+        keep_l = F.greatest(s["s"] - acc["pos"], F.lit(0))
+        new_cut = acc["cut"] + F.greatest(
+            s["e"] + 1 - F.greatest(s["s"], acc["pos"]), F.lit(0)
+        ).cast("long")
+        new_pos = F.greatest(acc["pos"], s["e"] + 1)
+        new_segs = F.when(
+            keep_l > 0,
+            F.concat(
+                acc["segs"],
+                F.array(F.struct(
+                    (acc["pos"] + 1).alias("o"), keep_l.alias("l")
+                )),
+            ),
+        ).otherwise(acc["segs"])
+        return F.struct(
+            new_pos.alias("pos"), new_cut.alias("cut"), new_segs.alias("segs")
+        )
+
+    def fin(acc):
+        tail_l = n - acc["pos"]
+        segs = F.when(
+            tail_l > 0,
+            F.concat(
+                acc["segs"],
+                F.array(F.struct(
+                    (acc["pos"] + 1).alias("o"), tail_l.alias("l")
+                )),
+            ),
+        ).otherwise(acc["segs"])
+        kept = F.flatten(
+            F.transform(segs, lambda g: F.slice(F.col("t"), g["o"], g["l"]))
+        )
+        return F.struct(acc["cut"].alias("cut"), kept.alias("kept"))
+
+    j2 = j.select("doc_id", "t", F.aggregate(sp, zero, step, fin).alias("r"))
+    return j2.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.col("r.cut").alias("n_cut_tokens"),
+        (n.cast("long") - F.col("r.cut")).alias("n_kept_tokens"),
+        F.concat_ws(" ", F.col("r.kept")).alias("clean_text"),
+    )
+
+
 @register(
     "dedup_duplicate_ngram_spans",
     oracle=f"""
@@ -100,19 +181,36 @@ def dedup_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("h")
     )
     dw = win.join(dup, "h").select("doc_id", "p")
-    cov = dw.select(
-        "doc_id", F.explode(F.sequence(F.col("p"), F.col("p") + SPAN_W - 1)).alias("tok_i")
-    ).distinct()
-    nw = dw.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nw"))
-    nt = cov.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nt"))
+    # r10: count covered tokens by folding the SORTED window starts per
+    # doc (fixed width W ⇒ interval union length in one pass) instead of
+    # exploding every dup window W ways and distinct-counting token ids —
+    # one per-doc aggregate replaces the explode + distinct + second agg
+    # (three shuffles → one), same interval-union count by construction.
+    zero = F.struct(
+        F.lit(0).alias("pos"), F.lit(0).cast("long").alias("cnt")
+    )
+
+    def step(acc, a):
+        return F.struct(
+            (a + SPAN_W).alias("pos"),
+            (acc["cnt"]
+             + (a + SPAN_W - F.greatest(a, acc["pos"])).cast("long")
+             ).alias("cnt"),
+        )
+
+    agg = dw.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("nw"),
+        F.aggregate(
+            F.array_sort(F.collect_list("p")), zero, step, lambda s: s["cnt"]
+        ).alias("nt"),
+    )
     perdoc = toks.select(
         "doc_id",
         F.size("t").alias("n_tokens"),
         (F.size("t") - SPAN_W + 1).alias("n_windows"),
     )
     return (
-        perdoc.join(nw, "doc_id", "left")
-        .join(nt, "doc_id", "left")
+        perdoc.join(agg, "doc_id", "left")
         .select(
             "doc_id", "n_tokens", "n_windows",
             F.coalesce("nw", F.lit(0)).alias("n_dup_windows"),
@@ -670,11 +768,13 @@ def dedup_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivor rule as dedup_paragraph_chunks), and each document is
     rebuilt from its surviving tokens.
 
-    Scale shape: the duplicated-window set and survivor choice are
-    hash-keyed partial aggregates (8-byte keys); the cut-token set
-    re-expands only duplicated windows; the rebuild is ONE per-doc
-    aggregate over the token stream with an anti-membership check —
-    never a window over the corpus, nothing quadratic."""
+    Scale shape: the duplicated-window set and survivor choice ride ONE
+    hash-keyed partial aggregate (8-byte keys; min(struct) shares the
+    count's shuffle) whose filtered output joins back small; the rebuild
+    collects the few cut spans per doc and excises them from the packed
+    token arrays with array folds (_rebuild_excising_spans) — no
+    token-level shuffle, never a window over the corpus, nothing
+    quadratic."""
     from mediawiki_to_notion_spark.plans.pipeline import ensure_parallelism
 
     d = ensure_parallelism(load_table(spark, "documents", sf_dir))
@@ -692,59 +792,36 @@ def dedup_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p", "h"),
     )
-    dup = (
-        win.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("h")
-    )
-    dwin = win.join(dup, "h")
+    # ONE aggregate computes the duplicated-hash set AND its survivor
+    # (r10): min(struct(doc_id, p)) rides the same partial-agg shuffle
+    # as the distinct-doc count, so the old dup→join→firsts→join chain
+    # (two aggregates, two window-stream joins) collapses to a single
+    # agg plus a single join against the small filtered survivor table.
     # Survivor = lexicographic (doc_id, p) min.  Struct min, never a
     # doc_id*BASE+p composite integer: that encoding aliases across
     # documents once a document has >= BASE token windows (a 1M-token
     # doc is plausible in a web corpus), silently moving the survivor.
-    firsts = dwin.groupBy("h").agg(
-        F.min(F.struct("doc_id", "p")).alias("first_pos")
+    firsts = (
+        win.groupBy("h")
+        .agg(
+            F.count_distinct("doc_id").alias("nd"),
+            F.min(F.struct("doc_id", "p")).alias("first_pos"),
+        )
+        .filter(F.col("nd") >= 2)
+        .select("h", "first_pos")
     )
-    cut_wins = dwin.join(firsts, "h").filter(
+    cut_wins = win.join(firsts, "h").filter(
         F.struct("doc_id", "p") != F.col("first_pos")
     )
-    cut_toks = cut_wins.select(
+    # r10 rebuild: cut windows become (start, end) spans merged per doc
+    # with array folds — no token-stream explode, no token-level join,
+    # no corpus-wide collect_list (see _rebuild_excising_spans)
+    spans = cut_wins.select(
         "doc_id",
-        F.explode(
-            F.sequence(F.col("p"), F.col("p") + SPAN_W - 1)
-        ).alias("tok_i"),
-    ).distinct()
-    stream = toks.select(
-        "doc_id",
-        F.size("t").alias("n_tokens"),
-        F.posexplode("t").alias("tok_i", "tok"),
+        F.col("p").alias("s"),
+        (F.col("p") + SPAN_W - 1).alias("e"),
     )
-    joined = stream.join(
-        cut_toks.withColumn("cut", F.lit(True)), ["doc_id", "tok_i"], "left"
-    )
-    return joined.groupBy("doc_id", "n_tokens").agg(
-        F.count(F.when(F.col("cut"), 1)).alias("n_cut_tokens"),
-        (F.col("n_tokens").cast("long")
-         - F.count(F.when(F.col("cut"), 1))).alias("n_kept_tokens"),
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(
-                            F.col("cut").isNull(),
-                            F.struct(
-                                F.col("tok_i").alias("tok_i"),
-                                F.col("tok").alias("tok"),
-                            ),
-                        )
-                    )
-                ),
-                lambda s: s["tok"],
-            ),
-        ).alias("clean_text"),
-    )
+    return _rebuild_excising_spans(toks, spans)
 
 
 _WIN_HASH_SQL = H.token_hash60_sql(
@@ -849,9 +926,10 @@ def dedup_substring_cut_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     query (8-byte hash partial aggs; the lag/cumsum windows run ONLY
     over duplicated windows partitioned by doc_id); span signatures
     and survivor choice are two more hash-keyed partial aggregates;
-    the rebuild is the dedup_substring_cut discipline — one per-doc
-    aggregate over the token stream with an anti-membership left
-    join, nothing quadratic."""
+    the rebuild collects the few cut spans per doc and excises them
+    from the packed token arrays with array folds
+    (_rebuild_excising_spans) — no token-level shuffle, nothing
+    quadratic."""
     from mediawiki_to_notion_spark.plans.pipeline import ensure_parallelism
     from pyspark.sql import Window as W
 
@@ -925,41 +1003,16 @@ def dedup_substring_cut_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut_spans = spans.join(keepers, "chain_sig").filter(
         F.struct("doc_id", "start_tok") != F.col("keep")
     )
-    cut_toks = cut_spans.select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.col("start_tok"), F.col("end_tok"))
-        ).alias("tok_i"),
-    ).distinct()
-    stream = toks.select(
-        "doc_id",
-        F.size("t").alias("n_tokens"),
-        F.posexplode("t").alias("tok_i", "tok"),
-    )
-    joined = stream.join(
-        cut_toks.withColumn("cut", F.lit(True)), ["doc_id", "tok_i"], "left"
-    )
-    return joined.groupBy("doc_id", "n_tokens").agg(
-        F.count(F.when(F.col("cut"), 1)).alias("n_cut_tokens"),
-        (F.col("n_tokens").cast("long")
-         - F.count(F.when(F.col("cut"), 1))).alias("n_kept_tokens"),
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(
-                            F.col("cut").isNull(),
-                            F.struct(
-                                F.col("tok_i").alias("tok_i"),
-                                F.col("tok").alias("tok"),
-                            ),
-                        )
-                    )
-                ),
-                lambda s: s["tok"],
-            ),
-        ).alias("clean_text"),
+    # r10 rebuild: the non-surviving spans feed the shared span-merge
+    # excision directly — no token-stream explode, no token-level join,
+    # no corpus-wide collect_list (see _rebuild_excising_spans)
+    return _rebuild_excising_spans(
+        toks,
+        cut_spans.select(
+            "doc_id",
+            F.col("start_tok").alias("s"),
+            F.col("end_tok").alias("e"),
+        ),
     )
 
 

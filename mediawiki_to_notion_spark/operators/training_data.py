@@ -795,9 +795,9 @@ def decontaminate_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: the benchmark window-hash set is eval-suite-sized
     and BROADCASTS; corpus windows join it on the 60-bit hash (8-byte
-    keys, no all-pairs anything); only matched windows re-expand to
-    cut-token ids; the rebuild is the dedup_substring_cut per-doc
-    aggregate (dedup_ext.py:665)."""
+    keys, no all-pairs anything); matched windows become per-doc cut
+    spans excised from the packed token arrays with array folds
+    (dedup_ext._rebuild_excising_spans) — no token-level shuffle."""
     from mediawiki_to_notion_spark.functions import hashing as H
     from mediawiki_to_notion_spark.plans.pipeline import ensure_parallelism
 
@@ -824,41 +824,20 @@ def decontaminate_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         win.filter(F.col("doc_id") >= DECON_BENCHMARK_DOCS)
         .join(F.broadcast(bench), "h")
     )
-    cut_toks = hits.select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.col("p"), F.col("p") + DECON_CUT_W - 1)
-        ).alias("tok_i"),
-    ).distinct()
-    stream = toks.filter(F.col("doc_id") >= DECON_BENCHMARK_DOCS).select(
-        "doc_id",
-        F.size("t").alias("n_tokens"),
-        F.posexplode("t").alias("tok_i", "tok"),
+    # r10 rebuild: matched windows become (start, end) spans merged per
+    # doc with array folds — no token-stream explode, no token-level
+    # join, no corpus-wide collect_list (dedup_ext._rebuild_excising_spans)
+    from mediawiki_to_notion_spark.operators.dedup_ext import (
+        _rebuild_excising_spans,
     )
-    joined = stream.join(
-        cut_toks.withColumn("cut", F.lit(True)), ["doc_id", "tok_i"], "left"
+
+    spans = hits.select(
+        "doc_id",
+        F.col("p").alias("s"),
+        (F.col("p") + DECON_CUT_W - 1).alias("e"),
     )
-    return joined.groupBy("doc_id", "n_tokens").agg(
-        F.count(F.when(F.col("cut"), 1)).alias("n_cut_tokens"),
-        (F.col("n_tokens").cast("long")
-         - F.count(F.when(F.col("cut"), 1))).alias("n_kept_tokens"),
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(
-                            F.col("cut").isNull(),
-                            F.struct(
-                                F.col("tok_i").alias("tok_i"),
-                                F.col("tok").alias("tok"),
-                            ),
-                        )
-                    )
-                ),
-                lambda s: s["tok"],
-            ),
-        ).alias("clean_text"),
+    return _rebuild_excising_spans(
+        toks.filter(F.col("doc_id") >= DECON_BENCHMARK_DOCS), spans
     )
 
 
