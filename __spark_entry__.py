@@ -176,7 +176,49 @@ _RECHECK = {"pack_sequences_greedy": 3, "markdown_blocks_golden": 4,
             "dedup_substring_cut": 10,
             "dedup_substring_cut_exact": 10,
             "decontaminate_span_cut": 10,
-            "dedup_duplicate_ngram_spans": 10}
+            "dedup_duplicate_ngram_spans": 10,
+            # r10 batch 2: single-pass reformulations — market_basket's
+            # lines self-join became per-order packed-array pair
+            # generation, mixture_anneal/dsir collapsed their repeated
+            # corpus bigram passes into one conditional/fold aggregate,
+            # and the two ngram LMs materialize the vocabulary²-bounded
+            # type table (localCheckpoint) instead of re-running the
+            # corpus explode per consumer.  All five re-verified
+            # bit-identical vs unchanged oracles at sf0.001+sf0.01;
+            # physical paths changed end to end — re-gate hard.
+            "market_basket_part_pairs": 10,
+            "mixture_anneal_schedule": 10,
+            "dsir_importance_select": 10,
+            "ngram_lm_kneser_ney": 10,
+            # r10 batch 3: fan-out-point materialization of bounded
+            # intermediates — eval_win_rate's per-pair sufficient
+            # stats (lazy cache), matryoshka's ranked top-k and the
+            # minhash-calibration / winnowing sketch tables (eager
+            # localCheckpoint) — each previously re-ran its expensive
+            # upstream once per consumer subtree.  Values re-verified
+            # bit-identical at sf0.001+sf0.01; physical paths changed
+            # — re-gate hard.
+            "eval_win_rate_bootstrap": 10,
+            "embedding_matryoshka_recall": 10,
+            "dedup_minhash_estimate_quality": 10,
+            "dedup_minhash_b_bit": 10,
+            "dedup_winnowing_fingerprint": 10,
+            # r10 batch 4: the minhash/simhash signature tables are now
+            # materialized once (ReuseExchange was measured NOT to fire
+            # across their 3-4 consumer subtrees), and the single-table
+            # SRP bucket ids moved from npl interpreted ArrayAggregate
+            # folds per row to the multitable op's bit-identical numpy
+            # kernel (n_tables=1).  Values re-verified at
+            # sf0.001+sf0.01 incl. all composing queries; physical
+            # paths changed — re-gate hard.
+            "dedup_minhash_lsh": 10,
+            "dedup_minhash_incremental": 10,
+            "dedup_simhash": 10,
+            "dedup_simhash_fixedwidth_demo": 10,
+            "dedup_embedding_cosine_lsh": 10,
+            "dedup_embedding_cosine_lsh_fixedwidth_demo": 10,
+            "dedup_cosine_lsh_recall": 10,
+            "dedup_cosine_lsh_recall_adaptive": 10}
 
 # SOFT rechecks: confirmed queries EDITED since their green row where
 # the edit is a verified semantic no-op on the driver's data (the r3

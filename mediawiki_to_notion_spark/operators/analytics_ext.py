@@ -823,7 +823,14 @@ def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct is not required at 100 TB.
 
     Windows ending after the last observed hour are clipped (matching
-    dashboards, which do not report future windows)."""
+    dashboards, which do not report future windows).
+
+    r10 examined, deliberately unchanged: an explicit pre-dedup to
+    DISTINCT (hour, user) before the 24x explode was measured SLOWER
+    at sf0.1 (1.19 -> 1.32 s min-of-5) and is redundant at scale —
+    the final countDistinct already partial-aggregates map-side, so
+    the post-fan-out shuffle carries locally-deduped (window, user)
+    pairs either way, and the extra global exchange buys nothing."""
     e = load_table(spark, "events", sf_dir)
     ev = e.select(
         F.date_trunc("hour", F.col("ts")).alias("h0"), "user_id"
@@ -1054,37 +1061,56 @@ def market_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (P(a)P(b)) — the association-rule statistic (Agrawal a-priori's
     2-itemset pass).
 
-    100 TB shape: the pair join is an equi-join on l_orderkey with
-    fan-out bounded by lines-per-order (single digits in TPC-H-like
-    data), never a part-pair cartesian; the min-support HAVING prunes
-    the long tail before the per-part marginals join on (explicitly
-    F.broadcast-hinted — catalog-sized, fine up to ~10M parts; past
-    that drop the hint and the marginals equi-join the already-pruned
-    pair table on part key, still never a wide-side shuffle); the
-    order count is one scalar broadcast."""
+    100 TB shape (r10, guide §2.4 — remove shuffles outright): ONE
+    groupBy(l_orderkey) packs each order's distinct parts into a
+    sorted array (the same shuffle the old distinct() paid, and the
+    dedup rides the aggregate), pairs are generated ORDER-LOCALLY by
+    an index-nested array transform (fan-out bounded by lines-per-
+    order, single digits in TPC-H-like data — never a part-pair
+    cartesian), and the per-part marginals explode the same packed
+    arrays — the old formulation's equi-self-join re-shuffled the
+    lines table twice more on l_orderkey to produce exactly these
+    pairs.  The min-support HAVING prunes the long tail before the
+    marginals join on (explicitly F.broadcast-hinted — catalog-sized,
+    fine up to ~10M parts; past that drop the hint and the marginals
+    equi-join the already-pruned pair table on part key, still never
+    a wide-side shuffle); the order count is one scalar broadcast."""
     li = load_table(spark, "lineitem", sf_dir)
-    # materialize once: four consumers (order count, marginals, both
-    # self-join sides) would each re-run the scan + dedup shuffle
-    lines = (
-        li.select("l_orderkey", "l_partkey").distinct().localCheckpoint()
+    # three consumers (order count, marginals, pair fan-out) share the
+    # one groupBy(l_orderkey) exchange via ReuseExchange — no eager
+    # materialization needed (a localCheckpoint here was measured +0.2 s
+    # at sf0.1: it serializes an extra job in front of the main one)
+    orders = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
     )
-    n_orders = lines.agg(
-        F.countDistinct("l_orderkey").alias("n")
+    # COUNT(DISTINCT l_orderkey) ignores NULL keys, and the old
+    # self-join's NULL = NULL never matched — replicate both exactly:
+    # the NULL-orderkey group (if any) contributes to the per-part
+    # marginals (as its distinct rows did before) but neither to the
+    # order count nor to pair generation.
+    n_orders = orders.agg(
+        F.count(F.when(F.col("l_orderkey").isNotNull(), 1)).alias("n")
     )
-    part_orders = lines.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).alias("n_ord")
+    part_orders = orders.select(
+        F.explode("parts").alias("l_partkey")
+    ).groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_ord"))
+    # (a, b) with a < b, generated inside each order's sorted array:
+    # element i pairs with every later element j > i
+    pair_array = F.flatten(
+        F.transform(
+            "parts",
+            lambda x, i: F.transform(
+                F.slice("parts", i + 2, F.size("parts")),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
+        )
     )
-    a, b = lines.alias("a"), lines.alias("b")
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
+        orders.filter(F.col("l_orderkey").isNotNull())
+        .select(F.explode(pair_array).alias("p"))
+        .select("p.part_a", "p.part_b")
+        .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_together"))
         .filter(F.col("n_together") >= BASKET_MIN_SUPPORT)
     )
@@ -2819,11 +2845,21 @@ def eval_win_rate_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from mediawiki_to_notion_spark.functions import hashing as H
 
+    # r10 (guide §2.4): the per-pair sufficient statistics are the ONLY
+    # thing the bootstrap needs — |types|²-bounded rows consumed twice
+    # (the replica fan-out and the final CI join), each consumer a
+    # separate plan subtree that re-ran the corpus-scale lead()-window
+    # pass.  A lazy cache() dedups that work within the single action
+    # (first stage populates, second reads) without the extra eager
+    # job a localCheckpoint would serialize in front of it — measured
+    # at sf0.1 the eager variant cost +0.3 s while this one is neutral
+    # locally and halves the corpus work at scale.  bench.py
+    # clearCache()s between queries, so nothing persists across runs.
     pairs = matches.groupBy("x", "y").agg(
         F.count(F.when(F.col("winner") == F.col("x"), 1))
         .cast("long").alias("wins_x"),
         F.count(F.lit(1)).cast("long").alias("n"),
-    )
+    ).cache()
     reps = pairs.select(
         "x", "y", "wins_x", "n",
         F.least(F.col("n"), F.lit(BOOT_M)).alias("m"),

@@ -962,51 +962,72 @@ def mixture_anneal_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-multiplied integer comparison (sum_micro * g_feats >=
     g_micro * n_feats) — no float threshold to disagree on.
 
-    100 TB shape: per-source classifier sums and token counts are two
-    map-side-combinable groupBys to source cardinality; everything
-    after (global mean, phase fan-out, normalization) is arithmetic
-    over the source-count-sized table."""
+    100 TB shape (r10, guide §2.3 "aggregate before you shuffle" +
+    §2.4): ONE corpus pass — the per-document classifier sum is an
+    array fold beside the scan (the bucket weight is a closed-form
+    function of the bucket id, bucket * QC_WEIGHT_MULT % 2001 - 1000,
+    so it is inlined as an expression instead of a broadcast join
+    against a materialized weight table), and a single map-side-
+    combinable groupBy(source) carries classifier sum, feature count
+    AND token count together.  The old shape ran the corpus three
+    times (per_source re-evaluated under both `glob` and `rated`,
+    plus the separate tok_counts groupBy); the fused source-
+    cardinality table is localCheckpoint'ed so everything after
+    (global mean, phase fan-out, normalization) is arithmetic over a
+    handful of rows."""
     toks = load_table(spark, "documents", sf_dir).select(
         "doc_id", "source", F.split("text", " ").alias("t")
     )
-    bigrams = toks.filter(F.size("t") >= 2).select(
-        "source",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("t") - 1),
-                lambda i: F.concat(
+
+    def bucket_of(bg):
+        return (
+            F.conv(F.substring(F.md5(bg), 1, 15), 16, 10).cast("long")
+            % QC_BUCKETS
+        )
+
+    buckets = F.when(
+        F.size("t") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - 1),
+            lambda i: bucket_of(
+                F.concat(
                     F.element_at("t", i), F.lit("|"),
                     F.element_at("t", i + 1),
-                ),
-            )
-        ).alias("bg"),
-    )
-    hashed = bigrams.select(
+                )
+            ),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    per_doc = toks.select(
         "source",
-        (F.conv(F.substring(F.md5("bg"), 1, 15), 16, 10).cast("long")
-         % QC_BUCKETS).alias("bucket"),
-    )
-    weights = spark.range(QC_BUCKETS).select(
-        F.col("id").alias("bucket"),
-        (F.col("id") * QC_WEIGHT_MULT % 2001 - 1000).alias("w_micro"),
+        F.size("t").alias("n_tok"),
+        F.aggregate(
+            buckets, F.lit(0).cast("long"),
+            lambda acc, b: acc + (b * QC_WEIGHT_MULT % 2001 - 1000),
+        ).alias("w_sum"),
+        F.size(buckets).alias("n_bg"),
     )
     per_source = (
-        hashed.join(F.broadcast(weights), "bucket")
-        .groupBy("source")
+        per_doc.groupBy("source")
         .agg(
-            F.sum("w_micro").alias("sum_micro"),
-            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("w_sum").alias("sum_micro"),
+            F.sum("n_bg").alias("n_feats"),
+            F.sum("n_tok").alias("n_tokens"),
         )
-    )
-    tok_counts = toks.groupBy("source").agg(
-        F.sum(F.size("t")).alias("n_tokens")
+        # sources whose every document is shorter than 2 tokens had no
+        # bigram row in the pre-r10 shape and were dropped by its
+        # per_source ⋈ tok_counts inner join — preserve that, and the
+        # same join's equi-key NULL semantics (a NULL source never
+        # matched, so it never reached the output)
+        .filter(F.col("n_feats") > 0)
+        .filter(F.col("source").isNotNull())
+        .localCheckpoint()
     )
     glob = per_source.agg(
         F.sum("sum_micro").alias("g_micro"),
         F.sum("n_feats").alias("g_feats"),
     )
     rated = (
-        per_source.join(tok_counts, "source")
+        per_source
         .crossJoin(F.broadcast(glob))
         .select(
             "source", "n_tokens",
@@ -1311,14 +1332,32 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.conv(F.substring(F.md5("bg"), 1, 15), 16, 10).cast("long")
          % DSIR_BUCKETS).alias("bucket"),
     )
-    tgt = big.filter(F.col("source") == DSIR_TARGET_SOURCE) \
-        .groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
-    raw = big.filter(F.col("source") != DSIR_TARGET_SOURCE) \
-        .groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
-    tot = tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("ct_tot")) \
-        .crossJoin(raw.agg(F.coalesce(F.sum("cr"), F.lit(0)).alias("cr_tot")))
+    # r10 (guide §2.3/§2.4): ONE conditional aggregation computes the
+    # target and raw counts per bucket — the old shape ran the corpus
+    # bigram explode twice (once per filtered groupBy) and full-outer
+    # sort-merge-joined the halves back together; a single groupBy
+    # over the unfiltered stream produces the identical per-bucket
+    # (ct, cr) table (buckets absent from one side count 0, exactly
+    # what the old coalesce(NULL, 0) yielded) with one corpus pass
+    # and no join.  The table is DSIR_BUCKETS-bounded, so the totals
+    # derive from it for free.  NULL sources satisfied NEITHER old
+    # filter (= and != are both NULL-false), so a bucket seen only in
+    # NULL-source docs produced no row at all — drop those rows first
+    # rather than letting them mint (0, 0) bucket rows.
+    counts = big.filter(F.col("source").isNotNull()).groupBy("bucket").agg(
+        F.count(
+            F.when(F.col("source") == DSIR_TARGET_SOURCE, 1)
+        ).alias("ct"),
+        F.count(
+            F.when(F.col("source") != DSIR_TARGET_SOURCE, 1)
+        ).alias("cr"),
+    ).localCheckpoint()
+    tot = counts.agg(
+        F.coalesce(F.sum("ct"), F.lit(0)).alias("ct_tot"),
+        F.coalesce(F.sum("cr"), F.lit(0)).alias("cr_tot"),
+    )
     ratio = (
-        tgt.join(raw, "bucket", "full_outer")
+        counts
         .crossJoin(F.broadcast(tot))
         .select(
             "bucket",

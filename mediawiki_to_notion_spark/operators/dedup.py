@@ -257,12 +257,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     no all-pairs comparison ever materializes."""
     d = load_table(spark, "documents", sf_dir)
     sh = _hashed_shingles(d)
-    # the single heavy shuffle; reused (via ReuseExchange) by bands/x/y
+    # the single heavy shuffle, MATERIALIZED once (r10, guide §2.4):
+    # its three consumers (bands — itself self-joined — plus the x/y
+    # verify sides) are separate plan subtrees and ReuseExchange does
+    # NOT fire across them (the r10 before-plan shows 4
+    # ObjectHashAggregate + 3 shingle Generates, i.e. the shingle
+    # explosion + collect_set/minhash groupBy ran 3-4x per query);
+    # one row per doc (count, hash set, 16 minhash values), so the
+    # checkpoint is corpus-cardinality but narrow
     stats = sh.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n"),
         F.collect_set("h").alias("hs"),
         *H.minhash_agg_columns(F.col("h")),
-    )
+    ).localCheckpoint()
     bands = stats.select(
         "doc_id",
         F.posexplode(F.array(*[H.band_signature(b) for b in range(H.N_BANDS)]))
@@ -332,11 +339,13 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     skip-ingest)."""
     d = load_table(spark, "documents", sf_dir)
     sh = _hashed_shingles(d)
+    # materialized once — same non-firing-ReuseExchange finding as
+    # dedup_minhash_lsh (r10, guide §2.4)
     stats = sh.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n"),
         F.collect_set("h").alias("hs"),
         *H.minhash_agg_columns(F.col("h")),
-    )
+    ).localCheckpoint()
     bands = stats.select(
         "doc_id",
         F.posexplode(F.array(*[H.band_signature(b) for b in range(H.N_BANDS)]))
@@ -398,8 +407,12 @@ def _simhash_pairs(spark: SparkSession, sf_dir: str,
     sh = _hashed_shingles(d)
     weights = sh.groupBy("doc_id").agg(
         *H.simhash_bit_aggs(F.col("h"), n_bits))
+    # r10 (guide §2.4): (doc_id, one int64) per document — materialize
+    # before the banding self-join, whose two sides otherwise re-ran
+    # the shingle explosion + bit-weight groupBy twice each
     sims = weights.select(
-        "doc_id", H.simhash_from_weights(n_bits).alias("simhash"))
+        "doc_id", H.simhash_from_weights(n_bits).alias("simhash")
+    ).localCheckpoint()
     return H.hamming_band_pairs(
         sims, "simhash", HAMMING_MAX, n_bits=n_bits
     ).select(
@@ -657,24 +670,31 @@ def _srp_lsh_pairs(spark: SparkSession, e: DataFrame,
     AQE coalesces to near-serial at small sizes (measured 3.6x
     slower).  At corpus scale where the build side outgrows broadcast,
     swap the hint for the salted bucket equi-join
-    (operators.physical.salted_join)."""
+    (operators.physical.salted_join).
+
+    r10 (guide §4 — same fix the multitable op got from the r8 sf100
+    soak): the bucket ids come from ONE Arrow pass
+    (``_make_srp_bucket_kernel`` with n_tables=1, the bit-identical
+    numpy replay of the table-0 plane family) instead of npl
+    interpreted ArrayAggregate folds per row — higher-order functions
+    neither codegen nor CSE, so the old column-expression bucket was
+    O(n·npl·d) interpreted Catalyst eval on BOTH join sides.  The
+    pre-kernel split also moves ensure_parallelism ahead of the
+    explode, so the probe side stays narrow end to end."""
     from mediawiki_to_notion_spark.plans.pipeline import ensure_parallelism
 
-    bucket = F.lit(0)
-    for j in range(npl):
-        bucket = bucket + F.when(
-            V.dot(F.col("embedding"), V.hyperplane(j)) > 0, F.lit(1 << j)
-        ).otherwise(0)
-    bucketed = e.select("vec_id", "embedding", bucket.alias("bucket"))
+    bucketed = ensure_parallelism(
+        e.select("vec_id", "embedding"), 16
+    ).mapInPandas(
+        _make_srp_bucket_kernel(npl, n_tables=1),
+        "vec_id long, embedding array<float>, b0 long",
+    ).withColumnRenamed("b0", "bucket")
     probe_keys = F.array(
         F.col("bucket"),
         *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(npl)],
     )
-    a = ensure_parallelism(
-        bucketed.select(
-            "vec_id", "embedding", F.explode(probe_keys).alias("probe")
-        ),
-        16,
+    a = bucketed.select(
+        "vec_id", "embedding", F.explode(probe_keys).alias("probe")
     ).alias("a")
     b = bucketed.alias("b")
     cand = a.join(
@@ -941,8 +961,8 @@ LSH_N_TABLES = 2        # independent hash tables (recall compensation)
 LSH_TABLE_STRIDE = 100  # disjoint hyperplane family per table
 
 
-def _make_srp_bucket_kernel(npl: int):
-    """Arrow kernel computing ALL {LSH_N_TABLES} tables' SRP buckets in
+def _make_srp_bucket_kernel(npl: int, n_tables: int = LSH_N_TABLES):
+    """Arrow kernel computing ``n_tables`` tables' SRP buckets in
     one pass (r8 sf100 soak catch #2): the column-expression bucket —
     npl interpreted ArrayAggregate folds per row, re-evaluated for
     every probe-array slot because higher-order functions neither
@@ -951,7 +971,8 @@ def _make_srp_bucket_kernel(npl: int):
     identical arithmetic (integer-exact plane formula, dimension-
     sequential fold — functions.vectors.np_srp_buckets), so every
     sign bit and therefore every bucket id is bit-identical to the
-    SQL twin's."""
+    SQL twin's.  (r10: also used with n_tables=1 by the single-table
+    ``_srp_lsh_pairs`` body, whose plane family is table 0's.)"""
     import numpy as np
     import pandas as pd
 
@@ -962,7 +983,7 @@ def _make_srp_bucket_kernel(npl: int):
             X = np.stack([np.asarray(v, dtype=np.float64)
                           for v in pdf["embedding"]])
             out = {"vec_id": pdf["vec_id"], "embedding": pdf["embedding"]}
-            for t in range(LSH_N_TABLES):
+            for t in range(n_tables):
                 out[f"b{t}"] = V.np_srp_buckets(
                     X, t * LSH_TABLE_STRIDE, npl)
             yield pd.DataFrame(out)
@@ -1740,7 +1761,12 @@ def dedup_minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFram
     6-dp rounded then decimal-summed, so the mean is
     accumulation-order exact."""
     d = _calibration_sample(load_table(spark, "documents", sf_dir))
-    sh = _hashed_shingles(d)
+    # r10 (guide §2.4): materialize the hashed shingles once — the
+    # stats groupBy and BOTH sides of the pair self-join are separate
+    # plan subtrees, so the shingle expansion (the CPU-heavy narrow
+    # stage) previously ran 3x per query; calibration-sample-bounded,
+    # so the checkpoint is small by construction.
+    sh = _hashed_shingles(d).localCheckpoint()
     stats = sh.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n"),
         *H.minhash_agg_columns(F.col("h")),
@@ -1890,7 +1916,12 @@ def dedup_minhash_b_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
     low-bit extraction is `mh % {BBIT_MOD}` on already-computed
     signatures, free in both engines."""
     d = _calibration_sample(load_table(spark, "documents", sf_dir))
-    sh = _hashed_shingles(d)
+    # r10 (guide §2.4): materialize the hashed shingles once — the
+    # stats groupBy and BOTH sides of the pair self-join are separate
+    # plan subtrees, so the shingle expansion (the CPU-heavy narrow
+    # stage) previously ran 3x per query; calibration-sample-bounded,
+    # so the checkpoint is small by construction.
+    sh = _hashed_shingles(d).localCheckpoint()
     stats = sh.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n"),
         *H.minhash_agg_columns(F.col("h")),

@@ -1125,7 +1125,13 @@ def dedup_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mediawiki_to_notion_spark.plans.pipeline import ensure_parallelism
 
     d = ensure_parallelism(load_table(spark, "documents", sf_dir))
-    fp = winnow_fingerprints(d)
+    # r10 (guide §2.4): materialize the winnowed fingerprints once —
+    # sizes, the hot-hash posting cap, and BOTH sides of the pairing
+    # self-join are separate plan subtrees, so the k-gram expansion +
+    # sliding-min window (the expensive per-doc stage) previously ran
+    # ~5x per query; the selection keeps ~2/(W+1) of grams, so the
+    # checkpoint is a winnowed fraction of the token stream.
+    fp = winnow_fingerprints(d).localCheckpoint()
     sizes = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nfp"))
     hot = (
         fp.groupBy("h")

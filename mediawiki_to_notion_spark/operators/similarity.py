@@ -774,9 +774,15 @@ def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]),
         lambda s: s["rn"] <= MRL_K,
     )
+    # r10 (guide §2.4): ~queries x tiers x k rows — materialize before
+    # the truth/approx split, whose two subtrees otherwise re-run the
+    # whole candidate Arrow kernel + 4 row_number windows TWICE (the
+    # before-plan shows 2 MapInPandas + 8 Window nodes; after: 1 + 4).
     ranked = r.select(
         "query_id", "vec_id", F.explode(tier_hits).alias("tc")
-    ).select("query_id", "vec_id", F.col("tc.tier").alias("tier"))
+    ).select(
+        "query_id", "vec_id", F.col("tc.tier").alias("tier")
+    ).localCheckpoint()
     truth = ranked.filter(F.col("tier") == 64).select(
         F.col("query_id").alias("t_query"), F.col("vec_id").alias("t_vec")
     )

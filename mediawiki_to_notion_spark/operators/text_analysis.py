@@ -1307,10 +1307,14 @@ def ngram_lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines (the Flesch-score recipe), rounded once at the end.
 
     100 TB shape: the corpus collapses to the bigram-type table first
-    (one groupBy; vocabulary², not corpus, cardinality); the v- and
-    w-marginals aggregate FROM the type table; the single global
-    scalar (bigram type count) is a broadcast 1-row join; top-k plans
-    as TakeOrdered."""
+    (one groupBy; vocabulary², not corpus, cardinality) and is
+    MATERIALIZED there (r10: eager localCheckpoint — its four
+    consumers, the model join plus the v-/w-marginals and the global
+    type count, each re-ran the corpus explode+groupBy as separate
+    subtrees, so one corpus pass became four); the v- and w-marginals
+    aggregate FROM the type table; the single global scalar (bigram
+    type count) is a broadcast 1-row join; top-k plans as
+    TakeOrdered."""
     d = load_table(spark, "documents", sf_dir)
     toks = d.select(F.split("text", " ").alias("t")) \
         .filter(F.size("t") >= 2)
@@ -1325,7 +1329,10 @@ def ngram_lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select("p.v", "p.w")
-    c_vw = big.groupBy("v", "w").agg(F.count(F.lit(1)).alias("c"))
+    c_vw = (
+        big.groupBy("v", "w").agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
     c_v = c_vw.groupBy("v").agg(
         F.sum("c").alias("cv"), F.count(F.lit(1)).alias("n1v")
     )
@@ -1422,6 +1429,17 @@ def ngram_lm_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p"),
     ).select("doc_id", "p.v", "p.w")
+    # r10 examined, deliberately unchanged: the four consumers of the
+    # bigram-type table (model join, v-/w-marginals, global count) do
+    # re-run the corpus explode+groupBy as separate subtrees, but both
+    # materialization variants measured SLOWER at sf0.1 (min-of-8:
+    # plain 1.45 s, cache() 1.80 s, eager localCheckpoint 1.62 s) —
+    # the type table here is bigram-TYPE-cardinality (large, unlike
+    # kneser_ney's top-k output), so storing it costs more than the
+    # parallel re-evaluation it saves on an unsaturated box.  At true
+    # cluster saturation the kneser_ney-style checkpoint is the right
+    # call; swap it in via the same one-line change if this query ever
+    # dominates a saturated-cluster profile.
     c_vw = big.groupBy("v", "w").agg(F.count(F.lit(1)).alias("c"))
     c_v = c_vw.groupBy("v").agg(
         F.sum("c").alias("cv"), F.count(F.lit(1)).alias("n1v")

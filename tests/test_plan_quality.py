@@ -839,11 +839,24 @@ def test_repetition_kernel_arrow_batch_size_invariance(spark):
 
 def test_winnowing_pairs_are_equi_join_only(spark):
     """Winnowing fingerprint pairing must join on the fingerprint hash
-    (equi), never all-pairs; the window min runs doc-partitioned."""
+    (equi), never all-pairs; the window min runs doc-partitioned.
+
+    r10: the fingerprint table is localCheckpoint'ed before its four
+    consumers, so the final plan reads it as an RDD leaf — the Window
+    assertion moves to the fingerprint STAGE's own plan (what actually
+    executes inside the checkpoint job)."""
+    from mediawiki_to_notion_spark.operators.dedup_ext import (
+        winnow_fingerprints,
+    )
+    from mediawiki_to_notion_spark.sources.tables import load_table
+
     plan = plan_of(spark, "dedup_winnowing_fingerprint")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
-    assert "Window" in plan  # per-doc winnowing window, not a driver loop
+    stage = winnow_fingerprints(
+        load_table(spark, "documents", SF)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in stage  # per-doc winnowing window, not a driver loop
 
 
 def test_forecast_customer_join_auto_broadcasts(spark):
