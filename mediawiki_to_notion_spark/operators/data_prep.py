@@ -755,33 +755,45 @@ def training_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed is a new epoch order.
 
     100 TB shape: the oracle's ``row_number() OVER (ORDER BY skey)``
-    would funnel the corpus through one task; here each epoch's ranks
-    come from the shared ``_dense_ranks`` two-pass prefix sum (range
-    partition on the hash key → per-partition Arrow ranks → broadcast
-    offsets).  Epochs are independent passes over the (tiny) doc-id
-    projection, unioned."""
+    would funnel the corpus through one task; here the ranks come from
+    the shared ``_dense_ranks`` two-pass prefix sum (range partition on
+    the hash key → per-partition Arrow ranks → broadcast offsets).
+
+    r10 (guide §2.4): ONE ``_dense_ranks`` pass ranks every epoch —
+    the per-doc seeds explode beside the scan and the global order
+    (seed, skey, doc_id) puts each epoch in a contiguous rank block,
+    so ``shuffle_rank = rank − epoch_index·n``.  One range shuffle +
+    checkpoint + offsets round over #epochs·n rows replaces #epochs
+    full passes of that machinery (the rows moved are the same; the
+    fixed per-pass costs halve), at the price of one metadata-cheap
+    corpus count."""
     from mediawiki_to_notion_spark.functions import hashing as H
 
     d = load_table(spark, "documents", sf_dir).select("doc_id")
-    outs = []
-    for seed in EPOCH_SEEDS:
-        skey = H.token_hash60(
-            F.concat(F.lit(f"{seed}:"), F.col("doc_id").cast("string"))
-        )
-        ranked = _dense_ranks(
-            d.select("doc_id", skey.alias("skey")), ["skey", "doc_id"]
-        )
-        outs.append(
-            ranked.select(
-                F.lit(seed).cast("int").alias("seed"),
-                "doc_id",
-                F.col("rank").alias("shuffle_rank"),
-            )
-        )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+    n_docs = d.count()
+    seeds = sorted(EPOCH_SEEDS)
+    keyed = d.select(
+        F.explode(F.array(*[F.lit(s) for s in seeds])).alias("seed"),
+        "doc_id",
+    ).select(
+        "seed", "doc_id",
+        H.token_hash60(
+            F.concat(F.col("seed").cast("string"), F.lit(":"),
+                     F.col("doc_id").cast("string"))
+        ).alias("skey"),
+    )
+    ranked = _dense_ranks(keyed, ["seed", "skey", "doc_id"])
+    # epochs are contiguous in the global (seed, skey, doc_id) order —
+    # the per-seed base is epoch_index·n exactly
+    base = F.lit(0).cast("long")
+    for i, s in enumerate(seeds):
+        base = F.when(F.col("seed") == s, F.lit(i * n_docs).cast("long")) \
+            .otherwise(base)
+    return ranked.select(
+        F.col("seed").cast("int").alias("seed"),
+        "doc_id",
+        (F.col("rank") - base).alias("shuffle_rank"),
+    )
 
 
 # doc_id-rotated decomposed-unicode suffixes (the PII-injection

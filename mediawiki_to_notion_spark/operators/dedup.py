@@ -108,6 +108,65 @@ def _hashed_shingles(d: DataFrame, key: str = "doc_id") -> DataFrame:
     return _shingles(d, key).select(key, H.token_hash60(F.col("shingle")).alias("h"))
 
 
+def _doc_minhash_stats(d: DataFrame) -> DataFrame:
+    """Per-document MinHash sufficient statistics — (doc_id, n, hs,
+    mh0..mh{15}) — computed NARROWLY, with no shuffle (r10, guide §2.4).
+
+    Every shingle of a document comes from that document's own row, so
+    the explode → groupBy(doc_id) the minhash consumers used through r9
+    re-aggregated data that never left its row: the narrow form keeps
+    the distinct-trigram set as an array column and derives each
+    statistic with array functions —
+
+    - ``n``    = size of the distinct-shingle array (== the old
+      ``count(*)`` over exploded distinct shingles);
+    - ``hs``   = ``array_distinct`` of the per-shingle 60-bit hashes
+      (== the old ``collect_set(h)`` up to element order, which no
+      consumer observes: ``hs`` is only ever fed to
+      ``size(array_intersect(...))``);
+    - ``mh_i`` = ``array_min`` over the identical integer permutation
+      ``((h % P) * a_i + b_i) % P`` (min over a set == min over the
+      grouped multiset, exact 64-bit arithmetic shared with the
+      oracle's ``min(...) GROUP BY doc_id``).
+
+    Plan effect (plans/r10/dedup_minhash_stats_{before,after}_stage.txt):
+    Generate + ObjectHashAggregate×2 + Exchange(hashpartitioning) → a
+    single narrow Project; the corpus-scale exchange that carried every
+    document's hash set disappears.  The chained selects deliberately
+    keep ``sharr``/``hs`` as named single-reference columns so
+    CollapseProject cannot duplicate the trigram/md5 work (verified:
+    one ``concat_ws`` and one ``md5`` in the optimized plan).
+
+    Callers materialize (localCheckpoint) the result exactly as they
+    did the grouped frame — it has 3-4 plan consumers."""
+    from mediawiki_to_notion_spark.plans.pipeline import ensure_parallelism
+
+    d = ensure_parallelism(d)
+    toks = d.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 3
+    )
+    sharr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size("t") - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("t"), i + 1),
+                F.element_at(F.col("t"), i + 2),
+                F.element_at(F.col("t"), i + 3),
+            ),
+        )
+    )
+    staged = toks.select("doc_id", sharr.alias("sharr"))
+    hashed = staged.select(
+        "doc_id",
+        F.size("sharr").alias("n"),
+        F.array_distinct(F.transform("sharr", H.token_hash60)).alias("hs"),
+    )
+    return hashed.select(
+        "doc_id", "n", "hs", *H.minhash_array_columns(F.col("hs"))
+    )
+
+
 # Parameterized over the source relation (ADVICE r7): the calibration
 # variant formats src='calib' instead of textually rewriting the
 # rendered SQL, so a future second 'FROM documents' cannot silently
@@ -256,20 +315,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash sets — the exploded shingle table is never shuffled again and
     no all-pairs comparison ever materializes."""
     d = load_table(spark, "documents", sf_dir)
-    sh = _hashed_shingles(d)
-    # the single heavy shuffle, MATERIALIZED once (r10, guide §2.4):
-    # its three consumers (bands — itself self-joined — plus the x/y
-    # verify sides) are separate plan subtrees and ReuseExchange does
-    # NOT fire across them (the r10 before-plan shows 4
-    # ObjectHashAggregate + 3 shingle Generates, i.e. the shingle
-    # explosion + collect_set/minhash groupBy ran 3-4x per query);
-    # one row per doc (count, hash set, 16 minhash values), so the
+    # narrow per-doc stats (r10, guide §2.4 — see _doc_minhash_stats:
+    # the explode + groupBy(doc_id) re-aggregation and its corpus-scale
+    # Exchange are gone), MATERIALIZED once: the three consumers (bands
+    # — itself self-joined — plus the x/y verify sides) are separate
+    # plan subtrees and ReuseExchange does NOT fire across them; one
+    # row per doc (count, hash set, 16 minhash values), so the
     # checkpoint is corpus-cardinality but narrow
-    stats = sh.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.collect_set("h").alias("hs"),
-        *H.minhash_agg_columns(F.col("h")),
-    ).localCheckpoint()
+    stats = _doc_minhash_stats(d).localCheckpoint()
     bands = stats.select(
         "doc_id",
         F.posexplode(F.array(*[H.band_signature(b) for b in range(H.N_BANDS)]))
@@ -338,14 +391,10 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits against the index — the two take different actions (drop vs
     skip-ingest)."""
     d = load_table(spark, "documents", sf_dir)
-    sh = _hashed_shingles(d)
-    # materialized once — same non-firing-ReuseExchange finding as
-    # dedup_minhash_lsh (r10, guide §2.4)
-    stats = sh.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.collect_set("h").alias("hs"),
-        *H.minhash_agg_columns(F.col("h")),
-    ).localCheckpoint()
+    # narrow, shuffle-free stats materialized once — same
+    # non-firing-ReuseExchange finding as dedup_minhash_lsh (r10,
+    # guide §2.4; see _doc_minhash_stats)
+    stats = _doc_minhash_stats(d).localCheckpoint()
     bands = stats.select(
         "doc_id",
         F.posexplode(F.array(*[H.band_signature(b) for b in range(H.N_BANDS)]))
@@ -399,19 +448,79 @@ def _simhash_oracle(n_bits: int) -> str:
     """
 
 
+def _make_simhash_kernel(n_bits: int):
+    """Arrow kernel folding each document's shingle-hash array to its
+    SimHash fingerprint (r10, guide §2.4 + §4.2): per-bit popcounts
+    over the array, then ``bit_j = (2·popcount_j > n)`` — exact
+    integers, bit-identical to the grouped ``sum(±1) … w_j > 0``
+    formulation (w_j = 2·popcount_j − n).  Replaces the explode +
+    two-phase {n_bits}-sum aggregation and its corpus-cardinality
+    Exchange with a narrow per-row pass; numpy does the bit counting
+    vectorized over the batch's flattened hash values."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            arrs = [np.asarray(a, dtype=np.int64) for a in pdf["harr"]]
+            lens = np.fromiter((len(a) for a in arrs), dtype=np.int64,
+                               count=len(arrs))
+            # every row carries >= 1 shingle (size(t) >= 3 upstream), so
+            # reduceat segments are never empty
+            flat = np.concatenate(arrs)
+            offsets = np.zeros(len(arrs), dtype=np.int64)
+            np.cumsum(lens[:-1], out=offsets[1:])
+            sim = np.zeros(len(arrs), dtype=np.int64)
+            for j in range(n_bits):
+                pc = np.add.reduceat((flat >> j) & 1, offsets)
+                sim += (2 * pc > lens).astype(np.int64) << j
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": sim})
+
+    return kernel
+
+
 def _simhash_pairs(spark: SparkSession, sf_dir: str,
                    n_bits: int) -> DataFrame:
     """Shared SimHash body: fingerprint + pigeonhole band equi-join +
-    exact Hamming verify; only the fingerprint width varies."""
-    d = load_table(spark, "documents", sf_dir)
-    sh = _hashed_shingles(d)
-    weights = sh.groupBy("doc_id").agg(
-        *H.simhash_bit_aggs(F.col("h"), n_bits))
-    # r10 (guide §2.4): (doc_id, one int64) per document — materialize
-    # before the banding self-join, whose two sides otherwise re-ran
-    # the shingle explosion + bit-weight groupBy twice each
-    sims = weights.select(
-        "doc_id", H.simhash_from_weights(n_bits).alias("simhash")
+    exact Hamming verify; only the fingerprint width varies.
+
+    r10 fingerprint stage (guide §2.4): the shingle-hash multiset of a
+    document never leaves its row — the distinct-trigram array is
+    hashed in place (same narrow recipe as ``_doc_minhash_stats``) and
+    one Arrow kernel folds it to the fingerprint, so the explode →
+    groupBy(doc_id) with {n_bits} conditional sums and its Exchange
+    are gone (plans/r10/dedup_simhash_{before,after}_stage.txt)."""
+    from mediawiki_to_notion_spark.plans.pipeline import ensure_parallelism
+
+    d = ensure_parallelism(load_table(spark, "documents", sf_dir))
+    toks = d.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 3
+    )
+    sharr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size("t") - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("t"), i + 1),
+                F.element_at(F.col("t"), i + 2),
+                F.element_at(F.col("t"), i + 3),
+            ),
+        )
+    )
+    staged = toks.select("doc_id", sharr.alias("sharr"))
+    # NOT array_distinct: the grouped ±1 sums ran over distinct
+    # shingle STRINGS, so a (vanishingly unlikely) in-document 60-bit
+    # hash collision must keep its multiplicity for bit parity
+    hashed = staged.select(
+        "doc_id", F.transform("sharr", H.token_hash60).alias("harr")
+    )
+    # (doc_id, one int64) per document — materialize before the
+    # banding self-join, whose two sides otherwise re-ran the
+    # fingerprint pass twice each (r10, guide §2.4)
+    sims = hashed.mapInPandas(
+        _make_simhash_kernel(n_bits), "doc_id long, simhash long"
     ).localCheckpoint()
     return H.hamming_band_pairs(
         sims, "simhash", HAMMING_MAX, n_bits=n_bits

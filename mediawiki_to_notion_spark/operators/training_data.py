@@ -997,15 +997,14 @@ def decontaminate_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     CONTAMINATED corpus doc (match count + worst Jaccard), the drop
     list a training run subtracts."""
     from mediawiki_to_notion_spark.functions import hashing as H
-    from mediawiki_to_notion_spark.operators.dedup import _hashed_shingles
+    from mediawiki_to_notion_spark.operators.dedup import _doc_minhash_stats
 
     d = load_table(spark, "documents", sf_dir)
-    sh = _hashed_shingles(d)
-    stats = sh.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.collect_set("h").alias("hs"),
-        *H.minhash_agg_columns(F.col("h")),
-    )
+    # narrow, shuffle-free per-doc stats (r10, guide §2.4 — see
+    # _doc_minhash_stats), materialized once: bands is consumed twice
+    # (eval + corpus sides) and the x/y verify joins re-read it, so
+    # without the checkpoint the trigram/md5 pass runs 4x
+    stats = _doc_minhash_stats(d).localCheckpoint()
     bands = stats.select(
         "doc_id",
         F.posexplode(
