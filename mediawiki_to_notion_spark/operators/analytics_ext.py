@@ -421,7 +421,14 @@ def stats_moments_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same expression on identical inputs everywhere — bit-equal
     results at any parallelism, which is also the mergeable-moments
     shape a 1000-executor job wants."""
-    li = load_table(spark, "lineitem", sf_dir)
+    from mediawiki_to_notion_spark.plans.pipeline import ensure_parallelism
+
+    # r10 (guide §2.2/§2.6): the single-file lineitem scan serialized
+    # the decimal sufficient-statistics map side through <=3 splits;
+    # spreading it first (no-op at real scale) measured 2.39 → 1.60 s
+    # interleaved at sf0.1 — the Int128 decimal arithmetic is the
+    # per-task cost, so map-side parallelism is the lever
+    li = ensure_parallelism(load_table(spark, "lineitem", sf_dir))
     x = F.round("l_quantity", 6).cast("decimal(38,6)")
     y = F.round("l_extendedprice", 6).cast("decimal(38,6)")
     sums = li.groupBy("l_returnflag").agg(

@@ -881,12 +881,19 @@ def apply_quality_classifier(spark: SparkSession, d: DataFrame) -> DataFrame:
         (F.conv(F.substring(F.md5("bg"), 1, 15), 16, 10).cast("long")
          % QC_BUCKETS).alias("bucket"),
     )
-    weights = spark.range(QC_BUCKETS).select(
-        F.col("id").alias("bucket"),
-        (F.col("id") * QC_WEIGHT_MULT % 2001 - 1000).alias("w_micro"),
+    # r10 (guide §2.4): the stand-in weight table is closed-form in the
+    # bucket id, so the broadcast join is inlined as the expression
+    # itself — one hash-probe per bigram removed from the hot stream
+    # (measured interleaved at sf0.1: 1.45 → 1.01 s).  Swapping in
+    # REAL trained weights reintroduces the broadcast join exactly
+    # where this projection sits; the streaming twin is unaffected
+    # (a pure projection is stream-safe, as the join was).
+    scored = hashed.select(
+        "doc_id",
+        (F.col("bucket") * QC_WEIGHT_MULT % 2001 - 1000).alias("w_micro"),
     )
     return (
-        hashed.join(F.broadcast(weights), "bucket")
+        scored
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),

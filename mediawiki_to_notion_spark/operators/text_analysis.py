@@ -1128,8 +1128,11 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
     instead of {BPE_TRAIN_ROUNDS}+ actions; past the cap the
     distributed loop below runs unchanged (the 100 TB path)."""
     from mediawiki_to_notion_spark.operators import tokenizer_local as TL
+    from mediawiki_to_notion_spark.plans.pipeline import ensure_parallelism
 
-    d = load_table(spark, "documents", sf_dir)
+    # r10: spread the single-file scan before the corpus explode/agg
+    # (same hazard as unigram_lm._word_freq; no-op at real scale)
+    d = ensure_parallelism(load_table(spark, "documents", sf_dir))
     words = (
         d.select(F.explode(F.split("text", " ")).alias("word"))
         .filter(F.col("word") != "")
@@ -1241,8 +1244,11 @@ def bpe_tokenize_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     followed by a map-side-combinable per-doc sum.  No per-document
     re-derivation of the merge chain."""
     _merges, vocab = _bpe_train(spark, sf_dir)
+    from mediawiki_to_notion_spark.plans.pipeline import ensure_parallelism
+
     wl = vocab.select("word", F.size("l").alias("n_sym"))
-    d = load_table(spark, "documents", sf_dir)
+    # r10: spread the encode pass (single-split hazard)
+    d = ensure_parallelism(load_table(spark, "documents", sf_dir))
     words = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     ).filter(F.col("word") != "")

@@ -71,7 +71,12 @@ def _micro_nat_cost(total: float, cnt: int) -> int:
 
 
 def _word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, "documents", sf_dir)
+    from mediawiki_to_notion_spark.plans.pipeline import ensure_parallelism
+
+    # r10 (guide §2.2/§2.6): a single-file parquet corpus arrives as ONE
+    # scan split, serializing the explode + map-side partial aggregation
+    # through one task; spread it first (no-op at real scale)
+    d = ensure_parallelism(load_table(spark, "documents", sf_dir))
     return (
         d.select(F.explode(F.split("text", " ")).alias("word"))
         .filter(F.col("word") != "")
@@ -161,9 +166,13 @@ def _viterbi_segment(words: DataFrame, costs: DataFrame) -> DataFrame:
 
 
 def _unigram_train(spark: SparkSession, sf_dir: str):
-    """Run the hard-EM loop; returns (vocab, words) where vocab is the
-    final {piece: count} dict (driver-sized artifact) and words the
-    localCheckpointed distinct-word frame for the apply side."""
+    """Run the hard-EM loop; returns (vocab, words, wf) where vocab is
+    the final {piece: count} dict (driver-sized artifact), words the
+    distinct-word frame for the apply side, and wf the collected
+    (word, freq) list when the driver cutover fired (None on the
+    distributed path) — returned so the fertility apply side reuses it
+    instead of re-collecting the identical table (the ADVICE-r9
+    wordpiece discipline; r10 applies it here)."""
     from mediawiki_to_notion_spark.operators import tokenizer_local as TL
 
     words_raw = _word_freq(spark, sf_dir)
@@ -179,7 +188,7 @@ def _unigram_train(spark: SparkSession, sf_dir: str):
         vocab = TL.unigram_train_local(
             wf, UNI_ROUNDS, UNI_SEED_K, UNI_MAX_PIECE, _micro_nat_cost)
         words = spark.createDataFrame(wf, "word string, freq long")
-        return vocab, words
+        return vocab, words, wf
     words = words_raw.localCheckpoint()
     words_raw.unpersist()
     cand = (
@@ -214,7 +223,7 @@ def _unigram_train(spark: SparkSession, sf_dir: str):
         usage = {r.piece: int(r.u) for r in usage_rows}
         vocab = {p: u for p, u in usage.items() if len(p) >= 2}
         vocab.update({ch: max(usage.get(ch, 0), 1) for ch in char_set})
-    return vocab, words
+    return vocab, words, None
 
 
 def _final_costs(spark: SparkSession, vocab: dict[str, int]) -> DataFrame:
@@ -365,7 +374,7 @@ def unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     up front; every round is vocabulary-sized with a broadcast cost
     join, a JVM aggregate-fold DP, and a <=|vocab|-row driver collect.
     """
-    vocab, _words = _unigram_train(spark, sf_dir)
+    vocab, _words, _wf = _unigram_train(spark, sf_dir)
     return _final_costs(spark, vocab).orderBy(
         F.desc("n_uses"), F.asc("piece")
     )
@@ -386,8 +395,9 @@ def unigram_lm_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum."""
     from mediawiki_to_notion_spark.operators import tokenizer_local as TL
 
-    vocab, words = _unigram_train(spark, sf_dir)
-    wf = TL.collect_word_freqs(words)
+    vocab, words, wf = _unigram_train(spark, sf_dir)
+    if wf is None:
+        wf = TL.collect_word_freqs(words)
     if wf is not None:
         # driver replay of the final segmentation (r9 cutover): same
         # float(total)/libm-ln cost table as _final_costs, same
@@ -411,7 +421,11 @@ def unigram_lm_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         wl = _viterbi_segment(words, costs).select(
             "word", F.size("pieces").alias("n_pieces")
         )
-    d = load_table(spark, "documents", sf_dir)
+    from mediawiki_to_notion_spark.plans.pipeline import ensure_parallelism
+
+    # r10: the corpus encode pass has the same single-split hazard as
+    # _word_freq — spread before the explode
+    d = ensure_parallelism(load_table(spark, "documents", sf_dir))
     dw = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     ).filter(F.col("word") != "")

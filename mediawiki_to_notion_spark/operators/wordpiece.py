@@ -76,8 +76,11 @@ def _wordpiece_train(spark: SparkSession, sf_dir: str):
     side can reuse it instead of re-aggregating the corpus and
     re-collecting the identical table (ADVICE r9)."""
     from mediawiki_to_notion_spark.operators import tokenizer_local as TL
+    from mediawiki_to_notion_spark.plans.pipeline import ensure_parallelism
 
-    d = load_table(spark, "documents", sf_dir)
+    # r10: spread the single-file scan before the corpus explode/agg
+    # (same hazard as unigram_lm._word_freq; no-op at real scale)
+    d = ensure_parallelism(load_table(spark, "documents", sf_dir))
     words = (
         d.select(F.explode(F.split("text", " ")).alias("word"))
         .filter(F.col("word") != "")
@@ -346,7 +349,10 @@ def wordpiece_tokenize_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mediawiki_to_notion_spark.operators import tokenizer_local as TL
 
     merges, vocab_frame, wf = _wordpiece_train(spark, sf_dir)
-    d = load_table(spark, "documents", sf_dir)
+    from mediawiki_to_notion_spark.plans.pipeline import ensure_parallelism
+
+    # r10: spread the encode pass (single-split hazard)
+    d = ensure_parallelism(load_table(spark, "documents", sf_dir))
     dw_corpus = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     ).filter(F.col("word") != "")
