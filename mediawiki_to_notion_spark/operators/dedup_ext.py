@@ -671,11 +671,14 @@ def dedup_substring_spans_token_exact(spark: SparkSession,
         .select("h")
     )
     byp = W.partitionBy("doc_id").orderBy("p")
+    # duplicated-window sequence materialized once (r10, guide §2.4 —
+    # same two-consumer cascade as dedup_substring_cut_exact: seq feeds
+    # dup_edges AND flagged; output-bounded, so the checkpoint is small)
     seq = win.join(dup, "h").select(
         "doc_id", "p", "h",
         F.lag("p").over(byp).alias("pp"),
         F.lag("h").over(byp).alias("ph"),
-    )
+    ).localCheckpoint()
     dup_edges = (
         seq.filter(F.col("pp") == F.col("p") - 1)
         .groupBy(F.col("ph").alias("ha"), F.col("h").alias("hb"))
@@ -955,11 +958,18 @@ def dedup_substring_cut_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("h")
     )
     byp = W.partitionBy("doc_id").orderBy("p")
+    # materialize the duplicated-window sequence ONCE (r10, guide
+    # §2.4): seq is consumed by BOTH dup_edges and flagged, so without
+    # this the token-scale win expansion and the lag window each ran
+    # twice (and win three times counting dup).  seq holds only
+    # duplicated windows — output-bounded (idle soak exp 0.69), so the
+    # checkpoint is small at any scale, unlike win itself (token-scale,
+    # measured only ~3% more and left re-evaluated).
     seq = win.join(dup, "h").select(
         "doc_id", "p", "h",
         F.lag("p").over(byp).alias("pp"),
         F.lag("h").over(byp).alias("ph"),
-    )
+    ).localCheckpoint()
     dup_edges = (
         seq.filter(F.col("pp") == F.col("p") - 1)
         .groupBy(F.col("ph").alias("ha"), F.col("h").alias("hb"))
@@ -984,6 +994,9 @@ def dedup_substring_cut_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             byp.rowsBetween(W.unboundedPreceding, 0)
         ).alias("span_id"),
     )
+    # span-level rows (tiny): keepers and cut_spans both read it —
+    # one checkpoint stops the islands window + chain-sig aggregation
+    # running twice (r10, guide §2.4)
     spans = islands.groupBy("doc_id", "span_id").agg(
         F.min("p").alias("start_tok"),
         (F.max("p") + SPAN_W - 1).alias("end_tok"),
@@ -996,7 +1009,7 @@ def dedup_substring_cut_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("chain_sig"),
-    )
+    ).localCheckpoint()
     keepers = spans.groupBy("chain_sig").agg(
         F.min(F.struct("doc_id", "start_tok")).alias("keep")
     )
