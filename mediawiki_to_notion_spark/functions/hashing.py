@@ -55,21 +55,6 @@ def minhash_agg_columns(hash_col: Column) -> list[Column]:
     ]
 
 
-def minhash_array_columns(hs_col: Column) -> list[Column]:
-    """The 16 minhash values as ``array_min`` over a per-document
-    distinct-hash ARRAY column — the narrow (shuffle-free) twin of
-    :func:`minhash_agg_columns`: the permutation expression is the
-    identical exact integer arithmetic, and min over the distinct set
-    equals min over the grouped multiset."""
-    def _perm(a: int, b: int):
-        return lambda h: ((h % MERSENNE_P) * a + b) % MERSENNE_P
-
-    return [
-        F.array_min(F.transform(hs_col, _perm(a, b))).alias(f"mh{i}")
-        for i, (a, b) in enumerate(MINHASH_PARAMS)
-    ]
-
-
 def minhash_agg_sql(hash_expr: str) -> list[str]:
     h = f"(({hash_expr}) % {MERSENNE_P})"
     return [

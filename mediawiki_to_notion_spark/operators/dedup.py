@@ -108,34 +108,89 @@ def _hashed_shingles(d: DataFrame, key: str = "doc_id") -> DataFrame:
     return _shingles(d, key).select(key, H.token_hash60(F.col("shingle")).alias("h"))
 
 
+def _tri_hashes(tl: list) -> list:
+    """60-bit hashes of a token list's DISTINCT word trigrams, first-
+    occurrence order — the Python twin of the `_shingles` +
+    `token_hash60` pipeline, used by the Arrow stats/fingerprint
+    kernels.  ``int(md5(s).hexdigest()[:15], 16)`` is bit-identical to
+    Spark's ``conv(substring(md5(s), 1, 15), 16, 10)`` and the
+    oracle's ``('0x' || substr(md5(s), 1, 15))::BIGINT``; md5 runs on
+    the UTF-8 bytes in all three engines."""
+    from hashlib import md5
+
+    tris = dict.fromkeys(
+        " ".join(tl[i:i + 3]) for i in range(len(tl) - 2)
+    )
+    return [int(md5(s.encode("utf-8")).hexdigest()[:15], 16) for s in tris]
+
+
+def _minhash_stats_kernel():
+    """Arrow kernel computing per-document MinHash sufficient
+    statistics — (doc_id, n, hs, mh0..mh15) — from the token array
+    (r10, guide §2.4 + §4.2).  numpy evaluates all 16 permutation
+    minima vectorized per document; hashlib md5 is the same primitive
+    the JVM/DuckDB expressions call.  Parity vs the grouped original
+    is pinned in tests/test_narrow_stats_parity.py."""
+    import numpy as np
+    import pandas as pd
+
+    An = np.asarray([a for a, _ in H.MINHASH_PARAMS], dtype=np.int64)
+    Bn = np.asarray([b for _, b in H.MINHASH_PARAMS], dtype=np.int64)
+    cols = ["doc_id", "n", "hs"] + [f"mh{i}" for i in range(H.N_MINHASH)]
+
+    def kernel(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for doc_id, toks in zip(pdf["doc_id"], pdf["t"]):
+                hs_all = _tri_hashes(list(toks))
+                # n counts distinct shingle STRINGS (== the grouped
+                # count(*)); hs dedups the hash VALUES (== collect_set)
+                n = len(hs_all)
+                hs = list(dict.fromkeys(hs_all))
+                hmod = np.asarray(hs, dtype=np.int64) % H.MERSENNE_P
+                mh = ((hmod[:, None] * An[None, :] + Bn[None, :])
+                      % H.MERSENNE_P).min(axis=0)
+                rows.append((doc_id, n, hs, *mh.tolist()))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return kernel
+
+
+_MINHASH_STATS_SCHEMA = (
+    "doc_id long, n long, hs array<long>, "
+    + ", ".join(f"mh{i} long" for i in range(H.N_MINHASH))
+)
+
+
 def _doc_minhash_stats(d: DataFrame) -> DataFrame:
     """Per-document MinHash sufficient statistics — (doc_id, n, hs,
-    mh0..mh{15}) — computed NARROWLY, with no shuffle (r10, guide §2.4).
+    mh0..mh{15}) — computed NARROWLY, with no shuffle (r10, guide
+    §2.4): every shingle of a document comes from that document's own
+    row, so the explode → groupBy(doc_id) the minhash consumers used
+    through r9 re-aggregated data that never left its row.
 
-    Every shingle of a document comes from that document's own row, so
-    the explode → groupBy(doc_id) the minhash consumers used through r9
-    re-aggregated data that never left its row: the narrow form keeps
-    the distinct-trigram set as an array column and derives each
-    statistic with array functions —
+    Two r10 steps, both measured:
 
-    - ``n``    = size of the distinct-shingle array (== the old
-      ``count(*)`` over exploded distinct shingles);
-    - ``hs``   = ``array_distinct`` of the per-shingle 60-bit hashes
-      (== the old ``collect_set(h)`` up to element order, which no
-      consumer observes: ``hs`` is only ever fed to
-      ``size(array_intersect(...))``);
-    - ``mh_i`` = ``array_min`` over the identical integer permutation
-      ``((h % P) * a_i + b_i) % P`` (min over a set == min over the
-      grouped multiset, exact 64-bit arithmetic shared with the
-      oracle's ``min(...) GROUP BY doc_id``).
+    1. Narrow array-function form (array_distinct/array_min
+       transforms) — removed the corpus-cardinality Exchange carrying
+       every document's hash set plus both ObjectHashAggregates
+       (plans/r10/dedup_minhash_stats_{before,after}_stage.txt);
+       stats-stage 1.0 s at sf0.1.
+    2. Arrow kernel (guide §4.2) — Catalyst higher-order functions
+       are interpreted per element (no codegen, no CSE), so the
+       trigram/md5/permutation chain moved to a mapInPandas kernel:
+       0.63 s vs 0.91 s for step 1's form (min-of-5, interleaved).
 
-    Plan effect (plans/r10/dedup_minhash_stats_{before,after}_stage.txt):
-    Generate + ObjectHashAggregate×2 + Exchange(hashpartitioning) → a
-    single narrow Project; the corpus-scale exchange that carried every
-    document's hash set disappears.  The chained selects deliberately
-    keep ``sharr``/``hs`` as named single-reference columns so
-    CollapseProject cannot duplicate the trigram/md5 work (verified:
-    one ``concat_ws`` and one ``md5`` in the optimized plan).
+    Semantics of each statistic (== the grouped original, pinned by
+    tests/test_narrow_stats_parity.py):
+
+    - ``n``    = count of distinct shingle strings;
+    - ``hs``   = distinct shingle hashes (order unobserved — only ever
+      fed to ``size(array_intersect(...))``);
+    - ``mh_i`` = min over ``((h % P) * a_i + b_i) % P`` (min over the
+      distinct set == min over the grouped multiset, exact int64).
 
     Callers materialize (localCheckpoint) the result exactly as they
     did the grouped frame — it has 3-4 plan consumers."""
@@ -145,26 +200,7 @@ def _doc_minhash_stats(d: DataFrame) -> DataFrame:
     toks = d.select("doc_id", F.split("text", " ").alias("t")).filter(
         F.size("t") >= 3
     )
-    sharr = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size("t") - 3),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(F.col("t"), i + 1),
-                F.element_at(F.col("t"), i + 2),
-                F.element_at(F.col("t"), i + 3),
-            ),
-        )
-    )
-    staged = toks.select("doc_id", sharr.alias("sharr"))
-    hashed = staged.select(
-        "doc_id",
-        F.size("sharr").alias("n"),
-        F.array_distinct(F.transform("sharr", H.token_hash60)).alias("hs"),
-    )
-    return hashed.select(
-        "doc_id", "n", "hs", *H.minhash_array_columns(F.col("hs"))
-    )
+    return toks.mapInPandas(_minhash_stats_kernel(), _MINHASH_STATS_SCHEMA)
 
 
 # Parameterized over the source relation (ADVICE r7): the calibration
@@ -449,14 +485,17 @@ def _simhash_oracle(n_bits: int) -> str:
 
 
 def _make_simhash_kernel(n_bits: int):
-    """Arrow kernel folding each document's shingle-hash array to its
-    SimHash fingerprint (r10, guide §2.4 + §4.2): per-bit popcounts
-    over the array, then ``bit_j = (2·popcount_j > n)`` — exact
-    integers, bit-identical to the grouped ``sum(±1) … w_j > 0``
-    formulation (w_j = 2·popcount_j − n).  Replaces the explode +
-    two-phase {n_bits}-sum aggregation and its corpus-cardinality
-    Exchange with a narrow per-row pass; numpy does the bit counting
-    vectorized over the batch's flattened hash values."""
+    """Arrow kernel computing each document's SimHash fingerprint from
+    its token array (r10, guide §2.4 + §4.2): the distinct-trigram
+    hashes (`_tri_hashes`, multiplicity preserved on a 60-bit
+    collision exactly as the grouped rows were), then per-bit
+    popcounts and ``bit_j = (2·popcount_j > n)`` — exact integers,
+    bit-identical to the grouped ``sum(±1) … w_j > 0`` formulation
+    (w_j = 2·popcount_j − n).  Replaces the explode + two-phase
+    {n_bits}-sum aggregation and its corpus-cardinality Exchange (and
+    the interpreted per-element trigram/md5 HOF chain) with one
+    narrow batch pass; numpy does the bit counting vectorized over
+    the batch's flattened hash values."""
     import numpy as np
     import pandas as pd
 
@@ -464,7 +503,8 @@ def _make_simhash_kernel(n_bits: int):
         for pdf in batches:
             if pdf.empty:
                 continue
-            arrs = [np.asarray(a, dtype=np.int64) for a in pdf["harr"]]
+            arrs = [np.asarray(_tri_hashes(list(t)), dtype=np.int64)
+                    for t in pdf["t"]]
             lens = np.fromiter((len(a) for a in arrs), dtype=np.int64,
                                count=len(arrs))
             # every row carries >= 1 shingle (size(t) >= 3 upstream), so
@@ -498,28 +538,10 @@ def _simhash_pairs(spark: SparkSession, sf_dir: str,
     toks = d.select("doc_id", F.split("text", " ").alias("t")).filter(
         F.size("t") >= 3
     )
-    sharr = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size("t") - 3),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(F.col("t"), i + 1),
-                F.element_at(F.col("t"), i + 2),
-                F.element_at(F.col("t"), i + 3),
-            ),
-        )
-    )
-    staged = toks.select("doc_id", sharr.alias("sharr"))
-    # NOT array_distinct: the grouped ±1 sums ran over distinct
-    # shingle STRINGS, so a (vanishingly unlikely) in-document 60-bit
-    # hash collision must keep its multiplicity for bit parity
-    hashed = staged.select(
-        "doc_id", F.transform("sharr", H.token_hash60).alias("harr")
-    )
     # (doc_id, one int64) per document — materialize before the
     # banding self-join, whose two sides otherwise re-ran the
     # fingerprint pass twice each (r10, guide §2.4)
-    sims = hashed.mapInPandas(
+    sims = toks.mapInPandas(
         _make_simhash_kernel(n_bits), "doc_id long, simhash long"
     ).localCheckpoint()
     return H.hamming_band_pairs(

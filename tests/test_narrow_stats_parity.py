@@ -87,22 +87,8 @@ def test_simhash_kernel_matches_grouped(spark, docs, n_bits):
     toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
         F.size("t") >= 3
     )
-    sharr = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size("t") - 3),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(F.col("t"), i + 1),
-                F.element_at(F.col("t"), i + 2),
-                F.element_at(F.col("t"), i + 3),
-            ),
-        )
-    )
-    hashed = toks.select("doc_id", sharr.alias("sharr")).select(
-        "doc_id", F.transform("sharr", H.token_hash60).alias("harr")
-    )
     new = {r["doc_id"]: r["simhash"]
-           for r in hashed.mapInPandas(
+           for r in toks.mapInPandas(
                _make_simhash_kernel(n_bits), "doc_id long, simhash long"
            ).collect()
            if r["doc_id"] is not None}
