@@ -1464,10 +1464,16 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
     the pointer-jumping loop below runs verbatim."""
     from mediawiki_to_notion_spark.operators import iter_local as IL
 
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"),
-                     F.col("doc_a").alias("doc_b"))
-    ).withColumnsRenamed({"doc_a": "src", "doc_b": "dst"}).localCheckpoint()
+    # symmetrize with a narrow 2-way explode, NOT union(pairs, swap):
+    # the union's two branches are separate plan subtrees, so the
+    # whole upstream pair pipeline ran TWICE inside this checkpoint
+    # job (r10, guide §2.4)
+    edges = pairs.select(
+        F.explode(F.array(
+            F.struct(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+            F.struct(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")),
+        )).alias("e")
+    ).select("e.src", "e.dst").localCheckpoint()
     # probe reads the checkpointed blocks — one bounded action
     erows = IL.collect_capped(edges)
     if erows is not None:
@@ -1677,9 +1683,16 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-round Catalyst re-optimization of that growing tree becomes
     # the driver-side bottleneck (measured: 2-3x wall variance at
     # sf0.1).  Checkpointing makes edges a leaf scan for all rounds.
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).withColumnsRenamed({"doc_a": "src", "doc_b": "dst"}).localCheckpoint()
+    # symmetrize with a narrow 2-way explode, NOT union(pairs, swap):
+    # the union's branches are separate plan subtrees, so the whole
+    # minhash-LSH pair pipeline ran TWICE inside this checkpoint job
+    # (r10, guide §2.4)
+    edges = pairs.select(
+        F.explode(F.array(
+            F.struct(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+            F.struct(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")),
+        )).alias("e")
+    ).select("e.src", "e.dst").localCheckpoint()
 
     # Scale cutover (r10, see iter_local.py): the edge list is the
     # duplicate subgraph — tiny relative to the corpus by construction.
