@@ -1222,7 +1222,13 @@ def apply_repetition_rules(d: DataFrame) -> DataFrame:
             yield pd.DataFrame(out, columns=out_cols).astype(
                 {c: "Int64" for c in out_cols})
 
-    out = d.select("doc_id", "text").mapInPandas(kernel, schema)
+    # r10 (guide §2.2): the single-file scan serialized the 0.9 s
+    # Python battery through ONE task; spread it first (stream-safe
+    # no-op on the readStream twin, no-op at real scale)
+    from mediawiki_to_notion_spark.plans.pipeline import ensure_parallelism
+
+    out = ensure_parallelism(d.select("doc_id", "text")).mapInPandas(
+        kernel, schema)
     cols = [F.col("doc_id"), F.col("nonspace").cast("long").alias("n_chars")]
     for n in GOPHER_TOP_NGRAM_MAX:
         cols.append(

@@ -36,6 +36,12 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     in fewer splits than the cluster has cores (a single small parquet
     file otherwise serializes the whole UDF stage through one worker).
     No-op at real scale, where the source already has many splits."""
+    if df.isStreaming:
+        # a streaming frame has no static partition count to probe
+        # (df.rdd raises); micro-batch parallelism comes from the
+        # source, and the shared batch/stream cores stay usable either
+        # way (r10)
+        return df
     target = min_partitions or min(
         8, df.sparkSession.sparkContext.defaultParallelism
     )
