@@ -137,15 +137,18 @@ _RECHECK = {"pack_sequences_greedy": 3, "markdown_blocks_golden": 4,
             # fallback and both paths are pinned bit-identical in
             # tests/test_tokenizer_driver_cutover.py.  Physical path
             # changed end-to-end at every tested SF, so re-gate hard.
-            "bpe_train_merges": 9,
-            "bpe_tokenize_fertility": 9,
-            # r10: fertility reuses the trainer's word table (ADVICE
-            # r9) — one corpus scan and one collect fewer on the apply
-            # side; train's only change is returning that table.
+            # r10 optimization: every tokenizer corpus pass (train
+            # word-freq agg + fertility encode join) now spreads the
+            # single-split scan first (ensure_parallelism), wordpiece/
+            # unigram fertility reuse the trainer's collected word
+            # table (ADVICE r9) — values identical (compare green at
+            # sf0.001+sf0.01), physical paths changed, re-gate hard.
+            "bpe_train_merges": 10,
+            "bpe_tokenize_fertility": 10,
             "wordpiece_train_merges": 10,
             "wordpiece_tokenize_fertility": 10,
-            "unigram_lm_train": 9,
-            "unigram_lm_fertility": 9,
+            "unigram_lm_train": 10,
+            "unigram_lm_fertility": 10,
             # r10 (VERDICT r9 brief #1): the iterative-loop cutover
             # extended to CC / PageRank / Lloyd k-means
             # (operators/iter_local.py) — under the cap the rounds
@@ -218,7 +221,26 @@ _RECHECK = {"pack_sequences_greedy": 3, "markdown_blocks_golden": 4,
             "dedup_embedding_cosine_lsh": 10,
             "dedup_embedding_cosine_lsh_fixedwidth_demo": 10,
             "dedup_cosine_lsh_recall": 10,
-            "dedup_cosine_lsh_recall_adaptive": 10}
+            "dedup_cosine_lsh_recall_adaptive": 10,
+            # r10 batch 5 (optimization session 2): the minhash/simhash
+            # substrates moved to narrow Arrow kernels (_tri_hashes —
+            # no explode/groupBy/Exchange; decontaminate_fuzzy also
+            # checkpoints its stats once), CC edge lists symmetrize
+            # with a 2-way explode instead of union(pairs, swap), the
+            # token-exact span queries checkpoint their duplicated-
+            # window sequence, epoch shuffle ranks all epochs in ONE
+            # _dense_ranks pass, the classifier's closed-form weight
+            # table is inlined (join removed), and the repetition
+            # battery / decimal moments spread their single-split
+            # scans.  Values re-verified bit-identical vs unchanged
+            # oracles at sf0.001+sf0.01; physical paths changed —
+            # re-gate hard.
+            "decontaminate_fuzzy_minhash": 10,
+            "dedup_substring_spans_token_exact": 10,
+            "training_epoch_shuffle": 10,
+            "quality_classifier_score": 10,
+            "stats_moments_lineitem": 10,
+            "text_gopher_repetition_rules": 10}
 
 # SOFT rechecks: confirmed queries EDITED since their green row where
 # the edit is a verified semantic no-op on the driver's data (the r3
