@@ -328,7 +328,7 @@ def cmd_tokenizer_train(args: argparse.Namespace) -> int:
             _viterbi_segment,
         )
 
-        vocab_counts, words = _unigram_train(spark, args.data)
+        vocab_counts, words, _wf = _unigram_train(spark, args.data)
         costs = _final_costs(spark, vocab_counts)
         artifact = {
             "family": "unigram",

@@ -807,12 +807,15 @@ def test_embedding_pca_matches_numpy(spark):
 
 
 def test_repetition_rules_is_shuffle_free_arrow_kernel(spark):
-    """Per-document repetition statistics never shuffle: the whole
-    battery is one row-local Arrow kernel over the (doc_id, text) scan
-    (the r5 rewrite's defining property — 6.5x over the keyed
-    aggregation)."""
+    """Per-document repetition statistics never shuffle BY KEY: the
+    whole battery is one row-local Arrow kernel over the (doc_id,
+    text) scan (the r5 rewrite's defining property — 6.5x over the
+    keyed aggregation).  The r10 ensure_parallelism spread is a
+    round-robin REPARTITION of the small scan, not a data-dependent
+    shuffle, so the assertion pins the partitioning kind."""
     plan = plan_of(spark, "text_gopher_repetition_rules")
-    assert "Exchange" not in plan
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
     assert "MapInPandas" in plan
 
 
