@@ -1478,9 +1478,16 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
     erows = IL.collect_capped(edges)
     if erows is not None:
         labels = IL.cc_min_labels((r.src, r.dst) for r in erows)
-        return pairs.sparkSession.createDataFrame(
+        # broadcast-hinted (guide §3.1): the replay table is
+        # cap-bounded, but as an ExistingRDD scan it has no size
+        # statistics, so consumer joins (the connectivity certificate
+        # joins two of these on doc_id) would otherwise sort-merge
+        # with two Exchanges.  The hint is inert for aggregation-only
+        # consumers; the over-cap distributed return below stays
+        # unhinted.
+        return F.broadcast(pairs.sparkSession.createDataFrame(
             sorted(labels.items()), "doc_id long, label long"
-        )
+        ))
     labels = edges.select(F.col("src").alias("doc_id")).distinct() \
         .select("doc_id", F.col("doc_id").alias("label"))
     for it in range(CC_MAX_ITERS):
@@ -1706,9 +1713,16 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     erows = IL.collect_capped(edges)
     if erows is not None:
         local = IL.cc_min_labels((r.src, r.dst) for r in erows)
-        labels = spark.createDataFrame(
+        # explicit broadcast (guide §3.1): a createDataFrame local
+        # relation reaches the planner as an ExistingRDD scan with NO
+        # size statistics, so the corpus graft below otherwise runs as
+        # a SortMergeJoin with a full corpus Exchange (measured ~0.6 s
+        # of the query at sf0.1; at scale it is a corpus-wide shuffle
+        # keyed by doc_id).  The labels table is cap-bounded
+        # (≤ driver_cap() rows) by construction on this path.
+        labels = F.broadcast(spark.createDataFrame(
             sorted(local.items()), "doc_id long, label long"
-        )
+        ))
         full = d.join(labels, "doc_id", "left").select(
             "doc_id", F.coalesce("label", "doc_id").alias("label")
         )

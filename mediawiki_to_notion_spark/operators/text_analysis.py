@@ -1147,10 +1147,15 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
     if wf is not None:
         words.unpersist()
         merges, seqs = TL.bpe_train_local(wf, BPE_TRAIN_ROUNDS)
-        vocab = spark.createDataFrame(
+        # broadcast-hinted (guide §3.1): the cap-bounded word table is
+        # an ExistingRDD scan with no stats, so the fertility encode
+        # join downstream would otherwise sort-merge (full corpus-word
+        # Exchange); the hint survives the consumer's projection.  The
+        # over-cap checkpointed vocab below stays unhinted.
+        vocab = F.broadcast(spark.createDataFrame(
             [(w, seqs[w], f) for w, f in wf],
             "word string, l array<string>, freq long",
-        )
+        ))
         return merges, vocab
     cur = words.select("word", F.split("word", "").alias("l"), "freq") \
         .localCheckpoint()

@@ -406,14 +406,17 @@ def unigram_lm_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         costs_local = {
             p: _micro_nat_cost(total, c) for p, c in vocab.items()
         }
-        wl = spark.createDataFrame(
+        # broadcast (guide §3.1): cap-bounded word table as an
+        # ExistingRDD scan has no stats — without the hint the corpus
+        # encode join below sort-merges with a full corpus Exchange.
+        wl = F.broadcast(spark.createDataFrame(
             sorted(
                 (w, len(TL.unigram_viterbi_local(
                     w, costs_local, UNI_MAX_PIECE)[1]))
                 for w, _f in wf
             ),
             "word string, n_pieces long",
-        )
+        ))
     else:
         costs = _final_costs(spark, vocab).select(
             "piece", F.col("cost_micro_nats").alias("cost")

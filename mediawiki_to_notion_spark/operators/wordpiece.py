@@ -371,8 +371,12 @@ def wordpiece_tokenize_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             vocab_set.update("##" + c for c in w[1:])
         vocab_set.update(m[3] for m in merges)
         wp = TL.wordpiece_max_munch_local([w for w, _ in wf], vocab_set)
-        wl_local = spark.createDataFrame(
-            sorted(wp.items()), "word string, n_pieces long")
+        # broadcast (guide §3.1): wl_local is the cap-bounded distinct
+        # word table; without the hint the ExistingRDD scan has no
+        # stats and the corpus encode join sort-merges — a full
+        # corpus-word Exchange instead of a map-side hash probe.
+        wl_local = F.broadcast(spark.createDataFrame(
+            sorted(wp.items()), "word string, n_pieces long"))
         return (
             dw_corpus.join(wl_local, "word")
             .groupBy("doc_id")
