@@ -879,3 +879,24 @@ def test_forecast_customer_join_auto_broadcasts(spark):
         assert plan.count("BroadcastHashJoin") >= 2, name
         assert "SortMergeJoin" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_replay_tables_broadcast_at_consumer_joins(spark):
+    """r10: the driver-replay cutover tables (createDataFrame local
+    relations, cap-bounded by construction) must broadcast at every
+    corpus-scale consumer join — without the explicit hint they plan
+    as stats-less ExistingRDD scans and the graft/encode joins
+    sort-merge (CC: 2 corpus Exchanges) or broadcast the CORPUS side
+    (fertility encodes: BuildLeft under the 10 MB estimate)."""
+    # CC label graft: left-outer broadcast of the label table, no SMJ
+    plan = plan_of(spark, "dedup_connected_components")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan \
+        and "BuildRight" in plan
+    # fertility encodes: the word/vocab table is the build side
+    for name in ("bpe_tokenize_fertility", "wordpiece_tokenize_fertility",
+                 "unigram_lm_fertility"):
+        plan = plan_of(spark, name)
+        assert "SortMergeJoin" not in plan, name
+        assert "BuildLeft" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
