@@ -47,6 +47,10 @@ DEFAULT_QUERIES = ("dedup_substring_cut,dedup_fuzzy_levenshtein,"
                    "dedup_connected_components")
 SF10 = os.environ.get("MT_SOAK_SRC", os.path.join(ROOT, ".scale", "sf10"))
 SF100 = os.environ.get("MT_SOAK_DST", os.path.join(ROOT, ".scale", "sf100"))
+# labels derive from the actual dirs so a scoped-down decade (e.g.
+# sf0.1 -> sf1) is recorded honestly, not as "sf10"/"sf100"
+LBL_A = os.path.basename(SF10.rstrip("/"))
+LBL_B = os.path.basename(SF100.rstrip("/"))
 
 
 def main() -> None:
@@ -119,7 +123,7 @@ def main() -> None:
         if ui_base:
             prev_tot = _stage_totals(ui_base, app_id)
         rows = {}
-        for label, sf_dir in (("sf10", SF10), ("sf100", SF100)):
+        for label, sf_dir in ((LBL_A, SF10), (LBL_B, SF100)):
             la = round(os.getloadavg()[0], 2)
             t0 = time.time()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
@@ -135,14 +139,15 @@ def main() -> None:
                   file=sys.stderr, flush=True)
         results[name] = {
             **rows,
-            "exponent_sf10_sf100": round(
-                math.log(rows["sf100"]["wall_s"] / rows["sf10"]["wall_s"])
+            f"exponent_{LBL_A}_{LBL_B}": round(
+                math.log(rows[LBL_B]["wall_s"] / rows[LBL_A]["wall_s"])
                 / math.log(10.0), 3),
         }
 
     out = {
         "metric": "multiop_local_cluster_soak",
         "master": f"local-cluster[{N_EXEC},{N_CORES},{MEM_MB}]",
+        "data_dirs": {LBL_A: SF10, LBL_B: SF100},
         "iter_driver_cap": int(os.environ.get(
             "SPARK_GRAFT_ITER_DRIVER_CAP", str(1 << 16))),
         "loadavg_start": [round(x, 2) for x in loadavg],
