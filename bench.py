@@ -220,6 +220,13 @@ def main() -> None:
     idle_gate_timed_out = (waited_s >= idle_budget_s
                            and last_load >= idle_gate_load)
     loadavg_start = list(os.getloadavg())
+    # effective core count of this capture (r11, VERDICT r10 wart #5):
+    # the driver ALSO benches at a lower $SPARK_GRAFT_CPUS, and the
+    # machine fingerprint hashes /proc/cpuinfo (physical cores), so an
+    # 8-cpu capture pooled into the same BENCH_HISTORY best-dict as
+    # 32-cpu runs — the pooling key below now includes this value
+    cpus_effective = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    cpus_effective = int(cpus_effective) if cpus_effective.isdigit() else 32
     spark = get_spark("bench")
 
     # Warm-up pass: run every headline query once at the smallest SF so
@@ -358,7 +365,12 @@ def main() -> None:
     # them — the cross-round number that needs no jitter forensics.
     hist_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_HISTORY.jsonl")
-    key = (code_md5, machine_md5, data_md5, sf)
+    # cpus is part of the key (r11, VERDICT r10 wart #5): captures at a
+    # different effective core count are a different experiment — r10's
+    # 8-cpu scaling run polluted the 32-cpu pooled best.  Old history
+    # lines without the field simply never match (cpus=None), which
+    # retires the contaminated pools cleanly.
+    key = (code_md5, machine_md5, data_md5, sf, cpus_effective)
     prior: list[dict] = []
     try:
         with open(hist_path) as f:
@@ -368,14 +380,16 @@ def main() -> None:
                 except ValueError:
                     continue
                 if (p.get("code_md5"), p.get("machine_md5"),
-                        p.get("data_md5"), p.get("sf")) == key:
+                        p.get("data_md5"), p.get("sf"),
+                        p.get("cpus")) == key:
                     prior.append(p["queries_min"])
     except OSError:
         pass
     with open(hist_path, "a") as f:
         f.write(json.dumps({
             "code_md5": code_md5, "machine_md5": machine_md5,
-            "data_md5": data_md5, "sf": sf, "n_runs": n_runs,
+            "data_md5": data_md5, "sf": sf, "cpus": cpus_effective,
+            "n_runs": n_runs,
             "loadavg_start": detail["loadavg_start"],
             "queries_min": timings_min,
         }) + "\n")
@@ -397,6 +411,19 @@ def main() -> None:
                            "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1)
     print(json.dumps(detail))
+    # Per-query compact line (r11, VERDICT r10 wart #6): PERF_r10's
+    # per_query/scaling accounting came up empty because the final
+    # compact line carries only totals and the fat detail line outgrows
+    # the driver's tail window.  Emit the per-query MINS (the
+    # load-robust currency) as their own compact line — ~4 KB for 124
+    # queries — right before the totals line, so a tail window that
+    # holds both gives the driver full per-query accounting while the
+    # final line stays small enough to parse under any window.
+    print(json.dumps({
+        "metric": "headline_query_mins", "unit": "sec", "sf": sf,
+        "cpus": cpus_effective, "code_md5": code_md5,
+        "queries": timings_min,
+    }, separators=(",", ":")))
     compact = {
         "metric": detail["metric"],
         "value": detail["value"],
@@ -419,10 +446,12 @@ def main() -> None:
         "loadavg_warn": loadavg_warn,
         "idle_gate_timed_out": idle_gate_timed_out,
         "sf": sf,
+        "cpus": cpus_effective,
         "machine_md5": machine_md5,
         "data_md5": data_md5,
         "code_md5": code_md5,
         "detail": "BENCH_DETAIL.json",
+        "per_query_line": "headline_query_mins",
     }
     if loadavg_warn:
         compact["WARN"] = (

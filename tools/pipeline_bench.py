@@ -153,6 +153,15 @@ class _OkHandler(BaseHTTPRequestHandler):
     # as API failures (drain soak: 26 of 250k at p32).  Real APIs and
     # the reference's urllib3 both hold keep-alive connections.
     protocol_version = "HTTP/1.1"
+    # TCP_NODELAY (r11): the response is two socket writes (the header
+    # buffer flushed by end_headers, then the body) — with Nagle on,
+    # the body segment waits for the delayed ACK of the header segment,
+    # a ~45 ms stall PER REQUEST on loopback (measured: 65.3 → 22.3
+    # ms/req at 20 ms injected RTT with this one line).  This is what
+    # capped the r10 drain soak at parallel_efficiency ~0.25 flat
+    # across p8/p16/p32 — mock-server artifact, not sink overhead.
+    # Real APIs disable Nagle on response sockets as a matter of course.
+    disable_nagle_algorithm = True
     latency_s = 0.0  # injected per-request service time (class attr,
     # set on a per-server subclass by _make_server)
 
