@@ -240,7 +240,15 @@ _RECHECK = {"pack_sequences_greedy": 3, "markdown_blocks_golden": 4,
             "training_epoch_shuffle": 10,
             "quality_classifier_score": 10,
             "stats_moments_lineitem": 10,
-            "text_gopher_repetition_rules": 10}
+            "text_gopher_repetition_rules": 10,
+            # r11 optimization round: the per-doc filter signals moved
+            # from a corpus-token-scale (doc_id, token) groupBy + keyed
+            # re-aggregation to ONE row-local Arrow kernel (integer
+            # outputs only; reject booleans and divisions unchanged
+            # JVM-side).  Values re-verified bit-identical vs the
+            # unchanged DuckDB oracle at sf0.001+sf0.01; physical path
+            # changed end to end — re-gate hard.
+            "corpus_filter_agreement": 11}
 
 # SOFT rechecks: confirmed queries EDITED since their green row where
 # the edit is a verified semantic no-op on the driver's data (the r3

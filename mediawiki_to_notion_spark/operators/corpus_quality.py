@@ -1470,27 +1470,52 @@ def corpus_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     filters with Jaccard ~1 are redundant, a filter agreeing with
     nothing is either orthogonal signal or broken.
 
-    100 TB shape: per-doc signals come from ONE (doc_id, token) partial
-    agg (same key the tf/idf family shuffles on); the pair matrix is a
+    100 TB shape (r11, guide §2.4/§4.2 — the per-doc token counts
+    never leave their row, so the old (doc_id, token) groupBy was a
+    corpus-TOKEN-scale Exchange re-aggregating row-local data, the
+    exact disease the r10 minhash-substrate rewrite removed): ONE
+    row-local Arrow kernel (Counter per doc — integer outputs only,
+    the repetition-battery discipline) replaces the token explode +
+    two keyed aggregations; docs with zero nonempty tokens emit no row
+    (the old per-doc agg had no group for them — parity pinned in
+    tests).  The reject booleans and every division stay JVM-side,
+    identical expressions to before, and the pair matrix is the same
     single global aggregate computing all {len(_AGREE_PAIRS)}x4
     counters map-side in one pass (no self-join on doc_id, no
     per-pair re-scan), then explodes the bounded 1-row result to the
-    {len(_AGREE_PAIRS)}-row matrix driver-side-free via inline()."""
+    {len(_AGREE_PAIRS)}-row matrix driver-side-free via inline().
+    Plan: Generate + 2 keyed HashAggregates + corpus-token Exchange →
+    MapInPandas, zero wide Exchange before the 1-row global agg."""
+    from mediawiki_to_notion_spark.plans.pipeline import ensure_parallelism
+
     d = load_table(spark, "documents", sf_dir)
-    tf = (
-        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-        .filter(F.col("token") != "")
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    per_doc = tf.groupBy("doc_id").agg(
-        F.sum("cnt").cast("long").alias("n_tokens"),
-        F.count(F.lit(1)).alias("n_distinct"),
-        F.max("cnt").alias("max_cnt"),
-        F.coalesce(
-            F.sum(F.when(F.col("token").isin(*AGREE_STOPWORDS), F.col("cnt"))),
-            F.lit(0),
-        ).cast("long").alias("n_stop"),
+
+    def _signals(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for text in pdf["text"]:
+                if text is None:
+                    continue
+                counts = Counter(t for t in text.split(" ") if t != "")
+                if not counts:
+                    continue
+                rows.append((
+                    sum(counts.values()),
+                    len(counts),
+                    max(counts.values()),
+                    sum(counts[w] for w in AGREE_STOPWORDS),
+                ))
+            yield pd.DataFrame(
+                rows, columns=["n_tokens", "n_distinct", "max_cnt", "n_stop"]
+            ).astype("int64")
+
+    per_doc = ensure_parallelism(d.select("text")).mapInPandas(
+        _signals,
+        "n_tokens long, n_distinct long, max_cnt long, n_stop long",
     )
     sig = per_doc.select(
         (F.col("n_tokens") < AGREE_SHORT_TOKENS).alias("r_short"),

@@ -49,3 +49,80 @@ def test_matrix_is_single_pass(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan  # all pair counters from one aggregate
     assert "CartesianProduct" not in plan
+
+
+def test_kernel_excludes_tokenless_docs_and_matches_grouped_form(spark, tmp_path):
+    """r11 kernel rewrite parity: the row-local signal kernel must
+    reproduce the old (doc_id, token) groupBy semantics exactly —
+    docs with NULL text or only empty tokens contribute NO row (the
+    old per-doc aggregation had no group for them), stopword counts
+    are occurrence counts, and the matrix equals the grouped-form
+    reference computed here test-side."""
+    from pyspark.sql import functions as F
+
+    docs = [
+        (1, None),                      # NULL text -> excluded
+        (2, ""),                        # one empty token -> excluded
+        (3, "   "),                     # only empty tokens -> excluded
+        (4, "the the the a of"),        # 5 tokens, all stopwords
+        (5, " ".join(f"w{i}" for i in range(40)) + " the"),
+        (6, "x " * 60),                 # trailing-space split edge
+    ]
+    d = spark.createDataFrame(docs, "doc_id int, text string")
+    d.coalesce(1).write.parquet(os.path.join(str(tmp_path), "documents.parquet"))
+    got = sorted(
+        tuple(r) for r in
+        QUERIES["corpus_filter_agreement"](spark, str(tmp_path)).collect()
+    )
+
+    # grouped-form reference (the pre-r11 shape), same thresholds
+    from mediawiki_to_notion_spark.operators.corpus_quality import (
+        AGREE_SHORT_TOKENS, AGREE_STOP_SHARE, AGREE_STOPWORDS,
+        AGREE_TOP_SHARE, AGREE_TTR, _AGREE_PAIRS,
+    )
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    per_doc = tf.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("cnt").alias("max_cnt"),
+        F.coalesce(
+            F.sum(F.when(F.col("token").isin(*AGREE_STOPWORDS), F.col("cnt"))),
+            F.lit(0),
+        ).cast("long").alias("n_stop"),
+    )
+    assert per_doc.count() == 3  # docs 1-3 excluded
+    sig = per_doc.select(
+        (F.col("n_tokens") < AGREE_SHORT_TOKENS).alias("r_short"),
+        (F.col("n_distinct").cast("double") / F.col("n_tokens") < AGREE_TTR)
+        .alias("r_ttr"),
+        (F.col("max_cnt").cast("double") / F.col("n_tokens") > AGREE_TOP_SHARE)
+        .alias("r_top"),
+        (F.col("n_stop").cast("double") / F.col("n_tokens") < AGREE_STOP_SHARE)
+        .alias("r_stop"),
+    ).collect()
+    ref = []
+    n = len(sig)
+    for a, b in _AGREE_PAIRS:
+        both = sum(1 for r in sig if r[f"r_{a}"] and r[f"r_{b}"])
+        oa = sum(1 for r in sig if r[f"r_{a}"] and not r[f"r_{b}"])
+        ob = sum(1 for r in sig if not r[f"r_{a}"] and r[f"r_{b}"])
+        nn = sum(1 for r in sig if not r[f"r_{a}"] and not r[f"r_{b}"])
+        agree = round((both + nn) / n, 6)
+        jac = round(both / (both + oa + ob), 6) if both + oa + ob else 0.0
+        ref.append((a, b, both, oa, ob, nn, agree, jac))
+    assert got == sorted(ref)
+
+
+def test_no_token_scale_exchange(spark):
+    """r11 plan pin: the per-doc signals are row-local (MapInPandas);
+    no (doc_id, token)-keyed Exchange may reappear before the single
+    global aggregate."""
+    df = QUERIES["corpus_filter_agreement"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "hashpartitioning(doc_id" not in plan
+    assert "hashpartitioning(token" not in plan
