@@ -87,6 +87,7 @@ def _oracle_for(name: str, sf_dir: str) -> str:
     return ORACLES[name]
 
 
+@pytest.mark.slow  # r11 tier: registry-wide sweep, opt-in (VERDICT r10 #1)
 def test_all_oracles_match_on_adversarial_distribution(spark,
                                                        adversarial_sf_dir):
     failures = []
@@ -131,6 +132,7 @@ def skewed_sf_dir(tmp_path_factory):
     return d
 
 
+@pytest.mark.slow  # r11 tier: registry-wide sweep, opt-in (VERDICT r10 #1)
 def test_all_oracles_match_on_hot_key_skew(spark, skewed_sf_dir):
     failures = []
     for name in sorted(ORACLES):

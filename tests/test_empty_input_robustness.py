@@ -35,6 +35,7 @@ def empty_sf_dir(spark, tmp_path_factory):
     return d
 
 
+@pytest.mark.slow  # r11 tier: registry-wide sweep, opt-in (VERDICT r10 #1)
 def test_every_query_survives_empty_tables(spark, empty_sf_dir):
     failures = []
     for name, fn in sorted(QUERIES.items()):

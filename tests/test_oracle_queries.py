@@ -35,12 +35,14 @@ def _oracle_for(name: str, sf_dir: str) -> str:
     return ORACLES[name]
 
 
+@pytest.mark.slow  # r11 tier: registry-wide sweep, opt-in (VERDICT r10 #1)
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(spark, name):
     result = compare(spark, QUERIES[name], _oracle_for(name, SF_DIR), SF_DIR)
     assert result["match"], f"{name}: {result}"
 
 
+@pytest.mark.slow  # r11 tier: registry-wide sweep, opt-in (VERDICT r10 #1)
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
 def test_rows_only_query_runs(spark, name):
     df = QUERIES[name](spark, SF_DIR)

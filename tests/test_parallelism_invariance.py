@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 
+import pytest
+
 from mediawiki_to_notion_spark.sources.tables import load_table
 
 SF = "/root/testdata/sf0.001"
@@ -34,6 +36,7 @@ def _norm_row(r):
     return tuple(tuple(v) if isinstance(v, list) else v for v in r)
 
 
+@pytest.mark.slow  # r11 tier: registry-wide sweep, opt-in (VERDICT r10 #1)
 def test_entire_registry_invariant_under_shuffle_partitions(spark):
     """SCALING.md's any-parallelism determinism claim, asserted for the
     WHOLE registry: every query returns the identical row multiset at 2

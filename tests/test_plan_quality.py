@@ -586,6 +586,7 @@ def _iter_subtrees(nodes: list[dict]):
     return result
 
 
+@pytest.mark.slow  # r11 tier: registry-wide sweep, opt-in (VERDICT r10 #1)
 def test_no_unpartitioned_corpus_window_in_any_registered_query(spark):
     """Blanket gate over the ENTIRE registry (the companion to the
     no-CartesianProduct sweep): no query may plan a Window with an empty
@@ -624,6 +625,7 @@ def test_no_unpartitioned_corpus_window_in_any_registered_query(spark):
     assert not bad, f"unbounded global windows in: {bad}"
 
 
+@pytest.mark.slow  # r11 tier: registry-wide sweep, opt-in (VERDICT r10 #1)
 def test_no_cartesian_product_in_any_registered_query(spark):
     """Blanket gate over the ENTIRE registry: no query may plan a
     CartesianProduct, ever.  (BroadcastNestedLoopJoin is allowed only

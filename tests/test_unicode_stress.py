@@ -66,6 +66,7 @@ def _oracle_for(name: str, sf_dir: str) -> str:
     return ORACLES[name]
 
 
+@pytest.mark.slow  # r11 tier: registry-wide sweep, opt-in (VERDICT r10 #1)
 def test_all_oracles_match_on_unicode_text(spark, unicode_sf_dir):
     failures = []
     for name in sorted(ORACLES):
