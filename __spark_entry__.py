@@ -248,7 +248,25 @@ _RECHECK = {"pack_sequences_greedy": 3, "markdown_blocks_golden": 4,
             # JVM-side).  Values re-verified bit-identical vs the
             # unchanged DuckDB oracle at sf0.001+sf0.01; physical path
             # changed end to end — re-gate hard.
-            "corpus_filter_agreement": 11}
+            "corpus_filter_agreement": 11,
+            # r11: the exact block-GEMM's tile count now derives from
+            # the corpus size (parquet-footer row count; 2048-row clamp)
+            # instead of the static 16 — the pair set and fold order are
+            # block-count-invariant (pinned in
+            # tests/test_cosine_block_invariance.py) and all four
+            # dependent queries re-verified vs unchanged oracles at
+            # sf0.001+sf0.01, but the physical path (tile fan-out,
+            # per-group kernel batches) changed — re-gate hard.
+            "dedup_embedding_cosine": 11,
+            "dedup_cosine_lsh_recall": 11,
+            "dedup_cosine_lsh_recall_adaptive": 11,
+            "dedup_cosine_lsh_recall_multitable": 11,
+            # r11 (VERDICT r10 #3): the packed per-order parts table is
+            # now materialized (lazy localCheckpoint) so its three
+            # consumers share ONE corpus groupBy instead of re-planning
+            # it 3x.  Values re-verified bit-identical vs the unchanged
+            # oracle at sf0.001+sf0.01; physical path changed — re-gate.
+            "market_basket_part_pairs": 11}
 
 # SOFT rechecks: confirmed queries EDITED since their green row where
 # the edit is a verified semantic no-op on the driver's data (the r3

@@ -1083,13 +1083,22 @@ def market_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join the already-pruned pair table on part key, still never
     a wide-side shuffle); the order count is one scalar broadcast."""
     li = load_table(spark, "lineitem", sf_dir)
-    # three consumers (order count, marginals, pair fan-out) share the
-    # one groupBy(l_orderkey) exchange via ReuseExchange — no eager
-    # materialization needed (a localCheckpoint here was measured +0.2 s
-    # at sf0.1: it serializes an extra job in front of the main one)
+    # r11 (VERDICT r10 #3): the three consumers (order count, marginals,
+    # pair fan-out) do NOT share the groupBy exchange — filter/column
+    # pruning pushes different scans under each subtree, so ReuseExchange
+    # never fires and the r10 shape re-shuffled the corpus 3x (11
+    # Exchanges in the before-plan).  A LAZY localCheckpoint (eager=False)
+    # materializes the packed table ONCE inside the single action — the
+    # RDD persists MEMORY_AND_DISK at mark time, so all three consumer
+    # subtrees read the one evaluation — without the serialized extra
+    # job an eager checkpoint pays (the r10 "+0.2 s" objection).
+    # Interleaved A/B at sf0.1 (min-of-5, arms alternating): plain 3.31 s,
+    # cache 3.44, eager ckpt 2.47, lazy ckpt 2.26 (-32% vs plain); plan
+    # after = ONE corpus groupBy feeding a checkpoint leaf.
     orders = (
         li.groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+        .localCheckpoint(eager=False)
     )
     # COUNT(DISTINCT l_orderkey) ignores NULL keys, and the old
     # self-join's NULL = NULL never matched — replicate both exactly:
